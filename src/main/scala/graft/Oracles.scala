@@ -1,0 +1,291 @@
+package graft
+
+import graft.operators.Channels.{Sql => Ch}
+
+/** DuckDB oracle SQL twins for every oracle-checkable query in
+  * `SparkEntry.queries`. Parity rules (SURVEY.md §7.4):
+  *  - every float aggregate wrapped in round(x, 2..4) on BOTH sides;
+  *  - integer division written `div`(Spark) / `//`(DuckDB) — both truncate
+  *    toward zero (verified empirically);
+  *  - double→int conversions via explicit floor() (DuckDB CAST rounds,
+  *    Spark CAST truncates — never bare-CAST a double);
+  *  - timestamps surfaced as epoch_ms (Spark `unix_millis` = DuckDB
+  *    `epoch_ms`) or formatted date strings, never raw timestamp columns;
+  *  - hex→int via Spark `conv(hex,16,10)` = DuckDB `('0x'||hex)::BIGINT`
+  *    (≤15 hex digits keeps it in 60 bits, positive);
+  *  - deterministic ORDER BY with a unique tiebreaker on every query.
+  */
+object Oracles {
+  val sql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 2) AS avg_qty,
+        | round(avg(l_extendedprice), 2) AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_region_rollup" ->
+      """SELECT r_name,
+        | count(*) AS n_customers,
+        | round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+
+    "q03_revenue_by_priority" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT o_orderstatus,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        | round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_filter_pushdown" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q07_top_orders_per_customer" ->
+      """SELECT o_custkey, rk, o_orderkey, totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q08_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q09_top_customers" ->
+      """SELECT o_custkey,
+        | round(sum(o_totalprice), 2) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY revenue DESC, o_custkey
+        |LIMIT 10""".stripMargin,
+
+    "q10_set_ops" ->
+      """WITH with_orders AS (
+        |  SELECT DISTINCT c_custkey FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM orders)),
+        |building AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |diff AS (SELECT c_custkey FROM with_orders EXCEPT SELECT c_custkey FROM building)
+        |SELECT count(*) AS n_customers, min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        |FROM diff""".stripMargin,
+
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | count(*) AS n_lines,
+        | grouping(l_returnflag) AS g_flag,
+        | grouping(l_linestatus) AS g_status
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+
+    "q12_distinct_users" ->
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS n_users,
+        | count(*) AS n_events,
+        | round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q13_validate_cascade" ->
+      """WITH cmds AS (
+        |  SELECT event_id, CAST(user_id % 8 AS INT) AS target_id,
+        |    1 + event_id % 10 AS n_channels,
+        |    event_id % 50 - 2 AS duration_ms,
+        |    CAST(floor(value * 30) AS INT) % 2600 - 200 AS chv
+        |  FROM events WHERE event_type = 'purchase'),
+        |msgs AS (
+        |  SELECT CASE
+        |    WHEN n_channels < 1 OR n_channels > 8 THEN
+        |      'Invalid channel count. Expected 1-8, got ' || CAST(n_channels AS VARCHAR)
+        |    WHEN duration_ms < 1 THEN 'Duration must be at least 1ms'
+        |    WHEN chv <> -1 AND (chv < 1000 OR chv > 2000) THEN
+        |      'Channel values must be between 1000-2000 or -1 to skip'
+        |    ELSE 'Channels updated for target ' || CAST(target_id AS VARCHAR)
+        |      || ' with ' || CAST(duration_ms AS VARCHAR) || 'ms timeout'
+        |  END AS message FROM cmds)
+        |SELECT CASE WHEN message LIKE 'Channels updated%' THEN 'success' ELSE 'error' END AS status,
+        |  message, count(*) AS n
+        |FROM msgs
+        |GROUP BY status, message
+        |ORDER BY status, message""".stripMargin,
+
+    "q14_json_extract" ->
+      """SELECT k % 10 AS k_bucket, count(*) AS n,
+        | round(avg(value), 2) AS avg_value,
+        | min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, value FROM events)
+        |GROUP BY k_bucket
+        |ORDER BY k_bucket""".stripMargin,
+
+    "q15_mac_format" ->
+      """SELECT user_id, printf('%02X:%02X:%02X:%02X:%02X:%02X',
+        |  (h >> 40) & 255, (h >> 32) & 255, (h >> 24) & 255,
+        |  (h >> 16) & 255, (h >> 8) & 255, h & 255) AS mac
+        |FROM (SELECT DISTINCT user_id, user_id * 2654435761 AS h FROM events)
+        |ORDER BY user_id""".stripMargin,
+
+    "q16_rescale" ->
+      s"""WITH fr AS (${Ch.frames})
+         |SELECT target_id, count(*) AS n_frames,
+         | min(sbus) AS min_sbus, max(sbus) AS max_sbus,
+         | round(avg(sbus), 2) AS avg_sbus
+         |FROM (SELECT target_id, CAST(172 + ((ch - 1000) * 1639) // 1000 AS INT) AS sbus FROM fr)
+         |GROUP BY target_id
+         |ORDER BY target_id""".stripMargin,
+
+    "q17_effective_channels" ->
+      s"""WITH fr AS (${Ch.frames}),
+         |cm AS (${Ch.commands}),
+         |lf AS (SELECT target_id, ch AS live_ch FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY target_id ORDER BY tsm DESC, event_id DESC) AS rn
+         |  FROM fr) WHERE rn = 1),
+         |lc AS (SELECT target_id, ovr, tsm AS cmd_tsm, duration_ms FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY target_id ORDER BY tsm DESC, event_id DESC) AS rn
+         |  FROM cm) WHERE rn = 1),
+         |t AS (SELECT max(epoch_ms(ts)) AS tmax FROM events)
+         |SELECT f.target_id, f.live_ch, c.ovr AS ovr_ch,
+         |  CASE WHEN c.cmd_tsm IS NOT NULL AND c.cmd_tsm + c.duration_ms > t.tmax THEN 1 ELSE 0 END AS is_overridden,
+         |  CASE WHEN c.cmd_tsm IS NOT NULL AND c.cmd_tsm + c.duration_ms > t.tmax THEN c.ovr ELSE f.live_ch END AS effective_ch,
+         |  CASE WHEN c.cmd_tsm IS NOT NULL AND c.cmd_tsm + c.duration_ms > t.tmax THEN 'override' ELSE 'live' END AS source,
+         |  CASE WHEN c.cmd_tsm IS NOT NULL AND c.cmd_tsm + c.duration_ms > t.tmax
+         |    THEN greatest(0, c.cmd_tsm + c.duration_ms - t.tmax) ELSE 0 END AS remaining_ms
+         |FROM lf f LEFT JOIN lc c USING (target_id) CROSS JOIN t
+         |ORDER BY f.target_id""".stripMargin,
+
+    "q18_sentinel_merge" ->
+      s"""WITH fr AS (${Ch.frames}),
+         |sc AS (${Ch.sentinelCommands}),
+         |lv AS (SELECT target_id, ci, ch AS live_ch FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY target_id, ci ORDER BY tsm DESC, event_id DESC) AS rn
+         |  FROM fr) WHERE rn = 1),
+         |oc AS (SELECT target_id, ci, ovr FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY target_id, ci ORDER BY tsm DESC, event_id DESC) AS rn
+         |  FROM sc) WHERE rn = 1)
+         |SELECT coalesce(l.target_id, o.target_id) AS target_id,
+         |  coalesce(l.ci, o.ci) AS ci, l.live_ch, o.ovr,
+         |  coalesce(nullif(o.ovr, -1), l.live_ch) AS merged
+         |FROM lv l FULL JOIN oc o ON l.target_id = o.target_id AND l.ci = o.ci
+         |ORDER BY target_id, ci""".stripMargin,
+
+    "q19_forward_fill" ->
+      s"""WITH hours AS (SELECT DISTINCT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS hour_ms FROM events),
+         |targets AS (SELECT CAST(x AS INT) AS target_id FROM generate_series(0, 7) t(x)),
+         |fr AS (${Ch.frames}),
+         |hourly AS (SELECT target_id, hour_ms, ch FROM (
+         |  SELECT target_id, tsm - tsm % 3600000 AS hour_ms, ch,
+         |    row_number() OVER (PARTITION BY target_id, tsm - tsm % 3600000 ORDER BY tsm DESC, event_id DESC) AS rn
+         |  FROM fr) WHERE rn = 1)
+         |SELECT s.target_id, s.hour_ms,
+         |  last_value(h.ch IGNORE NULLS) OVER (PARTITION BY s.target_id ORDER BY s.hour_ms
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_ch
+         |FROM (SELECT hour_ms, target_id FROM hours CROSS JOIN targets) s
+         |LEFT JOIN hourly h ON h.target_id = s.target_id AND h.hour_ms = s.hour_ms
+         |ORDER BY s.target_id, s.hour_ms""".stripMargin,
+
+    "q20_last_per_key" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS tsm FROM events),
+        |newest AS (SELECT user_id, event_type AS last_event_type, round(value, 2) AS last_value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tsm DESC, event_id DESC) AS rn
+        |  FROM e) WHERE rn = 1),
+        |counts AS (SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |  FROM e GROUP BY user_id),
+        |ack AS (SELECT user_id,
+        |    arg_max(CAST(event_type = 'signup' AS INT), event_id) AS last_ack_success,
+        |    max(CASE WHEN event_type = 'signup' THEN tsm END) AS last_signup_ms
+        |  FROM e WHERE event_type IN ('signup', 'error') GROUP BY user_id)
+        |SELECT n.user_id, n.last_event_type, n.last_value, c.n_events, c.total_value,
+        |  a.last_ack_success, a.last_signup_ms
+        |FROM newest n JOIN counts c USING (user_id) LEFT JOIN ack a USING (user_id)
+        |ORDER BY n.user_id""".stripMargin,
+
+    "q21_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tsm FROM events),
+        |lagged AS (SELECT *, lag(tsm) OVER (PARTITION BY user_id ORDER BY tsm, event_id) AS prev_tsm FROM e),
+        |flagged AS (SELECT *, CASE WHEN prev_tsm IS NULL OR tsm - prev_tsm > 14400000 THEN 1 ELSE 0 END AS is_new FROM lagged),
+        |sessions AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsm, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(tsm) AS start_ms, max(tsm) AS end_ms,
+        |  max(tsm) - min(tsm) AS duration_ms
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q22_snapshot_derived" ->
+      s"""WITH targets AS (SELECT CAST(x AS INT) AS target_id,
+         |    'Drone_' || CAST(x + 1 AS VARCHAR) AS name,
+         |    printf('%02X:%02X:%02X:%02X:%02X:%02X',
+         |      (h >> 40) & 255, (h >> 32) & 255, (h >> 24) & 255,
+         |      (h >> 16) & 255, (h >> 8) & 255, h & 255) AS mac
+         |  FROM (SELECT x, (x + 1) * 2654435761 AS h FROM generate_series(0, 7) t(x))),
+         |fr AS (${Ch.frames}),
+         |cm AS (${Ch.commands}),
+         |ak AS (${Ch.acks}),
+         |lf AS (SELECT target_id, ch AS live_ch FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY target_id ORDER BY tsm DESC, event_id DESC) AS rn
+         |  FROM fr) WHERE rn = 1),
+         |lc AS (SELECT target_id, ovr, tsm AS cmd_tsm, duration_ms FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY target_id ORDER BY tsm DESC, event_id DESC) AS rn
+         |  FROM cm) WHERE rn = 1),
+         |t AS (SELECT max(epoch_ms(ts)) AS tmax FROM events),
+         |eff AS (SELECT f.target_id, f.live_ch,
+         |    CASE WHEN c.cmd_tsm IS NOT NULL AND c.cmd_tsm + c.duration_ms > t.tmax THEN 1 ELSE 0 END AS is_overridden,
+         |    CASE WHEN c.cmd_tsm IS NOT NULL AND c.cmd_tsm + c.duration_ms > t.tmax THEN c.ovr ELSE f.live_ch END AS effective_ch,
+         |    CASE WHEN c.cmd_tsm IS NOT NULL AND c.cmd_tsm + c.duration_ms > t.tmax
+         |      THEN greatest(0, c.cmd_tsm + c.duration_ms - t.tmax) ELSE 0 END AS remaining_ms
+         |  FROM lf f LEFT JOIN lc c USING (target_id) CROSS JOIN t),
+         |ack AS (SELECT target_id, arg_max(success, event_id) AS connection_state,
+         |    max(CASE WHEN success = 1 THEN tsm END) AS last_successful_send_ms
+         |  FROM ak GROUP BY target_id)
+         |SELECT tg.target_id, tg.name, tg.mac, e.live_ch, e.is_overridden,
+         |  e.effective_ch, e.remaining_ms, a.connection_state, a.last_successful_send_ms
+         |FROM targets tg LEFT JOIN eff e USING (target_id) LEFT JOIN ack a USING (target_id)
+         |ORDER BY tg.target_id""".stripMargin,
+  )
+}

@@ -1,13 +1,52 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in `queries` is one operator from SURVEY.md §2's inventory;
+  * each oracle-checkable query has an ANSI-SQL twin in `oracleSql`
+  * (column names aligned on both sides — the driver sorts columns by name
+  * and hash-compares values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * "What does each drone output at time T?" — the reference's whole
+    * reason to exist (SURVEY.md §7.2). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Reference.q17EffectiveChannels(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 relational inventory
+    "q01_pricing_summary" -> (Relational.q01PricingSummary _),
+    "q02_region_rollup" -> (Relational.q02RegionRollup _),
+    "q03_revenue_by_priority" -> (Relational.q03RevenueByPriority _),
+    "q04_semi_join" -> (Relational.q04SemiJoin _),
+    "q05_anti_join" -> (Relational.q05AntiJoin _),
+    "q06_filter_pushdown" -> (Relational.q06FilterPushdown _),
+    "q07_top_orders_per_customer" -> (Relational.q07TopOrdersPerCustomer _),
+    "q08_running_total" -> (Relational.q08RunningTotal _),
+    "q09_top_customers" -> (Relational.q09TopCustomers _),
+    "q10_set_ops" -> (Relational.q10SetOps _),
+    "q11_rollup" -> (Relational.q11Rollup _),
+    "q12_distinct_users" -> (Relational.q12DistinctUsers _),
+    // §2.1 reference-semantics operators (batch twins)
+    "q13_validate_cascade" -> (Reference.q13ValidateCascade _),
+    "q14_json_extract" -> (Reference.q14JsonExtract _),
+    "q15_mac_format" -> (Reference.q15MacFormat _),
+    "q16_rescale" -> (Reference.q16Rescale _),
+    "q17_effective_channels" -> (Reference.q17EffectiveChannels _),
+    "q18_sentinel_merge" -> (Reference.q18SentinelMerge _),
+    "q19_forward_fill" -> (Reference.q19ForwardFill _),
+    "q20_last_per_key" -> (Reference.q20LastPerKey _),
+    "q21_sessionize" -> (Reference.q21Sessionize _),
+    "q22_snapshot_derived" -> (Reference.q22SnapshotDerived _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders over the driver testdata layout
+  * (`/root/testdata/sf*&#47;<table>.parquet`, see TESTDATA.md).
+  *
+  * All readers are plain `spark.read.parquet` scans so Catalyst gets full
+  * predicate-pushdown / column-pruning freedom; callers must NOT cache or
+  * collect these — at 100 TB each table is a partitioned columnar scan and
+  * the plan must stay declarative end-to-end.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default. Read nanos as long and convert to a µs timestamp with exact
+    * integer arithmetic (`div`, no doubles — ns values exceed 2^53).
+    * DuckDB truncates ns→ms the same way, so `unix_millis` stays
+    * oracle-exact. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.ChannelFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch twins of the reference's stream-processing semantics
+  * (SURVEY.md §2.1/§3), expressed over the deterministic event-stream
+  * reinterpretation in [[Channels]]. Each query is the oracle-checkable
+  * form; the streaming-native forms live in `graft.streaming`.
+  *
+  * Scale posture: every window partitions by `target_id`/`user_id` (never
+  * a global unpartitioned window); the only scalar (`max(ts)`) is a
+  * one-row aggregate that Spark broadcasts into the join.
+  */
+object Reference {
+
+  /** F1 — validation cascade with the reference's verbatim error messages
+    * and short-circuit order (`src/transmitter/main.cpp:148-223`):
+    * channel count → duration → value range. Invalid rows route to an
+    * error category (dead-letter analog); valid rows to the success
+    * message. */
+  def q13ValidateCascade(spark: SparkSession, dir: String): DataFrame = {
+    val cmds = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"),
+        (col("user_id") % Channels.NumTargets).cast("int").as("target_id"),
+        (lit(1) + col("event_id") % 10).as("n_channels"),
+        (col("event_id") % 50 - 2).as("duration_ms"),
+        (floor(col("value") * 30).cast("int") % 2600 - 200).as("chv"))
+    val message =
+      when(col("n_channels") < 1 || col("n_channels") > 8,
+        concat(lit("Invalid channel count. Expected 1-8, got "),
+          col("n_channels").cast("string")))
+        .when(col("duration_ms") < 1, lit("Duration must be at least 1ms"))
+        .when(col("chv") =!= -1 && (col("chv") < 1000 || col("chv") > 2000),
+          lit("Channel values must be between 1000-2000 or -1 to skip"))
+        .otherwise(concat(lit("Channels updated for target "),
+          col("target_id").cast("string"), lit(" with "),
+          col("duration_ms").cast("string"), lit("ms timeout")))
+    cmds.withColumn("message", message)
+      .withColumn("status",
+        when(col("message").startsWith("Channels updated"), lit("success"))
+          .otherwise(lit("error")))
+      .groupBy(col("status"), col("message"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status"), col("message"))
+  }
+
+  /** P5 — JSON field extraction from the `props` payload column
+    * (`from_json`-family; mirrors `deserializeJson` + typed field reads,
+    * `src/transmitter/main.cpp:229-249`). */
+  def q14JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 2).as("avg_value"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("k_bucket"))
+
+  /** P2 — MAC colon-hex formatting over a derived stable 48-bit id
+    * (`lib/TargetManager/TargetManager.h:202-208`). */
+  def q15MacFormat(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .select(col("user_id"), macFormat(col("user_id")).as("mac"))
+      .orderBy(col("user_id"))
+
+  /** P1 — SBUS linear rescale 1000-2000 → 172-1811 with exact truncating
+    * integer semantics (`src/receiver/main.cpp:68-71`). */
+  def q16Rescale(spark: SparkSession, dir: String): DataFrame =
+    Channels.frames(spark, dir)
+      .withColumn("sbus", sbusRescale(col("ch")))
+      .groupBy(col("target_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(col("sbus")).as("min_sbus"),
+        max(col("sbus")).as("max_sbus"),
+        round(avg(col("sbus")), 2).as("avg_sbus"))
+      .orderBy(col("target_id"))
+
+  /** ST1 (flagship) — effective channel value per target at snapshot time
+    * T = max event time: the latest unexpired override wins, else the
+    * latest live frame; with the P3 derived remaining-TTL
+    * (`src/transmitter/main.cpp:78-97`, `TargetManager.h:169-178`).
+    * As-of join expressed as per-key row_number = 1 (single shuffle per
+    * stream on the key — scales to any number of targets). */
+  def q17EffectiveChannels(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("target_id"))
+      .orderBy(col("tsm").desc, col("event_id").desc)
+    val lastFrame = Channels.frames(spark, dir)
+      .withColumn("rn", row_number().over(byKey)).filter(col("rn") === 1)
+      .select(col("target_id"), col("ch").as("live_ch"))
+    val lastCmd = Channels.commands(spark, dir)
+      .withColumn("rn", row_number().over(byKey)).filter(col("rn") === 1)
+      .select(col("target_id"), col("ovr"), col("tsm").as("cmd_tsm"),
+        col("duration_ms"))
+    val tmax = Tables.events(spark, dir)
+      .agg(max(unix_millis(col("ts"))).as("tmax"))
+    val active = col("cmd_tsm").isNotNull &&
+      col("cmd_tsm") + col("duration_ms") > col("tmax")
+    lastFrame.join(lastCmd, Seq("target_id"), "left")
+      .crossJoin(broadcast(tmax))
+      .select(
+        col("target_id"),
+        col("live_ch"),
+        col("ovr").as("ovr_ch"),
+        when(active, 1).otherwise(0).as("is_overridden"),
+        when(active, col("ovr")).otherwise(col("live_ch")).as("effective_ch"),
+        when(active, lit("override")).otherwise(lit("live")).as("source"),
+        when(active, overrideRemainingMs(col("cmd_tsm") + col("duration_ms"), col("tmax")))
+          .otherwise(lit(0L)).as("remaining_ms"))
+      .orderBy(col("target_id"))
+  }
+
+  /** ST2 — per-element sentinel merge of the latest override onto the
+    * latest live value per (target, channel-index): `-1` skips
+    * (`src/transmitter/main.cpp:199-212`). Atomic variant — the
+    * reference's non-atomic partial application is documented as a
+    * deviation (SURVEY.md §4.3.3). */
+  def q18SentinelMerge(spark: SparkSession, dir: String): DataFrame = {
+    val byCell = Window.partitionBy(col("target_id"), col("ci"))
+      .orderBy(col("tsm").desc, col("event_id").desc)
+    val live = Channels.frames(spark, dir)
+      .withColumn("rn", row_number().over(byCell)).filter(col("rn") === 1)
+      .select(col("target_id"), col("ci"), col("ch").as("live_ch"))
+    val ovr = Channels.sentinelCommands(spark, dir)
+      .withColumn("rn", row_number().over(byCell)).filter(col("rn") === 1)
+      .select(col("target_id"), col("ci"), col("ovr"))
+    live.join(ovr, Seq("target_id", "ci"), "full")
+      .select(col("target_id"), col("ci"), col("live_ch"), col("ovr"),
+        sentinelMerge(col("ovr"), col("live_ch")).as("merged"))
+      .orderBy(col("target_id"), col("ci"))
+  }
+
+  /** T2 — sample-and-hold upsampling: hourly tick spine per target,
+    * forward-filled with the last observed frame value
+    * (`src/receiver/main.cpp:62-74`: 30 Hz re-emission of a 2 Hz input).
+    * Spine = dense (hour × target) grid; fill = last(ignoreNulls) over an
+    * ordered per-target frame — one shuffle on target_id. */
+  def q19ForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val hours = Tables.events(spark, dir)
+      .select((unix_millis(col("ts")) - unix_millis(col("ts")) % 3600000L).as("hour_ms"))
+      .distinct()
+    val targets = spark.range(Channels.NumTargets)
+      .select(col("id").cast("int").as("target_id"))
+    val hourly = Channels.frames(spark, dir)
+      .withColumn("hour_ms", col("tsm") - col("tsm") % 3600000L)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("target_id"), col("hour_ms"))
+          .orderBy(col("tsm").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("target_id"), col("hour_ms"), col("ch"))
+    val ffill = Window.partitionBy(col("target_id")).orderBy(col("hour_ms"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hours.crossJoin(broadcast(targets))
+      .join(hourly, Seq("target_id", "hour_ms"), "left")
+      .withColumn("filled_ch", last(col("ch"), ignoreNulls = true).over(ffill))
+      .select(col("target_id"), col("hour_ms"), col("filled_ch"))
+      .orderBy(col("target_id"), col("hour_ms"))
+  }
+
+  /** A2/A3 — last-value-per-key state: per user, the newest event (hold
+    * register, `src/receiver/main.cpp:36`) plus ack-tracking aggregates
+    * (`src/transmitter/main.cpp:55-75`): last send status and last
+    * successful-send time. */
+  def q20LastPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_millis(col("ts")).as("tsm"))
+    val newest = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("tsm").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_event_type"),
+        round(col("value"), 2).as("last_value"))
+    val counts = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+    val ackState = e.filter(col("event_type").isin("signup", "error"))
+      .groupBy(col("user_id"))
+      .agg(
+        max_by((col("event_type") === "signup").cast("int"), col("event_id"))
+          .as("last_ack_success"),
+        max(when(col("event_type") === "signup", col("tsm"))).as("last_signup_ms"))
+    newest.join(counts, Seq("user_id"))
+      .join(ackState, Seq("user_id"), "left")
+      .orderBy(col("user_id"))
+  }
+
+  /** Session windows — connection-state episodes (SURVEY.md §2.2
+    * streaming row): gap-based sessionization (4 h) per user via
+    * lag + running sum, then per-session aggregates. */
+  def q21Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 14400000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsm"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("tsm"))
+      .withColumn("prev_tsm", lag(col("tsm"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_tsm").isNull || col("tsm") - col("prev_tsm") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tsm")).as("start_ms"),
+        max(col("tsm")).as("end_ms"),
+        (max(col("tsm")) - min(col("tsm"))).as("duration_ms"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** P3/P4 — the telemetry snapshot (`targets_update`,
+    * `src/transmitter/main.cpp:282-296` + `TargetManager.h:145-182`) as a
+    * relational row set: per target the full state incl. the derived
+    * remaining-TTL and ack-derived connection state. JSON envelope parity
+    * is unit-tested (string formatting is not oracle-hashable). */
+  def q22SnapshotDerived(spark: SparkSession, dir: String): DataFrame = {
+    val targets = spark.range(Channels.NumTargets)
+      .select(col("id").cast("int").as("target_id"))
+      .withColumn("name", concat(lit("Drone_"), (col("target_id") + 1).cast("string")))
+      .withColumn("mac", macFormat(col("target_id") + 1))
+    val eff = q17EffectiveChannels(spark, dir)
+      .select(col("target_id"), col("live_ch"), col("is_overridden"),
+        col("effective_ch"), col("remaining_ms"))
+    val acks = Channels.acks(spark, dir)
+      .groupBy(col("target_id"))
+      .agg(max_by(col("success"), col("event_id")).as("connection_state"),
+        max(when(col("success") === 1, col("tsm"))).as("last_successful_send_ms"))
+    targets
+      .join(eff, Seq("target_id"), "left")
+      .join(acks, Seq("target_id"), "left")
+      .orderBy(col("target_id"))
+  }
+}

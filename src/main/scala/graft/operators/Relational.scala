@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational operator inventory (SURVEY.md §2.2) over the
+  * TPC-H-ish testdata: hash aggregation, broadcast + shuffle joins,
+  * semi/anti joins, window functions, top-k, set ops, rollup.
+  *
+  * Scale posture (100 TB): dimension tables (`region`, `nation`,
+  * `supplier`, small `customer` slices) are explicitly `broadcast()`; the
+  * fact-fact `lineitem ⋈ orders` join is left to Catalyst/AQE which picks
+  * sort-merge on the shuffled orderkey — the natural co-partitioning key.
+  * Filters are expressed directly on scan columns so they push into the
+  * parquet reader (verified via `.explain("formatted")` — see
+  * PLANS.md). Every query ends in a deterministic ORDER BY so results are
+  * stable under any partitioning.
+  *
+  * The reference's join surface is point-lookup equi-joins
+  * (`lib/TargetManager/TargetManager.h:66-135`) — generalized here to the
+  * full relational join family per SURVEY.md §2.2.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: partial+final hash aggregation with
+    * map-side combine (free from Catalyst). Mirrors reference A1 count
+    * aggregate generalized (`lib/TargetManager/TargetManager.h:138`). */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Customer ⋈ nation ⋈ region with broadcast dimensions (J1-style keyed
+    * lookup at scale: dims are tiny, so broadcast-hash everywhere). */
+  def q02RegionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Fact-fact join lineitem ⋈ orders: shuffled sort-merge on orderkey
+    * (AQE may switch to shuffled-hash; both scale-correct — co-partitioned
+    * on the join key, no broadcast of a 100 TB side). */
+  def q03RevenueByPriority(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Left-semi join (EXISTS): orders having a discounted lineitem.
+    * Mirrors the reference's target-exists check
+    * (`src/transmitter/main.cpp:163-169`) as a set-level operation. */
+  def q04SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val disc = Tables.lineitem(spark, dir)
+      .filter(col("l_discount") > lit(0.05))
+      .select(col("l_orderkey"))
+    o.join(disc, o("o_orderkey") === disc("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no large order — the
+    * missing-target error path (`src/transmitter/main.cpp:164-169`) as a
+    * relational anti-join. */
+  def q05AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > lit(400000.0))
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** TPC-H Q6-style selective scan: all predicates sit directly on scan
+    * columns → pushed into the parquet reader (PushedFilters). */
+  def q06FilterPushdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < lit(24))
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Top-k per group via row_number window — the scalable per-key top-k
+    * (single shuffle on the partition key, no global sort). */
+  def q07TopOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Running (prefix) aggregate per key — generalizes the reference's
+    * cumulative state view; rowsBetween unbounded-preceding frame. */
+  def q08RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Global top-k: aggregate then orderBy+limit — the final sort is on an
+    * already-reduced (one row per customer) relation, so a total order is
+    * affordable at any scale. */
+  def q09TopCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(10)
+
+  /** Set operation: EXCEPT (distinct) — customers holding orders minus the
+    * BUILDING segment. Mirrors snapshot-diff semantics (targets in tick A
+    * but not B, SURVEY.md §2.2 set-ops row). */
+  def q10SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val withOrders = c.join(
+      Tables.orders(spark, dir).select(col("o_custkey")),
+      c("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    withOrders.except(building)
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"))
+  }
+
+  /** ROLLUP hierarchical aggregate with GROUPING markers (telemetry
+    * rollups per SURVEY.md §2.2 aggregation row). */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_lines"),
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
+
+  /** Exact distinct aggregation (expand + two-phase agg under the hood);
+    * the approximate HLL twin lives in Pipeline (no SQL oracle). */
+  def q12DistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+}
