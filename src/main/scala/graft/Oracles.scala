@@ -16,6 +16,12 @@ import graft.operators.Channels.{Sql => Ch}
   *  - deterministic ORDER BY with a unique tiebreaker on every query.
   */
 object Oracles {
+  /** DuckDB twin of Spark's `max_by(v, struct(tsm, event_id))`: arg_max
+    * over a lexicographic HUGEINT encoding of (tsm, event_id). 2^63 scale
+    * factor makes the encoding exactly lexicographic for any non-negative
+    * event_id < 2^63 — no overflow (HUGEINT is 128-bit). */
+  private val byTsEid = "tsm::HUGEINT * 9223372036854775808 + event_id"
+
   val sql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -63,7 +69,8 @@ object Oracles {
       """SELECT c_mktsegment, count(*) AS n_customers,
         | round(sum(c_acctbal), 2) AS total_acctbal
         |FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
@@ -167,7 +174,7 @@ object Oracles {
       """SELECT user_id, printf('%02X:%02X:%02X:%02X:%02X:%02X',
         |  (h >> 40) & 255, (h >> 32) & 255, (h >> 24) & 255,
         |  (h >> 16) & 255, (h >> 8) & 255, h & 255) AS mac
-        |FROM (SELECT DISTINCT user_id, user_id * 2654435761 AS h FROM events)
+        |FROM (SELECT DISTINCT user_id, (user_id & 16777215) * 2654435761 AS h FROM events)
         |ORDER BY user_id""".stripMargin,
 
     "q16_rescale" ->
@@ -182,12 +189,12 @@ object Oracles {
     "q17_effective_channels" ->
       s"""WITH fr AS (${Ch.frames}),
          |cm AS (${Ch.commands}),
-         |lf AS (SELECT target_id, ch AS live_ch FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY target_id ORDER BY tsm DESC, event_id DESC) AS rn
-         |  FROM fr) WHERE rn = 1),
-         |lc AS (SELECT target_id, ovr, tsm AS cmd_tsm, duration_ms FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY target_id ORDER BY tsm DESC, event_id DESC) AS rn
-         |  FROM cm) WHERE rn = 1),
+         |lf AS (SELECT target_id, arg_max(ch, $byTsEid) AS live_ch
+         |  FROM fr GROUP BY target_id),
+         |lc AS (SELECT target_id, arg_max(ovr, $byTsEid) AS ovr,
+         |    arg_max(tsm, $byTsEid) AS cmd_tsm,
+         |    arg_max(duration_ms, $byTsEid) AS duration_ms
+         |  FROM cm GROUP BY target_id),
          |t AS (SELECT max(epoch_ms(ts)) AS tmax FROM events)
          |SELECT f.target_id, f.live_ch, c.ovr AS ovr_ch,
          |  CASE WHEN c.cmd_tsm IS NOT NULL AND c.cmd_tsm + c.duration_ms > t.tmax THEN 1 ELSE 0 END AS is_overridden,
@@ -201,12 +208,10 @@ object Oracles {
     "q18_sentinel_merge" ->
       s"""WITH fr AS (${Ch.frames}),
          |sc AS (${Ch.sentinelCommands}),
-         |lv AS (SELECT target_id, ci, ch AS live_ch FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY target_id, ci ORDER BY tsm DESC, event_id DESC) AS rn
-         |  FROM fr) WHERE rn = 1),
-         |oc AS (SELECT target_id, ci, ovr FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY target_id, ci ORDER BY tsm DESC, event_id DESC) AS rn
-         |  FROM sc) WHERE rn = 1)
+         |lv AS (SELECT target_id, ci, arg_max(ch, $byTsEid) AS live_ch
+         |  FROM fr GROUP BY target_id, ci),
+         |oc AS (SELECT target_id, ci, arg_max(ovr, $byTsEid) AS ovr
+         |  FROM sc GROUP BY target_id, ci)
          |SELECT coalesce(l.target_id, o.target_id) AS target_id,
          |  coalesce(l.ci, o.ci) AS ci, l.live_ch, o.ovr,
          |  coalesce(nullif(o.ovr, -1), l.live_ch) AS merged
@@ -217,10 +222,9 @@ object Oracles {
       s"""WITH hours AS (SELECT DISTINCT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS hour_ms FROM events),
          |targets AS (SELECT CAST(x AS INT) AS target_id FROM generate_series(0, 7) t(x)),
          |fr AS (${Ch.frames}),
-         |hourly AS (SELECT target_id, hour_ms, ch FROM (
-         |  SELECT target_id, tsm - tsm % 3600000 AS hour_ms, ch,
-         |    row_number() OVER (PARTITION BY target_id, tsm - tsm % 3600000 ORDER BY tsm DESC, event_id DESC) AS rn
-         |  FROM fr) WHERE rn = 1)
+         |hourly AS (SELECT target_id, tsm - tsm % 3600000 AS hour_ms,
+         |    arg_max(ch, $byTsEid) AS ch
+         |  FROM fr GROUP BY target_id, hour_ms)
          |SELECT s.target_id, s.hour_ms,
          |  last_value(h.ch IGNORE NULLS) OVER (PARTITION BY s.target_id ORDER BY s.hour_ms
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_ch
@@ -229,10 +233,10 @@ object Oracles {
          |ORDER BY s.target_id, s.hour_ms""".stripMargin,
 
     "q20_last_per_key" ->
-      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS tsm FROM events),
-        |newest AS (SELECT user_id, event_type AS last_event_type, round(value, 2) AS last_value FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tsm DESC, event_id DESC) AS rn
-        |  FROM e) WHERE rn = 1),
+      s"""WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS tsm FROM events),
+        |newest AS (SELECT user_id, arg_max(event_type, $byTsEid) AS last_event_type,
+        |  round(arg_max(value, $byTsEid), 2) AS last_value
+        |  FROM e GROUP BY user_id),
         |counts AS (SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
         |  FROM e GROUP BY user_id),
         |ack AS (SELECT user_id,
@@ -263,16 +267,16 @@ object Oracles {
          |    printf('%02X:%02X:%02X:%02X:%02X:%02X',
          |      (h >> 40) & 255, (h >> 32) & 255, (h >> 24) & 255,
          |      (h >> 16) & 255, (h >> 8) & 255, h & 255) AS mac
-         |  FROM (SELECT x, (x + 1) * 2654435761 AS h FROM generate_series(0, 7) t(x))),
+         |  FROM (SELECT x, ((x + 1) & 16777215) * 2654435761 AS h FROM generate_series(0, 7) t(x))),
          |fr AS (${Ch.frames}),
          |cm AS (${Ch.commands}),
          |ak AS (${Ch.acks}),
-         |lf AS (SELECT target_id, ch AS live_ch FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY target_id ORDER BY tsm DESC, event_id DESC) AS rn
-         |  FROM fr) WHERE rn = 1),
-         |lc AS (SELECT target_id, ovr, tsm AS cmd_tsm, duration_ms FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY target_id ORDER BY tsm DESC, event_id DESC) AS rn
-         |  FROM cm) WHERE rn = 1),
+         |lf AS (SELECT target_id, arg_max(ch, $byTsEid) AS live_ch
+         |  FROM fr GROUP BY target_id),
+         |lc AS (SELECT target_id, arg_max(ovr, $byTsEid) AS ovr,
+         |    arg_max(tsm, $byTsEid) AS cmd_tsm,
+         |    arg_max(duration_ms, $byTsEid) AS duration_ms
+         |  FROM cm GROUP BY target_id),
          |t AS (SELECT max(epoch_ms(ts)) AS tmax FROM events),
          |eff AS (SELECT f.target_id, f.live_ch,
          |    CASE WHEN c.cmd_tsm IS NOT NULL AND c.cmd_tsm + c.duration_ms > t.tmax THEN 1 ELSE 0 END AS is_overridden,

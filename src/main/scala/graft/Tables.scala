@@ -25,7 +25,13 @@ object Tables {
     * default. Read nanos as long and convert to a µs timestamp with exact
     * integer arithmetic (`div`, no doubles — ns values exceed 2^53).
     * DuckDB truncates ns→ms the same way, so `unix_millis` stays
-    * oracle-exact. */
+    * oracle-exact.
+    *
+    * The `nanosAsLong` flag is session-wide and deliberately set here (a
+    * documented side effect): the driver calls `SparkEntry.entry` with a
+    * session we don't build, so the loader is the only place guaranteed
+    * to run before the read. The flag only affects TIMESTAMP(NANOS)
+    * columns, which exist in no other testdata table. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")

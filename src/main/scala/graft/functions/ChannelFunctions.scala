@@ -38,7 +38,11 @@ object ChannelFunctions {
     * The engine derives synthetic stable MACs from keys (the reference
     * hard-codes 8 peer MACs, `src/transmitter/main.cpp:42-49`). */
   def macFormat(key: Column): Column = {
-    val h = key.cast("long") * lit(2654435761L) // Knuth multiplicative hash, stays in 63 bits for small keys
+    // Knuth multiplicative hash over the low 24 bits of the key: the
+    // pre-multiply mask keeps the product ≤ 2^56, so the function is
+    // total over the full long domain (no ANSI overflow, and the DuckDB
+    // twin computes the identical value instead of raising out-of-range).
+    val h = (key.cast("long") bitwiseAND lit(0xFFFFFFL)) * lit(2654435761L)
     val bytes = (5 to 0 by -1).map(i => shiftright(h, 8 * i) bitwiseAND lit(255L))
     format_string("%02X:%02X:%02X:%02X:%02X:%02X", bytes: _*)
   }

@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   * reinterpretation in [[Channels]]. Each query is the oracle-checkable
   * form; the streaming-native forms live in `graft.streaming`.
   *
-  * Scale posture: every window partitions by `target_id`/`user_id` (never
-  * a global unpartitioned window); the only scalar (`max(ts)`) is a
-  * one-row aggregate that Spark broadcasts into the join.
+  * Scale posture: latest-row-per-key is expressed as partial-aggregatable
+  * `max_by(value, struct(tsm, event_id))` — never a `row_number` window on
+  * a low-cardinality key, which would funnel the whole input into a
+  * handful of single-threaded sort tasks. Remaining windows partition on
+  * keys whose cardinality grows with the data (`user_id`) or run over an
+  * already-reduced spine (q19). The only scalar (`max(ts)`) is a one-row
+  * aggregate that Spark broadcasts into the join.
   */
 object Reference {
 
@@ -84,22 +88,28 @@ object Reference {
         round(avg(col("sbus")), 2).as("avg_sbus"))
       .orderBy(col("target_id"))
 
+  /** Lexicographic (tsm, event_id) ordering key for latest-row-per-key
+    * aggregates. `max_by` over this struct partial-aggregates map-side
+    * (each input partition reduces to ≤1 row per key before the shuffle),
+    * so low-cardinality keys (8 targets) never funnel the full input into
+    * 8 sort tasks the way a `row_number` window would. */
+  private def ordKey = struct(col("tsm"), col("event_id"))
+
   /** ST1 (flagship) — effective channel value per target at snapshot time
     * T = max event time: the latest unexpired override wins, else the
     * latest live frame; with the P3 derived remaining-TTL
     * (`src/transmitter/main.cpp:78-97`, `TargetManager.h:169-178`).
-    * As-of join expressed as per-key row_number = 1 (single shuffle per
-    * stream on the key — scales to any number of targets). */
+    * Latest-per-key via partial-aggregatable `max_by` (no per-key sort,
+    * no 8-partition shuffle funnel — scales to any number of targets). */
   def q17EffectiveChannels(spark: SparkSession, dir: String): DataFrame = {
-    val byKey = Window.partitionBy(col("target_id"))
-      .orderBy(col("tsm").desc, col("event_id").desc)
     val lastFrame = Channels.frames(spark, dir)
-      .withColumn("rn", row_number().over(byKey)).filter(col("rn") === 1)
-      .select(col("target_id"), col("ch").as("live_ch"))
+      .groupBy(col("target_id"))
+      .agg(max_by(col("ch"), ordKey).as("live_ch"))
     val lastCmd = Channels.commands(spark, dir)
-      .withColumn("rn", row_number().over(byKey)).filter(col("rn") === 1)
-      .select(col("target_id"), col("ovr"), col("tsm").as("cmd_tsm"),
-        col("duration_ms"))
+      .groupBy(col("target_id"))
+      .agg(max_by(struct(col("ovr"), col("tsm"), col("duration_ms")), ordKey).as("s"))
+      .select(col("target_id"), col("s.ovr").as("ovr"),
+        col("s.tsm").as("cmd_tsm"), col("s.duration_ms").as("duration_ms"))
     val tmax = Tables.events(spark, dir)
       .agg(max(unix_millis(col("ts"))).as("tmax"))
     val active = col("cmd_tsm").isNotNull &&
@@ -124,14 +134,12 @@ object Reference {
     * reference's non-atomic partial application is documented as a
     * deviation (SURVEY.md §4.3.3). */
   def q18SentinelMerge(spark: SparkSession, dir: String): DataFrame = {
-    val byCell = Window.partitionBy(col("target_id"), col("ci"))
-      .orderBy(col("tsm").desc, col("event_id").desc)
     val live = Channels.frames(spark, dir)
-      .withColumn("rn", row_number().over(byCell)).filter(col("rn") === 1)
-      .select(col("target_id"), col("ci"), col("ch").as("live_ch"))
+      .groupBy(col("target_id"), col("ci"))
+      .agg(max_by(col("ch"), ordKey).as("live_ch"))
     val ovr = Channels.sentinelCommands(spark, dir)
-      .withColumn("rn", row_number().over(byCell)).filter(col("rn") === 1)
-      .select(col("target_id"), col("ci"), col("ovr"))
+      .groupBy(col("target_id"), col("ci"))
+      .agg(max_by(col("ovr"), ordKey).as("ovr"))
     live.join(ovr, Seq("target_id", "ci"), "full")
       .select(col("target_id"), col("ci"), col("live_ch"), col("ovr"),
         sentinelMerge(col("ovr"), col("live_ch")).as("merged"))
@@ -151,11 +159,12 @@ object Reference {
       .select(col("id").cast("int").as("target_id"))
     val hourly = Channels.frames(spark, dir)
       .withColumn("hour_ms", col("tsm") - col("tsm") % 3600000L)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("target_id"), col("hour_ms"))
-          .orderBy(col("tsm").desc, col("event_id").desc)))
-      .filter(col("rn") === 1)
-      .select(col("target_id"), col("hour_ms"), col("ch"))
+      .groupBy(col("target_id"), col("hour_ms"))
+      .agg(max_by(col("ch"), ordKey).as("ch"))
+    // The fill window runs over the (hours × targets) spine only — the
+    // heavy raw input was already reduced by the partial-aggregatable
+    // max_by above, so the per-target sequential scan is bounded by the
+    // spine size, not the data size.
     val ffill = Window.partitionBy(col("target_id")).orderBy(col("hour_ms"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hours.crossJoin(broadcast(targets))
@@ -174,12 +183,10 @@ object Reference {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), unix_millis(col("ts")).as("tsm"))
     val newest = e
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("user_id"))
-          .orderBy(col("tsm").desc, col("event_id").desc)))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_type").as("last_event_type"),
-        round(col("value"), 2).as("last_value"))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_type"), col("value")), ordKey).as("s"))
+      .select(col("user_id"), col("s.event_type").as("last_event_type"),
+        round(col("s.value"), 2).as("last_value"))
     val counts = e.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))

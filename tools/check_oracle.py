@@ -89,6 +89,11 @@ for name, sql in sorted(oracle.items()):
         print(f"PASS {name} ({len(exp)} rows)")
         n_pass += 1
 
-missing = set(json.loads((OUT / "oracle_sql.json").read_text())) - set(oracle)
+# queries that produced output but have no oracle (driver will record a
+# weaker rows-only check for these — list them so omissions are deliberate)
+produced = {p.name for p in OUT.iterdir() if p.is_dir()}
+missing = sorted(produced - set(oracle))
+if missing:
+    print(f"\nno oracle (rows-only check): {missing}")
 print(f"\n{n_pass} pass, {n_fail} fail")
 sys.exit(1 if n_fail else 0)
