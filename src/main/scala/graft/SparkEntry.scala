@@ -44,6 +44,16 @@ object SparkEntry {
     "q20_last_per_key" -> (Reference.q20LastPerKey _),
     "q21_sessionize" -> (Reference.q21Sessionize _),
     "q22_snapshot_derived" -> (Reference.q22SnapshotDerived _),
+    // LLM-data-pipeline operators (SURVEY.md §2.2 last row; VERDICT r1 #1)
+    "q23_exact_dedup" -> (Pipeline.q23ExactDedup _),
+    "q24_near_dup_minhash" -> (Pipeline.q24NearDupMinhash _),
+    "q25_similarity_topk" -> (Pipeline.q25SimilarityTopk _),
+    "q26_text_stats" -> (Pipeline.q26TextStats _),
+    "q27_lang_id" -> (Pipeline.q27LangId _),
+    "q28_simhash" -> (Pipeline.q28Simhash _),
+    "q29_fingerprint" -> (Pipeline.q29Fingerprint _),
+    "q30_embedding_near_dup" -> (Pipeline.q30EmbeddingNearDup _),
+    "q31_ivf_ann" -> (Pipeline.q31IvfAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

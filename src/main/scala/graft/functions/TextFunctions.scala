@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column functions for the LLM-data-pipeline operators (dedup,
+  * similarity, text analysis) — pure `Column → Column` built-ins, all
+  * whole-stage-codegen'd, each with an exact DuckDB twin (the SQL
+  * fragments live next to the queries in `operators.Pipeline.Sql`).
+  *
+  * Engine-portable hashing: every hash is derived from `md5` (identical
+  * bytes in Spark and DuckDB) — never `hash()`/`xxhash64`, whose
+  * algorithms differ between engines.
+  */
+object TextFunctions {
+
+  /** Modulus for MinHash / fingerprint arithmetic: 2^31 − 1 (Mersenne
+    * prime). Products of two sub-2^31 values stay within 2^62 — no long
+    * overflow anywhere in the hash pipeline. */
+  val P: Long = 2147483647L
+
+  /** 60-bit engine-portable string hash: the first 15 hex digits of md5,
+    * parsed as a positive long. */
+  def portableHash(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Portable hash reduced mod P (the MinHash universe). */
+  def portableHashMod(s: Column): Column = pmod(portableHash(s), lit(P))
+
+  /** Word k-shingles of a token array: overlapping k-grams joined by a
+    * single space, deduplicated. Empty array when the document is shorter
+    * than k tokens. */
+  def wordShingles(toks: Column, k: Int): Column =
+    array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        .otherwise(array().cast("array<string>")))
+
+  /** MinHash signature: for each of `numHashes` linear hash functions
+    * `(a_h·x + b_h) mod P` (a_h = 2h+1, b_h = 12289·h), the minimum over
+    * the shingle-hash set. One pass over an array column — no explode, so
+    * signature computation is fully map-side. */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), h =>
+      array_min(transform(shingleHashes,
+        x => pmod((h * 2 + 1) * x + h * lit(12289L), lit(P)))))
+
+  /** LSH band signatures: `numBands` bands of `rowsPerBand` signature
+    * entries, each band compressed to one long via a base-31 positional
+    * weighting (exact in int64: entries < 2^31, weights ≤ 31^3). Docs
+    * sharing any band signature become near-dup candidates — candidate
+    * generation is per-bucket, never all-pairs. */
+  def lshBands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)), b => {
+      val terms = (0 until rowsPerBand).map { r =>
+        element_at(sig, b * rowsPerBand + r + 1) * lit(math.pow(31, r).toLong)
+      }
+      terms.reduce(_ + _)
+    })
+
+  /** Jaccard similarity of two pre-deduplicated arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Dot product of two numeric arrays in double precision — a sequential
+    * left fold in array order, so the float summation order is identical
+    * to the DuckDB twin's `list_sum`. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm of a numeric array (double). */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity of two numeric arrays (double). */
+  def cosine(a: Column, b: Column): Column = dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** 16-bit SimHash over a (multiset) token-hash array: bit b is set when
+    * the frequency-weighted ±1 vote of bit b across token hashes is
+    * positive. Bit test `(x div 2^b) mod 2` avoids variable-shift
+    * builtins (exact for x < 2^31, b ≤ 15 — the double division has a
+    * ≤31-bit significand). */
+  def simhash16(tokenHashes: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(15)), b => {
+        val votes = aggregate(tokenHashes, lit(0L), (acc, x) =>
+          acc + when((x / pow(lit(2.0), b)).cast("long") % 2 === 1, 1L).otherwise(-1L))
+        when(votes > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)
+      }),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Position-weighted rolling-hash document fingerprint:
+    * `Σ ((pos+1) · (h(tok) mod P)) mod P`, finally reduced mod P. Order-
+    * sensitive (a permutation of the same tokens fingerprints
+    * differently), bounded at 2^31·len — no overflow below 2^32 tokens. */
+  def fingerprint(toks: Column): Column =
+    pmod(
+      aggregate(
+        transform(toks, (t, i) => pmod((i + 1) * portableHashMod(t), lit(P))),
+        lit(0L), (acc, v) => acc + v),
+      lit(P))
+}

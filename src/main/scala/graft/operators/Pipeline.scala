@@ -1,0 +1,473 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over `documents.parquet` and
+  * `embeddings.parquet`: deduplication (exact, MinHash+LSH, SimHash),
+  * similarity search (brute-force and IVF cosine top-k, LSH embedding
+  * near-dup), and text analysis (stats, language-ID, quality scoring,
+  * fingerprinting).
+  *
+  * Scale posture (100 TB):
+  *  - Signatures (MinHash, SimHash, fingerprints, LSH buckets) are
+  *    computed as array expressions over each row — fully map-side, no
+  *    explode, no shuffle until the group/join on the signature itself.
+  *  - Near-dup candidate generation is ALWAYS per-bucket (LSH band
+  *    buckets / hash buckets), never an all-pairs cross join.
+  *  - Exact dedup is a hash-groupBy on the content digest — partial
+  *    aggregation reduces each partition to one row per digest before
+  *    the shuffle.
+  *  - Brute-force top-k broadcasts the (small) query set and uses a
+  *    salted two-level top-k so no single task sorts a whole query's
+  *    candidate set; IVF prunes candidates to one cluster first.
+  *  - All hashes derive from md5 (engine-portable); every query has an
+  *    exact DuckDB twin in [[Pipeline.Sql]].
+  *
+  * The dedup/near-dup queries run over a corpus that deterministically
+  * re-inserts a subset of documents (exact copies resp. perturbed
+  * copies) so the operators demonstrably find duplicates — the raw
+  * synthetic table is collision-free by construction.
+  */
+object Pipeline {
+
+  private val NumMinhash = 16
+  private val NumBands = 4
+  private val RowsPerBand = 4
+  private val ShingleK = 3
+  private val JaccardThreshold = 0.5
+  private val CosineDupThreshold = 0.99
+  private val TopK = 5
+  private val NumQueries = 10
+  private val EmbDims = 64
+
+  // ---------------------------------------------------------------- corpora
+
+  /** Documents with exact duplicates re-inserted (doc_id % 7 == 0 →
+    * second copy under doc_id + 1000000). */
+  private def dupDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  /** Documents with NEAR duplicates re-inserted (doc_id % 11 == 0 → a
+    * copy with three extra tokens appended, doc_id + 1000000). */
+  private def nearDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" extra token tail")).as("text")))
+  }
+
+  /** Embeddings (as double arrays) with near-duplicate vectors
+    * re-inserted: vec_id % 9 == 0 → a slightly perturbed copy
+    * (per-dimension relative scale ±0.2%) under vec_id + 1000000. */
+  private def dupEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val base = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val pert = e.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") * (lit(1.0) + lit(0.002) * ((col("vec_id") + i) % 3 - 1))).as("e"))
+    base.unionByName(pert)
+  }
+
+  /** Distinct word-shingle arrays per document of the near-dup corpus
+    * (docs shorter than the shingle width drop out). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    nearDocs(spark, dir)
+      .withColumn("shingles", wordShingles(split(col("text"), " "), ShingleK))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"))
+
+  // ---------------------------------------------------------------- queries
+
+  /** L1 — exact deduplication: group by content digest (md5), keep the
+    * smallest doc_id per digest, report per-language kept/removed. The
+    * digest groupBy partial-aggregates map-side; no sort, no window. */
+  def q23ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    dupDocs(spark, dir)
+      .select(col("lang"), md5(col("text").cast("binary")).as("h"), col("doc_id"))
+      .groupBy(col("lang"), col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_copies")).as("n_docs_in"),
+        count(lit(1)).as("n_docs_kept"),
+        (sum(col("n_copies")) - count(lit(1))).as("n_dups_removed"))
+      .orderBy(col("lang"))
+
+  /** L2 — MinHash + LSH near-duplicate detection: word-3-shingles →
+    * 16-hash MinHash signature (map-side array math) → 4 bands of 4 →
+    * candidate pairs ONLY within equal (band, band-signature) buckets →
+    * exact Jaccard verification ≥ 0.5 on the candidates. */
+  def q24NearDupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = shingled(spark, dir)
+      .withColumn("hashes", transform(col("shingles"), s => portableHashMod(s)))
+      .withColumn("msig", minhashSignature(col("hashes"), NumMinhash))
+      .select(col("doc_id"), col("shingles"),
+        lshBands(col("msig"), NumBands, RowsPerBand).as("bands"))
+    val bands = sig.select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "bsig")))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** L3 — brute-force cosine top-k: the query set (vec_id < 10) is
+    * broadcast against all vectors; ranking uses a salted two-level
+    * top-k so no single task ever sorts a full query's candidate list
+    * (level 1 keeps k per (query, salt) bucket, level 2 merges the
+    * 32·k survivors). */
+  def q25SimilarityTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    val local = Window.partitionBy(col("query_id"), pmod(col("vec_id"), lit(32)))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("lrk", row_number().over(local)).filter(col("lrk") <= TopK)
+      .withColumn("rk", row_number().over(global)).filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** L4 — per-language text statistics: token counts (whitespace and a
+    * BPE-ish ≤4-char-chunk regex), type-token ratio, stopword ratio,
+    * punctuation ratio, and a composite quality score. Pure scan →
+    * map-side projections → partial-aggregated rollup. */
+  def q26TextStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val ttr = size(array_distinct(toks)) / nTok
+    val stopRatio = size(filter(toks, t => t === "the" || t === "a")) / nTok
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val punctRatio = punct / length(col("text"))
+    val bpe = size(regexp_extract_all(col("text"), lit("[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]"), lit(0)))
+    val quality = least(lit(1.0), nTok / 200.0) * 0.5 + ttr * 0.3 +
+      (lit(1.0) - least(lit(1.0), punctRatio * 5)) * 0.2
+    Tables.documents(spark, dir)
+      .select(col("lang"), length(col("text")).as("n_chars_txt"),
+        nTok.as("n_tokens"), ttr.as("ttr"), stopRatio.as("stop_ratio"),
+        punctRatio.as("punct_ratio"), bpe.as("bpe_tokens"), quality.as("quality"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars_txt")), 2).as("avg_chars"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"),
+        round(avg(col("bpe_tokens")), 2).as("avg_bpe_tokens"),
+        round(avg(col("ttr")), 4).as("avg_ttr"),
+        round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy(col("lang"))
+  }
+
+  /** L4 — marker-word language identification: score each language by
+    * its stopword hits, argmax with a fixed precedence order, emit the
+    * (actual, predicted) confusion matrix. (The synthetic corpus draws
+    * all languages from one English-ish vocabulary, so the classifier
+    * legitimately predicts 'en' — the oracle checks the mechanism.) */
+  def q27LangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def score(words: String*): Column =
+      size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+    val sEn = score("the", "a", "of")
+    val sDe = score("der", "und", "das")
+    val sEs = score("el", "la", "los")
+    val sFr = score("le", "les", "une")
+    val predicted =
+      when(sEn > 0 && sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+        .when(sDe > 0 && sDe >= sEs && sDe >= sFr, "de")
+        .when(sEs > 0 && sEs >= sFr, "es")
+        .when(sFr > 0, "fr")
+        .otherwise("und")
+    Tables.documents(spark, dir)
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** L2 — 16-bit SimHash signature per document (frequency-weighted ±1
+    * bit votes over token hashes). Map-side only; equal signatures mark
+    * near-dup clusters at scale via a signature groupBy. */
+  def q28Simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("hs", transform(split(col("text"), " "), t => portableHashMod(t)))
+      .select(col("doc_id"), simhash16(col("hs")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** L4 — position-weighted rolling-hash fingerprint per document:
+    * order-sensitive content identity for shard-level change detection. */
+  def q29Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(split(col("text"), " ")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** L2 — embedding near-duplicate detection via sign-random-projection
+    * LSH: 8 deterministic ±1 hyperplanes → 8-bit bucket per vector →
+    * candidate pairs only within a bucket → cosine ≥ 0.99 verification.
+    * Runs over the corpus with perturbed near-copies re-inserted. */
+  def q30EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // sign(h, dim): bit 7 of (h·64 + dim) · 2654435761 — a deterministic
+    // pseudo-random ±1 hyperplane entry, identical in the DuckDB twin.
+    def hyperSign(h: Column, i: Column): Column =
+      when(shiftright((h * 64 + i + 1) * lit(2654435761L), 7) % 2 === 1, 1.0).otherwise(-1.0)
+    val bucketed = dupEmbeddings(spark, dir)
+      .withColumn("bucket",
+        aggregate(
+          transform(sequence(lit(0), lit(7)), h => {
+            val dot = aggregate(
+              transform(col("e"), (x, i) => x * hyperSign(h, i)),
+              lit(0.0), (acc, v) => acc + v)
+            when(dot > 0, pow(lit(2.0), h).cast("long")).otherwise(0L)
+          }),
+          lit(0L), (acc, v) => acc + v))
+    val x = bucketed.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("bucket"))
+    val y = bucketed.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("bucket"))
+    x.join(y, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(cosine(col("ea"), col("eb")), 4))
+      .filter(col("cosine") >= CosineDupThreshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** L3 — IVF approximate nearest neighbour: coarse centroids = the
+    * per-label mean vector (computed from the data); every vector is
+    * assigned to its nearest centroid; each query probes ONLY its own
+    * centroid's inverted list (nprobe = 1) — the candidate set shrinks
+    * by the cluster count, which is the whole point of IVF at scale. */
+  def q31IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val cent = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cavg"))
+      .groupBy(col("label"))
+      .agg(collect_list(struct(col("pos"), col("cavg"))).as("tmp"))
+      .select(col("label"),
+        transform(array_sort(col("tmp")), s => s.getField("cavg")).as("cvec"))
+    val asg = e.crossJoin(broadcast(cent))
+      .withColumn("cos6", round(cosine(col("e"), col("cvec")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("label"), col("cos6") * 1000000000.0 + col("label")).as("cluster"))
+    val members = e.join(asg, "vec_id")
+    val q = members.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("cluster"))
+    val scored = members.join(broadcast(q), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("qe"), col("e")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** DuckDB twins. Fragments mirror [[graft.functions.TextFunctions]]
+    * exactly; DuckDB list lambdas index 1-based where Spark's are
+    * 0-based — every index formula below accounts for that. */
+  object Sql {
+    private val P = "2147483647"
+    private def ph(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+    private def phm(x: String) = s"(${ph(x)} % $P)"
+    private def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    private def nrm(a: String) =
+      s"sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))"
+    private def cos(a: String, b: String) =
+      s"(${dot(a, b)} / (${nrm(a)} * ${nrm(b)}))"
+
+    val q23 =
+      """WITH corpus AS (
+        |  SELECT lang, text, doc_id FROM documents
+        |  UNION ALL
+        |  SELECT lang, text, doc_id + 1000000 FROM documents WHERE doc_id % 7 = 0),
+        |per_hash AS (
+        |  SELECT lang, md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |  FROM corpus GROUP BY lang, h)
+        |SELECT lang, CAST(sum(n_copies) AS BIGINT) AS n_docs_in,
+        |  count(*) AS n_docs_kept,
+        |  CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dups_removed
+        |FROM per_hash GROUP BY lang ORDER BY lang""".stripMargin
+
+    val q24 =
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' extra token tail' FROM documents WHERE doc_id % 11 = 0),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 3
+         |    THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |      i -> array_to_string(toks[i:i+2], ' ')))
+         |    ELSE []::VARCHAR[] END AS shingles
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+         |sig AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(generate_series(0, 15), h ->
+         |      list_min(list_transform(hashes, x -> ((2*h+1)*x + 12289*h) % $P))) AS msig
+         |  FROM (SELECT doc_id, shingles,
+         |      list_transform(shingles, s -> ${phm("s")}) AS hashes
+         |    FROM sh WHERE len(shingles) > 0)),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    msig[4*b+1] + msig[4*b+2]*31 + msig[4*b+3]*961 + msig[4*b+4]*29791 AS bsig
+         |  FROM sig, generate_series(0, 3) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    round(len(list_intersect(sa.shingles, sb.shingles))
+         |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+         |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+    val q25 =
+      s"""WITH e AS (SELECT vec_id, embedding, ${nrm("embedding")} AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT query_id, vec_id, round(${dot("qe", "embedding")} / (qn * nrm), 4) AS cosine
+         |  FROM q JOIN e ON vec_id <> query_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+         |SELECT query_id, rk, vec_id, cosine FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin
+
+    val q26 =
+      """WITH d AS (
+        |  SELECT lang, length(text) AS n_chars_txt,
+        |    len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) / len(toks) AS ttr,
+        |    len(list_filter(toks, t -> t IN ('the', 'a'))) / len(toks) AS stop_ratio,
+        |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text) AS punct_ratio,
+        |    len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]')) AS bpe_tokens
+        |  FROM (SELECT lang, text, string_split(text, ' ') AS toks FROM documents)),
+        |scored AS (
+        |  SELECT *, least(1.0, n_tokens / 200.0) * 0.5 + ttr * 0.3
+        |    + (1.0 - least(1.0, punct_ratio * 5)) * 0.2 AS quality
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars_txt), 2) AS avg_chars,
+        |  round(avg(n_tokens), 2) AS avg_tokens,
+        |  round(avg(bpe_tokens), 2) AS avg_bpe_tokens,
+        |  round(avg(ttr), 4) AS avg_ttr,
+        |  round(avg(stop_ratio), 4) AS avg_stop_ratio,
+        |  round(avg(quality), 4) AS avg_quality
+        |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+
+    val q27 =
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(list_filter(toks, t -> t IN ('the', 'a', 'of'))) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('der', 'und', 'das'))) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('el', 'la', 'los'))) AS s_es,
+        |    len(list_filter(toks, t -> t IN ('le', 'les', 'une'))) AS s_fr
+        |  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)),
+        |p AS (
+        |  SELECT lang, CASE
+        |    WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |    WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |    WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+        |    WHEN s_fr > 0 THEN 'fr'
+        |    ELSE 'und' END AS predicted
+        |  FROM s)
+        |SELECT lang, predicted, count(*) AS n FROM p
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+
+    val q28 =
+      s"""WITH hs AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${phm("t")}) AS hs
+         |  FROM documents)
+         |SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 15), b ->
+         |    CASE WHEN list_sum(list_transform(hs, x ->
+         |        CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |    THEN CAST(2**b AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM hs ORDER BY doc_id""".stripMargin
+
+    val q29 =
+      s"""SELECT doc_id,
+         |  CAST(list_sum(list_transform(string_split(text, ' '),
+         |    (t, i) -> (i * ${phm("t")}) % $P)) AS BIGINT) % $P AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin
+
+    val q30 =
+      s"""WITH base AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(embedding, (x, i) ->
+         |      x::DOUBLE * (1.0 + 0.002 * ((vec_id + i - 1) % 3 - 1)))
+         |  FROM embeddings WHERE vec_id % 9 = 0),
+         |b AS (
+         |  SELECT vec_id, e, CAST(list_sum(list_transform(generate_series(0, 7), h ->
+         |      CASE WHEN list_sum(list_transform(e, (x, i) ->
+         |          x * (CASE WHEN (((h*64 + i) * 2654435761) >> 7) & 1 = 1 THEN 1.0 ELSE -1.0 END))) > 0
+         |      THEN CAST(2**h AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM base),
+         |scored AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |    round(${cos("x.e", "y.e")}, 4) AS cosine
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.99
+         |ORDER BY vec_a, vec_b""".stripMargin
+
+    val q31 =
+      s"""WITH cent AS (
+         |  SELECT label, list(cavg ORDER BY pos) AS cvec FROM (
+         |    SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 6) AS cavg
+         |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i)
+         |  GROUP BY label),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |asg AS (
+         |  SELECT vec_id, arg_max(label, cos6 * 1000000000 + label) AS cluster FROM (
+         |    SELECT vec_id, label, round(${cos("e", "cvec")}, 6) AS cos6
+         |    FROM e CROSS JOIN cent)
+         |  GROUP BY vec_id),
+         |m AS (SELECT vec_id, e, cluster FROM e JOIN asg USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, e AS qe, cluster FROM m WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT query_id, vec_id, round(${cos("qe", "m.e")}, 4) AS cosine
+         |  FROM m JOIN q USING (cluster) WHERE vec_id <> query_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+         |SELECT query_id, rk, vec_id, cosine FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin
+
+    val all: Map[String, String] = Map(
+      "q23_exact_dedup" -> q23,
+      "q24_near_dup_minhash" -> q24,
+      "q25_similarity_topk" -> q25,
+      "q26_text_stats" -> q26,
+      "q27_lang_id" -> q27,
+      "q28_simhash" -> q28,
+      "q29_fingerprint" -> q29,
+      "q30_embedding_near_dup" -> q30,
+      "q31_ivf_ann" -> q31,
+    )
+  }
+}
