@@ -291,5 +291,8 @@ object Oracles {
          |  e.effective_ch, e.remaining_ms, a.connection_state, a.last_successful_send_ms
          |FROM targets tg LEFT JOIN eff e USING (target_id) LEFT JOIN ack a USING (target_id)
          |ORDER BY tg.target_id""".stripMargin,
-  ) ++ graft.operators.Pipeline.Sql.all
+  ) ++ graft.operators.Pipeline.Sql.all ++ Map(
+    "q32_command_router" -> graft.operators.Router.oracleSql,
+    "q33_multimodal_stats" -> graft.operators.Multimodal.oracleSql,
+  )
 }

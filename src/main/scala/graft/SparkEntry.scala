@@ -54,6 +54,9 @@ object SparkEntry {
     "q29_fingerprint" -> (Pipeline.q29Fingerprint _),
     "q30_embedding_near_dup" -> (Pipeline.q30EmbeddingNearDup _),
     "q31_ivf_ann" -> (Pipeline.q31IvfAnn _),
+    // full command lifecycle (R1/P5/F1 complete) + multimodal plumbing
+    "q32_command_router" -> (Router.q32CommandRouter _),
+    "q33_multimodal_stats" -> (Multimodal.q33MultimodalStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,227 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** One input envelope for the unioned frame/command streams.
+  *
+  * `channels` is up to 8 values; for frames these are fresh PPM samples,
+  * for commands they are override requests where `-1` means "skip this
+  * channel" (`src/transmitter/main.cpp:199-204`). `seq` is a unique
+  * monotone id used only as a deterministic tie-breaker inside a
+  * micro-batch. `durationMs` is the command TTL (frames: 0).
+  */
+case class EngineEvent(
+    targetId: Int,
+    kind: String, // "frame" | "command"
+    seq: Long,
+    tsm: Long,
+    channels: Seq[Int],
+    durationMs: Long)
+
+/** Keyed state per target: the live (PPM) frame, the active override,
+  * and its deadline — the Spark form of `Target` fields
+  * `data`/`is_channels_overridden`/`override_timeout`
+  * (`lib/TargetManager/TargetManager.h:28-41`). */
+case class TargetState(
+    live: Seq[Int],
+    ovr: Seq[Int],
+    isOverridden: Boolean,
+    deadlineMs: Long)
+
+/** Dual-typed output, discriminated by `kind` ("snapshot" | "response" |
+  * "timeout"), mirroring the reference's telemetry stream + response
+  * stream sharing one serial sink (`src/transmitter/main.cpp:112-140,
+  * 282-296`). Snapshot rows expose the full state so downstream sinks
+  * (and the batch-consistency test) can derive the effective frame at
+  * any probe time. */
+case class EngineOutput(
+    targetId: Int,
+    kind: String,
+    seq: Long, // the triggering event's seq (-1 for timeout emissions)
+    tsm: Long,
+    effective: Seq[Int],
+    live: Seq[Int],
+    ovr: Seq[Int],
+    isOverridden: Boolean,
+    deadlineMs: Long,
+    remainingMs: Long,
+    status: String,
+    message: String)
+
+/** ST1 — the flagship stateful operator: keyed TTL override state as a
+  * Structured Streaming `flatMapGroupsWithState`, with the command
+  * validation cascade (F1) and sentinel merge (ST2) applied inside the
+  * state function.
+  *
+  * Semantics (from `/root/reference/src/transmitter/main.cpp`):
+  *  - a valid `override_channels` command merges its non-`-1` values
+  *    onto the target's current frame, marks it overridden, and arms a
+  *    deadline `tsm + durationMs` (`:190-217`);
+  *  - expiry reverts to the live PPM frame — checked against event time
+  *    whenever an event arrives (the reference checks `now >= deadline`
+  *    every loop, `:84-87`) and additionally via a processing-time
+  *    timeout when the stream goes quiet;
+  *  - invalid commands produce an error response with the reference's
+  *    verbatim message and leave state untouched (atomic variant of the
+  *    reference's partial application — documented deviation, SURVEY.md
+  *    §4.3.3);
+  *  - frames refresh the live register (last-write-wins load shedding,
+  *    `src/receiver/main.cpp:36`).
+  *
+  * Scale posture: state is O(1) per target (two 8-int frames + a
+  * deadline); the only shuffle is the groupByKey on target_id, and
+  * Spark's state store partitions it across executors — arbitrary
+  * target cardinality.
+  */
+object Engine {
+  val ChannelCount = 8
+
+  /** Verbatim reference messages (`src/transmitter/main.cpp:154,
+    * 175-177, 185, 195, 208, 219-221`). */
+  def invalidCountMsg(n: Int): String = s"Invalid channel count. Expected 1-8, got $n"
+  val durationMsg: String = "Duration must be at least 1ms"
+  val rangeMsg: String = "Channel values must be between 1000-2000 or -1 to skip"
+  def successMsg(targetId: Int, durationMs: Long): String =
+    s"Channels updated for target $targetId with ${durationMs}ms timeout"
+
+  /** Initial register state: all-zero frame (the reference's zeroed
+    * `ChannelData`, observable as the −1467 SBUS artifact before any
+    * packet arrives — SURVEY.md §4.3.1). */
+  def initialState: TargetState =
+    TargetState(Seq.fill(ChannelCount)(0), Seq.fill(ChannelCount)(-1), isOverridden = false, 0L)
+
+  /** ST2 sentinel merge, scala form (engine-internal twin of
+    * `ChannelFunctions.sentinelMergeArray`). */
+  def merge(incoming: Seq[Int], current: Seq[Int]): Seq[Int] =
+    incoming.zipAll(current, -1, 0).map { case (n, o) => if (n == -1) o else n }
+
+  /** F1 validation cascade in reference order: count → duration →
+    * per-value range (`src/transmitter/main.cpp:172-210`). */
+  def validate(e: EngineEvent): Option[String] =
+    if (e.channels.isEmpty || e.channels.size > ChannelCount)
+      Some(invalidCountMsg(e.channels.size))
+    else if (e.durationMs < 1) Some(durationMsg)
+    else if (e.channels.exists(v => v != -1 && (v < 1000 || v > 2000)))
+      Some(rangeMsg)
+    else None
+
+  private def snapshot(id: Int, s: TargetState, seq: Long, tsm: Long,
+      kind: String = "snapshot"): EngineOutput = {
+    val eff = if (s.isOverridden) s.ovr else s.live
+    val remaining = if (s.isOverridden) math.max(0L, s.deadlineMs - tsm) else 0L
+    EngineOutput(id, kind, seq, tsm, eff, s.live, s.ovr, s.isOverridden, s.deadlineMs,
+      remaining, "", "")
+  }
+
+  private def response(id: Int, seq: Long, tsm: Long, status: String, message: String): EngineOutput =
+    EngineOutput(id, "response", seq, tsm, Nil, Nil, Nil, isOverridden = false, 0L, 0L,
+      status, message)
+
+  /** Apply one event to one target's state; returns the new state and
+    * the emitted rows (responses for commands, a snapshot per event). */
+  def step(id: Int, state: TargetState, e: EngineEvent): (TargetState, Seq[EngineOutput]) = {
+    // Event-time TTL expiry before processing, like the reference's
+    // per-loop `now >= override_timeout` check (main.cpp:84-87).
+    val s0 =
+      if (state.isOverridden && e.tsm >= state.deadlineMs) state.copy(isOverridden = false)
+      else state
+    e.kind match {
+      case "frame" =>
+        val s1 = s0.copy(live = merge(e.channels, s0.live))
+        (s1, Seq(snapshot(id, s1, e.seq, e.tsm)))
+      case "command" =>
+        validate(e) match {
+          case Some(err) =>
+            (s0, Seq(response(id, e.seq, e.tsm, "error", err),
+              snapshot(id, s0, e.seq, e.tsm)))
+          case None =>
+            val base = if (s0.isOverridden) s0.ovr else s0.live
+            val s1 = s0.copy(
+              ovr = merge(e.channels, base),
+              isOverridden = true,
+              deadlineMs = e.tsm + e.durationMs)
+            (s1, Seq(response(id, e.seq, e.tsm, "success", successMsg(id, e.durationMs)),
+              snapshot(id, s1, e.seq, e.tsm)))
+        }
+      case other =>
+        (s0, Seq(response(id, e.seq, e.tsm, "error", s"Unknown command: $other")))
+    }
+  }
+
+  /** The `flatMapGroupsWithState` group function. Events inside a
+    * micro-batch arrive unordered — sort by (tsm, command-before-frame,
+    * seq), matching the reference loop order serial → state-update
+    * (`src/transmitter/main.cpp:350-371`). */
+  def processGroup(id: Int, events: Iterator[EngineEvent],
+      state: GroupState[TargetState]): Iterator[EngineOutput] = {
+    if (state.hasTimedOut) {
+      val s = state.getOption.getOrElse(initialState)
+      val cleared = s.copy(isOverridden = false)
+      state.update(cleared)
+      Iterator.single(snapshot(id, cleared, -1L, s.deadlineMs, kind = "timeout"))
+    } else {
+      var s = state.getOption.getOrElse(initialState)
+      val ordered = events.toSeq.sortBy(e => (e.tsm, if (e.kind == "command") 0 else 1, e.seq))
+      val out = Seq.newBuilder[EngineOutput]
+      var lastTsm = 0L
+      ordered.foreach { e =>
+        val (s1, rows) = step(id, s, e)
+        s = s1
+        out ++= rows
+        lastTsm = math.max(lastTsm, e.tsm)
+      }
+      state.update(s)
+      // Arm a processing-time timeout so an override still expires when
+      // the stream goes quiet (batch mode ignores this — timeouts never
+      // fire there, and event-time expiry above carries the semantics).
+      if (s.isOverridden)
+        try state.setTimeoutDuration(math.max(1L, s.deadlineMs - lastTsm))
+        catch { case _: UnsupportedOperationException => () }
+      out.result().iterator
+    }
+  }
+
+  /** The engine transform: works identically on a streaming Dataset
+    * (stateful across micro-batches, processing-time timeouts armed) and
+    * on a batch Dataset (one pass, event-time expiry only). */
+  def effectiveStates(events: Dataset[EngineEvent]): Dataset[EngineOutput] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.targetId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        processGroup)
+  }
+
+  /** T1/S5 — writer for the engine output: 500 ms processing-time
+    * trigger (the reference's 2 Hz loop, `src/transmitter/main.cpp:23-25`)
+    * and one-line JSON rows (the serial println sink, `:112-117`). */
+  def jsonWriter(out: Dataset[EngineOutput], checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    out
+      .select(to_json(struct(col("*"))).as("value"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .option("checkpointLocation", checkpointDir)
+
+  /** Reinterpret the batch frame/command DataFrames (graft.operators
+    * .Channels) as one unioned engine-event stream — the streaming twin
+    * of q17's inputs, used by the batch-vs-streaming consistency test. */
+  def eventsFromChannels(frames: DataFrame, commands: DataFrame): Dataset[EngineEvent] = {
+    import frames.sparkSession.implicits._
+    val f = frames.select(
+      col("target_id"), lit("frame").as("kind"), col("event_id").as("seq"),
+      col("tsm"),
+      array_repeat(col("ch"), ChannelCount).as("channels"),
+      lit(0L).as("durationMs"))
+    val c = commands.select(
+      col("target_id"), lit("command").as("kind"), col("event_id").as("seq"),
+      col("tsm"),
+      array_repeat(col("ovr"), ChannelCount).as("channels"),
+      col("duration_ms").cast("long").as("durationMs"))
+    f.unionByName(c)
+      .withColumnRenamed("target_id", "targetId")
+      .as[EngineEvent]
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operator semantics beyond the DuckDB hash gate:
+  * structural invariants and the constructed-duplicate recall checks. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash: identical shingle sets produce identical signatures") {
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+      .withColumn("sh", wordShingles(split(col("text"), " "), 3))
+      .withColumn("hashes", transform(col("sh"), s => portableHashMod(s)))
+      .withColumn("sig", minhashSignature(col("hashes"), 16))
+      .select(col("doc_id"), col("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(df(1L) == df(2L))
+    assert(df(1L) != df(3L))
+    assert(df(1L).length == 16)
+  }
+
+  test("wordShingles: overlapping k-grams, short docs empty") {
+    val got = Seq((1, "a b c d"), (2, "a b")).toDF("id", "text")
+      .select(col("id"), wordShingles(split(col("text"), " "), 3).as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(got(1) == Seq("a b c", "b c d"))
+    assert(got(2).isEmpty)
+  }
+
+  test("q23 exact dedup removes exactly the constructed duplicates") {
+    val removed = Pipeline.q23ExactDedup(spark, sfDir)
+      .agg(sum(col("n_dups_removed"))).first().getLong(0)
+    val constructed = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 0).count()
+    assert(removed == constructed)
+  }
+
+  test("q24 near-dup recovers the constructed perturbed pairs (full recall at high J)") {
+    val pairs = Pipeline.q24NearDupMinhash(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Constructed copies append 3 tokens: J ~= S/(S+3) over S distinct
+    // shingles. LSH with 4 bands of 4 is probabilistic — detection is
+    // near-certain only for high J (T >= 40 tokens -> J >= ~0.93 ->
+    // p(miss) < 1%), while borderline-J pairs may legitimately miss
+    // (identically in both engines — the oracle pins that). Assert
+    // full recall on the high-J fixtures and bulk recall overall.
+    val all = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val highJ = all.filter(_._2 >= 40).map { case (id, _) => (id, id + 1000000L) }.toSet
+    val allPairs = all.map { case (id, _) => (id, id + 1000000L) }.toSet
+    assert(highJ.nonEmpty)
+    assert(highJ.subsetOf(pairs), s"missing high-J: ${highJ.diff(pairs).take(5)}")
+    assert(allPairs.intersect(pairs).size >= (allPairs.size * 0.8).toInt)
+  }
+
+  test("q25 top-k: 5 ranked neighbours per query, no self-matches, cosine in [-1,1]") {
+    val rows = Pipeline.q25SimilarityTopk(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      assert(rs.forall(_.getLong(2) != q))
+      assert(rs.forall(r => math.abs(r.getDouble(3)) <= 1.0))
+      // ranks ordered by descending cosine
+      val sorted = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q30 embedding near-dup recovers the constructed perturbed pairs") {
+    val pairs = Pipeline.q30EmbeddingNearDup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val constructed = pairs.filter { case (a, b, _) => b == a + 1000000L }
+    // ±0.2% perturbation keeps cosine ~0.99999; LSH sign buckets agree
+    // unless a hyperplane dot sits near zero — expect the vast majority
+    // recovered, and all recovered pairs near-perfect cosine.
+    val nBase = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 9 === 0).count()
+    assert(constructed.length >= (nBase * 0.8).toInt)
+    assert(constructed.forall(_._3 >= 0.999))
+  }
+
+  test("q31 IVF probes only the query's cluster and ranks correctly") {
+    val rows = Pipeline.q31IvfAnn(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("simhash16 stays within 16 bits; fingerprint within [0, P)") {
+    val sh = Pipeline.q28Simhash(spark, sfDir).collect()
+    assert(sh.forall { r => val v = r.getLong(1); v >= 0 && v <= 0xFFFF })
+    val fp = Pipeline.q29Fingerprint(spark, sfDir).collect()
+    assert(fp.forall { r => val v = r.getLong(1); v >= 0 && v < P })
+  }
+
+  test("fingerprint is order-sensitive, simhash is frequency-weighted") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+      fingerprint(split(col("text"), " ")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(3L))
+    assert(fps(1L) != fps(2L))
+  }
+}

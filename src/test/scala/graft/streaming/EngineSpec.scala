@@ -1,0 +1,175 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.{Channels, Reference}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** ST1 streaming semantics: override → TTL expiry → revert, validation
+  * responses, and batch/streaming consistency against the q17 as-of twin
+  * (SURVEY.md §7.4.1). */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(id: Int, seq: Long, tsm: Long, ch: Int) =
+    EngineEvent(id, "frame", seq, tsm, Seq.fill(Engine.ChannelCount)(ch), 0L)
+  private def command(id: Int, seq: Long, tsm: Long, ovr: Seq[Int], dur: Long) =
+    EngineEvent(id, "command", seq, tsm, ovr, dur)
+
+  test("step: valid override merges onto current frame and arms deadline") {
+    val (s1, _) = Engine.step(1, Engine.initialState, frame(1, 1, 1000L, 1500))
+    val (s2, out) = Engine.step(1, s1, command(1, 2, 2000L, Seq(1800, -1), 5000L))
+    assert(s2.isOverridden && s2.deadlineMs == 7000L)
+    assert(s2.ovr == Seq(1800, 1500, 1500, 1500, 1500, 1500, 1500, 1500))
+    val resp = out.find(_.kind == "response").get
+    assert(resp.status == "success")
+    assert(resp.message == "Channels updated for target 1 with 5000ms timeout")
+  }
+
+  test("step: event past the deadline reverts to the live frame") {
+    val (s1, _) = Engine.step(1, Engine.initialState, frame(1, 1, 1000L, 1500))
+    val (s2, _) = Engine.step(1, s1, command(1, 2, 2000L, Seq(1800), 5000L))
+    val (s3, out) = Engine.step(1, s2, frame(1, 3, 8000L, 1600))
+    assert(!s3.isOverridden)
+    assert(out.head.effective == Seq.fill(8)(1600))
+  }
+
+  test("step: invalid commands leave state untouched, verbatim messages") {
+    val s = Engine.initialState.copy(live = Seq.fill(8)(1500))
+    val cases = Seq(
+      command(1, 1, 1000L, Nil, 5000L) ->
+        "Invalid channel count. Expected 1-8, got 0",
+      command(1, 2, 1000L, Seq.fill(9)(1500), 5000L) ->
+        "Invalid channel count. Expected 1-8, got 9",
+      command(1, 3, 1000L, Seq(1500), 0L) ->
+        "Duration must be at least 1ms",
+      command(1, 4, 1000L, Seq(999), 5000L) ->
+        "Channel values must be between 1000-2000 or -1 to skip",
+      command(1, 5, 1000L, Seq(2001), 5000L) ->
+        "Channel values must be between 1000-2000 or -1 to skip")
+    cases.foreach { case (cmd, expected) =>
+      val (s1, out) = Engine.step(1, s, cmd)
+      assert(s1 == s, s"state must not change for: $expected")
+      val resp = out.find(_.kind == "response").get
+      assert(resp.status == "error" && resp.message == expected)
+    }
+  }
+
+  test("step: re-override merges onto the active override") {
+    val (s1, _) = Engine.step(1, Engine.initialState, frame(1, 1, 1000L, 1500))
+    val (s2, _) = Engine.step(1, s1, command(1, 2, 2000L, Seq(1800, 1900), 5000L))
+    val (s3, _) = Engine.step(1, s2, command(1, 3, 3000L, Seq(-1, 1200), 5000L))
+    assert(s3.ovr.take(2) == Seq(1800, 1200)) // ch0 kept from first override
+    assert(s3.deadlineMs == 8000L)
+  }
+
+  /** `processAllAvailable` never returns under ProcessingTimeTimeout
+    * (the stateful operator keeps requesting no-data micro-batches to
+    * check wall-clock timeouts), so streaming assertions poll the
+    * memory sink until the expected rows land. */
+  private def awaitRows(table: String, kind: String, n: Long): Unit = {
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.table(table).filter(col("kind") === kind).count() < n &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(spark.table(table).filter(col("kind") === kind).count() >= n,
+      s"timed out waiting for $n '$kind' rows in $table")
+  }
+
+  test("streaming: override applies then reverts across micro-batches (MemoryStream)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EngineEvent]
+    val query = Engine.effectiveStates(input.toDS())
+      .writeStream.format("memory").queryName("engine_mem")
+      .outputMode("append").start()
+    try {
+      input.addData(frame(1, 1, 1000L, 1500))
+      awaitRows("engine_mem", "snapshot", 1)
+      input.addData(command(1, 2, 2000L, Seq(1800), 5000L))
+      awaitRows("engine_mem", "snapshot", 2)
+      input.addData(frame(1, 3, 8000L, 1600)) // past deadline 7000
+      awaitRows("engine_mem", "snapshot", 3)
+      val snaps = spark.table("engine_mem")
+        .filter(col("kind") === "snapshot")
+        .orderBy(col("tsm"), col("seq"))
+        .as[EngineOutput].collect()
+      assert(snaps.map(_.effective.head).toSeq == Seq(1500, 1800, 1600))
+      assert(snaps.map(_.isOverridden).toSeq == Seq(false, true, false))
+      val resp = spark.table("engine_mem").filter(col("kind") === "response")
+        .as[EngineOutput].collect()
+      assert(resp.length == 1 && resp.head.status == "success")
+    } finally query.stop()
+  }
+
+  test("streaming: quiet stream — processing-time timeout reverts the override") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EngineEvent]
+    val query = Engine.effectiveStates(input.toDS())
+      .writeStream.format("memory").queryName("engine_ttl")
+      .outputMode("append").start()
+    try {
+      // Deadline 1s past the command's event time; with no further
+      // events the wall-clock timeout must fire and emit the revert.
+      input.addData(frame(1, 1, 1000L, 1500))
+      input.addData(command(1, 2, 2000L, Seq(1800), 1000L))
+      awaitRows("engine_ttl", "snapshot", 2)
+      awaitRows("engine_ttl", "timeout", 1)
+      val timeoutRow = spark.table("engine_ttl")
+        .filter(col("kind") === "timeout").as[EngineOutput].head()
+      assert(!timeoutRow.isOverridden)
+      assert(timeoutRow.effective == Seq.fill(8)(1500))
+    } finally query.stop()
+  }
+
+  test("streaming state survives across batches (state store round-trip)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EngineEvent]
+    val query = Engine.effectiveStates(input.toDS())
+      .writeStream.format("memory").queryName("engine_state")
+      .outputMode("append").start()
+    try {
+      input.addData(frame(2, 1, 1000L, 1400))
+      awaitRows("engine_state", "snapshot", 1)
+      // Sparse frame in a later batch: -1 keeps the stored live value.
+      input.addData(EngineEvent(2, "frame", 2, 2000L, Seq(1700) ++ Seq.fill(7)(-1), 0L))
+      awaitRows("engine_state", "snapshot", 2)
+      val last = spark.table("engine_state")
+        .filter(col("kind") === "snapshot").orderBy(col("tsm").desc)
+        .as[EngineOutput].head()
+      assert(last.effective == Seq(1700, 1400, 1400, 1400, 1400, 1400, 1400, 1400))
+    } finally query.stop()
+  }
+
+  test("batch/streaming consistency: engine final state matches q17 at T = max event time") {
+    val frames = Channels.frames(spark, sfDir)
+    val commands = Channels.commands(spark, sfDir)
+    val events = Engine.eventsFromChannels(frames, commands)
+    val out = Engine.effectiveStates(events) // batch-mode flatMapGroupsWithState
+    val tmax = graft.Tables.events(spark, sfDir)
+      .agg(max(unix_millis(col("ts")))).first().getLong(0)
+    val finalStates = out.filter(col("kind") === "snapshot")
+      .groupBy(col("targetId"))
+      .agg(max_by(
+        struct(col("live"), col("ovr"), col("isOverridden"), col("deadlineMs")),
+        struct(col("tsm"), col("seq"))).as("s"))
+      .select(col("targetId"), col("s.*"))
+      .collect()
+      .map(r => r.getInt(0) -> (
+        r.getSeq[Int](1), r.getSeq[Int](2), r.getBoolean(3), r.getLong(4)))
+      .toMap
+    val q17 = Reference.q17EffectiveChannels(spark, sfDir).collect()
+    assert(q17.nonEmpty)
+    q17.foreach { row =>
+      val id = row.getInt(row.fieldIndex("target_id"))
+      val (live, ovr, isOvr, deadline) = finalStates(id)
+      val active = isOvr && deadline > tmax
+      val expectedEffective = row.getInt(row.fieldIndex("effective_ch"))
+      val expectedOverridden = row.getInt(row.fieldIndex("is_overridden")) == 1
+      assert(active == expectedOverridden, s"target $id override flag")
+      assert((if (active) ovr.head else live.head) == expectedEffective,
+        s"target $id effective channel")
+      if (active)
+        assert(math.max(0L, deadline - tmax) ==
+          row.getLong(row.fieldIndex("remaining_ms")), s"target $id remaining")
+    }
+  }
+}
