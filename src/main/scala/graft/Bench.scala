@@ -30,7 +30,11 @@ object Bench {
 
     // Warmup: exercise codegen, parquet footer reading, and the shuffle
     // machinery once, untimed.
+    // SPARK_GRAFT_ONLY=q24,q25 restricts the run (dev profiling aid).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(o => o.exists(n.startsWith)))
     try run(names.head) catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

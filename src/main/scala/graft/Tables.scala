@@ -40,4 +40,14 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Round-robin spread before compute-heavy per-row work (hashing,
+    * shingling, JSON parsing): the synthetic testdata ships one small
+    * parquet file per table, which arrives as ONE scan partition and
+    * would serialize minutes of map-side work onto a single core. The
+    * repartition ships each raw row once (cheap) and unlocks full
+    * parallelism. At production scale the scan itself has many splits —
+    * the spread then simply rebalances skewed files. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -35,7 +35,7 @@ object Multimodal {
     * derive from doc_id/n_chars (synthetic but typed and stable). */
   def mediaFiles(spark: SparkSession, dir: String): Dataset[MediaFile] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(
         col("doc_id").as("mediaId"),
         element_at(array(lit("image"), lit("audio"), lit("video")),

@@ -43,13 +43,35 @@ object Pipeline {
   private val TopK = 5
   private val NumQueries = 10
   private val EmbDims = 64
+  private val NumHyperplanes = 16
+
+  /** Sign-random-projection hyperplanes for q30: 16 × 64 ±1 entries
+    * derived from md5 so both engines share the exact matrix (a plain
+    * arithmetic parity formula turned out to have hidden periodicity —
+    * entries repeating with period 256 made hyperplanes 4..7 copies of
+    * 0..3 and collapsed the bucket space). Generated once at object
+    * init; the DuckDB twin embeds the same values as a literal. */
+  private[operators] val hyperSigns: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NumHyperplanes).map { h =>
+      (0 until EmbDims).map { i =>
+        val b = md.digest(s"$h:$i".getBytes("UTF-8"))(0)
+        if ((b & 1) == 1) 1.0 else -1.0
+      }
+    }
+  }
 
   // ---------------------------------------------------------------- corpora
+
+  /** Documents spread across partitions (see [[Tables.spread]]) —
+    * every downstream query does per-row hash work. */
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir))
 
   /** Documents with exact duplicates re-inserted (doc_id % 7 == 0 →
     * second copy under doc_id + 1000000). */
   private def dupDocs(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = docs(spark, dir)
     d.unionByName(
       d.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L))
@@ -58,7 +80,7 @@ object Pipeline {
   /** Documents with NEAR duplicates re-inserted (doc_id % 11 == 0 → a
     * copy with three extra tokens appended, doc_id + 1000000). */
   private def nearDocs(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
     d.unionByName(
       d.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
@@ -69,13 +91,18 @@ object Pipeline {
     * re-inserted: vec_id % 9 == 0 → a slightly perturbed copy
     * (per-dimension relative scale ±0.2%) under vec_id + 1000000. */
   private def dupEmbeddings(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.spread(Tables.embeddings(spark, dir))
     val base = e.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("e"))
+    // Two-step select: Spark's lateral column alias resolution would
+    // otherwise bind the lambda's vec_id to the re-keyed alias
+    // (vec_id + 1000000), silently phase-shifting the perturbation
+    // (1000000 % 3 == 1) away from the DuckDB twin.
     val pert = e.filter(col("vec_id") % 9 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
+      .select(col("vec_id"),
         transform(col("embedding"), (x, i) =>
           x.cast("double") * (lit(1.0) + lit(0.002) * ((col("vec_id") + i) % 3 - 1))).as("e"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("e"))
     base.unionByName(pert)
   }
 
@@ -104,24 +131,40 @@ object Pipeline {
       .orderBy(col("lang"))
 
   /** L2 — MinHash + LSH near-duplicate detection: word-3-shingles →
-    * 16-hash MinHash signature (map-side array math) → 4 bands of 4 →
-    * candidate pairs ONLY within equal (band, band-signature) buckets →
-    * exact Jaccard verification ≥ 0.5 on the candidates. */
+    * 16-hash MinHash signature → 4 bands of 4 → candidate pairs ONLY
+    * within equal (band, band-signature) buckets → exact Jaccard
+    * verification ≥ 0.5 on the candidates.
+    *
+    * The signature is computed as explode + 16 `min` aggregates — a
+    * fully codegen'd hash aggregation with map-side partial combine —
+    * NOT as nested array lambdas: higher-order functions evaluate
+    * interpreted, and nesting them re-evaluates the inner array (here:
+    * every shingle hash) once per outer element — 16× the md5 work per
+    * document (measured 50× slower end-to-end). min over the exploded
+    * multiset equals min over the distinct set, so the oracle's
+    * list_min form is unchanged. */
   def q24NearDupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sig = shingled(spark, dir)
-      .withColumn("hashes", transform(col("shingles"), s => portableHashMod(s)))
-      .withColumn("msig", minhashSignature(col("hashes"), NumMinhash))
-      .select(col("doc_id"), col("shingles"),
-        lshBands(col("msig"), NumBands, RowsPerBand).as("bands"))
-    val bands = sig.select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "bsig")))
+    val base = shingled(spark, dir) // (doc_id, distinct shingle array)
+    val hashRows = base
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), portableHashMod(col("sh")).as("x"))
+    val minCols = (0 until NumMinhash).map { h =>
+      min(pmod(lit(2L * h + 1) * col("x") + lit(12289L * h), lit(P))).as(s"m$h")
+    }
+    val sigs = hashRows.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumMinhash).map(h => col(s"m$h")): _*).as("msig"))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(lshBands(col("msig"), NumBands, RowsPerBand)).as(Seq("b", "bsig")))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bsig") === col("y.bsig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sa = sig.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val sb = sig.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val sa = base.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= JaccardThreshold)
@@ -135,7 +178,7 @@ object Pipeline {
     * (level 1 keeps k per (query, salt) bucket, level 2 merges the
     * 32·k survivors). */
   def q25SimilarityTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -168,7 +211,7 @@ object Pipeline {
     val bpe = size(regexp_extract_all(col("text"), lit("[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]"), lit(0)))
     val quality = least(lit(1.0), nTok / 200.0) * 0.5 + ttr * 0.3 +
       (lit(1.0) - least(lit(1.0), punctRatio * 5)) * 0.2
-    Tables.documents(spark, dir)
+    docs(spark, dir)
       .select(col("lang"), length(col("text")).as("n_chars_txt"),
         nTok.as("n_tokens"), ttr.as("ttr"), stopRatio.as("stop_ratio"),
         punctRatio.as("punct_ratio"), bpe.as("bpe_tokens"), quality.as("quality"))
@@ -202,7 +245,7 @@ object Pipeline {
         .when(sEs > 0 && sEs >= sFr, "es")
         .when(sFr > 0, "fr")
         .otherwise("und")
-    Tables.documents(spark, dir)
+    docs(spark, dir)
       .select(col("lang"), predicted.as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
@@ -213,7 +256,7 @@ object Pipeline {
     * bit votes over token hashes). Map-side only; equal signatures mark
     * near-dup clusters at scale via a signature groupBy. */
   def q28Simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docs(spark, dir)
       .withColumn("hs", transform(split(col("text"), " "), t => portableHashMod(t)))
       .select(col("doc_id"), simhash16(col("hs")).as("simhash"))
       .orderBy(col("doc_id"))
@@ -221,25 +264,26 @@ object Pipeline {
   /** L4 — position-weighted rolling-hash fingerprint per document:
     * order-sensitive content identity for shard-level change detection. */
   def q29Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docs(spark, dir)
       .select(col("doc_id"), fingerprint(split(col("text"), " ")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
   /** L2 — embedding near-duplicate detection via sign-random-projection
-    * LSH: 8 deterministic ±1 hyperplanes → 8-bit bucket per vector →
-    * candidate pairs only within a bucket → cosine ≥ 0.99 verification.
-    * Runs over the corpus with perturbed near-copies re-inserted. */
+    * LSH: 16 deterministic ±1 hyperplanes (md5-derived matrix, see
+    * [[hyperSigns]]) → 16-bit bucket per vector → candidate pairs only
+    * within a bucket → cosine ≥ 0.99 verification. Runs over the corpus
+    * with perturbed near-copies re-inserted. At sf0.1 the bucket space
+    * spreads ~2.2k vectors over ~1.9k buckets (max 4 per bucket), so
+    * candidate generation is ~300 pairs instead of all-pairs ~2.5M —
+    * and the constructed near-dups co-bucket with 100% recall. */
   def q30EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // sign(h, dim): bit 7 of (h·64 + dim) · 2654435761 — a deterministic
-    // pseudo-random ±1 hyperplane entry, identical in the DuckDB twin.
-    def hyperSign(h: Column, i: Column): Column =
-      when(shiftright((h * 64 + i + 1) * lit(2654435761L), 7) % 2 === 1, 1.0).otherwise(-1.0)
+    val sm = typedlit(hyperSigns)
     val bucketed = dupEmbeddings(spark, dir)
       .withColumn("bucket",
         aggregate(
-          transform(sequence(lit(0), lit(7)), h => {
+          transform(sequence(lit(0), lit(NumHyperplanes - 1)), h => {
             val dot = aggregate(
-              transform(col("e"), (x, i) => x * hyperSign(h, i)),
+              zip_with(col("e"), element_at(sm, (h + 1).cast("int")), (x, s) => x * s),
               lit(0.0), (acc, v) => acc + v)
             when(dot > 0, pow(lit(2.0), h).cast("long")).otherwise(0L)
           }),
@@ -259,9 +303,9 @@ object Pipeline {
     * centroid's inverted list (nprobe = 1) — the candidate set shrinks
     * by the cluster count, which is the whole point of IVF at scale. */
   def q31IvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-    val cent = Tables.embeddings(spark, dir)
+    val cent = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(round(avg(col("v").cast("double")), 6).as("cavg"))
@@ -415,6 +459,12 @@ object Pipeline {
          |    (t, i) -> (i * ${phm("t")}) % $P)) AS BIGINT) % $P AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin
 
+    /** The hyperplane matrix as a DuckDB literal — same values as
+      * [[Pipeline.hyperSigns]] (md5-derived at object init). */
+    private val signsLit: String =
+      hyperSigns.map(_.map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+
     val q30 =
       s"""WITH base AS (
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
@@ -423,12 +473,12 @@ object Pipeline {
          |    list_transform(embedding, (x, i) ->
          |      x::DOUBLE * (1.0 + 0.002 * ((vec_id + i - 1) % 3 - 1)))
          |  FROM embeddings WHERE vec_id % 9 = 0),
+         |s AS (SELECT $signsLit::DOUBLE[][] AS sm),
          |b AS (
-         |  SELECT vec_id, e, CAST(list_sum(list_transform(generate_series(0, 7), h ->
-         |      CASE WHEN list_sum(list_transform(e, (x, i) ->
-         |          x * (CASE WHEN (((h*64 + i) * 2654435761) >> 7) & 1 = 1 THEN 1.0 ELSE -1.0 END))) > 0
-         |      THEN CAST(2**h AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
-         |  FROM base),
+         |  SELECT vec_id, e, CAST(list_sum(list_transform(generate_series(1, 16), h ->
+         |      CASE WHEN list_sum(list_transform(e, (x, i) -> x * sm[h][i])) > 0
+         |      THEN CAST(2**(h-1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM base, s),
          |scored AS (
          |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
          |    round(${cos("x.e", "y.e")}, 4) AS cosine

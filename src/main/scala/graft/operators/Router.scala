@@ -71,7 +71,9 @@ object Router {
           lit(""", "channels": [-1, """), chv, lit("""], "duration": """), d, lit("}")))
         .otherwise(concat(lit("""{"command": "override_channels", "target_id": """), t,
           lit(""", "channels": ["""), chv, lit("""], "duration": """), d, lit("}")))
-    Tables.events(spark, dir).select(col("event_id"), line.as("line"))
+    // spread: from_json + the validation cascade are per-row parse work —
+    // don't let a single-file scan serialize them on one core.
+    Tables.spread(Tables.events(spark, dir)).select(col("event_id"), line.as("line"))
   }
 
   /** The full router as an oracle-checkable rollup: every response class
