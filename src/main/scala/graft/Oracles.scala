@@ -291,6 +291,38 @@ object Oracles {
          |  e.effective_ch, e.remaining_ms, a.connection_state, a.last_successful_send_ms
          |FROM targets tg LEFT JOIN eff e USING (target_id) LEFT JOIN ack a USING (target_id)
          |ORDER BY tg.target_id""".stripMargin,
+    "q34_mac_lookup" ->
+      s"""WITH targets AS (SELECT CAST(x AS INT) AS target_id,
+         |    'Drone_' || CAST(x + 1 AS VARCHAR) AS name,
+         |    printf('%02X:%02X:%02X:%02X:%02X:%02X',
+         |      (h >> 40) & 255, (h >> 32) & 255, (h >> 24) & 255,
+         |      (h >> 16) & 255, (h >> 8) & 255, h & 255) AS mac
+         |  FROM (SELECT x, ((x + 1) & 16777215) * 2654435761 AS h FROM generate_series(0, 7) t(x))),
+         |fr AS (${Ch.frames}),
+         |fm AS (SELECT printf('%02X:%02X:%02X:%02X:%02X:%02X',
+         |      (h >> 40) & 255, (h >> 32) & 255, (h >> 24) & 255,
+         |      (h >> 16) & 255, (h >> 8) & 255, h & 255) AS mac, tsm
+         |  FROM (SELECT ((target_id + 1) & 16777215) * 2654435761 AS h, tsm FROM fr)),
+         |j AS (SELECT t.target_id, t.name, t.mac, count(*) AS n_frames, max(f.tsm) AS last_tsm
+         |  FROM fm f JOIN targets t ON f.mac = t.mac
+         |  GROUP BY t.target_id, t.name, t.mac)
+         |SELECT row_number() OVER (ORDER BY target_id) AS position,
+         |  target_id, name, mac, n_frames, last_tsm
+         |FROM j ORDER BY target_id""".stripMargin,
+
+    "q35_set_ops" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        |e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+        |x AS (SELECT user_id FROM p EXCEPT SELECT user_id FROM e),
+        |i AS (SELECT user_id FROM p INTERSECT SELECT user_id FROM v),
+        |u AS (SELECT DISTINCT user_id FROM (SELECT user_id FROM p UNION ALL SELECT user_id FROM v))
+        |SELECT 'except' AS op, count(*) AS n, min(user_id) AS min_user, max(user_id) AS max_user FROM x
+        |UNION ALL
+        |SELECT 'intersect', count(*), min(user_id), max(user_id) FROM i
+        |UNION ALL
+        |SELECT 'union', count(*), min(user_id), max(user_id) FROM u
+        |ORDER BY op""".stripMargin,
   ) ++ graft.operators.Pipeline.Sql.all ++ Map(
     "q32_command_router" -> graft.operators.Router.oracleSql,
     "q33_multimodal_stats" -> graft.operators.Multimodal.oracleSql,

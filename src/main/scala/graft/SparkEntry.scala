@@ -57,6 +57,9 @@ object SparkEntry {
     // full command lifecycle (R1/P5/F1 complete) + multimodal plumbing
     "q32_command_router" -> (Router.q32CommandRouter _),
     "q33_multimodal_stats" -> (Multimodal.q33MultimodalStats _),
+    // J2 mac-keyed lookup + J3 positional access; full set-op family
+    "q34_mac_lookup" -> (Reference.q34MacLookup _),
+    "q35_set_ops" -> (Reference.q35SetOps _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -224,6 +224,50 @@ object Reference {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** J2/J3 — MAC-keyed registry lookup and positional access: frames
+    * carry their sender's MAC; the registry dimension is joined by the
+    * MAC string (the reference's 6-byte memcmp scan,
+    * `lib/TargetManager/TargetManager.h:112-135`, used by the ack
+    * callback `src/transmitter/main.cpp:66`); `position` is the
+    * bounds-checked index order (`TargetManager.h:92-109`). Broadcast
+    * hash join on the mac key — the dim is 8 rows at any data scale. */
+  def q34MacLookup(spark: SparkSession, dir: String): DataFrame = {
+    val registry = spark.range(Channels.NumTargets)
+      .select(col("id").cast("int").as("target_id"))
+      .withColumn("name", concat(lit("Drone_"), (col("target_id") + 1).cast("string")))
+      .withColumn("mac", macFormat(col("target_id") + 1))
+    val frames = Channels.frames(spark, dir)
+      .withColumn("mac", macFormat(col("target_id") + 1))
+      .select(col("mac"), col("tsm"))
+    frames.join(broadcast(registry), Seq("mac"))
+      .groupBy(col("target_id"), col("name"), col("mac"))
+      .agg(count(lit(1)).as("n_frames"), max(col("tsm")).as("last_tsm"))
+      .withColumn("position", row_number().over(Window.orderBy(col("target_id"))))
+      .select(col("position"), col("target_id"), col("name"), col("mac"),
+        col("n_frames"), col("last_tsm"))
+      .orderBy(col("target_id"))
+  }
+
+  /** Set operations (SURVEY.md §2.2): INTERSECT / UNION / EXCEPT over
+    * user-id snapshots (targets present in tick A vs tick B semantics),
+    * summarized to one row per operation. */
+  def q35SetOps(spark: SparkSession, dir: String): DataFrame = {
+    def users(t: String) = Tables.events(spark, dir)
+      .filter(col("event_type") === t).select(col("user_id")).distinct()
+    val purch = users("purchase")
+    val view = users("view")
+    val err = users("error")
+    def summarize(op: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n"), min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"))
+        .withColumn("op", lit(op))
+    summarize("except", purch.except(err))
+      .unionByName(summarize("intersect", purch.intersect(view)))
+      .unionByName(summarize("union", purch.union(view).distinct()))
+      .select(col("op"), col("n"), col("min_user"), col("max_user"))
+      .orderBy(col("op"))
+  }
+
   /** P3/P4 — the telemetry snapshot (`targets_update`,
     * `src/transmitter/main.cpp:282-296` + `TargetManager.h:145-182`) as a
     * relational row set: per target the full state incl. the derived

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.functions.ChannelFunctions.sbusRescale
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+/** S4/S6 — output sinks: the ESP-NOW per-target fan-out and the SBUS
+  * re-emission, as `foreachBatch` writers over the engine's snapshot
+  * stream.
+  *
+  * The transport is pluggable (`send` callbacks) — production would
+  * bind a radio/UART driver; tests bind recorders. Delivery iterates
+  * partitions distributed-side: the snapshot relation is bounded by
+  * the target count (keyed state emits one row per target), so no
+  * collect, no driver bottleneck, at any input scale.
+  */
+object Sinks {
+
+  /** 16-byte packed channel frame: 8 × uint16 little-endian — the
+    * exact wire layout of the reference's `ChannelData` memcpy
+    * (`src/transmitter/main.cpp:104`, `sizeof(ChannelData)` = 16). */
+  def packFrame(channels: Seq[Int]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    channels.padTo(8, 0).take(8).foreach(v => buf.putShort((v & 0xFFFF).toShort))
+    buf.array()
+  }
+
+  /** One fan-out delivery pass over a snapshot micro-batch: send each
+    * target's packed effective frame to its MAC
+    * (`src/transmitter/main.cpp:100-106`). Exposed separately so batch
+    * tests and the streaming writer share the exact code path. */
+  def deliverFanOut(batch: DataFrame, macForId: Int => String,
+      send: (String, Array[Byte]) => Unit): Unit =
+    batch.filter(col("kind") === "snapshot")
+      .select(col("targetId"), col("effective"))
+      .foreachPartition { rows: Iterator[Row] =>
+        rows.foreach { r =>
+          send(macForId(r.getInt(0)), packFrame(r.getSeq[Int](1)))
+        }
+      }
+
+  /** S4: the 2 Hz ESP-NOW fan-out writer (`RADIO_SEND_FREQ_HZ = 2`,
+    * `src/transmitter/main.cpp:23-25`). */
+  def fanOutWriter(out: Dataset[EngineOutput], checkpointDir: String,
+      macForId: Int => String,
+      send: (String, Array[Byte]) => Unit): DataStreamWriter[EngineOutput] =
+    out.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[EngineOutput], _: Long) =>
+        deliverFanOut(batch.toDF(), macForId, send)
+      }
+
+  /** One SBUS emission pass: rescale each effective channel with the
+    * exact truncating-integer map 1000–2000 → 172–1811 and hand the
+    * frame to the UART callback (`src/receiver/main.cpp:62-74`). The
+    * rescale runs as a column expression (codegen) before the sink. */
+  def deliverSbus(batch: DataFrame, send: (Int, Seq[Int]) => Unit): Unit =
+    batch.filter(col("kind") === "snapshot")
+      .select(col("targetId"),
+        transform(col("effective"), c => sbusRescale(c)).as("sbus"))
+      .foreachPartition { rows: Iterator[Row] =>
+        rows.foreach(r => send(r.getInt(0), r.getSeq[Int](1)))
+      }
+
+  /** S6: the 30 Hz SBUS writer (`SBUS_SEND_HZ = 30`,
+    * `src/receiver/main.cpp:20-22` — 33 ms period). */
+  def sbusWriter(out: Dataset[EngineOutput], checkpointDir: String,
+      send: (Int, Seq[Int]) => Unit): DataStreamWriter[EngineOutput] =
+    out.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("33 milliseconds"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[EngineOutput], _: Long) =>
+        deliverSbus(batch.toDF(), send)
+      }
+}

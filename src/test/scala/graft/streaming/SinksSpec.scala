@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** S4/S6 sink semantics: exact wire layout and the delivery path shared
+  * by the streaming writers. */
+object SinksSpec {
+  // recorders live in a companion object so executor-side closures in
+  // local mode append to the same JVM-wide queues
+  val radio = new ConcurrentLinkedQueue[(String, Seq[Byte])]()
+  val sbus = new ConcurrentLinkedQueue[(Int, Seq[Int])]()
+}
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packFrame: 8 x uint16 little-endian, 16 bytes, short frames zero-padded") {
+    val b = Sinks.packFrame(Seq(1500, 1000, 2000))
+    assert(b.length == 16)
+    // 1500 = 0x05DC -> DC 05 little-endian
+    assert((b(0) & 0xFF, b(1) & 0xFF) == (0xDC, 0x05))
+    assert((b(2) & 0xFF, b(3) & 0xFF) == (0xE8, 0x03)) // 1000
+    assert((b(4) & 0xFF, b(5) & 0xFF) == (0xD0, 0x07)) // 2000
+    assert(b.drop(6).forall(_ == 0))
+  }
+
+  private def snapshotBatch = Seq(
+    EngineOutput(1, "snapshot", 1, 1000L, Seq.fill(8)(1500), Seq.fill(8)(1500),
+      Seq.fill(8)(-1), isOverridden = false, 0L, 0L, "", ""),
+    EngineOutput(2, "snapshot", 2, 1000L, Seq.fill(8)(2000), Seq.fill(8)(2000),
+      Seq.fill(8)(-1), isOverridden = false, 0L, 0L, "", ""),
+    EngineOutput(1, "response", 3, 1000L, Nil, Nil, Nil, isOverridden = false,
+      0L, 0L, "success", "ok"),
+  ).toDF()
+
+  test("fan-out delivers one packed frame per target MAC, responses excluded") {
+    SinksSpec.radio.clear()
+    Sinks.deliverFanOut(snapshotBatch, id => s"MAC_$id",
+      (mac, bytes) => SinksSpec.radio.add((mac, bytes.toSeq)))
+    val got = SinksSpec.radio.asScala.toMap
+    assert(got.keySet == Set("MAC_1", "MAC_2"))
+    assert(got("MAC_1") == Sinks.packFrame(Seq.fill(8)(1500)).toSeq)
+    assert(got("MAC_2") == Sinks.packFrame(Seq.fill(8)(2000)).toSeq)
+  }
+
+  test("SBUS delivery rescales 1000-2000 to 172-1811 exactly") {
+    SinksSpec.sbus.clear()
+    Sinks.deliverSbus(snapshotBatch, (id, f) => SinksSpec.sbus.add((id, f)))
+    val got = SinksSpec.sbus.asScala.toMap
+    assert(got(1) == Seq.fill(8)(991)) // map(1500) = 991
+    assert(got(2) == Seq.fill(8)(1811))
+  }
+}
