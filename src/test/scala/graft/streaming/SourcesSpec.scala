@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** S1/S2 streaming source adapters. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("command line parsing: valid lines become engine events, rest dead-letter") {
+    val lines = Seq(
+      """{"command": "override_channels", "target_id": 3, "channels": [1500, -1], "duration": 5000}""",
+      "   ", // empty after trim -> silently dropped
+      """{"command": "override_channels", "target_id": """, // malformed
+      """{"target_id": 3}""", // missing command
+      """  {"command": "override_channels", "target_id": 1, "channels": [2000], "duration": 1}  """,
+    ).toDF("value")
+    val (cmds, dead) = Sources.commandsFromJsonLines(lines, nowMs = lit(42000L))
+    val got = cmds.collect().sortBy(_.targetId)
+    assert(got.length == 2)
+    assert(got(0).targetId == 1 && got(0).channels == Seq(2000) && got(0).durationMs == 1L)
+    assert(got(1).targetId == 3 && got(1).channels == Seq(1500, -1) &&
+      got(1).durationMs == 5000L && got(1).tsm == 42000L)
+    assert(dead.count() == 2) // malformed + missing command; empty line dropped
+  }
+
+  test("parsed commands flow through the engine with full validation") {
+    val lines = Seq(
+      """{"command": "override_channels", "target_id": 1, "channels": [1800], "duration": 5000}""",
+      """{"command": "override_channels", "target_id": 1, "channels": [999], "duration": 5000}""",
+    ).toDF("value")
+    val (cmds, _) = Sources.commandsFromJsonLines(lines, nowMs = lit(1000L))
+    val out = Engine.effectiveStates(cmds).collect()
+    val resp = out.filter(_.kind == "response").sortBy(_.message)
+    assert(resp.length == 2)
+    assert(resp.exists(r => r.status == "success" &&
+      r.message == "Channels updated for target 1 with 5000ms timeout"))
+    assert(resp.exists(r => r.status == "error" &&
+      r.message == "Channel values must be between 1000-2000 or -1 to skip"))
+  }
+
+  test("synthetic frame source produces valid engine envelopes") {
+    // structural check on the unresolved streaming plan (no execution:
+    // rate source needs wall-clock time)
+    val ds = Sources.syntheticFrames(spark, numTargets = 8, rowsPerSecond = 100)
+    assert(ds.isStreaming)
+    assert(ds.schema.fieldNames.toSeq ==
+      Seq("targetId", "kind", "seq", "tsm", "channels", "durationMs"))
+  }
+}
