@@ -60,6 +60,9 @@ object SparkEntry {
     // J2 mac-keyed lookup + J3 positional access; full set-op family
     "q34_mac_lookup" -> (Reference.q34MacLookup _),
     "q35_set_ops" -> (Reference.q35SetOps _),
+    // approximate aggregates (HLL sketch — engine-specific, no SQL
+    // oracle; driver records a rows-only check, accuracy bound tested)
+    "q36_approx_distinct" -> (Relational.q36ApproxDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

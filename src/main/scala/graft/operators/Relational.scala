@@ -177,12 +177,25 @@ object Relational {
       .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
 
   /** Exact distinct aggregation (expand + two-phase agg under the hood);
-    * the approximate HLL twin lives in Pipeline (no SQL oracle). */
+    * the approximate HLL twin is [[q36ApproxDistinct]]. */
   def q12DistinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+
+  /** Approximate distinct via HyperLogLog++ — the 100 TB path for q12:
+    * constant-size sketches with map-side partial merge instead of the
+    * exact distinct's expand+re-shuffle. HLL sketches are
+    * engine-specific, so this query has no DuckDB oracle (the driver
+    * records a rows-only check); the ≤5% error bound against the exact
+    * count is asserted in RelationalSpec. */
+  def q36ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 }

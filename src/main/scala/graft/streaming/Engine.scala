@@ -21,14 +21,18 @@ case class EngineEvent(
     durationMs: Long)
 
 /** Keyed state per target: the live (PPM) frame, the active override,
-  * and its deadline — the Spark form of `Target` fields
-  * `data`/`is_channels_overridden`/`override_timeout`
-  * (`lib/TargetManager/TargetManager.h:28-41`). */
+  * its deadline, and the last event time seen — the Spark form of
+  * `Target` fields `data`/`is_channels_overridden`/`override_timeout`
+  * (`lib/TargetManager/TargetManager.h:28-41`). `lastTsm` lets a
+  * wall-clock timeout decide whether it fired for the TTL deadline or
+  * only for a hold re-emission. */
 case class TargetState(
     live: Seq[Int],
     ovr: Seq[Int],
     isOverridden: Boolean,
-    deadlineMs: Long)
+    deadlineMs: Long,
+    lastTsm: Long,
+    wallAtLast: Long)
 
 /** Dual-typed output, discriminated by `kind` ("snapshot" | "response" |
   * "timeout"), mirroring the reference's telemetry stream + response
@@ -90,7 +94,8 @@ object Engine {
     * `ChannelData`, observable as the −1467 SBUS artifact before any
     * packet arrives — SURVEY.md §4.3.1). */
   def initialState: TargetState =
-    TargetState(Seq.fill(ChannelCount)(0), Seq.fill(ChannelCount)(-1), isOverridden = false, 0L)
+    TargetState(Seq.fill(ChannelCount)(0), Seq.fill(ChannelCount)(-1),
+      isOverridden = false, 0L, 0L, 0L)
 
   /** ST2 sentinel merge, scala form (engine-internal twin of
     * `ChannelFunctions.sentinelMergeArray`). */
@@ -129,7 +134,7 @@ object Engine {
       else state
     e.kind match {
       case "frame" =>
-        val s1 = s0.copy(live = merge(e.channels, s0.live))
+        val s1 = s0.copy(live = merge(e.channels, s0.live), lastTsm = e.tsm)
         (s1, Seq(snapshot(id, s1, e.seq, e.tsm)))
       case "command" =>
         validate(e) match {
@@ -141,7 +146,8 @@ object Engine {
             val s1 = s0.copy(
               ovr = merge(e.channels, base),
               isOverridden = true,
-              deadlineMs = e.tsm + e.durationMs)
+              deadlineMs = e.tsm + e.durationMs,
+              lastTsm = e.tsm)
             (s1, Seq(response(id, e.seq, e.tsm, "success", successMsg(id, e.durationMs)),
               snapshot(id, s1, e.seq, e.tsm)))
         }
@@ -153,13 +159,47 @@ object Engine {
   /** The `flatMapGroupsWithState` group function. Events inside a
     * micro-batch arrive unordered — sort by (tsm, command-before-frame,
     * seq), matching the reference loop order serial → state-update
-    * (`src/transmitter/main.cpp:350-371`). */
-  def processGroup(id: Int, events: Iterator[EngineEvent],
+    * (`src/transmitter/main.cpp:350-371`).
+    *
+    * `holdEmitMs` (T2): when set, the state re-emits its held frame on
+    * a processing-time timer even with no input — the reference's
+    * sample-and-hold upsampling (30 Hz SBUS re-emission of a 2 Hz
+    * input, `src/receiver/main.cpp:62-74`). Timeout rows carry kind
+    * "timeout". */
+  def processGroup(holdEmitMs: Option[Long])(id: Int, events: Iterator[EngineEvent],
       state: GroupState[TargetState]): Iterator[EngineOutput] = {
+    def arm(s: TargetState, sinceTsm: Long): Unit = {
+      // next wake-up: the override deadline and/or the hold re-emission
+      val deadlineDelay =
+        if (s.isOverridden) Some(math.max(1L, s.deadlineMs - sinceTsm)) else None
+      val delay = (deadlineDelay.toSeq ++ holdEmitMs.toSeq).reduceOption(_ min _)
+      delay.foreach { d =>
+        try state.setTimeoutDuration(d)
+        catch { case _: UnsupportedOperationException => () } // batch mode
+      }
+    }
+    def wallNow: Long =
+      try state.getCurrentProcessingTimeMs()
+      catch { case _: Exception => 0L }
     if (state.hasTimedOut) {
       val s = state.getOption.getOrElse(initialState)
-      val cleared = s.copy(isOverridden = false)
+      // The stream is quiet: decide whether the wall-clock TTL deadline
+      // has elapsed (vs a shorter hold re-emission firing first). The
+      // TTL budget in wall time equals the event-time budget armed at
+      // the last event: deadlineMs - lastTsm.
+      val ttlFired = s.isOverridden &&
+        wallNow - s.wallAtLast >= s.deadlineMs - s.lastTsm
+      val cleared = if (ttlFired) s.copy(isOverridden = false) else s
       state.update(cleared)
+      // re-arm: remaining TTL (if still overridden) and/or the hold tick
+      val remainingTtl =
+        if (cleared.isOverridden)
+          Some(math.max(1L, (cleared.deadlineMs - cleared.lastTsm) - (wallNow - cleared.wallAtLast)))
+        else None
+      (remainingTtl.toSeq ++ holdEmitMs.toSeq).reduceOption(_ min _).foreach { d =>
+        try state.setTimeoutDuration(d)
+        catch { case _: UnsupportedOperationException => () }
+      }
       Iterator.single(snapshot(id, cleared, -1L, s.deadlineMs, kind = "timeout"))
     } else {
       var s = state.getOption.getOrElse(initialState)
@@ -172,26 +212,27 @@ object Engine {
         out ++= rows
         lastTsm = math.max(lastTsm, e.tsm)
       }
+      s = s.copy(wallAtLast = wallNow)
       state.update(s)
-      // Arm a processing-time timeout so an override still expires when
-      // the stream goes quiet (batch mode ignores this — timeouts never
-      // fire there, and event-time expiry above carries the semantics).
-      if (s.isOverridden)
-        try state.setTimeoutDuration(math.max(1L, s.deadlineMs - lastTsm))
-        catch { case _: UnsupportedOperationException => () }
+      arm(s, lastTsm)
       out.result().iterator
     }
   }
 
   /** The engine transform: works identically on a streaming Dataset
     * (stateful across micro-batches, processing-time timeouts armed) and
-    * on a batch Dataset (one pass, event-time expiry only). */
-  def effectiveStates(events: Dataset[EngineEvent]): Dataset[EngineOutput] = {
+    * on a batch Dataset (one pass, event-time expiry only).
+    *
+    * @param holdEmitMs T2 sample-and-hold: re-emit each target's held
+    *                   state every `holdEmitMs` of wall-clock quiet
+    *                   (None = emit only on input / TTL expiry) */
+  def effectiveStates(events: Dataset[EngineEvent],
+      holdEmitMs: Option[Long] = None): Dataset[EngineOutput] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.targetId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
-        processGroup)
+        processGroup(holdEmitMs))
   }
 
   /** T1/S5 — writer for the engine output: 500 ms processing-time

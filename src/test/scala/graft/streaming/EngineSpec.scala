@@ -120,6 +120,47 @@ class EngineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming: hold mode re-emits the held frame on a quiet stream (T2 sample-and-hold)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EngineEvent]
+    val query = Engine.effectiveStates(input.toDS(), holdEmitMs = Some(200L))
+      .writeStream.format("memory").queryName("engine_hold")
+      .outputMode("append").start()
+    try {
+      input.addData(frame(1, 1, 1000L, 1500))
+      // one input frame; the hold timer must keep re-emitting it
+      awaitRows("engine_hold", "timeout", 3)
+      val held = spark.table("engine_hold")
+        .filter(col("kind") === "timeout").as[EngineOutput].collect()
+      assert(held.forall(_.effective == Seq.fill(8)(1500)))
+      assert(held.forall(!_.isOverridden))
+    } finally query.stop()
+  }
+
+  test("streaming: hold mode still expires the TTL on wall clock") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EngineEvent]
+    val query = Engine.effectiveStates(input.toDS(), holdEmitMs = Some(200L))
+      .writeStream.format("memory").queryName("engine_hold_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData(frame(1, 1, 1000L, 1500))
+      input.addData(command(1, 2, 2000L, Seq(1800), 1500L)) // TTL 1.5s wall
+      // the hold ticks at 200ms; after ~1.5s of wall quiet the override
+      // must revert and subsequent holds emit the live frame again
+      awaitRows("engine_hold_ttl", "timeout", 12)
+      val held = spark.table("engine_hold_ttl")
+        .filter(col("kind") === "timeout")
+        .orderBy(col("tsm")).as[EngineOutput].collect()
+      assert(held.exists(_.isOverridden), "early holds re-emit the override")
+      val last = spark.table("engine_hold_ttl")
+        .filter(col("kind") === "timeout")
+        .as[EngineOutput].collect().last
+      assert(!last.isOverridden, "TTL must expire on wall clock under hold mode")
+      assert(last.effective == Seq.fill(8)(1500))
+    } finally query.stop()
+  }
+
   test("streaming state survives across batches (state store round-trip)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[EngineEvent]
