@@ -326,5 +326,6 @@ object Oracles {
   ) ++ graft.operators.Pipeline.Sql.all ++ Map(
     "q32_command_router" -> graft.operators.Router.oracleSql,
     "q33_multimodal_stats" -> graft.operators.Multimodal.oracleSql,
+    "q37_asof_join" -> graft.operators.Joins.q37Sql,
   )
 }

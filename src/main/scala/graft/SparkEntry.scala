@@ -63,6 +63,8 @@ object SparkEntry {
     // approximate aggregates (HLL sketch — engine-specific, no SQL
     // oracle; driver records a rows-only check, accuracy bound tested)
     "q36_approx_distinct" -> (Relational.q36ApproxDistinct _),
+    // generalized as-of join (library operator graft.operators.Joins)
+    "q37_asof_join" -> (Joins.q37AsofJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generalized temporal joins — the reusable form of the reference's
+  * "latest state at time T" lookup (ST1's as-of semantics,
+  * `src/transmitter/main.cpp:78-97`), exposed as a library operator.
+  */
+object Joins {
+
+  /** As-of join: for every left row, attach the most recent right row
+    * with `rightTs <= leftTs` within the same key (backward as-of,
+    * inclusive).
+    *
+    * Implementation is the union-and-forward-fill pattern, NOT a range
+    * join: both sides are tagged and unioned, then each right payload
+    * column is forward-filled with `last(_, ignoreNulls)` over a
+    * per-key (ts, side) window and the left rows keep the fill. One
+    * shuffle on the key, no per-row range probe, no equality-join
+    * explosion — the scalable shape when key cardinality grows with
+    * the data.
+    *
+    * Right rows order before left rows at equal timestamps, so a right
+    * row AT `leftTs` is visible (inclusive as-of).
+    *
+    * @param rightCols right payload columns to attach (renamed as-is;
+    *                  must not collide with left column names)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select((Seq("__ts", "__side", key).distinct.map(col) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select((Seq("__ts", "__side", key).distinct.map(col) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(col)): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select((Seq(key).map(col) ++ leftCols.filterNot(_ == key).map(col) ++
+        rightCols.map(col)): _*)
+  }
+
+  /** As-of join demo over the reference streams, oracle-checked: every
+    * frame is annotated with the latest command at or before it; per
+    * target, count how many frames ran under an unexpired override
+    * (the batch generalization of the ST1 loop's per-tick check). */
+  def q37AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Channels.frames(spark, dir)
+      .select(col("target_id"), col("tsm"), col("event_id"), col("ch"))
+    val commands = Channels.commands(spark, dir)
+      .select(col("target_id"), col("tsm").as("cmd_tsm"), col("ovr"),
+        col("duration_ms"))
+    val joined = asofJoin(frames, commands, "target_id", "tsm", "cmd_tsm",
+      Seq("cmd_tsm", "ovr", "duration_ms"))
+    joined
+      .groupBy(col("target_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        count(col("cmd_tsm")).as("n_with_cmd"),
+        sum(when(col("cmd_tsm") + col("duration_ms") > col("tsm"), 1L)
+          .otherwise(0L)).as("n_overridden"),
+        max(when(col("cmd_tsm") + col("duration_ms") > col("tsm"),
+          col("ovr"))).as("max_active_ovr"))
+      .orderBy(col("target_id"))
+  }
+
+  /** DuckDB twin of [[q37AsofJoin]] — same union-and-fill construction
+    * (DuckDB's ASOF JOIN exists but pins different tie semantics; the
+    * explicit window keeps both engines on identical rules). */
+  val q37Sql: String = {
+    val Ch = Channels.Sql
+    s"""WITH fr AS (${Ch.frames}),
+       |cm AS (${Ch.commands}),
+       |u AS (
+       |  SELECT target_id, tsm AS uts, 1 AS side, event_id, ch,
+       |    NULL::BIGINT AS cmd_tsm, NULL::INT AS ovr, NULL::BIGINT AS duration_ms
+       |  FROM fr
+       |  UNION ALL
+       |  SELECT target_id, tsm AS uts, 0 AS side, NULL, NULL,
+       |    tsm, ovr, duration_ms
+       |  FROM cm),
+       |filled AS (
+       |  SELECT *,
+       |    last_value(cmd_tsm IGNORE NULLS) OVER w AS f_cmd_tsm,
+       |    last_value(ovr IGNORE NULLS) OVER w AS f_ovr,
+       |    last_value(duration_ms IGNORE NULLS) OVER w AS f_duration
+       |  FROM u
+       |  WINDOW w AS (PARTITION BY target_id ORDER BY uts, side
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT target_id, count(*) AS n_frames,
+       |  count(f_cmd_tsm) AS n_with_cmd,
+       |  CAST(sum(CASE WHEN f_cmd_tsm + f_duration > uts THEN 1 ELSE 0 END) AS BIGINT) AS n_overridden,
+       |  max(CASE WHEN f_cmd_tsm + f_duration > uts THEN f_ovr END) AS max_active_ovr
+       |FROM filled WHERE side = 1
+       |GROUP BY target_id
+       |ORDER BY target_id""".stripMargin
+  }
+}

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Generic as-of join semantics on a hand-built fixture. */
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin attaches the most recent right row at-or-before each left row") {
+    val left = Seq((1, 10L, "a"), (1, 20L, "b"), (1, 30L, "c"), (2, 15L, "d"))
+      .toDF("k", "lts", "tag")
+    val right = Seq((1, 10L, 100), (1, 25L, 200), (2, 99L, 300))
+      .toDF("k", "rts", "v")
+    val got = Joins.asofJoin(left, right, "k", "lts", "rts", Seq("rts", "v"))
+      .orderBy(col("k"), col("lts"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(4)) None else Some(r.getInt(4))))
+    assert(got.toSeq == Seq(
+      (1, 10L, "a", Some(100)), // inclusive: right at the same ts visible
+      (1, 20L, "b", Some(100)),
+      (1, 30L, "c", Some(200)),
+      (2, 15L, "d", None))) // right row is in the future
+  }
+
+  test("asofJoin preserves every left row (no filtering, no duplication)") {
+    val frames = Channels.frames(spark, sfDir)
+      .select(col("target_id"), col("tsm"), col("event_id"), col("ch"))
+    val commands = Channels.commands(spark, sfDir)
+      .select(col("target_id"), col("tsm").as("cmd_tsm"), col("ovr"))
+    val joined = Joins.asofJoin(frames, commands, "target_id", "tsm", "cmd_tsm",
+      Seq("cmd_tsm", "ovr"))
+    assert(joined.count() == frames.count())
+  }
+}
