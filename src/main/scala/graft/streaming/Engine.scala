@@ -235,6 +235,23 @@ object Engine {
         processGroup(holdEmitMs))
   }
 
+  /** Late/duplicate policy (an extension — the reference has none: its
+    * callback overwrites state unconditionally, load-shedding by
+    * last-write-wins, `src/receiver/main.cpp:36`): an event-time
+    * watermark plus streaming dropDuplicates on the envelope identity.
+    * Duplicates within the watermark horizon are dropped exactly once;
+    * state for the dedup is bounded by the horizon. */
+  def deduplicated(events: Dataset[EngineEvent],
+      watermarkDelay: String = "10 seconds"): Dataset[EngineEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsm")))
+      .withWatermark("eventTime", watermarkDelay)
+      .dropDuplicates("targetId", "kind", "seq")
+      .drop("eventTime")
+      .as[EngineEvent]
+  }
+
   /** T1/S5 — writer for the engine output: 500 ms processing-time
     * trigger (the reference's 2 Hz loop, `src/transmitter/main.cpp:23-25`)
     * and one-line JSON rows (the serial println sink, `:112-117`). */

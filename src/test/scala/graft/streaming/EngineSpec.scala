@@ -180,6 +180,22 @@ class EngineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermark dedup: duplicate envelopes collapse before the state op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EngineEvent]
+    val query = Engine.effectiveStates(Engine.deduplicated(input.toDS()))
+      .writeStream.format("memory").queryName("engine_dedup")
+      .outputMode("append").start()
+    try {
+      val f = frame(1, 1, 1000L, 1500)
+      input.addData(f, f, f) // duplicated delivery of the same envelope
+      awaitRows("engine_dedup", "snapshot", 1)
+      Thread.sleep(500) // allow any (wrong) extra snapshots to surface
+      assert(spark.table("engine_dedup")
+        .filter(col("kind") === "snapshot").count() == 1)
+    } finally query.stop()
+  }
+
   test("batch/streaming consistency: engine final state matches q17 at T = max event time") {
     val frames = Channels.frames(spark, sfDir)
     val commands = Channels.commands(spark, sfDir)
