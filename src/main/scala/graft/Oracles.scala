@@ -327,5 +327,15 @@ object Oracles {
     "q32_command_router" -> graft.operators.Router.oracleSql,
     "q33_multimodal_stats" -> graft.operators.Multimodal.oracleSql,
     "q37_asof_join" -> graft.operators.Joins.q37Sql,
+    "q38_range_join" -> graft.operators.Joins.q38Sql,
+    "q39_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_extendedprice), 2) AS sum_price,
+        | count(*) AS n_lines,
+        | grouping(l_returnflag) AS g_flag,
+        | grouping(l_linestatus) AS g_status
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
   )
 }

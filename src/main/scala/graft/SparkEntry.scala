@@ -65,6 +65,8 @@ object SparkEntry {
     "q36_approx_distinct" -> (Relational.q36ApproxDistinct _),
     // generalized as-of join (library operator graft.operators.Joins)
     "q37_asof_join" -> (Joins.q37AsofJoin _),
+    "q38_range_join" -> (Joins.q38RangeJoin _),
+    "q39_cube" -> (Relational.q39Cube _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

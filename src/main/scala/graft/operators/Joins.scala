@@ -26,25 +26,38 @@ object Joins {
     * Right rows order before left rows at equal timestamps, so a right
     * row AT `leftTs` is visible (inclusive as-of).
     *
-    * @param rightCols right payload columns to attach (renamed as-is;
-    *                  must not collide with left column names)
+    * @param rightCols     right payload columns to attach (renamed
+    *                      as-is; must not collide with left column names)
+    * @param rightTieBreak unique right column ordering ties when two
+    *                      right rows share (key, rightTs) — the HIGHER
+    *                      value wins. Without it, equal-timestamp right
+    *                      rows are picked nondeterministically.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, rightCols: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      rightTieBreak: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    val tieType = rightTieBreak.map(c => right.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .select((Seq("__ts", "__side", key).distinct.map(col) ++
+      .withColumn("__tie", lit(null).cast(tieType))
+      .select((Seq("__ts", "__side", "__tie", key).distinct.map(col) ++
         leftCols.filterNot(_ == key).map(col) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
-      .select((Seq("__ts", "__side", key).distinct.map(col) ++
+      .withColumn("__tie", rightTieBreak.map(col).getOrElse(lit(null).cast(tieType)))
+      .select((Seq("__ts", "__side", "__tie", key).distinct.map(col) ++
         leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightCols.map(col)): _*)
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+    // __tie only discriminates within the right side (__side = 0, where
+    // it is never null); ordering among equal-ts left rows is
+    // irrelevant to the fill each receives.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
@@ -63,9 +76,9 @@ object Joins {
       .select(col("target_id"), col("tsm"), col("event_id"), col("ch"))
     val commands = Channels.commands(spark, dir)
       .select(col("target_id"), col("tsm").as("cmd_tsm"), col("ovr"),
-        col("duration_ms"))
+        col("duration_ms"), col("event_id").as("cmd_eid"))
     val joined = asofJoin(frames, commands, "target_id", "tsm", "cmd_tsm",
-      Seq("cmd_tsm", "ovr", "duration_ms"))
+      Seq("cmd_tsm", "ovr", "duration_ms"), rightTieBreak = Some("cmd_eid"))
     joined
       .groupBy(col("target_id"))
       .agg(count(lit(1)).as("n_frames"),
@@ -77,6 +90,39 @@ object Joins {
       .orderBy(col("target_id"))
   }
 
+  /** Range (interval) join: orders banded by price via a broadcast
+    * non-equi join against a small interval dimension — the pattern
+    * for dimension lookups keyed by a range instead of a point. The
+    * band table is tiny at any scale, so the join is a broadcast
+    * nested-loop over 5 rows, never a shuffle. */
+  def q38RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = Seq(
+      ("nano", 0.0, 50000.0),
+      ("small", 50000.0, 150000.0),
+      ("mid", 150000.0, 300000.0),
+      ("large", 300000.0, 450000.0),
+      ("jumbo", 450000.0, 1000000000.0))
+    import spark.implicits._
+    val dim = bands.toDF("band", "lo", "hi")
+    Tables.orders(spark, dir)
+      .join(broadcast(dim),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("band"))
+  }
+
+  val q38Sql: String =
+    """WITH bands(band, lo, hi) AS (VALUES
+      |  ('nano', 0.0, 50000.0), ('small', 50000.0, 150000.0),
+      |  ('mid', 150000.0, 300000.0), ('large', 300000.0, 450000.0),
+      |  ('jumbo', 450000.0, 1000000000.0))
+      |SELECT band, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
   /** DuckDB twin of [[q37AsofJoin]] — same union-and-fill construction
     * (DuckDB's ASOF JOIN exists but pins different tie semantics; the
     * explicit window keeps both engines on identical rules). */
@@ -85,11 +131,11 @@ object Joins {
     s"""WITH fr AS (${Ch.frames}),
        |cm AS (${Ch.commands}),
        |u AS (
-       |  SELECT target_id, tsm AS uts, 1 AS side, event_id, ch,
+       |  SELECT target_id, tsm AS uts, 1 AS side, NULL::BIGINT AS tie, event_id, ch,
        |    NULL::BIGINT AS cmd_tsm, NULL::INT AS ovr, NULL::BIGINT AS duration_ms
        |  FROM fr
        |  UNION ALL
-       |  SELECT target_id, tsm AS uts, 0 AS side, NULL, NULL,
+       |  SELECT target_id, tsm AS uts, 0 AS side, event_id AS tie, NULL, NULL,
        |    tsm, ovr, duration_ms
        |  FROM cm),
        |filled AS (
@@ -98,7 +144,7 @@ object Joins {
        |    last_value(ovr IGNORE NULLS) OVER w AS f_ovr,
        |    last_value(duration_ms IGNORE NULLS) OVER w AS f_duration
        |  FROM u
-       |  WINDOW w AS (PARTITION BY target_id ORDER BY uts, side
+       |  WINDOW w AS (PARTITION BY target_id ORDER BY uts, side, tie
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |SELECT target_id, count(*) AS n_frames,
        |  count(f_cmd_tsm) AS n_with_cmd,

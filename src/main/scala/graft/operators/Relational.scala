@@ -186,6 +186,18 @@ object Relational {
         round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("event_type"))
 
+  /** CUBE aggregation — all grouping-set combinations with GROUPING
+    * markers (completes the grouping-sets family next to q11's
+    * ROLLUP). */
+  def q39Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("n_lines"),
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
+
   /** Approximate distinct via HyperLogLog++ — the 100 TB path for q12:
     * constant-size sketches with map-side partial merge instead of the
     * exact distinct's expand+re-shuffle. HLL sketches are
