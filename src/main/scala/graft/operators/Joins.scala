@@ -70,15 +70,18 @@ object Joins {
   /** As-of join demo over the reference streams, oracle-checked: every
     * frame is annotated with the latest command at or before it; per
     * target, count how many frames ran under an unexpired override
-    * (the batch generalization of the ST1 loop's per-tick check). */
+    * (the batch generalization of the ST1 loop's per-tick check).
+    * Uses the BUCKETED variant — the stream has only 8 target keys, so
+    * the plain per-key window would funnel everything into 8 tasks. */
   def q37AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val frames = Channels.frames(spark, dir)
       .select(col("target_id"), col("tsm"), col("event_id"), col("ch"))
     val commands = Channels.commands(spark, dir)
       .select(col("target_id"), col("tsm").as("cmd_tsm"), col("ovr"),
         col("duration_ms"), col("event_id").as("cmd_eid"))
-    val joined = asofJoin(frames, commands, "target_id", "tsm", "cmd_tsm",
-      Seq("cmd_tsm", "ovr", "duration_ms"), rightTieBreak = Some("cmd_eid"))
+    val joined = asofJoinBucketed(frames, commands, "target_id", "tsm", "cmd_tsm",
+      Seq("cmd_tsm", "ovr", "duration_ms"), rightTieBreak = "cmd_eid",
+      bucketMs = 3600000L)
     joined
       .groupBy(col("target_id"))
       .agg(count(lit(1)).as("n_frames"),
@@ -88,6 +91,90 @@ object Joins {
         max(when(col("cmd_tsm") + col("duration_ms") > col("tsm"),
           col("ovr"))).as("max_active_ovr"))
       .orderBy(col("target_id"))
+  }
+
+  /** Scale-out as-of join for LOW-cardinality keys: [[asofJoin]]'s
+    * single per-key window serializes each key's whole history through
+    * one task — fine when key cardinality grows with the data, a
+    * funnel when it doesn't (e.g. 8 drone targets at 100 TB). This
+    * variant buckets time and fills in three stages, so parallelism is
+    * keys × buckets instead of keys:
+    *
+    *  1. per (key, bucket): the last right row — a partial-aggregatable
+    *     `max_by` (map-side combine, no sort);
+    *  2. carry-in per bucket: a window over the per-bucket summaries
+    *     ONLY (rows = #nonempty buckets per key — tiny regardless of
+    *     input size);
+    *  3. per (key, bucket) window over the raw rows, seeded with the
+    *     carry-in — each bucket's fill is independent and parallel.
+    *
+    * Exact same semantics as [[asofJoin]] (backward-inclusive, right
+    * before left at ties, `rightTieBreak` for equal right timestamps) —
+    * asserted equal in JoinsSpec. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      rightTieBreak: String, bucketMs: Long): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct(rightCols.map(col): _*)
+    val rightOrd = struct(col(rightTs), col(rightTieBreak))
+    // stage 1: last right payload per (key, bucket)
+    val bucketLast = right
+      .withColumn("__bucket", col(rightTs) / lit(bucketMs))
+      .withColumn("__bucket", floor(col("__bucket")).cast("long"))
+      .groupBy(col(key), col("__bucket"))
+      .agg(max_by(payload, rightOrd).as("__last"))
+    // stage 2: carry-in = last right payload of any PRIOR bucket — the
+    // window runs over per-bucket summaries only
+    val carryW = Window.partitionBy(col(key)).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bucketLast
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(carryW))
+      .select(col(key), col("__bucket"), col("__carry"))
+    // left rows need the carry of their bucket even when the bucket has
+    // no right rows: as-of the carry table itself — but that relation
+    // is per-bucket-small, so a plain per-key window over the DISTINCT
+    // left buckets joined to carry is cheap
+    val leftBuckets = left
+      .withColumn("__bucket", floor(col(leftTs) / lit(bucketMs)).cast("long"))
+    val allBuckets = leftBuckets.select(col(key), col("__bucket")).distinct()
+      .unionByName(bucketLast.select(col(key), col("__bucket")))
+      .distinct()
+    val seedW = Window.partitionBy(col(key)).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = allBuckets
+      .join(bucketLast.select(col(key), col("__bucket"), col("__last")),
+        Seq(key, "__bucket"), "left")
+      .withColumn("__seed", last(col("__last"), ignoreNulls = true).over(seedW))
+      .select(col(key), col("__bucket"), col("__seed"))
+    // stage 3: within-bucket fill over raw rows, seeded
+    val l = leftBuckets
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast(right.schema(rightTieBreak).dataType))
+      .withColumn("__p", lit(null).cast(
+        org.apache.spark.sql.types.StructType(rightCols.map(c =>
+          org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
+      .select((Seq(key, "__bucket", "__ts", "__side", "__tie", "__p").map(col) ++
+        leftCols.filterNot(_ == key).map(col)): _*)
+    val r = right
+      .withColumn("__bucket", floor(col(rightTs) / lit(bucketMs)).cast("long"))
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__tie", col(rightTieBreak))
+      .withColumn("__p", payload)
+      .select((Seq(key, "__bucket", "__ts", "__side", "__tie", "__p").map(col) ++
+        leftCols.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val fillW = Window.partitionBy(col(key), col("__bucket"))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r)
+      .withColumn("__fill", last(col("__p"), ignoreNulls = true).over(fillW))
+      .filter(col("__side") === 1)
+      .join(seeds, Seq(key, "__bucket"), "left")
+      .withColumn("__eff", coalesce(col("__fill"), col("__seed")))
+    filled.select((Seq(key).map(col) ++ leftCols.filterNot(_ == key).map(col) ++
+      rightCols.map(c => col(s"__eff.$c").as(c))): _*)
   }
 
   /** Range (interval) join: orders banded by price via a broadcast

@@ -23,6 +23,40 @@ class JoinsSpec extends SparkSpec {
       (2, 15L, "d", None))) // right row is in the future
   }
 
+  test("asofJoinBucketed matches asofJoin exactly on the reference streams") {
+    val frames = Channels.frames(spark, sfDir)
+      .select(col("target_id"), col("tsm"), col("event_id"), col("ch"))
+    val commands = Channels.commands(spark, sfDir)
+      .select(col("target_id"), col("tsm").as("cmd_tsm"), col("ovr"),
+        col("event_id").as("cmd_eid"))
+    val plain = Joins.asofJoin(frames, commands, "target_id", "tsm", "cmd_tsm",
+      Seq("cmd_tsm", "ovr"), rightTieBreak = Some("cmd_eid"))
+    val bucketed = Joins.asofJoinBucketed(frames, commands, "target_id", "tsm",
+      "cmd_tsm", Seq("cmd_tsm", "ovr"), rightTieBreak = "cmd_eid",
+      bucketMs = 3600000L)
+    val cols = Seq("target_id", "tsm", "event_id", "ch", "cmd_tsm", "ovr")
+    val a = plain.select(cols.map(col): _*).orderBy(col("event_id")).collect().toSeq
+    val b = bucketed.select(cols.map(col): _*).orderBy(col("event_id")).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("asofJoinBucketed: small buckets (many empty) still fill correctly") {
+    import spark.implicits._
+    val left = Seq((1, 1000L, "a"), (1, 50000L, "b"), (2, 2000L, "c"))
+      .toDF("k", "lts", "tag")
+    val right = Seq((1, 500L, 1L, 10), (1, 900L, 2L, 20))
+      .toDF("k", "rts", "rid", "v")
+    val got = Joins.asofJoinBucketed(left, right, "k", "lts", "rts",
+      Seq("v"), rightTieBreak = "rid", bucketMs = 100L)
+      .orderBy(col("k"), col("lts"))
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))
+    assert(got.toSeq == Seq(
+      (1, 1000L, Some(20)), // carried across 1 empty bucket
+      (1, 50000L, Some(20)), // carried across ~490 empty buckets
+      (2, 2000L, None))) // key 2 has no right rows at all
+  }
+
   test("asofJoin preserves every left row (no filtering, no duplication)") {
     val frames = Channels.frames(spark, sfDir)
       .select(col("target_id"), col("tsm"), col("event_id"), col("ch"))
