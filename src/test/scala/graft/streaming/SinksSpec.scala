@@ -52,4 +52,25 @@ class SinksSpec extends SparkSpec {
     assert(got(1) == Seq.fill(8)(991)) // map(1500) = 991
     assert(got(2) == Seq.fill(8)(1811))
   }
+
+  test("fan-out writer: engine-to-radio end-to-end over a MemoryStream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    SinksSpec.radio.clear()
+    val input = MemoryStream[EngineEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fanout").toString
+    val query = Sinks.fanOutWriter(
+      Engine.effectiveStates(input.toDS()), ckpt,
+      id => s"MAC_$id", (mac, bytes) => SinksSpec.radio.add((mac, bytes.toSeq)))
+      .start()
+    try {
+      input.addData(EngineEvent(3, "frame", 1, 1000L, Seq.fill(8)(1700), 0L))
+      val deadline = System.currentTimeMillis() + 60000
+      while (SinksSpec.radio.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val got = SinksSpec.radio.asScala.toMap
+      assert(got.contains("MAC_3"))
+      assert(got("MAC_3") == Sinks.packFrame(Seq.fill(8)(1700)).toSeq)
+    } finally query.stop()
+  }
 }
