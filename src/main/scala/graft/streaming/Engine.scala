@@ -252,6 +252,22 @@ object Engine {
       .as[EngineEvent]
   }
 
+  /** Windowed streaming aggregation with a watermark: per-target event
+    * counts over tumbling event-time windows (the reference's 2 Hz
+    * rate buckets, `src/transmitter/main.cpp:23-25`, generalized).
+    * Append mode emits each window once finalized by the watermark —
+    * late events beyond the delay are dropped, the engine's documented
+    * late-data policy. */
+  def rateBuckets(events: Dataset[EngineEvent], windowLength: String = "500 milliseconds",
+      watermarkDelay: String = "2 seconds"): DataFrame =
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsm")))
+      .withWatermark("eventTime", watermarkDelay)
+      .groupBy(window(col("eventTime"), windowLength), col("targetId"), col("kind"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("targetId"), col("kind"), col("n"))
+
   /** T1/S5 — writer for the engine output: 500 ms processing-time
     * trigger (the reference's 2 Hz loop, `src/transmitter/main.cpp:23-25`)
     * and one-line JSON rows (the serial println sink, `:112-117`). */

@@ -57,6 +57,30 @@ class JoinsSpec extends SparkSpec {
       (2, 2000L, None))) // key 2 has no right rows at all
   }
 
+  test("property: bucketed and plain as-of agree on randomized fixtures") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val nKeys = 1 + rnd.nextInt(3)
+      val left = (1 to 40).map { i =>
+        (rnd.nextInt(nKeys), rnd.nextInt(1000).toLong, i.toLong)
+      }
+      val right = (1 to 25).map { i =>
+        (rnd.nextInt(nKeys), rnd.nextInt(1000).toLong, (1000 + i).toLong, rnd.nextInt(100))
+      }
+      import spark.implicits._
+      val l = left.toDF("k", "lts", "lid")
+      val r = right.toDF("k", "rts", "rid", "v")
+      val bucketMs = Seq(7L, 50L, 100000L)(trial % 3) // incl. one giant bucket
+      val a = Joins.asofJoin(l, r, "k", "lts", "rts", Seq("rts", "v"),
+          rightTieBreak = Some("rid"))
+        .orderBy(col("lid")).collect().map(_.toSeq).toSeq
+      val b = Joins.asofJoinBucketed(l, r, "k", "lts", "rts", Seq("rts", "v"),
+          rightTieBreak = "rid", bucketMs = bucketMs)
+        .orderBy(col("lid")).collect().map(_.toSeq).toSeq
+      assert(a == b, s"trial $trial (bucketMs=$bucketMs) diverged")
+    }
+  }
+
   test("asofJoin preserves every left row (no filtering, no duplication)") {
     val frames = Channels.frames(spark, sfDir)
       .select(col("target_id"), col("tsm"), col("event_id"), col("ch"))

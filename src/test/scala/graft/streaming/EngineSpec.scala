@@ -196,6 +196,30 @@ class EngineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed aggregation: watermark finalizes tumbling rate buckets in append mode") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EngineEvent]
+    val query = Engine.rateBuckets(input.toDS())
+      .writeStream.format("memory").queryName("engine_rate")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        frame(1, 1, 100L, 1500), frame(1, 2, 300L, 1510), // window [0, 500)
+        frame(1, 3, 700L, 1520)) // window [500, 1000)
+      query.processAllAvailable()
+      // advance the watermark far past both windows to finalize them
+      input.addData(frame(2, 4, 60000L, 1400))
+      query.processAllAvailable()
+      input.addData(frame(2, 5, 120000L, 1400))
+      query.processAllAvailable()
+      val rows = spark.table("engine_rate")
+        .orderBy(col("window_start_ms"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+      assert(rows.contains((0L, 1, 2L)))   // two frames in [0, 500)
+      assert(rows.contains((500L, 1, 1L))) // one frame in [500, 1000)
+    } finally query.stop()
+  }
+
   test("batch/streaming consistency: engine final state matches q17 at T = max event time") {
     val frames = Channels.frames(spark, sfDir)
     val commands = Channels.commands(spark, sfDir)
