@@ -268,6 +268,21 @@ object Engine {
       .select(unix_millis(col("window.start")).as("window_start_ms"),
         col("targetId"), col("kind"), col("n"))
 
+  /** Gap-based session windows per target — the streaming twin of the
+    * batch sessionize (q21): sessions close when no event arrives for
+    * `gap` of event time, finalized by the watermark. Session state is
+    * bounded by the watermark horizon. */
+  def sessionize(events: Dataset[EngineEvent], gap: String = "5 seconds",
+      watermarkDelay: String = "2 seconds"): DataFrame =
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsm")))
+      .withWatermark("eventTime", watermarkDelay)
+      .groupBy(session_window(col("eventTime"), gap), col("targetId"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("targetId"), col("n_events"))
+
   /** T1/S5 — writer for the engine output: 500 ms processing-time
     * trigger (the reference's 2 Hz loop, `src/transmitter/main.cpp:23-25`)
     * and one-line JSON rows (the serial println sink, `:112-117`). */

@@ -220,6 +220,28 @@ class EngineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session windows: gap closes a session, watermark finalizes it") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EngineEvent]
+    val query = Engine.sessionize(input.toDS(), gap = "5 seconds")
+      .writeStream.format("memory").queryName("engine_sessions")
+      .outputMode("append").start()
+    try {
+      // session 1: events at 1s, 3s (merge: gap < 5s); session 2 at 20s
+      input.addData(frame(1, 1, 1000L, 1500), frame(1, 2, 3000L, 1510),
+        frame(1, 3, 20000L, 1520))
+      query.processAllAvailable()
+      input.addData(frame(2, 4, 300000L, 1400)) // advance watermark
+      query.processAllAvailable()
+      val rows = spark.table("engine_sessions")
+        .filter(col("targetId") === 1).orderBy(col("start_ms"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(rows.toSeq == Seq(
+        (1000L, 8000L, 2L),   // [1s, 3s+5s gap), two events merged
+        (20000L, 25000L, 1L))) // singleton session
+    } finally query.stop()
+  }
+
   test("batch/streaming consistency: engine final state matches q17 at T = max event time") {
     val frames = Channels.frames(spark, sfDir)
     val commands = Channels.commands(spark, sfDir)
