@@ -123,17 +123,12 @@ object Joins {
       .withColumn("__bucket", floor(col("__bucket")).cast("long"))
       .groupBy(col(key), col("__bucket"))
       .agg(max_by(payload, rightOrd).as("__last"))
-    // stage 2: carry-in = last right payload of any PRIOR bucket — the
-    // window runs over per-bucket summaries only
-    val carryW = Window.partitionBy(col(key)).orderBy(col("__bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = bucketLast
-      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(carryW))
-      .select(col(key), col("__bucket"), col("__carry"))
-    // left rows need the carry of their bucket even when the bucket has
-    // no right rows: as-of the carry table itself — but that relation
-    // is per-bucket-small, so a plain per-key window over the DISTINCT
-    // left buckets joined to carry is cheap
+    // stage 2: carry-in = last right payload of any PRIOR bucket. Left
+    // rows need the carry of their bucket even when the bucket has no
+    // right rows, so the carry window runs over the union of left and
+    // right bucket ids joined to the per-bucket summaries — a relation
+    // with one row per (key, nonempty-or-probed bucket), tiny regardless
+    // of input size.
     val leftBuckets = left
       .withColumn("__bucket", floor(col(leftTs) / lit(bucketMs)).cast("long"))
     val allBuckets = leftBuckets.select(col(key), col("__bucket")).distinct()

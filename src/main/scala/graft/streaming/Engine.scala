@@ -200,7 +200,12 @@ object Engine {
         try state.setTimeoutDuration(d)
         catch { case _: UnsupportedOperationException => () }
       }
-      Iterator.single(snapshot(id, cleared, -1L, s.deadlineMs, kind = "timeout"))
+      // Stamp the emission with the probe time mapped into event time
+      // (lastTsm + wall-clock elapsed since it), so hold re-emissions
+      // order correctly by tsm downstream and an active override's
+      // remaining_ms reflects the actual time left, not deadline-vs-deadline.
+      val probeTsm = cleared.lastTsm + math.max(0L, wallNow - cleared.wallAtLast)
+      Iterator.single(snapshot(id, cleared, -1L, probeTsm, kind = "timeout"))
     } else {
       var s = state.getOption.getOrElse(initialState)
       val ordered = events.toSeq.sortBy(e => (e.tsm, if (e.kind == "command") 0 else 1, e.seq))
@@ -238,16 +243,19 @@ object Engine {
   /** Late/duplicate policy (an extension — the reference has none: its
     * callback overwrites state unconditionally, load-shedding by
     * last-write-wins, `src/receiver/main.cpp:36`): an event-time
-    * watermark plus streaming dropDuplicates on the envelope identity.
-    * Duplicates within the watermark horizon are dropped exactly once;
-    * state for the dedup is bounded by the horizon. */
+    * watermark plus `dropDuplicatesWithinWatermark` on the envelope
+    * identity. Duplicates arriving within the watermark horizon are
+    * dropped exactly once, and — unlike plain `dropDuplicates` on a
+    * non-event-time subset, whose state grows forever — each key's
+    * dedup state is evicted once the watermark passes it, so state is
+    * genuinely bounded by the horizon at any input rate. */
   def deduplicated(events: Dataset[EngineEvent],
       watermarkDelay: String = "10 seconds"): Dataset[EngineEvent] = {
     import events.sparkSession.implicits._
     events
       .withColumn("eventTime", timestamp_millis(col("tsm")))
       .withWatermark("eventTime", watermarkDelay)
-      .dropDuplicates("targetId", "kind", "seq")
+      .dropDuplicatesWithinWatermark("targetId", "kind", "seq")
       .drop("eventTime")
       .as[EngineEvent]
   }

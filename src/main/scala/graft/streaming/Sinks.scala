@@ -7,7 +7,11 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 
 /** S4/S6 — output sinks: the ESP-NOW per-target fan-out and the SBUS
   * re-emission, as `foreachBatch` writers over the engine's snapshot
-  * stream.
+  * stream. Both delivery paths accept kind "snapshot" AND "timeout":
+  * on a quiet input the engine's hold timer re-emits held state as
+  * "timeout" rows, and those must reach the wire — that re-emission IS
+  * the reference's sample-and-hold output (30 Hz SBUS from a 2 Hz
+  * input, `src/receiver/main.cpp:62-74`).
   *
   * The transport is pluggable (`send` callbacks) — production would
   * bind a radio/UART driver; tests bind recorders. Delivery iterates
@@ -33,7 +37,7 @@ object Sinks {
     * tests and the streaming writer share the exact code path. */
   def deliverFanOut(batch: DataFrame, macForId: Int => String,
       send: (String, Array[Byte]) => Unit): Unit =
-    batch.filter(col("kind") === "snapshot")
+    batch.filter(col("kind").isin("snapshot", "timeout"))
       .select(col("targetId"), col("effective"))
       .foreachPartition { rows: Iterator[Row] =>
         rows.foreach { r =>
@@ -59,7 +63,7 @@ object Sinks {
     * frame to the UART callback (`src/receiver/main.cpp:62-74`). The
     * rescale runs as a column expression (codegen) before the sink. */
   def deliverSbus(batch: DataFrame, send: (Int, Seq[Int]) => Unit): Unit =
-    batch.filter(col("kind") === "snapshot")
+    batch.filter(col("kind").isin("snapshot", "timeout"))
       .select(col("targetId"),
         transform(col("effective"), c => sbusRescale(c)).as("sbus"))
       .foreachPartition { rows: Iterator[Row] =>

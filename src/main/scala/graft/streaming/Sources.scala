@@ -40,39 +40,86 @@ object Sources {
       .as[EngineEvent]
   }
 
-  /** S2 streaming twin: parse a stream of raw serial lines into
-    * command events plus a dead-letter relation.
+  /** Parsed serial-line stream split three ways, mirroring every
+    * pre-dispatch outcome of the reference's serial loop:
     *
-    * @param lines  one column `value: String` (socket/text-file/memory
-    *               stream shape)
+    *  - `commands`: envelope-complete `override_channels` lines as
+    *    engine events (deeper validation — count/duration/range —
+    *    happens inside the engine, which emits its own responses, so
+    *    batch `Router.q32` and the streaming path produce the same
+    *    response classes);
+    *  - `responses`: the verbatim error envelopes the reference prints
+    *    for lines that never reach a handler — malformed JSON
+    *    (`src/transmitter/main.cpp:235-239`), missing `"command"`
+    *    (`:243-247`), unknown command (`:269-273`), and
+    *    `override_channels` with missing fields (`:151-156`);
+    *  - `deadLetter`: the raw text of unparseable lines, for replay.
+    */
+  case class ParsedLines(commands: Dataset[EngineEvent], responses: DataFrame,
+      deadLetter: DataFrame)
+
+  /** S2 streaming twin: parse a stream of raw serial lines into
+    * command events, a verbatim response relation, and a dead-letter
+    * relation — response parity with the batch router (`Router.q32`).
+    *
+    * @param lines  column `value: String` (socket/text-file/memory
+    *               stream shape). If a `seq: Long` column is present
+    *               (e.g. a source offset or line number), it becomes
+    *               the event's tie-break seq — line-order-stable, so
+    *               same-batch conflicting commands for one target
+    *               resolve deterministically in input order. Without
+    *               it, `monotonically_increasing_id` is used, which is
+    *               unique but only partition-stable: give the source an
+    *               explicit ordinal whenever same-ms command conflicts
+    *               must replay the exact serial arrival order.
     * @param nowMs  event-time assignment for arriving commands
     *               (defaults to wall clock; tests pin a literal)
-    * @return (commands as engine events, dead-letter lines)
     */
   def commandsFromJsonLines(lines: DataFrame,
-      nowMs: Column = unix_millis(current_timestamp())): (Dataset[EngineEvent], DataFrame) = {
+      nowMs: Column = unix_millis(current_timestamp())): ParsedLines = {
     import lines.sparkSession.implicits._
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "command STRING, target_id INT, channels ARRAY<INT>, duration LONG, _corrupt_record STRING")
+    val seqCol =
+      if (lines.columns.contains("seq")) col("seq")
+      else monotonically_increasing_id()
     val parsed = lines
       .filter(length(trim(col("value"))) > 0) // empty-line drop (:308)
+      .withColumn("__seq", seqCol)
       .withColumn("p", from_json(trim(col("value")), schema,
         Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
-      .withColumn("ok",
-        col("p").isNotNull && col("p._corrupt_record").isNull &&
-          col("p.command") === "override_channels" &&
-          col("p.target_id").isNotNull && col("p.channels").isNotNull &&
-          col("p.duration").isNotNull)
-    val commands = parsed.filter(col("ok"))
+    val malformed = col("p").isNull || col("p._corrupt_record").isNotNull
+    val noCommand = col("p.command").isNull
+    val unknown = col("p.command") =!= "override_channels"
+    val missingFields = col("p.target_id").isNull || col("p.channels").isNull ||
+      col("p.duration").isNull
+    val commands = parsed
+      .filter(!malformed && !noCommand && !unknown && !missingFields)
       .select(
         col("p.target_id").as("targetId"),
         lit("command").as("kind"),
-        monotonically_increasing_id().as("seq"),
+        col("__seq").as("seq"),
         nowMs.as("tsm"),
         col("p.channels").as("channels"),
         col("p.duration").as("durationMs"))
       .as[EngineEvent]
-    val deadLetter = parsed.filter(!col("ok")).select(col("value"))
-    (commands, deadLetter)
+    // Verbatim pre-dispatch responses (same classification order and
+    // strings as the batch router — `src/transmitter/main.cpp:229-276`).
+    val classified =
+      when(malformed, struct(lit("error").as("rtype"), lit("").as("status"),
+        lit("JSON parsing error: InvalidInput").as("message")))
+        .when(noCommand, struct(lit("error").as("rtype"), lit("").as("status"),
+          lit("Missing 'command' field in JSON").as("message")))
+        .when(unknown, struct(lit("response").as("rtype"), lit("error").as("status"),
+          concat(lit("Unknown command: "), col("p.command")).as("message")))
+        .when(missingFields, struct(lit("response").as("rtype"), lit("error").as("status"),
+          lit("Missing required fields: target_id, channels, and/or duration").as("message")))
+    val responses = parsed
+      .withColumn("r", classified)
+      .filter(col("r").isNotNull)
+      .select(col("r.rtype").as("rtype"), col("r.status").as("status"),
+        col("r.message").as("message"), col("value"))
+    val deadLetter = parsed.filter(malformed).select(col("value"))
+    ParsedLines(commands, responses, deadLetter)
   }
 }

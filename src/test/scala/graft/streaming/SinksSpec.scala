@@ -53,6 +53,45 @@ class SinksSpec extends SparkSpec {
     assert(got(2) == Seq.fill(8)(1811))
   }
 
+  test("hold re-emissions (kind timeout) reach the wire, not just snapshots") {
+    // the reference's sample-and-hold output IS the timeout re-emission:
+    // a quiet stream must still drive the radio/SBUS at the hold rate
+    val holdBatch = Seq(
+      EngineOutput(4, "timeout", -1, 2000L, Seq.fill(8)(1600), Seq.fill(8)(1600),
+        Seq.fill(8)(-1), isOverridden = false, 0L, 0L, "", "")).toDF()
+    SinksSpec.radio.clear(); SinksSpec.sbus.clear()
+    Sinks.deliverFanOut(holdBatch, id => s"MAC_$id",
+      (mac, bytes) => SinksSpec.radio.add((mac, bytes.toSeq)))
+    Sinks.deliverSbus(holdBatch, (id, f) => SinksSpec.sbus.add((id, f)))
+    assert(SinksSpec.radio.asScala.toMap.apply("MAC_4") ==
+      Sinks.packFrame(Seq.fill(8)(1600)).toSeq)
+    assert(SinksSpec.sbus.asScala.toMap.apply(4) == Seq.fill(8)(1155)) // map(1600)
+  }
+
+  test("hold mode composes with the fan-out writer: quiet stream keeps the radio fed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    SinksSpec.radio.clear()
+    val input = MemoryStream[EngineEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hold-fanout").toString
+    val query = Sinks.fanOutWriter(
+      Engine.effectiveStates(input.toDS(), holdEmitMs = Some(200L)), ckpt,
+      id => s"MAC_$id", (mac, bytes) => SinksSpec.radio.add((mac, bytes.toSeq)))
+      .start()
+    try {
+      input.addData(EngineEvent(5, "frame", 1, 1000L, Seq.fill(8)(1700), 0L))
+      // one input frame, then silence: the hold timer must keep the
+      // radio fed — expect >= 3 deliveries (1 snapshot + >= 2 holds)
+      val deadline = System.currentTimeMillis() + 60000
+      while (SinksSpec.radio.size < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val got = SinksSpec.radio.asScala.toSeq
+      assert(got.size >= 3, "quiet stream stopped feeding the radio")
+      assert(got.forall { case (mac, bytes) =>
+        mac == "MAC_5" && bytes == Sinks.packFrame(Seq.fill(8)(1700)).toSeq })
+    } finally query.stop()
+  }
+
   test("fan-out writer: engine-to-radio end-to-end over a MemoryStream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -7,21 +7,44 @@ import org.apache.spark.sql.functions._
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
-  test("command line parsing: valid lines become engine events, rest dead-letter") {
+  test("command line parsing: valid lines become engine events, invalid get verbatim responses") {
     val lines = Seq(
       """{"command": "override_channels", "target_id": 3, "channels": [1500, -1], "duration": 5000}""",
       "   ", // empty after trim -> silently dropped
       """{"command": "override_channels", "target_id": """, // malformed
       """{"target_id": 3}""", // missing command
+      """{"command": "set_speed"}""", // unknown command
+      """{"command": "override_channels", "target_id": 2}""", // missing fields
       """  {"command": "override_channels", "target_id": 1, "channels": [2000], "duration": 1}  """,
     ).toDF("value")
-    val (cmds, dead) = Sources.commandsFromJsonLines(lines, nowMs = lit(42000L))
-    val got = cmds.collect().sortBy(_.targetId)
+    val parsedLines = Sources.commandsFromJsonLines(lines, nowMs = lit(42000L))
+    val got = parsedLines.commands.collect().sortBy(_.targetId)
     assert(got.length == 2)
     assert(got(0).targetId == 1 && got(0).channels == Seq(2000) && got(0).durationMs == 1L)
     assert(got(1).targetId == 3 && got(1).channels == Seq(1500, -1) &&
       got(1).durationMs == 5000L && got(1).tsm == 42000L)
-    assert(dead.count() == 2) // malformed + missing command; empty line dropped
+    // every pre-dispatch outcome produces the reference's exact envelope
+    val resp = parsedLines.responses.select("rtype", "status", "message")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
+    assert(resp.toSeq == Seq(
+      ("error", "", "JSON parsing error: InvalidInput"),
+      ("error", "", "Missing 'command' field in JSON"),
+      ("response", "error", "Missing required fields: target_id, channels, and/or duration"),
+      ("response", "error", "Unknown command: set_speed")))
+    assert(parsedLines.deadLetter.count() == 1) // only the unparseable line
+  }
+
+  test("an input seq column is honoured for line-order-stable tie-breaking") {
+    val lines = Seq(
+      (0L, """{"command": "override_channels", "target_id": 1, "channels": [1200], "duration": 5000}"""),
+      (1L, """{"command": "override_channels", "target_id": 1, "channels": [1900], "duration": 5000}"""),
+    ).toDF("seq", "value")
+    val cmds = Sources.commandsFromJsonLines(lines, nowMs = lit(1000L)).commands
+    assert(cmds.collect().map(_.seq).sorted.toSeq == Seq(0L, 1L))
+    // same tsm → the later line (higher seq) must win inside the engine
+    val out = Engine.effectiveStates(cmds).collect()
+    val snaps = out.filter(o => o.kind == "snapshot" && o.isOverridden)
+    assert(snaps.nonEmpty && snaps.maxBy(_.seq).effective.head == 1900)
   }
 
   test("parsed commands flow through the engine with full validation") {
@@ -29,7 +52,7 @@ class SourcesSpec extends SparkSpec {
       """{"command": "override_channels", "target_id": 1, "channels": [1800], "duration": 5000}""",
       """{"command": "override_channels", "target_id": 1, "channels": [999], "duration": 5000}""",
     ).toDF("value")
-    val (cmds, _) = Sources.commandsFromJsonLines(lines, nowMs = lit(1000L))
+    val cmds = Sources.commandsFromJsonLines(lines, nowMs = lit(1000L)).commands
     val out = Engine.effectiveStates(cmds).collect()
     val resp = out.filter(_.kind == "response").sortBy(_.message)
     assert(resp.length == 2)
