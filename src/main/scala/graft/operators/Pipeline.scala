@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.expressions.VectorFunctions.{vecCosine, vecDot, vecNorm}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -187,12 +188,12 @@ object Pipeline {
     * 32·k survivors). */
   def q25SimilarityTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
-        round(dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+        round(vecDot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
       .select(col("query_id"), col("vec_id"), col("cosine"))
     val local = Window.partitionBy(col("query_id"), pmod(col("vec_id"), lit(32)))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -285,21 +286,20 @@ object Pipeline {
     * candidate generation is ~300 pairs instead of all-pairs ~2.5M —
     * and the constructed near-dups co-bucket with 100% recall. */
   def q30EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sm = typedlit(hyperSigns)
+    // One codegen'd native dot per hyperplane against a literal plane
+    // vector — not a transform-over-planes HOF, whose nested lambdas
+    // would evaluate interpreted and re-dispatch per element. Bit 2^h
+    // and the per-plane sequential accumulation match the previous HOF
+    // form and the DuckDB twin exactly.
+    val bucketBits = (0 until NumHyperplanes).map { h =>
+      when(vecDot(col("e"), typedlit(hyperSigns(h))) > 0, lit(1L << h)).otherwise(0L)
+    }
     val bucketed = dupEmbeddings(spark, dir)
-      .withColumn("bucket",
-        aggregate(
-          transform(sequence(lit(0), lit(NumHyperplanes - 1)), h => {
-            val dot = aggregate(
-              zip_with(col("e"), element_at(sm, (h + 1).cast("int")), (x, s) => x * s),
-              lit(0.0), (acc, v) => acc + v)
-            when(dot > 0, pow(lit(2.0), h).cast("long")).otherwise(0L)
-          }),
-          lit(0L), (acc, v) => acc + v))
+      .withColumn("bucket", bucketBits.reduce(_ + _))
     val x = bucketed.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("bucket"))
     val y = bucketed.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("bucket"))
     x.join(y, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", round(cosine(col("ea"), col("eb")), 4))
+      .withColumn("cosine", round(vecCosine(col("ea"), col("eb")), 4))
       .filter(col("cosine") >= CosineDupThreshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -327,7 +327,7 @@ object Pipeline {
     // Real IVF systems persist the index by construction; one cached
     // copy of the (id, cluster) pairs is its in-session analog.
     val asg = e.crossJoin(broadcast(cent))
-      .withColumn("cos6", round(cosine(col("e"), col("cvec")), 6))
+      .withColumn("cos6", round(vecCosine(col("e"), col("cvec")), 6))
       .groupBy(col("vec_id"))
       .agg(max_by(col("label"), col("cos6") * 1000000000.0 + col("label")).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -336,7 +336,7 @@ object Pipeline {
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("cluster"))
     val scored = members.join(broadcast(q), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", round(cosine(col("qe"), col("e")), 4))
+      .withColumn("cosine", round(vecCosine(col("qe"), col("e")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
       .select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
