@@ -67,6 +67,9 @@ object SparkEntry {
     "q37_asof_join" -> (Joins.q37AsofJoin _),
     "q38_range_join" -> (Joins.q38RangeJoin _),
     "q39_cube" -> (Relational.q39Cube _),
+    // round 3: prefix-filter near-dup + deterministic corpus split
+    "q40_ngram_jaccard" -> (Pipeline.q40NgramJaccard _),
+    "q41_stratified_split" -> (Pipeline.q41StratifiedSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -343,6 +343,61 @@ object Pipeline {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** L2 — n-gram Jaccard near-duplicate detection via PREFIX FILTERING
+    * (the PPJoin-family blocking): under any global total order on gram
+    * hashes, two sets with `Jaccard >= t` must share at least one of
+    * their `p = |S| - ceil(t·|S|) + 1` smallest elements — so candidate
+    * pairs come from an equi-join on prefix membership, never
+    * all-pairs. The complementary scale path to q24's MinHash-LSH:
+    * exact recall at the threshold (no probabilistic bands) at the cost
+    * of O(p) blocking keys per doc; blocking keys are plain longs, and
+    * verification intersects the (sorted, distinct) hash arrays — both
+    * engines share the md5-derived hash, so parity is exact. */
+  def q40NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // gram sets as sorted distinct hashes: explode → codegen'd md5 →
+    // collect_set (map-side partial agg), one shuffle on doc_id
+    val hashed = nearDocs(spark, dir)
+      .select(col("doc_id"), explode(wordShingles(split(col("text"), " "), 2)).as("g"))
+      .select(col("doc_id"), portableHashMod(col("g")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("h"))).as("hs"))
+      // referenced three times (prefix explode + both verification
+      // sides) — same materialization rationale as q24's shingles
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prefix size for t = 0.5: p = |S| - ceil(|S|/2) + 1 = floor(|S|/2) + 1
+    val p = (floor(size(col("hs")) / 2) + 1).cast("int")
+    val pref = hashed.select(col("doc_id"), explode(slice(col("hs"), lit(1), p)).as("key"))
+    val cand = pref.as("x")
+      .join(pref.as("y"),
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ha = hashed.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val hb = hashed.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .withColumn("jaccard", round(jaccard(col("hs_a"), col("hs_b")), 4))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Pipeline — deterministic stratified corpus split (train/val/test
+    * 80/10/10): every document is assigned by a portable md5-derived
+    * hash of its id — stable across engines, machines, partitionings,
+    * and reruns, so a 100 TB corpus splits identically no matter how
+    * the job is laid out. Summarized per (lang, split) to verify the
+    * strata. Pure map-side projection + partial-aggregated rollup. */
+  def q41StratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(portableHash(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    docs(spark, dir)
+      .select(col("lang"), split.as("split"), length(col("text")).as("n_chars"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   /** DuckDB twins. Fragments mirror [[graft.functions.TextFunctions]]
@@ -522,6 +577,44 @@ object Pipeline {
          |SELECT query_id, rk, vec_id, cosine FROM ranked WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin
 
+    val q40 =
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' extra token tail' FROM documents WHERE doc_id % 11 = 0),
+         |g AS (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1),
+         |      i -> array_to_string(toks[i:i+1], ' '))
+         |    ELSE []::VARCHAR[] END AS grams
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+         |h AS (
+         |  SELECT doc_id, list_sort(list_distinct(list_transform(grams, s -> ${phm("s")}))) AS hs
+         |  FROM g WHERE len(grams) > 0),
+         |pref AS (
+         |  SELECT doc_id, unnest(hs[1 : len(hs) // 2 + 1]) AS key FROM h),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM pref x JOIN pref y ON x.key = y.key AND x.doc_id < y.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    round(len(list_intersect(ha.hs, hb.hs))
+         |      / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))), 4) AS jaccard
+         |  FROM cand JOIN h ha ON ha.doc_id = doc_a JOIN h hb ON hb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+    val q41 =
+      s"""SELECT lang, split, count(*) AS n_docs,
+         |  round(avg(n_chars), 2) AS avg_chars
+         |FROM (
+         |  SELECT lang, length(text) AS n_chars,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT lang, text,
+         |    ${ph("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |    FROM documents))
+         |GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
     val all: Map[String, String] = Map(
       "q23_exact_dedup" -> q23,
       "q24_near_dup_minhash" -> q24,
@@ -532,6 +625,8 @@ object Pipeline {
       "q29_fingerprint" -> q29,
       "q30_embedding_near_dup" -> q30,
       "q31_ivf_ann" -> q31,
+      "q40_ngram_jaccard" -> q40,
+      "q41_stratified_split" -> q41,
     )
   }
 }

@@ -97,6 +97,41 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q40 prefix filtering finds every constructed pair above the threshold (exact recall)") {
+    val pairs = Pipeline.q40NgramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Unlike LSH bands (probabilistic), prefix filtering guarantees
+    // every pair with J >= t produces a candidate — so recall at the
+    // threshold is exact, not statistical. Constructed copies append
+    // 3 tokens: bigram J ~= (T-1)/(T+2) >= 0.5 whenever T >= 4 tokens.
+    val expected = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 11 === 0)
+      .filter(size(split(col("text"), " ")) >= 4)
+      .select(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(expected.nonEmpty)
+    assert(expected.subsetOf(pairs), s"missed: ${expected.diff(pairs).take(5)}")
+    // and every reported pair really clears the threshold
+    assert(Pipeline.q40NgramJaccard(spark, sfDir)
+      .collect().forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("q41 split is deterministic, complete, and roughly 80/10/10") {
+    val a = Pipeline.q41StratifiedSplit(spark, sfDir).collect()
+    val b = Pipeline.q41StratifiedSplit(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "split assignment must be deterministic")
+    val bySplit = a.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum
+    assert(total == Tables.documents(spark, sfDir).count(), "every doc assigned")
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // hash buckets are uniform-ish; allow generous tolerance at sf0.001
+    assert(bySplit("train").toDouble / total > 0.7)
+    assert(bySplit("val").toDouble / total < 0.2)
+    assert(bySplit("test").toDouble / total < 0.2)
+  }
+
   test("simhash16 stays within 16 bits; fingerprint within [0, P)") {
     val sh = Pipeline.q28Simhash(spark, sfDir).collect()
     assert(sh.forall { r => val v = r.getLong(1); v >= 0 && v <= 0xFFFF })
