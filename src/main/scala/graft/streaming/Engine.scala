@@ -291,6 +291,42 @@ object Engine {
         unix_millis(col("session_window.end")).as("end_ms"),
         col("targetId"), col("n_events"))
 
+  /** Stream-stream interval join with watermarks — the streaming member
+    * of the as-of/interval-join family (batch twins: `Joins.asofJoin`,
+    * q37/q38): each frame pairs with every command whose event time
+    * falls inside `(frameTime - ttlMs, frameTime]` for the same target,
+    * i.e. the commands that could still be overriding that frame (the
+    * ST1 per-tick check `now < override_timeout`,
+    * `src/transmitter/main.cpp:84-87`, as a relational join).
+    *
+    * Both sides carry event-time watermarks and the join condition is a
+    * bounded time range on the watermarked columns, so Spark prunes
+    * join state as the watermark advances — command state is dropped
+    * once frames can no longer reach back to it, frame state once
+    * commands can no longer arrive for it. State is bounded by
+    * `ttlMs + delay` per key at any input rate.
+    */
+  def frameCommandIntervalJoin(frames: Dataset[EngineEvent],
+      commands: Dataset[EngineEvent], ttlMs: Long = 5000L,
+      delay: String = "2 seconds"): DataFrame = {
+    val f = frames.select(
+      col("targetId").as("f_target"), col("seq").as("f_seq"),
+      timestamp_millis(col("tsm")).as("f_time"), col("channels").as("f_ch"))
+      .withWatermark("f_time", delay)
+    val c = commands.select(
+      col("targetId").as("c_target"), col("seq").as("c_seq"),
+      timestamp_millis(col("tsm")).as("c_time"), col("channels").as("c_ch"))
+      .withWatermark("c_time", delay)
+    f.join(c,
+      col("f_target") === col("c_target") &&
+        col("c_time") <= col("f_time") &&
+        col("c_time") > col("f_time") - expr(s"INTERVAL $ttlMs MILLISECONDS"))
+      .select(col("f_target").as("targetId"), col("f_seq"), col("c_seq"),
+        unix_millis(col("f_time")).as("frame_ms"),
+        unix_millis(col("c_time")).as("cmd_ms"),
+        col("f_ch"), col("c_ch"))
+  }
+
   /** T1/S5 — writer for the engine output: 500 ms processing-time
     * trigger (the reference's 2 Hz loop, `src/transmitter/main.cpp:23-25`)
     * and one-line JSON rows (the serial println sink, `:112-117`). */

@@ -21,6 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object Sources {
 
+  /** S3 streaming twin: decode a raw radio-packet stream into frame
+    * events. Input shape: `targetId INT, seq LONG, tsm LONG,
+    * payload BINARY` (the ESP-NOW receive callback's arguments,
+    * `src/receiver/main.cpp:27-44`). Payloads are decoded by the
+    * codegen'd [[graft.expressions.UnpackFrame]] expression; packets
+    * failing the 16-byte length guard (`:30-35`) decode to NULL and
+    * route to the dead-letter relation — the reference rejects and
+    * logs them before its memcpy.
+    */
+  def framesFromPackets(packets: DataFrame): (Dataset[EngineEvent], DataFrame) = {
+    import packets.sparkSession.implicits._
+    val decoded = packets.withColumn("channels",
+      graft.expressions.FrameFunctions.unpackFrame(col("payload")))
+    val frames = decoded.filter(col("channels").isNotNull)
+      .select(col("targetId"), lit("frame").as("kind"), col("seq"),
+        col("tsm"), col("channels"), lit(0L).as("durationMs"))
+      .as[EngineEvent]
+    val deadLetter = decoded.filter(col("channels").isNull)
+      .select(col("targetId"), col("seq"), col("tsm"), col("payload"))
+    (frames, deadLetter)
+  }
+
   /** S1 streaming twin: synthetic 8-channel frames at `rowsPerSecond`,
     * cycling over `numTargets`. Channel values sweep 1000–2000
     * deterministically from the rate counter. */

@@ -242,6 +242,30 @@ class EngineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join pairs frames with their covering commands") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val frames = MemoryStream[EngineEvent]
+    val commands = MemoryStream[EngineEvent]
+    val joined = Engine.frameCommandIntervalJoin(
+      frames.toDS(), commands.toDS(), ttlMs = 5000L)
+    val query = joined.writeStream.format("memory").queryName("engine_ssj")
+      .outputMode("append").start()
+    try {
+      commands.addData(command(1, 10, 2000L, Seq(1800), 5000L))
+      frames.addData(
+        frame(1, 1, 1000L, 1500), // before the command -> no pair
+        frame(1, 2, 3000L, 1500), // inside (2000, 7000] -> pairs
+        frame(1, 3, 6900L, 1500), // still inside -> pairs
+        frame(1, 4, 7100L, 1500), // past cmd_time + ttl -> no pair
+        frame(2, 5, 3000L, 1500)) // other target -> no pair
+      query.processAllAvailable()
+      val rows = spark.table("engine_ssj")
+        .select("targetId", "f_seq", "c_seq").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1, 2L, 10L), (1, 3L, 10L)))
+    } finally query.stop()
+  }
+
   test("batch/streaming consistency: engine final state matches q17 at T = max event time") {
     val frames = Channels.frames(spark, sfDir)
     val commands = Channels.commands(spark, sfDir)

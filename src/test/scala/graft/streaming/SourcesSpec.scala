@@ -62,6 +62,23 @@ class SourcesSpec extends SparkSpec {
       r.message == "Channel values must be between 1000-2000 or -1 to skip"))
   }
 
+  test("packet decode: valid frames reach the engine, short packets dead-letter") {
+    val good = Sinks.packFrame(Seq.fill(8)(1500))
+    val bad = Array[Byte](1, 2, 3)
+    val packets = Seq(
+      (1, 1L, 1000L, good),
+      (2, 2L, 1000L, bad),
+    ).toDF("targetId", "seq", "tsm", "payload")
+    val (frames, dead) = Sources.framesFromPackets(packets)
+    val got = frames.collect()
+    assert(got.length == 1 && got.head.targetId == 1 &&
+      got.head.channels == Seq.fill(8)(1500))
+    assert(dead.count() == 1)
+    // decoded packets drive the keyed state like any frame
+    val out = Engine.effectiveStates(frames).collect()
+    assert(out.exists(o => o.kind == "snapshot" && o.effective == Seq.fill(8)(1500)))
+  }
+
   test("synthetic frame source produces valid engine envelopes") {
     // structural check on the unresolved streaming plan (no execution:
     // rate source needs wall-clock time)
