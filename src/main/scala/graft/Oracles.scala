@@ -337,5 +337,24 @@ object Oracles {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    // Spark `percentile` and DuckDB `quantile_cont` share the exact
+    // linear-interpolation definition; round(2) absorbs ulp noise.
+    "q42_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // RANGE frame bounds: Spark rangeBetween(-30*86400+1, 0) ==
+    // RANGE 2591999 PRECEDING AND CURRENT ROW (both ends inclusive).
+    "q43_rolling_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  round(sum(o_totalprice) OVER w, 2) AS trailing_30d_spend,
+        |  count(*) OVER w AS n_orders_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |  RANGE BETWEEN 2591999 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 }

@@ -182,10 +182,13 @@ object Pipeline {
   }
 
   /** L3 — brute-force cosine top-k: the query set (vec_id < 10) is
-    * broadcast against all vectors; ranking uses a salted two-level
-    * top-k so no single task ever sorts a full query's candidate list
-    * (level 1 keeps k per (query, salt) bucket, level 2 merges the
-    * 32·k survivors). */
+    * broadcast against all vectors; ranking is the bounded top-k
+    * AGGREGATOR (`functions.TopK`) — each scan partition reduces to a
+    * k-element buffer map-side and only #partitions × k rows reach the
+    * shuffle. No window, no sort of any candidate list anywhere
+    * (replaces the earlier salted two-level `row_number`, which still
+    * paid two shuffle+sort stages); ordering (cosine desc, vec_id asc)
+    * is identical, asserted interchangeable in TopKSpec. */
   def q25SimilarityTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
@@ -195,14 +198,11 @@ object Pipeline {
       .withColumn("cosine",
         round(vecDot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
       .select(col("query_id"), col("vec_id"), col("cosine"))
-    val local = Window.partitionBy(col("query_id"), pmod(col("vec_id"), lit(32)))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    val global = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored
-      .withColumn("lrk", row_number().over(local)).filter(col("lrk") <= TopK)
-      .withColumn("rk", row_number().over(global)).filter(col("rk") <= TopK)
-      .select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topK(TopK, col("vec_id"), col("cosine")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("s.id").as("vec_id"), col("s.score").as("cosine"))
       .orderBy(col("query_id"), col("rk"))
   }
 

@@ -210,4 +210,39 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
+
+  /** Exact continuous percentiles per group (the quantile operator
+    * family): median/p90/p99 of extended price per return flag. Exact
+    * `percentile` shuffles the group's values once and interpolates —
+    * matched by DuckDB `quantile_cont`; at 100 TB the same query runs
+    * with `approx_percentile` (t-digest-style sketch, constant-size
+    * partial merge) — the approximate twin is engine-specific (no hash
+    * oracle), so the exact form carries the correctness row and the
+    * approximate path is bound-tested in RelationalSpec. */
+  def q42Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 2).as("p90"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 2).as("p99"))
+      .orderBy(col("l_returnflag"))
+
+  /** Time-range window frame: 30-day trailing spend per customer —
+    * `rangeBetween` over the order timestamp (in seconds), a frame the
+    * row-count family (q08) can't express. Partitioned by customer, so
+    * window parallelism grows with the data. */
+  def q43RollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val secs = unix_timestamp(col("o_orderdate"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(secs)
+      .rangeBetween(-30L * 86400 + 1, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("trailing_30d_spend", round(sum(col("o_totalprice")).over(w), 2))
+      .withColumn("n_orders_30d", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("trailing_30d_spend"), col("n_orders_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Relational-inventory invariants not covered by the DuckDB hash gate. */
 class RelationalSpec extends SparkSpec {
@@ -30,5 +31,39 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m("union") >= m("intersect"))
     assert(m("union") >= m("except"))
+  }
+
+  test("q42 percentiles are ordered and the approximate (sketch) path stays within 1%") {
+    val exact = Relational.q42Percentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    exact.values.foreach { case (p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99)
+    }
+    // the 100 TB path: approx_percentile's constant-size sketch must
+    // track the exact interpolated quantiles closely at this accuracy
+    val approx = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_percentile(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    exact.foreach { case (flag, (p50, p90, p99)) =>
+      val ap = approx(flag)
+      Seq(p50, p90, p99).zip(ap).foreach { case (e, a) =>
+        assert(math.abs(a - e) / e < 0.01, s"$flag: exact $e vs approx $a")
+      }
+    }
+  }
+
+  test("q43 trailing window: spend includes the current order and only looks back") {
+    val rows = Relational.q43RollingWindow(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per customer, the first order's trailing spend equals its own price
+    val first = rows.groupBy(_.getLong(0)).values.map(_.head)
+    first.foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getLong(4) >= 1L)
+    }
+    // trailing count never exceeds the customer's total order count
+    val counts = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    rows.foreach(r => assert(r.getLong(4) <= counts(r.getLong(0))))
   }
 }
