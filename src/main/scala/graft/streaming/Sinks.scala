@@ -45,8 +45,34 @@ object Sinks {
         }
       }
 
+  /** Exactly-once guard for `foreachBatch` side effects: Structured
+    * Streaming re-runs a micro-batch after a failure/restart with the
+    * SAME batchId, so a delivery that already completed for that id
+    * must not run again. The marker is a committed file per batchId
+    * next to the checkpoint (written atomically via rename), making
+    * delivery idempotent across restarts — the streaming analog of a
+    * transactional sink's (queryId, batchId) dedup key. The driver
+    * writes the marker AFTER the delivery pass returns, matching the
+    * at-least-once → exactly-once upgrade foreachBatch documents. */
+  def deliverOnce(markerDir: String, batchId: Long)(deliver: => Unit): Boolean = {
+    val dir = java.nio.file.Paths.get(markerDir)
+    java.nio.file.Files.createDirectories(dir)
+    val marker = dir.resolve(s"batch-$batchId.done")
+    if (java.nio.file.Files.exists(marker)) false
+    else {
+      deliver
+      val tmp = dir.resolve(s".batch-$batchId.tmp")
+      java.nio.file.Files.write(tmp, Array.emptyByteArray)
+      java.nio.file.Files.move(tmp, marker,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    }
+  }
+
   /** S4: the 2 Hz ESP-NOW fan-out writer (`RADIO_SEND_FREQ_HZ = 2`,
-    * `src/transmitter/main.cpp:23-25`). */
+    * `src/transmitter/main.cpp:23-25`). Replayed micro-batches are
+    * skipped via [[deliverOnce]] — the radio never double-sends a
+    * frame a previous incarnation already delivered. */
   def fanOutWriter(out: Dataset[EngineOutput], checkpointDir: String,
       macForId: Int => String,
       send: (String, Array[Byte]) => Unit): DataStreamWriter[EngineOutput] =
@@ -54,8 +80,11 @@ object Sinks {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.ProcessingTime("500 milliseconds"))
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[EngineOutput], _: Long) =>
-        deliverFanOut(batch.toDF(), macForId, send)
+      .foreachBatch { (batch: Dataset[EngineOutput], batchId: Long) =>
+        deliverOnce(s"$checkpointDir/delivered", batchId) {
+          deliverFanOut(batch.toDF(), macForId, send)
+        }
+        ()
       }
 
   /** One SBUS emission pass: rescale each effective channel with the

@@ -92,6 +92,25 @@ class SinksSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("deliverOnce: a replayed batchId is skipped, new ids deliver") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-once").toString
+    var sends = 0
+    assert(Sinks.deliverOnce(dir, 7L) { sends += 1 })
+    assert(!Sinks.deliverOnce(dir, 7L) { sends += 1 }, "replay must be skipped")
+    assert(Sinks.deliverOnce(dir, 8L) { sends += 1 })
+    assert(sends == 2)
+  }
+
+  test("deliverOnce: a failed delivery leaves no marker, so the retry runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-once-fail").toString
+    var sends = 0
+    intercept[RuntimeException] {
+      Sinks.deliverOnce(dir, 1L) { throw new RuntimeException("radio down") }
+    }
+    assert(Sinks.deliverOnce(dir, 1L) { sends += 1 }, "retry after failure must deliver")
+    assert(sends == 1)
+  }
+
   test("fan-out writer: engine-to-radio end-to-end over a MemoryStream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
