@@ -172,6 +172,30 @@ object Joins {
       rightCols.map(c => col(s"__eff.$c").as(c))): _*)
   }
 
+  /** Skew-salted equi-join for fact-fact joins where a few hot keys
+    * overwhelm their shuffle partition: each left row gets a
+    * deterministic salt in `[0, salts)` derived from `saltFrom` (any
+    * left column with spread — an event id, a timestamp), the right
+    * side replicates ×`salts` via a literal-range explode, and the
+    * join runs on `(key, salt)` — a hot key's rows spread over `salts`
+    * tasks at the cost of replicating right-side rows.
+    *
+    * Posture: AQE's skew-join already splits oversized partitions at
+    * runtime and should be the first answer; explicit salting is the
+    * library form for EXTREME single-key skew (one key larger than a
+    * task can sort/spill) or for engines/stages where AQE cannot
+    * re-plan (e.g. a skewed stream-static join). Row-identical to the
+    * plain join — asserted in JoinsSpec under a constructed 90%-one-key
+    * skew. */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
+      saltFrom: Column, salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val l = left.withColumn("__salt", pmod(hash(saltFrom), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Range (interval) join: orders banded by price via a broadcast
     * non-equi join against a small interval dimension — the pattern
     * for dimension lookups keyed by a range instead of a point. The

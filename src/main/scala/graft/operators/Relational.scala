@@ -237,12 +237,14 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(secs)
       .rangeBetween(-30L * 86400 + 1, Window.currentRow)
+    // both window aggregates in ONE select: an intermediate projection
+    // between two .withColumn windows blocks CollapseWindow and the
+    // plan pays two Sort+Window passes for one frame
     Tables.orders(spark, dir)
-      .withColumn("trailing_30d_spend", round(sum(col("o_totalprice")).over(w), 2))
-      .withColumn("n_orders_30d", count(lit(1)).over(w))
       .select(col("o_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
-        col("trailing_30d_spend"), col("n_orders_30d"))
+        round(sum(col("o_totalprice")).over(w), 2).as("trailing_30d_spend"),
+        count(lit(1)).over(w).as("n_orders_30d"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 }

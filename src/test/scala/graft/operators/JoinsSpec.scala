@@ -90,4 +90,24 @@ class JoinsSpec extends SparkSpec {
       Seq("cmd_tsm", "ovr"))
     assert(joined.count() == frames.count())
   }
+
+  test("saltedEquiJoin is row-identical to the plain join under heavy skew") {
+    import spark.implicits._
+    // 90% of left rows share one hot key
+    val left = (1 to 2000).map(i =>
+      (if (i % 10 == 0) i % 7L else 42L, i.toLong)).toDF("k", "lid")
+    val right = (0 to 6).map(k => (k.toLong, s"payload_$k"))
+      .toDF("k", "payload")
+      .unionByName(Seq((42L, "hot_payload")).toDF("k", "payload"))
+    val plain = left.join(right, Seq("k"))
+      .select("k", "lid", "payload").collect().map(_.toSeq).toSeq
+    val salted = Joins.saltedEquiJoin(left, right, "k", col("lid"), salts = 8)
+      .select("k", "lid", "payload").collect().map(_.toSeq).toSeq
+    assert(salted.sortBy(_.toString) == plain.sortBy(_.toString))
+    // and the salt really spreads the hot key across buckets
+    val spread = left.filter(col("k") === 42L)
+      .select(pmod(hash(col("lid")), lit(8)).as("s"))
+      .distinct().count()
+    assert(spread >= 6, s"salt spread only $spread of 8 buckets")
+  }
 }
