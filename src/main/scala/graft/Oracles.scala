@@ -345,6 +345,14 @@ object Oracles {
         |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
         |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q44_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY user_bucket ORDER BY user_bucket""".stripMargin,
     // RANGE frame bounds: Spark rangeBetween(-30*86400+1, 0) ==
     // RANGE 2591999 PRECEDING AND CURRENT ROW (both ends inclusive).
     "q43_rolling_window" ->

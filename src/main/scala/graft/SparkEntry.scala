@@ -70,9 +70,10 @@ object SparkEntry {
     // round 3: prefix-filter near-dup + deterministic corpus split
     "q40_ngram_jaccard" -> (Pipeline.q40NgramJaccard _),
     "q41_stratified_split" -> (Pipeline.q41StratifiedSplit _),
-    // quantile family + time-range window frames
+    // quantile family + time-range window frames + pivot
     "q42_percentiles" -> (Relational.q42Percentiles _),
     "q43_rolling_window" -> (Relational.q43RollingWindow _),
+    "q44_pivot" -> (Relational.q44Pivot _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

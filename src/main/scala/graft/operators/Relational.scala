@@ -228,6 +228,21 @@ object Relational {
         round(percentile(col("l_extendedprice"), lit(0.99)), 2).as("p99"))
       .orderBy(col("l_returnflag"))
 
+  /** PIVOT — long-to-wide reshaping with an explicit value list (the
+    * unbounded-cardinality form is an anti-pattern at scale: Spark
+    * would first scan to discover values, then build a column per
+    * value; pinning the five event types keeps the plan a single
+    * conditional aggregation). Oracle: the relational expansion
+    * (one `sum(CASE WHEN ...)` per pivoted column) — what the pivot
+    * operator compiles to. */
+  def q44Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_bucket"))
+
   /** Time-range window frame: 30-day trailing spend per customer —
     * `rangeBetween` over the order timestamp (in seconds), a frame the
     * row-count family (q08) can't express. Partitioned by customer, so

@@ -305,10 +305,16 @@ object Engine {
     * once frames can no longer reach back to it, frame state once
     * commands can no longer arrive for it. State is bounded by
     * `ttlMs + delay` per key at any input rate.
+    *
+    * `joinType` "inner" emits pairs as they match; "leftOuter"
+    * additionally emits unmatched frames (null command columns) once
+    * the watermark proves no covering command can still arrive — the
+    * relational form of "frames that ran uncovered", the complement
+    * q37 counts in batch.
     */
   def frameCommandIntervalJoin(frames: Dataset[EngineEvent],
       commands: Dataset[EngineEvent], ttlMs: Long = 5000L,
-      delay: String = "2 seconds"): DataFrame = {
+      delay: String = "2 seconds", joinType: String = "inner"): DataFrame = {
     val f = frames.select(
       col("targetId").as("f_target"), col("seq").as("f_seq"),
       timestamp_millis(col("tsm")).as("f_time"), col("channels").as("f_ch"))
@@ -320,7 +326,8 @@ object Engine {
     f.join(c,
       col("f_target") === col("c_target") &&
         col("c_time") <= col("f_time") &&
-        col("c_time") > col("f_time") - expr(s"INTERVAL $ttlMs MILLISECONDS"))
+        col("c_time") > col("f_time") - expr(s"INTERVAL $ttlMs MILLISECONDS"),
+      joinType)
       .select(col("f_target").as("targetId"), col("f_seq"), col("c_seq"),
         unix_millis(col("f_time")).as("frame_ms"),
         unix_millis(col("c_time")).as("cmd_ms"),

@@ -266,6 +266,36 @@ class EngineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits uncovered frames after the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val frames = MemoryStream[EngineEvent]
+    val commands = MemoryStream[EngineEvent]
+    val joined = Engine.frameCommandIntervalJoin(
+      frames.toDS(), commands.toDS(), ttlMs = 5000L, joinType = "leftOuter")
+    val query = joined.writeStream.format("memory").queryName("engine_ssj_lo")
+      .outputMode("append").start()
+    try {
+      commands.addData(command(1, 10, 2000L, Seq(1800), 5000L))
+      frames.addData(
+        frame(1, 1, 1000L, 1500), // uncovered (before the command)
+        frame(1, 2, 3000L, 1500)) // covered
+      query.processAllAvailable()
+      // advance BOTH watermarks so the uncovered frame's null row finalizes
+      commands.addData(command(2, 11, 60000L, Seq(1500), 1000L))
+      frames.addData(frame(2, 3, 60000L, 1500))
+      query.processAllAvailable()
+      frames.addData(frame(2, 4, 120000L, 1500))
+      commands.addData(command(2, 12, 120000L, Seq(1500), 1000L))
+      query.processAllAvailable()
+      val rows = spark.table("engine_ssj_lo")
+        .filter(col("targetId") === 1)
+        .select("f_seq", "c_seq").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((2L, 10L)), "covered frame must pair")
+      assert(rows.contains((1L, -1L)), "uncovered frame must emit with null command")
+    } finally query.stop()
+  }
+
   test("batch/streaming consistency: engine final state matches q17 at T = max event time") {
     val frames = Channels.frames(spark, sfDir)
     val commands = Channels.commands(spark, sfDir)
