@@ -345,6 +345,15 @@ object Oracles {
         |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
         |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q45_unpivot" ->
+      """WITH m AS (
+        |  SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE) FROM part)
+        |SELECT measure, count(*) AS n,
+        |  round(avg(value), 2) AS avg_value,
+        |  round(max(value), 2) AS max_value
+        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
     "q44_pivot" ->
       """SELECT user_id % 10 AS user_bucket,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -74,6 +74,7 @@ object SparkEntry {
     "q42_percentiles" -> (Relational.q42Percentiles _),
     "q43_rolling_window" -> (Relational.q43RollingWindow _),
     "q44_pivot" -> (Relational.q44Pivot _),
+    "q45_unpivot" -> (Relational.q45Unpivot _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

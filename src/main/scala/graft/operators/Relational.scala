@@ -249,6 +249,23 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("user_bucket"))
 
+  /** UNPIVOT — wide-to-long reshaping (the inverse of q44): per-part
+    * size/retail columns melt into (measure, value) rows. Compiles to
+    * an Expand node (one output row per measure per input row) — pure
+    * map-side, no shuffle until the rollup. Oracle: the UNION ALL
+    * expansion unpivot is sugar for. */
+  def q45Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").cast("double").as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 2).as("avg_value"),
+        round(max(col("value")), 2).as("max_value"))
+      .orderBy(col("measure"))
+
   /** Time-range window frame: 30-day trailing spend per customer —
     * `rangeBetween` over the order timestamp (in seconds), a frame the
     * row-count family (q08) can't express. Partitioned by customer, so
