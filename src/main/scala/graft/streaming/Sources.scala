@@ -90,10 +90,13 @@ object Sources {
     *               the event's tie-break seq — line-order-stable, so
     *               same-batch conflicting commands for one target
     *               resolve deterministically in input order. Without
-    *               it, `monotonically_increasing_id` is used, which is
-    *               unique but only partition-stable: give the source an
-    *               explicit ordinal whenever same-ms command conflicts
-    *               must replay the exact serial arrival order.
+    *               it, the fallback is a content hash of the line —
+    *               deterministic and replay/restart-stable (legal on
+    *               streaming relations, unlike
+    *               `monotonically_increasing_id`), but arbitrary as an
+    *               ORDER: give the source an explicit ordinal whenever
+    *               same-ms command conflicts must replay the exact
+    *               serial arrival order.
     * @param nowMs  event-time assignment for arriving commands
     *               (defaults to wall clock; tests pin a literal)
     */
@@ -104,7 +107,7 @@ object Sources {
       "command STRING, target_id INT, channels ARRAY<INT>, duration LONG, _corrupt_record STRING")
     val seqCol =
       if (lines.columns.contains("seq")) col("seq")
-      else monotonically_increasing_id()
+      else xxhash64(col("value"))
     val parsed = lines
       .filter(length(trim(col("value"))) > 0) // empty-line drop (:308)
       .withColumn("__seq", seqCol)

@@ -4,6 +4,14 @@ import graft.SparkSpec
 import graft.operators.{Channels, Reference}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+object EngineSpec {
+  /** Recorder for the checkpoint-recovery test — a companion-object
+    * queue so executor-side foreachBatch closures in local mode append
+    * to the same JVM-wide instance. */
+  val restartSink = new java.util.concurrent.ConcurrentLinkedQueue[EngineOutput]()
+}
 
 /** ST1 streaming semantics: override → TTL expiry → revert, validation
   * responses, and batch/streaming consistency against the q17 as-of twin
@@ -294,6 +302,59 @@ class EngineSpec extends SparkSpec {
       assert(rows.contains((2L, 10L)), "covered frame must pair")
       assert(rows.contains((1L, -1L)), "uncovered frame must emit with null command")
     } finally query.stop()
+  }
+
+  test("engine state survives a query restart (checkpoint recovery, file source)") {
+    // memory sinks don't support checkpoint recovery — record through
+    // foreachBatch (fault-tolerant) into a shared queue instead
+    val root = java.nio.file.Files.createTempDirectory("graft-restart")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val ckpt = root.resolve("ckpt").toString
+    def addFile(name: String, line: String): Unit =
+      java.nio.file.Files.write(inDir.resolve(name), (line + "\n").getBytes("UTF-8"))
+    def startQuery() = {
+      val lines = spark.readStream.text(inDir.toString)
+      val cmds = Sources.commandsFromJsonLines(lines, nowMs = lit(1000L)).commands
+      Engine.effectiveStates(cmds)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[EngineOutput], _: Long) =>
+          batch.collect().foreach(EngineSpec.restartSink.add)
+        }
+        .start()
+    }
+    def awaitSink(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (EngineSpec.restartSink.size < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(EngineSpec.restartSink.size >= n, s"timed out waiting for $n sink rows")
+    }
+    EngineSpec.restartSink.clear()
+    // phase 1: an override on ch0, long TTL — becomes state-store state
+    val q1 = startQuery()
+    try {
+      addFile("c1.json",
+        """{"command": "override_channels", "target_id": 1, "channels": [1800], "duration": 3600000}""")
+      awaitSink(2) // response + snapshot
+    } finally q1.stop()
+    // phase 2: restart from the checkpoint; a second command touches
+    // ch1 only (-1 skips ch0) — the merge must see phase 1's 1800,
+    // which can only come from recovered state
+    val before = EngineSpec.restartSink.size
+    val q2 = startQuery()
+    try {
+      addFile("c2.json",
+        """{"command": "override_channels", "target_id": 1, "channels": [-1, 1900], "duration": 3600000}""")
+      awaitSink(before + 2)
+      val snaps = EngineSpec.restartSink.asScala.toSeq
+        .drop(before).filter(_.kind == "snapshot")
+      assert(snaps.nonEmpty)
+      val snap = snaps.last
+      assert(snap.isOverridden)
+      assert(snap.effective.take(2) == Seq(1800, 1900),
+        s"state lost across restart: ${snap.effective}")
+    } finally q2.stop()
   }
 
   test("batch/streaming consistency: engine final state matches q17 at T = max event time") {
