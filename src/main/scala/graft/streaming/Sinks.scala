@@ -99,6 +99,51 @@ object Sinks {
         rows.foreach(r => send(r.getInt(0), r.getSeq[Int](1)))
       }
 
+  /** S5/P4 streaming — the 2 Hz `targets_update` telemetry: per
+    * trigger, the micro-batch's freshest state per target (snapshot or
+    * hold re-emission) joins the registry dimension and becomes ONE
+    * envelope document, exactly like the reference's per-tick
+    * `send_targets_update` (`src/transmitter/main.cpp:282-296`).
+    *
+    * @param registry columns `id, name, mac, connection_state,
+    *                 last_successful_send` — identity from the
+    *                 bootstrap (R2), ack columns owned by the
+    *                 transport layer (the radio callback updates them
+    *                 in the reference, `:55-75`; here the fan-out
+    *                 `send` callback's results feed them)
+    *
+    * The latest-per-target reduction and registry join run
+    * distributed; only the finished one-row document crosses to the
+    * driver — the envelope is inherently a single serial line per
+    * tick, so that row IS the output. Emission goes through
+    * [[deliverOnce]]: a replayed batch never re-prints its document. */
+  def telemetryWriter(out: Dataset[EngineOutput], checkpointDir: String,
+      registry: DataFrame, emit: String => Unit): DataStreamWriter[EngineOutput] =
+    out.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[EngineOutput], batchId: Long) =>
+        if (!batch.isEmpty) {
+          deliverOnce(s"$checkpointDir/telemetry-delivered", batchId) {
+            val latest = batch.toDF()
+              .filter(col("kind").isin("snapshot", "timeout"))
+              .groupBy(col("targetId"))
+              .agg(max_by(
+                struct(col("effective"), col("isOverridden"), col("remainingMs")),
+                struct(col("tsm"), col("seq"))).as("s"))
+              .select(col("targetId").as("id"),
+                col("s.effective").as("channels"),
+                col("s.isOverridden").as("is_channels_overridden"),
+                col("s.remainingMs").as("override_timeout_remaining"))
+            val snap = latest.join(broadcast(registry), "id")
+            graft.operators.Telemetry.targetsUpdateJson(snap)
+              .collect().foreach(r => emit(r.getString(0)))
+          }
+          ()
+        }
+      }
+
   /** S6: the 30 Hz SBUS writer (`SBUS_SEND_HZ = 30`,
     * `src/receiver/main.cpp:20-22` — 33 ms period). */
   def sbusWriter(out: Dataset[EngineOutput], checkpointDir: String,

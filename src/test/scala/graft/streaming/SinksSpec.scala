@@ -11,6 +11,7 @@ object SinksSpec {
   // local mode append to the same JVM-wide queues
   val radio = new ConcurrentLinkedQueue[(String, Seq[Byte])]()
   val sbus = new ConcurrentLinkedQueue[(Int, Seq[Int])]()
+  val serial = new ConcurrentLinkedQueue[String]()
 }
 
 class SinksSpec extends SparkSpec {
@@ -109,6 +110,32 @@ class SinksSpec extends SparkSpec {
     }
     assert(Sinks.deliverOnce(dir, 1L) { sends += 1 }, "retry after failure must deliver")
     assert(sends == 1)
+  }
+
+  test("telemetry writer emits one exact targets_update document per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    SinksSpec.serial.clear()
+    val registry = Seq((6, "Drone_7", "AA:BB:CC:00:00:07", true, 5000L))
+      .toDF("id", "name", "mac", "connection_state", "last_successful_send")
+    val input = MemoryStream[EngineEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-telemetry").toString
+    val query = Sinks.telemetryWriter(
+      Engine.effectiveStates(input.toDS()), ckpt, registry,
+      doc => SinksSpec.serial.add(doc))
+      .start()
+    try {
+      input.addData(EngineEvent(6, "frame", 1, 1000L, Seq.fill(8)(1500), 0L))
+      val deadline = System.currentTimeMillis() + 60000
+      while (SinksSpec.serial.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val doc = SinksSpec.serial.asScala.head
+      assert(doc ==
+        """{"type":"targets_update","targets":[{"id":6,"name":"Drone_7",""" +
+        """"mac":"AA:BB:CC:00:00:07","channels":[1500,1500,1500,1500,1500,1500,1500,1500],""" +
+        """"connection_state":true,"last_successful_send":5000,""" +
+        """"is_channels_overridden":false,"override_timeout_remaining":0}]}""")
+    } finally query.stop()
   }
 
   test("fan-out writer: engine-to-radio end-to-end over a MemoryStream") {
