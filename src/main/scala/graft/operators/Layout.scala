@@ -26,4 +26,34 @@ object Layout {
     * — the property bucketing is meant to eliminate. */
   def hasShuffle(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /** Write `df` hive-partitioned by `partitionCols`: predicates on
+    * those columns become PARTITION PRUNING — whole directories never
+    * enter the scan, the coarse-grained skip that makes "one day out
+    * of three years" queries read 0.1% of a 100 TB table. Pair with a
+    * time/tenant column of bounded cardinality; never partition by a
+    * high-cardinality key (millions of directories kill the metastore
+    * and the filesystem before the first byte is read).
+    *
+    * `maxRecordsPerFile` bounds file size so a skewed partition splits
+    * instead of producing one giant file; the `repartition` on the
+    * partition columns maps each output directory to one task,
+    * avoiding the small-files explosion (every task otherwise writes a
+    * file into every partition it touches). */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(partitionCols.map(df.col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** The partition filters the scan of `df` actually prunes with —
+    * empty means every predicate arrives too late (post-scan) and the
+    * full directory tree is listed and read. */
+  def partitionFilters(df: DataFrame): String = {
+    val plan = df.queryExecution.executedPlan.toString
+    plan.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("").trim
+  }
 }

@@ -32,4 +32,24 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("partitioned layout: event_type predicates prune whole directories") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    Layout.writePartitioned(
+      graft.Tables.events(spark, sfDir).drop("ts"), // nanos ts not needed
+      out, Seq("event_type"))
+    // one directory per event_type on disk
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("event_type=")).sorted
+    assert(dirs.length >= 3, s"expected hive partition dirs, got ${dirs.toSeq}")
+    // the filter must surface as a PartitionFilter, not a data filter
+    val scan = spark.read.parquet(out).filter(col("event_type") === "purchase")
+    val pf = Layout.partitionFilters(scan)
+    assert(pf.contains("event_type"), s"predicate not pruned: '$pf'")
+    // and the pruned scan reads only the matching partition's rows
+    val expected = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(scan.count() == expected)
+  }
 }
