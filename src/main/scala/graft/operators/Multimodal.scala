@@ -70,6 +70,30 @@ object Multimodal {
     }
   }
 
+  /** Resize: re-dimension each image payload to `w × h`. The pixel
+    * kernel is a STUB (no codecs in this container): the "resampled"
+    * payload is the byte buffer truncated/zero-padded to the target
+    * size — deterministic, so tests pin exact bytes. What's real and
+    * load-bearing: the metadata rewrite (downstream stages trust
+    * `meta.widthPx/heightPx`), the binary-in/binary-out column shape,
+    * and the per-row map with NO shuffle — resize is embarrassingly
+    * parallel and must stay inside the scan stage's codegen pipeline
+    * (verified: pure Project over the scan). A production build swaps
+    * the `substring`/pad for a codec call in `mapInPandas`/
+    * `mapPartitions` with the identical schema contract. */
+  def resizeStub(files: Dataset[MediaFile], w: Int, h: Int): Dataset[MediaFile] = {
+    import files.sparkSession.implicits._
+    val target = w * h
+    files.toDF()
+      .withColumn("payload",
+        expr(s"rpad(substring(payload, 1, $target), $target, x'00')"))
+      .withColumn("meta", struct(
+        lit(w).as("widthPx"), lit(h).as("heightPx"),
+        col("meta.sampleRateHz").as("sampleRateHz"),
+        col("meta.nFrames").as("nFrames")))
+      .as[MediaFile]
+  }
+
   /** Frame sampling: every `stride`-th fixed-size chunk of the payload —
     * the video-frame-subsample pattern as pure column expressions (the
     * chunks stay binary/opaque). */

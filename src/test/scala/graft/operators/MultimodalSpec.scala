@@ -38,6 +38,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize: exact payload bytes (truncate/pad) and rewritten metadata, no shuffle") {
+    val files = Multimodal.mediaFiles(spark, sfDir)
+    val resized = Multimodal.resizeStub(files, w = 4, h = 3) // 12 bytes
+    val r = resized.head()
+    assert(r.meta.widthPx == 4 && r.meta.heightPx == 3)
+    assert(r.payload.length == 12)
+    val orig = files.filter(_.mediaId == r.mediaId).head().payload
+    if (orig.length >= 12) assert(r.payload.toSeq == orig.take(12).toSeq)
+    else assert(r.payload.toSeq ==
+      (orig.toSeq ++ Seq.fill(12 - orig.length)(0.toByte)))
+    // resize must stay map-side: a Project over the scan, no exchange
+    assert(!Layout.hasShuffle(resized.toDF()), "resize must not shuffle")
+  }
+
   test("q33 rollup covers all media types with plausible stats") {
     val rows = Multimodal.q33MultimodalStats(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
