@@ -341,19 +341,20 @@ class EngineSpec extends SparkSpec {
     // phase 2: restart from the checkpoint; a second command touches
     // ch1 only (-1 skips ch0) — the merge must see phase 1's 1800,
     // which can only come from recovered state
-    val before = EngineSpec.restartSink.size
     val q2 = startQuery()
     try {
       addFile("c2.json",
         """{"command": "override_channels", "target_id": 1, "channels": [-1, 1900], "duration": 3600000}""")
-      awaitSink(before + 2)
-      val snaps = EngineSpec.restartSink.asScala.toSeq
-        .drop(before).filter(_.kind == "snapshot")
-      assert(snaps.nonEmpty)
-      val snap = snaps.last
-      assert(snap.isOverridden)
-      assert(snap.effective.take(2) == Seq(1800, 1900),
-        s"state lost across restart: ${snap.effective}")
+      // phase 1's final batch may be replayed first (stop() can land
+      // before the offset commit) — poll for the MERGED snapshot, which
+      // can only exist if phase 1's override was rebuilt/recovered
+      def merged() = EngineSpec.restartSink.asScala.toSeq.filter(_.kind == "snapshot")
+        .find(s => s.isOverridden && s.effective.take(2) == Seq(1800, 1900))
+      val deadline = System.currentTimeMillis() + 60000
+      while (merged().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(merged().nonEmpty,
+        s"state lost across restart; snapshots seen: ${EngineSpec.restartSink.asScala.toSeq.filter(_.kind == "snapshot").map(_.effective.take(2))}")
     } finally q2.stop()
   }
 
