@@ -43,6 +43,11 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(o => o.exists(n.startsWith)))
     try run(names.head) catch { case _: Throwable => () }
+    // drop anything the warmup persisted — otherwise a query measured
+    // via SPARK_GRAFT_ONLY=<itself> warms its own caches and reports
+    // warm-cache time as if it were cold
+    spark.catalog.clearCache()
+    System.gc()
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>

@@ -394,10 +394,22 @@ object Pipeline {
     // not just an oracle-parity one
     val s = size(col("hs"))
     val p = (s - floor((s * 4 + 4) / 5) + 1).cast("int")
-    val pref = hashed.select(col("doc_id"), explode(slice(col("hs"), lit(1), p)).as("key"))
+    val pref = hashed.select(col("doc_id"), size(col("hs")).as("n"),
+      posexplode(slice(col("hs"), lit(1), p)).as(Seq("pos", "key")))
+    // PPJoin positional filter: a key match at (0-based) positions
+    // (i, j) bounds the overlap by 1 + min(n_a−i−1, n_b−j−1); the pair
+    // can reach Jaccard t only if that bound ≥ α = ceil(t/(1+t)·(n_a+n_b))
+    // (= ceil(4(n_a+n_b)/9) at t = 0.8, integer-exact). Applied inside
+    // the join it prunes candidates whose shared prefix keys all sit
+    // too deep — correctness-preserving (never drops a pair that could
+    // clear t), so the oracle needs no twin: both engines verify with
+    // exact Jaccard and produce identical survivors.
+    val alpha = (col("x.n") + col("y.n")) * 4
     val cand = pref.as("x")
       .join(pref.as("y"),
-        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id") &&
+          (lit(1) + least(col("x.n") - col("x.pos") - 1, col("y.n") - col("y.pos") - 1)) * 9
+            >= alpha)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // verification: codegen'd two-pointer |A∩B| over the value-sorted
