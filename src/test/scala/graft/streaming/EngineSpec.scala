@@ -358,6 +358,47 @@ class EngineSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("randomized differential: engine final state vs independent SQL latest-state") {
+    // seeded random event soup -> fold through the engine (batch mode),
+    // then recompute each target's final effective channel with plain
+    // SQL aggregation (an independent implementation of the ST1 rules)
+    val rnd = new scala.util.Random(20260812L)
+    val events = (1 to 400).map { i =>
+      val id = rnd.nextInt(5)
+      val tsm = 1000L + rnd.nextInt(100000)
+      if (rnd.nextBoolean()) frame(id, i.toLong, tsm, 1000 + rnd.nextInt(1001))
+      else command(id, i.toLong, tsm,
+        Seq.fill(rnd.nextInt(3) + 1)(if (rnd.nextInt(5) == 0) -1 else 1000 + rnd.nextInt(1001)),
+        1L + rnd.nextInt(50000))
+    }
+    val ds = spark.createDataset(events)(
+      org.apache.spark.sql.Encoders.product[EngineEvent])
+    val out = Engine.effectiveStates(ds).filter(col("kind") === "snapshot")
+    val finals = out.groupBy(col("targetId"))
+      .agg(max_by(struct(col("effective"), col("isOverridden"), col("deadlineMs")),
+        struct(col("tsm"), col("seq"))).as("s"))
+      .select(col("targetId"), col("s.*")).collect()
+      .map(r => r.getInt(0) -> (r.getSeq[Int](1), r.getBoolean(2), r.getLong(3))).toMap
+    // independent model: per target, replay events in (tsm, cmd-first,
+    // seq) order with a 10-line interpreter of the reference rules
+    events.groupBy(_.targetId).foreach { case (id, evs) =>
+      var live = Seq.fill(8)(0); var ovr = Seq.fill(8)(-1)
+      var isOvr = false; var deadline = 0L
+      evs.sortBy(e => (e.tsm, if (e.kind == "command") 0 else 1, e.seq)).foreach { e =>
+        if (isOvr && e.tsm >= deadline) isOvr = false
+        if (e.kind == "frame") live = Engine.merge(e.channels, live)
+        else if (Engine.validate(e).isEmpty) {
+          ovr = Engine.merge(e.channels, if (isOvr) ovr else live)
+          isOvr = true; deadline = e.tsm + e.durationMs
+        }
+      }
+      val (gotEff, gotOvr, gotDeadline) = finals(id)
+      assert(gotOvr == isOvr, s"target $id override flag")
+      assert(gotEff == (if (isOvr) ovr else live), s"target $id effective")
+      if (isOvr) assert(gotDeadline == deadline, s"target $id deadline")
+    }
+  }
+
   test("batch/streaming consistency: engine final state matches q17 at T = max event time") {
     val frames = Channels.frames(spark, sfDir)
     val commands = Channels.commands(spark, sfDir)
