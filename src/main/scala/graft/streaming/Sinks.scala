@@ -144,6 +144,32 @@ object Sinks {
         }
       }
 
+  /** Update-mode streaming aggregation → keyed upsert sink: running
+    * per-target event counts emitted as CHANGED ROWS each micro-batch
+    * (`OutputMode.Update` — the complement of the append-mode windowed
+    * aggregations, which only emit watermark-finalized rows) and
+    * upserted by key into a serving store via `foreachBatch`. The
+    * pattern for maintaining a live lookup table from a stream: the
+    * store always holds the latest count per target, and replayed
+    * batches re-upsert the same values (idempotent by construction —
+    * upserts of identical (key, value) pairs converge). */
+  def upsertCountsWriter(events: Dataset[EngineEvent], checkpointDir: String,
+      upsert: (Int, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    // the aggregation key IS the upsert key: update mode ships only
+    // changed rows, so any sink-side re-aggregation across a finer
+    // grouping would see partial state
+    events.toDF()
+      .groupBy(col("targetId"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.foreachPartition { rows: Iterator[Row] =>
+          rows.foreach(r => upsert(r.getInt(0), r.getLong(1)))
+        }
+      }
+
   /** S6: the 30 Hz SBUS writer (`SBUS_SEND_HZ = 30`,
     * `src/receiver/main.cpp:20-22` — 33 ms period). */
   def sbusWriter(out: Dataset[EngineOutput], checkpointDir: String,

@@ -12,6 +12,7 @@ object SinksSpec {
   val radio = new ConcurrentLinkedQueue[(String, Seq[Byte])]()
   val sbus = new ConcurrentLinkedQueue[(Int, Seq[Int])]()
   val serial = new ConcurrentLinkedQueue[String]()
+  val store = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
 }
 
 class SinksSpec extends SparkSpec {
@@ -135,6 +136,34 @@ class SinksSpec extends SparkSpec {
         """"mac":"AA:BB:CC:00:00:07","channels":[1500,1500,1500,1500,1500,1500,1500,1500],""" +
         """"connection_state":true,"last_successful_send":5000,""" +
         """"is_channels_overridden":false,"override_timeout_remaining":0}]}""")
+    } finally query.stop()
+  }
+
+  test("update-mode upsert sink: the store converges to the latest counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    SinksSpec.store.clear()
+    val input = MemoryStream[EngineEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val query = Sinks.upsertCountsWriter(input.toDS(), ckpt,
+      (id, n) => SinksSpec.store.put(id, n)).start()
+    def await(id: Int, n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (SinksSpec.store.getOrDefault(id, -1L) != n &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(SinksSpec.store.get(id) == n, s"store($id) = ${SinksSpec.store.get(id)}, want $n")
+    }
+    try {
+      input.addData(
+        EngineEvent(1, "frame", 1, 1000L, Seq.fill(8)(1500), 0L),
+        EngineEvent(1, "frame", 2, 1100L, Seq.fill(8)(1500), 0L),
+        EngineEvent(2, "frame", 3, 1200L, Seq.fill(8)(1500), 0L))
+      query.processAllAvailable()
+      await(1, 2L); await(2, 1L)
+      // a later batch updates ONLY target 1 — target 2 must keep its count
+      input.addData(EngineEvent(1, "frame", 4, 2000L, Seq.fill(8)(1500), 0L))
+      query.processAllAvailable()
+      await(1, 3L); await(2, 1L)
     } finally query.stop()
   }
 
