@@ -296,18 +296,23 @@ object Oracles {
          |    'Drone_' || CAST(x + 1 AS VARCHAR) AS name,
          |    printf('%02X:%02X:%02X:%02X:%02X:%02X',
          |      (h >> 40) & 255, (h >> 32) & 255, (h >> 24) & 255,
-         |      (h >> 16) & 255, (h >> 8) & 255, h & 255) AS mac
+         |      (h >> 16) & 255, (h >> 8) & 255, h & 255) AS mac,
+         |    -- position = registry insertion index, assigned on the
+         |    -- DIMENSION before the join (matches the Spark side: a
+         |    -- registered target with zero frames still consumes its
+         |    -- position, leaving a gap in the joined output)
+         |    row_number() OVER (ORDER BY x) AS position
          |  FROM (SELECT x, ((x + 1) & 16777215) * 2654435761 AS h FROM generate_series(0, 7) t(x))),
          |fr AS (${Ch.frames}),
          |fm AS (SELECT printf('%02X:%02X:%02X:%02X:%02X:%02X',
          |      (h >> 40) & 255, (h >> 32) & 255, (h >> 24) & 255,
          |      (h >> 16) & 255, (h >> 8) & 255, h & 255) AS mac, tsm
          |  FROM (SELECT ((target_id + 1) & 16777215) * 2654435761 AS h, tsm FROM fr)),
-         |j AS (SELECT t.target_id, t.name, t.mac, count(*) AS n_frames, max(f.tsm) AS last_tsm
+         |j AS (SELECT t.position, t.target_id, t.name, t.mac,
+         |    count(*) AS n_frames, max(f.tsm) AS last_tsm
          |  FROM fm f JOIN targets t ON f.mac = t.mac
-         |  GROUP BY t.target_id, t.name, t.mac)
-         |SELECT row_number() OVER (ORDER BY target_id) AS position,
-         |  target_id, name, mac, n_frames, last_tsm
+         |  GROUP BY t.position, t.target_id, t.name, t.mac)
+         |SELECT position, target_id, name, mac, n_frames, last_tsm
          |FROM j ORDER BY target_id""".stripMargin,
 
     "q35_set_ops" ->
@@ -323,6 +328,16 @@ object Oracles {
         |UNION ALL
         |SELECT 'union', count(*), min(user_id), max(user_id) FROM u
         |ORDER BY op""".stripMargin,
+
+    // The HLL estimate itself is engine-specific; the oracle pins the
+    // exact counts and the accuracy CONTRACT (estimate within 5% of
+    // exact must hold, i.e. TRUE) — see Relational.q36ApproxDistinct.
+    "q36_approx_distinct" ->
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS n_users_exact,
+        | count(*) AS n_events,
+        | TRUE AS approx_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   ) ++ graft.operators.Pipeline.Sql.all ++ Map(
     "q32_command_router" -> graft.operators.Router.oracleSql,
     "q33_multimodal_stats" -> graft.operators.Multimodal.oracleSql,

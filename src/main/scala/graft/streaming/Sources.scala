@@ -90,13 +90,23 @@ object Sources {
     *               the event's tie-break seq — line-order-stable, so
     *               same-batch conflicting commands for one target
     *               resolve deterministically in input order. Without
-    *               it, the fallback is a content hash of the line —
-    *               deterministic and replay/restart-stable (legal on
-    *               streaming relations, unlike
-    *               `monotonically_increasing_id`), but arbitrary as an
-    *               ORDER: give the source an explicit ordinal whenever
-    *               same-ms command conflicts must replay the exact
-    *               serial arrival order.
+    *               it, the fallback is a hash of (line content,
+    *               arrival tsm) — deterministic and
+    *               replay/restart-stable (legal on streaming
+    *               relations, unlike `monotonically_increasing_id`),
+    *               and because the arrival time participates, a
+    *               legitimately RE-SENT identical command line gets a
+    *               distinct seq and survives
+    *               [[Engine.deduplicated]]'s (targetId, kind, seq)
+    *               key — re-arming the override TTL exactly like the
+    *               reference, which re-arms on every valid command
+    *               (`src/transmitter/main.cpp:216-217`). Only
+    *               identical lines landing in the same millisecond
+    *               collapse, and for those the merged state is
+    *               identical anyway. The fallback remains arbitrary
+    *               as an ORDER: give the source an explicit ordinal
+    *               whenever same-ms command conflicts must replay the
+    *               exact serial arrival order.
     * @param nowMs  event-time assignment for arriving commands
     *               (defaults to wall clock; tests pin a literal)
     */
@@ -107,7 +117,7 @@ object Sources {
       "command STRING, target_id INT, channels ARRAY<INT>, duration LONG, _corrupt_record STRING")
     val seqCol =
       if (lines.columns.contains("seq")) col("seq")
-      else xxhash64(col("value"))
+      else xxhash64(col("value"), nowMs)
     val parsed = lines
       .filter(length(trim(col("value"))) > 0) // empty-line drop (:308)
       .withColumn("__seq", seqCol)

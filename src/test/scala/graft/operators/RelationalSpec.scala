@@ -7,15 +7,26 @@ import org.apache.spark.sql.functions._
 class RelationalSpec extends SparkSpec {
 
   test("q36 approx distinct stays within 5% of the exact count per group") {
+    // the raw HLL estimate, bound-checked directly (q36's hashable
+    // output carries the boolean contract, not the estimate)
     val exact = Relational.q12DistinctUsers(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = Relational.q36ApproxDistinct(spark, sfDir)
+    val approx = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet == exact.keySet)
     approx.foreach { case (k, a) =>
       val e = exact(k)
       assert(math.abs(a - e).toDouble / e <= 0.05,
         s"$k: approx $a vs exact $e")
+    }
+    // and the query's own contract column agrees
+    val rows = Relational.q36ApproxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"${r.getString(0)}: approx_within_5pct false")
+      assert(r.getLong(1) == exact(r.getString(0)))
     }
   }
 

@@ -103,6 +103,22 @@ class SinksSpec extends SparkSpec {
     assert(sends == 2)
   }
 
+  test("deliverOnce: markers older than the retention horizon are pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-once-prune").toString
+    (0L to 20L).foreach(id => Sinks.deliverOnce(dir, id) {})
+    def markers = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".done")).toSeq.sorted
+      finally s.close()
+    }
+    // only the last MarkerRetention+1 ids remain; the newest survives
+    assert(markers.size == Sinks.MarkerRetention + 1, markers.mkString(","))
+    assert(markers.contains("batch-20.done") && !markers.contains("batch-0.done"))
+    // the retained horizon still dedups
+    assert(!Sinks.deliverOnce(dir, 20L) { fail("must skip") })
+  }
+
   test("deliverOnce: a failed delivery leaves no marker, so the retry runs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-once-fail").toString
     var sends = 0

@@ -47,6 +47,28 @@ class SourcesSpec extends SparkSpec {
     assert(snaps.nonEmpty && snaps.maxBy(_.seq).effective.head == 1900)
   }
 
+  test("a re-sent identical command line at a later tsm survives watermark dedup") {
+    // ADVICE r3: with a content-only fallback seq, a legit re-send of
+    // the same line collided with its earlier send inside
+    // Engine.deduplicated's (targetId, kind, seq) key and the override
+    // TTL was never re-armed. The fallback seq now hashes (content,
+    // tsm), so the two sends carry distinct seqs.
+    val line = """{"command": "override_channels", "target_id": 1, "channels": [1800], "duration": 5000}"""
+    val first = Sources.commandsFromJsonLines(
+      Seq(line).toDF("value"), nowMs = lit(1000L)).commands
+    val resent = Sources.commandsFromJsonLines(
+      Seq(line).toDF("value"), nowMs = lit(3000L)).commands
+    val both = first.union(resent).collect()
+    assert(both.length == 2)
+    assert(both.map(_.seq).distinct.length == 2,
+      "identical content at different tsm must not share a seq")
+    // and identical content at the SAME ms still collapses (harmless:
+    // merged state is identical)
+    val samems = Sources.commandsFromJsonLines(
+      Seq(line, line).toDF("value"), nowMs = lit(1000L)).commands.collect()
+    assert(samems.map(_.seq).distinct.length == 1)
+  }
+
   test("parsed commands flow through the engine with full validation") {
     val lines = Seq(
       """{"command": "override_channels", "target_id": 1, "channels": [1800], "duration": 5000}""",
