@@ -150,18 +150,25 @@ object Pipeline {
     * multiset equals min over the distinct set, so the oracle's
     * list_min form is unchanged. */
   def q24NearDupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // The shingle relation is referenced three times (signature
+    // The hash-set relation is referenced three times (signature
     // computation + both sides of candidate verification); without
     // materialization Spark re-derives the full md5/shingle pipeline at
     // each reference. One MEMORY_AND_DISK copy replaces two full
     // re-derivations — the in-session analog of materializing the
     // signature stage as a table (Layout.writeBucketed) in a production
     // pipeline, where this stage would be persisted storage anyway.
-    val base = shingled(spark, dir) // (doc_id, distinct shingle array)
+    // What persists is the SORTED DISTINCT HASH array, not the shingle
+    // strings: 8 bytes per gram instead of a ~20-char string, and
+    // verification becomes the codegen'd two-pointer intersect over
+    // sorted longs (same construction as q40; the DuckDB twin hashes
+    // identically, so parity is exact). The single-level `transform`
+    // evaluates md5 once per element — safe; only NESTED lambdas
+    // re-evaluate inner arrays (the 50× trap in the scaladoc above).
+    val base = shingled(spark, dir)
+      .select(col("doc_id"), array_sort(array_distinct(
+        transform(col("shingles"), s => portableHashMod(s)))).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hashRows = base
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), portableHashMod(col("sh")).as("x"))
+    val hashRows = base.select(col("doc_id"), explode(col("hs")).as("x"))
     val minCols = (0 until NumMinhash).map { h =>
       min(pmod(lit(2L * h + 1) * col("x") + lit(12289L * h), lit(P))).as(s"m$h")
     }
@@ -177,10 +184,16 @@ object Pipeline {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sa = base.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val sb = base.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val sa = base.select(col("doc_id").as("doc_a"),
+      col("hs").as("ha"), size(col("hs")).as("na"))
+    val sb = base.select(col("doc_id").as("doc_b"),
+      col("hs").as("hb"), size(col("hs")).as("nb"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .withColumn("inter",
+        graft.expressions.VectorFunctions.sortedIntersectSize(
+          col("ha"), col("hb")).cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -367,17 +380,24 @@ object Pipeline {
     * (random) put frequent grams in prefixes and measured 10× slower
     * on this corpus from candidate blow-up alone. */
   def q40NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // distinct (doc, gram-hash) pairs: explode → codegen'd md5 → distinct
+    // distinct (doc, gram-hash) pairs: explode → codegen'd md5 →
+    // groupBy-as-distinct (partial-aggregates map-side, unlike a
+    // .distinct() on the already-projected pair, which is the same
+    // shuffle but loses nothing — one hash exchange either way)
     val pairs = nearDocs(spark, dir)
       .select(col("doc_id"), explode(wordShingles(split(col("text"), " "), 2)).as("g"))
       .select(col("doc_id"), portableHashMod(col("g")).as("h"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // corpus document frequency per gram — defines the global order
-    val gramDf = pairs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("_n")).drop("_n")
+    // corpus document frequency per gram — defines the global order.
+    // Computed as a WINDOW over the distinct pairs (one exchange+sort
+    // by h) instead of a separate groupBy + re-join (two exchanges and
+    // a join build over the same rows): 4 shuffles → 3 for the whole
+    // prefix build.
+    val withDf = pairs.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("h"))))
     // per doc: hashes ordered (df asc, h asc); array_sort on the struct
     // sorts lexicographically by field position = that exact order
-    val hashed = pairs.join(gramDf, "h")
+    val hashed = withDf
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
       // hs: df-ordered (prefix semantics); hs_sorted: value-sorted for
@@ -488,10 +508,10 @@ object Pipeline {
          |    ELSE []::VARCHAR[] END AS shingles
          |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
          |sig AS (
-         |  SELECT doc_id, shingles,
+         |  SELECT doc_id, list_sort(list_distinct(hashes)) AS hs,
          |    list_transform(generate_series(0, 15), h ->
          |      list_min(list_transform(hashes, x -> ((2*h+1)*x + 12289*h) % $P))) AS msig
-         |  FROM (SELECT doc_id, shingles,
+         |  FROM (SELECT doc_id,
          |      list_transform(shingles, s -> ${phm("s")}) AS hashes
          |    FROM sh WHERE len(shingles) > 0)),
          |bands AS (
@@ -502,9 +522,11 @@ object Pipeline {
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM bands x JOIN bands y ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
          |j AS (
+         |  -- verification over the same sorted distinct hash sets the
+         |  -- engine intersects (identical md5-derived values both sides)
          |  SELECT doc_a, doc_b,
-         |    round(len(list_intersect(sa.shingles, sb.shingles))
-         |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+         |    round(len(list_intersect(sa.hs, sb.hs))
+         |      / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))), 4) AS jaccard
          |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin
