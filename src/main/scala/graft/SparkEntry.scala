@@ -75,6 +75,13 @@ object SparkEntry {
     "q43_rolling_window" -> (Relational.q43RollingWindow _),
     "q44_pivot" -> (Relational.q44Pivot _),
     "q45_unpivot" -> (Relational.q45Unpivot _),
+    // round 4: corpus-curation operators — quality gate, vocabulary
+    // top-k, PII scrub, test-set decontamination, dup-cluster CC
+    "q46_quality_filter" -> (Pipeline.q46QualityFilter _),
+    "q47_vocab_topk" -> (Pipeline.q47VocabTopk _),
+    "q48_pii_scrub" -> (Pipeline.q48PiiScrub _),
+    "q49_contamination" -> (Pipeline.q49Contamination _),
+    "q50_dedup_clusters" -> (Pipeline.q50DedupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -112,14 +112,6 @@ object Pipeline {
     base.unionByName(pert)
   }
 
-  /** Distinct word-shingle arrays per document of the near-dup corpus
-    * (docs shorter than the shingle width drop out). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    nearDocs(spark, dir)
-      .withColumn("shingles", wordShingles(split(col("text"), " "), ShingleK))
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), col("shingles"))
-
   // ---------------------------------------------------------------- queries
 
   /** L1 — exact deduplication: group by content digest (md5), keep the
@@ -149,22 +141,33 @@ object Pipeline {
     * document (measured 50× slower end-to-end). min over the exploded
     * multiset equals min over the distinct set, so the oracle's
     * list_min form is unchanged. */
-  def q24NearDupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // The hash-set relation is referenced three times (signature
-    // computation + both sides of candidate verification); without
-    // materialization Spark re-derives the full md5/shingle pipeline at
-    // each reference. One MEMORY_AND_DISK copy replaces two full
-    // re-derivations — the in-session analog of materializing the
-    // signature stage as a table (Layout.writeBucketed) in a production
-    // pipeline, where this stage would be persisted storage anyway.
-    // What persists is the SORTED DISTINCT HASH array, not the shingle
-    // strings: 8 bytes per gram instead of a ~20-char string, and
-    // verification becomes the codegen'd two-pointer intersect over
-    // sorted longs (same construction as q40; the DuckDB twin hashes
-    // identically, so parity is exact). The single-level `transform`
-    // evaluates md5 once per element — safe; only NESTED lambdas
-    // re-evaluate inner arrays (the 50× trap in the scaladoc above).
-    val base = shingled(spark, dir)
+  def q24NearDupMinhash(spark: SparkSession, dir: String): DataFrame =
+    verifiedNearDupPairs(nearDocs(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The MinHash+LSH near-dup pipeline over any `(doc_id, text)`
+    * corpus, returning verified pairs `(doc_a, doc_b, jaccard ≥ 0.5)`.
+    * Shared by [[q24NearDupMinhash]] (pair listing) and
+    * [[q50DedupClusters]] (edge set for connected components).
+    *
+    * The hash-set relation is referenced three times (signature
+    * computation + both sides of candidate verification); without
+    * materialization Spark re-derives the full md5/shingle pipeline at
+    * each reference. One MEMORY_AND_DISK copy replaces two full
+    * re-derivations — the in-session analog of materializing the
+    * signature stage as a table (Layout.writeBucketed) in a production
+    * pipeline, where this stage would be persisted storage anyway.
+    * What persists is the SORTED DISTINCT HASH array, not the shingle
+    * strings: 8 bytes per gram instead of a ~20-char string, and
+    * verification becomes the codegen'd two-pointer intersect over
+    * sorted longs (same construction as q40; the DuckDB twin hashes
+    * identically, so parity is exact). The single-level `transform`
+    * evaluates md5 once per element — safe; only NESTED lambdas
+    * re-evaluate inner arrays (the 50× trap in the scaladoc above). */
+  private def verifiedNearDupPairs(corpus: DataFrame): DataFrame = {
+    val base = corpus
+      .withColumn("shingles", wordShingles(split(col("text"), " "), ShingleK))
+      .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), array_sort(array_distinct(
         transform(col("shingles"), s => portableHashMod(s)))).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -196,7 +199,6 @@ object Pipeline {
         round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** L3 — brute-force cosine top-k: the query set (vec_id < 10) is
@@ -467,6 +469,172 @@ object Pipeline {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Pipeline — quality-filter gate (the C4/Gopher-style rule cascade):
+    * every document gets a verdict — `keep` or the FIRST failing rule
+    * in a fixed order (too_short → too_long → low_diversity →
+    * repetitive), mirroring the reference's first-error validation
+    * cascade (`src/transmitter/main.cpp:151-210`) applied to corpus
+    * curation. All signals are per-row array expressions — the whole
+    * verdict is map-side; the only shuffle is the final rollup.
+    * Thresholds are corpus-calibrated so every rule demonstrably
+    * fires (keep/too_short/too_long/low_diversity/repetitive all
+    * non-empty on the synthetic corpus). */
+  def q46QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    // duplicate-bigram fraction: 1 − distinct bigrams / total bigrams
+    val rep = when(n >= 2,
+      lit(1.0) - size(wordShingles(toks, 2)).cast("double") / (n - 1))
+      .otherwise(lit(0.0))
+    val verdict = when(n < 20, "too_short")
+      .when(n > 90, "too_long")
+      .when(ttr < 0.35, "low_diversity")
+      .when(rep > 0.08, "repetitive")
+      .otherwise("keep")
+    docs(spark, dir)
+      .select(col("lang"), verdict.as("verdict"), n.as("n_toks"))
+      .groupBy(col("lang"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("n_toks")), 2).as("avg_toks"))
+      .orderBy(col("lang"), col("verdict"))
+  }
+
+  /** Pipeline — corpus vocabulary top-k: the 20 globally most frequent
+    * tokens with total occurrences and document frequency. Explode →
+    * hash-agg (both counts partial-aggregate map-side; doc frequency
+    * via count(DISTINCT doc_id) expands once in the same exchange) →
+    * global top-k as TakeOrdered (k rows per partition, then a k-merge
+    * on the driver — never a full global sort). */
+  def q47VocabTopk(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(20)
+
+  /** Pipeline — PII detection + scrub accounting: emails and URLs are
+    * extracted (regexp, codegen'd) and redacted to `<EMAIL>`/`<URL>`
+    * placeholders; the rollup reports per-language how many documents
+    * carried PII, how many of each kind, and the total bytes removed.
+    * The corpus deterministically injects contact strings on
+    * doc_id % 13 == 0 (same reinsertion idiom as the dedup corpora) so
+    * the scrubber demonstrably fires. Pure map-side projection +
+    * rollup — at 100 TB this is a single scan. */
+  def q48PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.]+"
+    val urlRe = "https?://[a-z0-9./]+"
+    val corpus = docs(spark, dir).select(col("lang"),
+      when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example or http://site"), col("doc_id").cast("string"),
+          lit(".example/page")))
+        .otherwise(col("text")).as("text"))
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), emailRe, "<EMAIL>"), urlRe, "<URL>")
+    corpus
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(urlRe), lit(0))).as("n_urls"),
+        (length(col("text")) - length(scrubbed)).as("len_delta"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_urls") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_urls")).as("n_urls"),
+        sum(col("len_delta")).as("total_len_delta"))
+      .orderBy(col("lang"))
+  }
+
+  /** Pipeline — train/test contamination check (decontamination): over
+    * the exact-dup corpus split by [[q41StratifiedSplit]]'s portable
+    * hash, count test-split documents sharing at least one word-8-gram
+    * with ANY train-split document. Grams join on their md5-derived
+    * hash (8 bytes over the wire, identical in DuckDB), the membership
+    * test is a LEFT SEMI join — hash-partitioned on the gram, never
+    * all-pairs, and the semi join short-circuits per gram. The
+    * injected exact duplicates make contamination real: a copy whose
+    * hash lands across the split boundary shares every gram with its
+    * train-side original. */
+  def q49Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(portableHash(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+    val grams = dupDocs(spark, dir)
+      .withColumn("b", bucket)
+      .select(col("doc_id"), col("lang"), col("b"),
+        explode(wordShingles(split(col("text"), " "), 8)).as("gram"))
+      .select(col("doc_id"), col("lang"), col("b"), portableHashMod(col("gram")).as("h"))
+    val trainGrams = grams.filter(col("b") < 80).select(col("h")).distinct()
+    val test = grams.filter(col("b") >= 90)
+    val contaminated = test.join(trainGrams, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("lang")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("c"))
+    val totals = test.select(col("doc_id"), col("lang")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_test"))
+    totals.join(contaminated, Seq("lang"), "left")
+      .select(col("lang"), col("n_test"),
+        coalesce(col("c"), lit(0L)).as("n_contaminated"))
+      .orderBy(col("lang"))
+  }
+
+  /** Pipeline — duplicate-cluster assignment: connected components over
+    * the verified MinHash near-dup pair graph, reported as a cluster-
+    * size histogram. The corpus unions BOTH reinsertion families
+    * (exact copies at +1M, perturbed copies at +2M) so components
+    * genuinely chain (original ↔ exact copy ↔ near copy → size-3
+    * clusters; LSH-similar unrelated docs extend some to 4).
+    *
+    * The algorithm is iterative min-label propagation: each round,
+    * every node adopts the smallest label among itself and its
+    * neighbours (one hash-shuffle join + one partial-aggregated
+    * groupBy per round), terminating when an aggregate-only
+    * convergence probe reports zero changed labels. Rounds are bounded
+    * by the component diameter (≈3 here); only O(1) aggregates ever
+    * reach the driver — no collect of graph data. At 100 TB-scale
+    * graph sizes the same loop runs with the alternating-star
+    * optimization (Kiveris et al., "Connected Components in
+    * MapReduce") to bound rounds by O(log n); the plain form is kept
+    * here because near-dup graphs are shallow by construction. */
+  def q50DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" extra token tail")).as("text")))
+    val edges = verifiedNearDupPairs(corpus).select(col("doc_a"), col("doc_b"))
+    val sym = edges
+      .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val prop = sym.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = prop.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = prop
+      rounds += 1
+    }
+    val out = labels
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+    sym.unpersist()
+    out
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   /** DuckDB twins. Fragments mirror [[graft.functions.TextFunctions]]
@@ -691,6 +859,114 @@ object Pipeline {
          |    FROM documents))
          |GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
+    val q46 =
+      """WITH m AS (
+        |  SELECT lang, len(toks) AS n,
+        |    len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN 1.0 - len(list_distinct(list_transform(
+        |        generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])))
+        |        * 1.0 / (len(toks) - 1)
+        |      ELSE 0.0 END AS rep
+        |  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents))
+        |SELECT lang,
+        |  CASE WHEN n < 20 THEN 'too_short' WHEN n > 90 THEN 'too_long'
+        |    WHEN ttr < 0.35 THEN 'low_diversity' WHEN rep > 0.08 THEN 'repetitive'
+        |    ELSE 'keep' END AS verdict,
+        |  count(*) AS n_docs, round(avg(n), 2) AS avg_toks
+        |FROM m GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin
+
+    val q47 =
+      """SELECT token, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20""".stripMargin
+
+    val q48 =
+      """WITH corpus AS (
+        |  SELECT lang, CASE WHEN doc_id % 13 = 0
+        |    THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@mail.example or http://site' || CAST(doc_id AS VARCHAR) || '.example/page'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |m AS (SELECT lang,
+        |    len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) AS n_emails,
+        |    len(regexp_extract_all(text, 'https?://[a-z0-9./]+')) AS n_urls,
+        |    length(text) - length(regexp_replace(regexp_replace(text,
+        |      '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |      'https?://[a-z0-9./]+', '<URL>', 'g')) AS len_delta
+        |  FROM corpus)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(CASE WHEN n_emails + n_urls > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii,
+        |  sum(n_emails) AS n_emails, sum(n_urls) AS n_urls,
+        |  sum(len_delta) AS total_len_delta
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+
+    val q49 =
+      s"""WITH corpus AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 7 = 0),
+         |d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         |    ${ph("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |  FROM corpus),
+         |g AS (SELECT doc_id, lang, b, ${phm("gram")} AS h
+         |  FROM (SELECT doc_id, lang, b,
+         |      unnest(list_transform(generate_series(1, len(toks) - 7),
+         |        i -> array_to_string(toks[i:i+7], ' '))) AS gram
+         |    FROM d WHERE len(toks) >= 8)),
+         |tr AS (SELECT DISTINCT h FROM g WHERE b < 80),
+         |te AS (SELECT doc_id, lang, h FROM g WHERE b >= 90)
+         |SELECT lang, count(DISTINCT doc_id) AS n_test,
+         |  count(DISTINCT CASE WHEN h IN (SELECT h FROM tr) THEN doc_id END) AS n_contaminated
+         |FROM te GROUP BY lang ORDER BY lang""".stripMargin
+
+    val q50 =
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text || ' extra token tail' FROM documents WHERE doc_id % 11 = 0),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 3
+         |    THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |      i -> array_to_string(toks[i:i+2], ' ')))
+         |    ELSE []::VARCHAR[] END AS shingles
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+         |sig AS (
+         |  SELECT doc_id, list_sort(list_distinct(hashes)) AS hs,
+         |    list_transform(generate_series(0, 15), h ->
+         |      list_min(list_transform(hashes, x -> ((2*h+1)*x + 12289*h) % $P))) AS msig
+         |  FROM (SELECT doc_id, list_transform(shingles, s -> ${phm("s")}) AS hashes
+         |    FROM sh WHERE len(shingles) > 0)),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    msig[4*b+1] + msig[4*b+2]*31 + msig[4*b+3]*961 + msig[4*b+4]*29791 AS bsig
+         |  FROM sig, generate_series(0, 3) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |      len(list_intersect(sa.hs, sb.hs)) * 1.0
+         |        / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS j
+         |    FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
+         |  WHERE j >= 0.5),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+         |  UNION ALL SELECT doc_b, doc_a FROM edges),
+         |nodes AS (SELECT DISTINCT a AS node FROM sym),
+         |reach AS (
+         |  WITH RECURSIVE r(node, lab) AS (
+         |    SELECT node, node FROM nodes
+         |    UNION
+         |    SELECT e.b, r.lab FROM r JOIN sym e ON e.a = r.node)
+         |  SELECT node, min(lab) AS label FROM r GROUP BY node),
+         |cl AS (SELECT label, count(*) AS cluster_size FROM reach GROUP BY label)
+         |SELECT cluster_size, count(*) AS n_clusters, sum(cluster_size) AS n_docs
+         |FROM cl GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
     val all: Map[String, String] = Map(
       "q23_exact_dedup" -> q23,
       "q24_near_dup_minhash" -> q24,
@@ -703,6 +979,11 @@ object Pipeline {
       "q31_ivf_ann" -> q31,
       "q40_ngram_jaccard" -> q40,
       "q41_stratified_split" -> q41,
+      "q46_quality_filter" -> q46,
+      "q47_vocab_topk" -> q47,
+      "q48_pii_scrub" -> q48,
+      "q49_contamination" -> q49,
+      "q50_dedup_clusters" -> q50,
     )
   }
 }

@@ -149,4 +149,54 @@ class PipelineSpec extends SparkSpec {
     assert(fps(1L) == fps(3L))
     assert(fps(1L) != fps(2L))
   }
+
+  test("q46 quality gate: verdicts partition the corpus and every rule fires") {
+    val rows = Pipeline.q46QualityFilter(spark, sfDir).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables.documents(spark, sfDir).count())
+    val verdicts = rows.map(_.getString(1)).toSet
+    assert(verdicts == Set("keep", "too_short", "too_long", "low_diversity", "repetitive"),
+      s"rules not all firing: $verdicts")
+  }
+
+  test("q47 vocab top-k: 20 rows, monotone counts, df bounded by occurrences") {
+    val rows = Pipeline.q47VocabTopk(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val occ = rows.map(_.getLong(1))
+    assert(occ.zip(occ.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("q48 pii scrub: exactly the injected docs are flagged, bytes removed positive") {
+    val rows = Pipeline.q48PiiScrub(spark, sfDir).collect()
+    val flagged = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val injected = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 13 === 0)
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    injected.foreach { case (lang, n) =>
+      assert(flagged.getOrElse(lang, 0L) == n, s"$lang: ${flagged.get(lang)} vs $n")
+    }
+    rows.filter(r => r.getLong(2) > 0).foreach(r => assert(r.getLong(5) > 0))
+  }
+
+  test("q49 contamination: bounded by test size and non-zero on straddling dups") {
+    val rows = Pipeline.q49Contamination(spark, sfDir).collect()
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    assert(rows.map(_.getLong(2)).sum > 0,
+      "constructed exact dups straddling the split must contaminate")
+  }
+
+  test("q50 dedup clusters: sizes >= 2, histogram consistent, chains exist") {
+    val rows = Pipeline.q50DedupClusters(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 2, "a cluster needs at least one edge")
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1),
+        "n_docs must equal cluster_size * n_clusters")
+    }
+    // docs divisible by 77 carry BOTH an exact and a near copy — the
+    // component chains to size >= 3 through the shared original
+    assert(rows.exists(_.getLong(0) >= 3), "no chained components found")
+  }
 }
