@@ -559,11 +559,16 @@ object Pipeline {
     * train-side original. */
   def q49Contamination(spark: SparkSession, dir: String): DataFrame = {
     val bucket = pmod(portableHash(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+    // Persisted: the explode + md5 stage feeds both the train-gram set
+    // and the test relation; one MEMORY_AND_DISK copy replaces a second
+    // full re-derivation of the map-heavy stage (same rationale as the
+    // persisted hash arrays in verifiedNearDupPairs / q40).
     val grams = dupDocs(spark, dir)
       .withColumn("b", bucket)
       .select(col("doc_id"), col("lang"), col("b"),
         explode(wordShingles(split(col("text"), " "), 8)).as("gram"))
       .select(col("doc_id"), col("lang"), col("b"), portableHashMod(col("gram")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trainGrams = grams.filter(col("b") < 80).select(col("h")).distinct()
     val test = grams.filter(col("b") >= 90)
     val contaminated = test.join(trainGrams, Seq("h"), "left_semi")
@@ -603,10 +608,15 @@ object Pipeline {
       .unionByName(d.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(col("text"), lit(" extra token tail")).as("text")))
-    val edges = verifiedNearDupPairs(corpus).select(col("doc_a"), col("doc_b"))
-    val sym = edges
-      .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // Symmetrize with a single explode rather than edges.union(edges.swap):
+    // the union form evaluates the expensive LSH-candidate + intersect
+    // verification once per branch (the shingle-hash base is persisted,
+    // the candidate/verify stage is not). One explode = one evaluation.
+    val sym = verifiedNearDupPairs(corpus)
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -897,9 +907,10 @@ object Pipeline {
         |      'https?://[a-z0-9./]+', '<URL>', 'g')) AS len_delta
         |  FROM corpus)
         |SELECT lang, count(*) AS n_docs,
-        |  sum(CASE WHEN n_emails + n_urls > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii,
-        |  sum(n_emails) AS n_emails, sum(n_urls) AS n_urls,
-        |  sum(len_delta) AS total_len_delta
+        |  CAST(sum(CASE WHEN n_emails + n_urls > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+        |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_urls) AS BIGINT) AS n_urls,
+        |  CAST(sum(len_delta) AS BIGINT) AS total_len_delta
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin
 
     val q49 =
@@ -953,7 +964,7 @@ object Pipeline {
          |      len(list_intersect(sa.hs, sb.hs)) * 1.0
          |        / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS j
          |    FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
-         |  WHERE j >= 0.5),
+         |  WHERE round(j, 4) >= 0.5),
          |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
          |  UNION ALL SELECT doc_b, doc_a FROM edges),
          |nodes AS (SELECT DISTINCT a AS node FROM sym),
@@ -964,7 +975,8 @@ object Pipeline {
          |    SELECT e.b, r.lab FROM r JOIN sym e ON e.a = r.node)
          |  SELECT node, min(lab) AS label FROM r GROUP BY node),
          |cl AS (SELECT label, count(*) AS cluster_size FROM reach GROUP BY label)
-         |SELECT cluster_size, count(*) AS n_clusters, sum(cluster_size) AS n_docs
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
          |FROM cl GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
     val all: Map[String, String] = Map(
