@@ -52,22 +52,32 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
 
+    // SPARK_GRAFT_REPEAT=N runs each query N times and reports the
+    // median, so a single GC pause or code-cache flush can't masquerade
+    // as a plan regression (a 2x swing on a single sample is
+    // indistinguishable from noise). Default 1: the driver's per-round
+    // run keeps its historical single-sample semantics.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT")
+      .flatMap(_.toIntOption).getOrElse(1).max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try run(name)
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-      }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // Between queries (untimed): drop any relations the previous query
-      // persisted (q24/q31 materialize reused stages) and let the cleaner
-      // reclaim shuffle/broadcast blocks, so each measurement starts from
-      // the same executor-storage and driver-heap state.
-      spark.catalog.clearCache()
-      System.gc()
-      name -> elapsed
+      val samples = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try run(name)
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+        }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // Between runs (untimed): drop any relations the previous run
+        // persisted (q24/q31 materialize reused stages) and let the
+        // cleaner reclaim shuffle/broadcast blocks, so each measurement
+        // starts from the same executor-storage and driver-heap state.
+        spark.catalog.clearCache()
+        System.gc()
+        elapsed
+      }.sorted
+      name -> samples(samples.size / 2)
     }
     val ok = results.filter { case (n, _) => !errors.contains(n) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
@@ -75,7 +85,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"repeat":$repeat,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
