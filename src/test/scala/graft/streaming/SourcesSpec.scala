@@ -101,6 +101,43 @@ class SourcesSpec extends SparkSpec {
     assert(out.exists(o => o.kind == "snapshot" && o.effective == Seq.fill(8)(1500)))
   }
 
+  test("file-directory ingestion E2E: dropped JSON line -> engine -> telemetry envelope") {
+    // The full external-ingestion story with Spark's built-in file
+    // streaming source standing in for a connector-backed stream
+    // (Kinesis/Kafka adapters plug into the same commandsFromJsonLines
+    // entry): a command line lands in a watched directory — the
+    // reference's serial RX loop (src/transmitter/main.cpp:301-313) —
+    // is parsed, validated, folded into keyed state, and emitted as
+    // the exact targets_update wire document.
+    val root = java.nio.file.Files.createTempDirectory("graft-filestream")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val ckpt = root.resolve("ckpt").toString
+    val registry = Seq((1, "Drone_2", "AA:BB:CC:00:00:02", true, 5000L))
+      .toDF("id", "name", "mac", "connection_state", "last_successful_send")
+    SourcesSpec.docs.clear()
+    val lines = spark.readStream.text(inDir.toString)
+    val cmds = Sources.commandsFromJsonLines(lines, nowMs = lit(1000L)).commands
+    val query = Sinks.telemetryWriter(Engine.effectiveStates(cmds), ckpt,
+      registry, doc => SourcesSpec.docs.add(doc)).start()
+    try {
+      java.nio.file.Files.write(inDir.resolve("c1.json"),
+        ("""{"command": "override_channels", "target_id": 1, "channels": [1800], "duration": 5000}""" +
+          "\n").getBytes("UTF-8"))
+      val deadline = System.currentTimeMillis() + 60000
+      while (SourcesSpec.docs.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(!SourcesSpec.docs.isEmpty, "timed out waiting for a telemetry document")
+      // deterministic end-to-end: tsm pinned at 1000 -> deadline 6000 ->
+      // remaining exactly the commanded duration; unset channels keep
+      // the zeroed initial register (SURVEY.md §4.3.1)
+      assert(SourcesSpec.docs.peek() ==
+        """{"type":"targets_update","targets":[{"id":1,"name":"Drone_2",""" +
+        """"mac":"AA:BB:CC:00:00:02","channels":[1800,0,0,0,0,0,0,0],""" +
+        """"connection_state":true,"last_successful_send":5000,""" +
+        """"is_channels_overridden":true,"override_timeout_remaining":5000}]}""")
+    } finally query.stop()
+  }
+
   test("synthetic frame source produces valid engine envelopes") {
     // structural check on the unresolved streaming plan (no execution:
     // rate source needs wall-clock time)
@@ -109,4 +146,10 @@ class SourcesSpec extends SparkSpec {
     assert(ds.schema.fieldNames.toSeq ==
       Seq("targetId", "kind", "seq", "tsm", "channels", "durationMs"))
   }
+}
+
+object SourcesSpec {
+  /** Driver-side telemetry capture for the file-stream E2E test (the
+    * foreachBatch emit callback runs on the driver). */
+  val docs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
