@@ -49,17 +49,37 @@ object Pipeline {
   private val TopK = 5
   private val NumQueries = 10
   private val EmbDims = 64
-  private val NumHyperplanes = 16
+  /** SRP bucket-space sizing (q30): the number of hyperplane bits is
+    * DERIVED FROM THE CORPUS SIZE so expected bucket occupancy stays
+    * O(1) as rows grow — a fixed bit count means occupancy (and
+    * per-bucket pair generation, which is quadratic) grows linearly
+    * with the corpus. `bits = min b in [MinSrpBits, MaxHyperplanes]
+    * with SrpTargetOccupancy * 2^b >= n` — all quantities exact in
+    * IEEE doubles (b ≤ 32, n < 2^53), so the Spark plan and the DuckDB
+    * twin derive the identical count from the identical n. */
+  private val MaxHyperplanes = 32
+  private val MinSrpBits = 8
+  private val SrpTargetOccupancy = 4
 
-  /** Sign-random-projection hyperplanes for q30: 16 × 64 ±1 entries
+  /** The in-plan form of the bits derivation (shared with the DuckDB
+    * twin's generate_series scan); `n` is the corpus row count. */
+  private[operators] def srpBitsCol(n: Column): Column = coalesce(
+    array_min(filter(sequence(lit(MinSrpBits), lit(MaxHyperplanes)),
+      b => lit(SrpTargetOccupancy.toDouble) * pow(lit(2.0), b) >= n.cast("double"))),
+    lit(MaxHyperplanes))
+
+  /** Sign-random-projection hyperplanes for q30: 32 × 64 ±1 entries
     * derived from md5 so both engines share the exact matrix (a plain
     * arithmetic parity formula turned out to have hidden periodicity —
     * entries repeating with period 256 made hyperplanes 4..7 copies of
     * 0..3 and collapsed the bucket space). Generated once at object
-    * init; the DuckDB twin embeds the same values as a literal. */
+    * init; the DuckDB twin embeds the same values as a literal. Only
+    * the first `bits` planes participate at a given corpus size (the
+    * bucket mask, [[srpBitsCol]]); 32 covers target occupancy
+    * [[SrpTargetOccupancy]] up to ~2^34 vectors. */
   private[operators] val hyperSigns: Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until NumHyperplanes).map { h =>
+    (0 until MaxHyperplanes).map { h =>
       (0 until EmbDims).map { i =>
         val b = md.digest(s"$h:$i".getBytes("UTF-8"))(0)
         if ((b & 1) == 1) 1.0 else -1.0
@@ -298,24 +318,32 @@ object Pipeline {
       .orderBy(col("doc_id"))
 
   /** L2 — embedding near-duplicate detection via sign-random-projection
-    * LSH: 16 deterministic ±1 hyperplanes (md5-derived matrix, see
-    * [[hyperSigns]]) → 16-bit bucket per vector → candidate pairs only
-    * within a bucket → cosine ≥ 0.99 verification. Runs over the corpus
-    * with perturbed near-copies re-inserted. At sf0.1 the bucket space
-    * spreads ~2.2k vectors over ~1.9k buckets (max 4 per bucket), so
-    * candidate generation is ~300 pairs instead of all-pairs ~2.5M —
-    * and the constructed near-dups co-bucket with 100% recall. */
+    * LSH: deterministic ±1 hyperplanes (md5-derived matrix, see
+    * [[hyperSigns]]) → a `bits`-bit bucket per vector → candidate pairs
+    * only within a bucket → cosine ≥ 0.99 verification. Runs over the
+    * corpus with perturbed near-copies re-inserted. The bucket space
+    * SCALES WITH THE CORPUS ([[srpBitsCol]]): expected occupancy stays
+    * ≤ [[SrpTargetOccupancy]], so per-bucket pair generation stays O(1)
+    * per row at any scale instead of growing linearly with n. The bit
+    * count is derived in-plan from a broadcast one-row count relation —
+    * no driver-side action, and the count scan prunes to a metadata-
+    * only parquet row count. */
   def q30EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     // One codegen'd native dot per hyperplane against a literal plane
     // vector — not a transform-over-planes HOF, whose nested lambdas
     // would evaluate interpreted and re-dispatch per element. Bit 2^h
     // and the per-plane sequential accumulation match the previous HOF
-    // form and the DuckDB twin exactly.
-    val bucketBits = (0 until NumHyperplanes).map { h =>
+    // form and the DuckDB twin exactly. All 32 plane bits are computed,
+    // then masked to the low `bits` — masking to b bits IS bucketing on
+    // the first b hyperplanes.
+    val bucketBits = (0 until MaxHyperplanes).map { h =>
       when(vecDot(col("e"), typedlit(hyperSigns(h))) > 0, lit(1L << h)).otherwise(0L)
     }
-    val bucketed = dupEmbeddings(spark, dir)
-      .withColumn("bucket", bucketBits.reduce(_ + _))
+    val emb = dupEmbeddings(spark, dir)
+    val maskRel = emb.agg(count(lit(1)).as("n"))
+      .select((pow(lit(2.0), srpBitsCol(col("n"))).cast("long") - 1L).as("mask"))
+    val bucketed = emb.crossJoin(broadcast(maskRel))
+      .withColumn("bucket", bucketBits.reduce(_ + _).bitwiseAND(col("mask")))
     val x = bucketed.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("bucket"))
     val y = bucketed.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("bucket"))
     x.join(y, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
@@ -792,11 +820,17 @@ object Pipeline {
          |      x::DOUBLE * (1.0 + 0.002 * ((vec_id + i - 1) % 3 - 1)))
          |  FROM embeddings WHERE vec_id % 9 = 0),
          |s AS (SELECT $signsLit::DOUBLE[][] AS sm),
+         |-- bucket bits scale with corpus size: min b in [8,32] with
+         |-- 4 * 2^b >= n (exact in doubles; mirrors the Spark plan)
+         |nn AS (SELECT count(*) AS n FROM base),
+         |mask AS (SELECT CAST(power(2.0, coalesce(
+         |    (SELECT min(b) FROM generate_series(8, 32) t(b), nn
+         |     WHERE 4.0 * power(2.0, b) >= n), 32)) AS BIGINT) - 1 AS mask),
          |b AS (
-         |  SELECT vec_id, e, CAST(list_sum(list_transform(generate_series(1, 16), h ->
+         |  SELECT vec_id, e, CAST(list_sum(list_transform(generate_series(1, 32), h ->
          |      CASE WHEN list_sum(list_transform(e, (x, i) -> x * sm[h][i])) > 0
-         |      THEN CAST(2**(h-1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
-         |  FROM base, s),
+         |      THEN CAST(2**(h-1) AS BIGINT) ELSE 0 END)) AS BIGINT) & mask AS bucket
+         |  FROM base, s, mask),
          |scored AS (
          |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
          |    round(${cos("x.e", "y.e")}, 4) AS cosine

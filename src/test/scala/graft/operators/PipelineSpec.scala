@@ -87,6 +87,22 @@ class PipelineSpec extends SparkSpec {
     assert(constructed.forall(_._3 >= 0.999))
   }
 
+  test("q30 SRP bucket bits scale with corpus size (O(1) expected occupancy)") {
+    import spark.implicits._
+    val bits = Seq(1L, 1000L, 556L, 2222L, 1000000L, 1L << 40).toDF("n")
+      .select(col("n"), Pipeline.srpBitsCol(col("n")).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bits(1L) == 8, "floor: tiny corpora keep the minimum bit count")
+    assert(bits(556L) == 8 && bits(2222L) == 10,
+      "bits grow with n so occupancy stays <= 4")
+    assert(bits(1000000L) == 18)
+    assert(bits(1L << 40) == 32, "ceiling: capped at the 32-plane matrix")
+    // invariant: 4 * 2^bits >= n wherever the cap doesn't bind
+    bits.filter(_._2 < 32).foreach { case (n, b) =>
+      assert(4.0 * math.pow(2, b) >= n && (b == 8 || 4.0 * math.pow(2, b - 1) < n))
+    }
+  }
+
   test("q31 IVF probes only the query's cluster and ranks correctly") {
     val rows = Pipeline.q31IvfAnn(spark, sfDir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
