@@ -83,6 +83,34 @@ class EngineSpec extends SparkSpec {
       s"timed out waiting for $n '$kind' rows in $table")
   }
 
+  test("streaming: engine runs on the RocksDB state store (scale posture for >heap state)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EngineEvent]
+    val query = StateStores.withRocksDB(spark) {
+      Engine.effectiveStates(input.toDS())
+        .writeStream.format("memory").queryName("engine_rocks")
+        .outputMode("append").start()
+    }
+    try {
+      input.addData(frame(1, 1, 1000L, 1500))
+      awaitRows("engine_rocks", "snapshot", 1)
+      input.addData(command(1, 2, 2000L, Seq(1800), 5000L))
+      awaitRows("engine_rocks", "snapshot", 2)
+      val snaps = spark.table("engine_rocks")
+        .filter(col("kind") === "snapshot")
+        .orderBy(col("tsm"), col("seq"))
+        .as[EngineOutput].collect()
+      assert(snaps.map(_.effective.head).toSeq == Seq(1500, 1800))
+      // the query genuinely ran on RocksDB: provider-specific metrics
+      // appear in the state operator's progress
+      val metrics = Option(query.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .flatMap(_.customMetrics.keySet().asScala)
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"expected rocksdb state metrics, got: ${metrics.take(10)}")
+    } finally query.stop()
+  }
+
   test("streaming: override applies then reverts across micro-batches (MemoryStream)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[EngineEvent]
