@@ -326,8 +326,8 @@ object Pipeline {
     * ≤ [[SrpTargetOccupancy]], so per-bucket pair generation stays O(1)
     * per row at any scale instead of growing linearly with n. The bit
     * count is derived in-plan from a broadcast one-row count relation —
-    * no driver-side action, and the count scan prunes to a metadata-
-    * only parquet row count. */
+    * no driver-side action, and the counting scan column-prunes to
+    * vec_id alone (the dup-branch filter needs it). */
   def q30EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     // One codegen'd native dot per hyperplane against a literal plane
     // vector — not a transform-over-planes HOF, whose nested lambdas
