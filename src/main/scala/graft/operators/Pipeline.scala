@@ -623,11 +623,12 @@ object Pipeline {
     * groupBy per round), terminating when an aggregate-only
     * convergence probe reports zero changed labels. Rounds are bounded
     * by the component diameter (≈3 here); only O(1) aggregates ever
-    * reach the driver — no collect of graph data. At 100 TB-scale
-    * graph sizes the same loop runs with the alternating-star
-    * optimization (Kiveris et al., "Connected Components in
-    * MapReduce") to bound rounds by O(log n); the plain form is kept
-    * here because near-dup graphs are shallow by construction. */
+    * reach the driver — no collect of graph data. The plain form is
+    * kept here because near-dup graphs are shallow by construction;
+    * for deep or path-shaped graphs the library ships
+    * [[Graph.connectedComponentsStar]] (alternating large-star /
+    * small-star, Kiveris et al., O(log² n) rounds regardless of
+    * diameter — equivalence with union-find asserted in GraphSpec). */
   def q50DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
     val corpus = d

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Alternating-star connected components vs an independent
+  * driver-side union-find oracle. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain union-find with path compression — the independent oracle;
+    * labels every node with its component minimum. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // min-root invariant: unions always attach the larger root under
+    // the smaller, so find() IS the component minimum
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def labelsOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponentsStar(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("random graph: labels match union-find exactly") {
+    val rnd = new scala.util.Random(20260812L)
+    val edges = Seq.fill(350)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(e => e._1 != e._2)
+    assert(labelsOf(edges) == unionFind(edges))
+  }
+
+  test("deep path graph converges (the case diameter-bounded propagation can't do in O(log) rounds)") {
+    // a 400-node path has diameter 399: min-label propagation needs
+    // ~400 rounds; alternating star must finish inside the 40-round cap
+    val path = (0L until 399L).map(i => (i, i + 1))
+    val got = labelsOf(path)
+    assert(got.size == 400 && got.values.forall(_ == 0L))
+  }
+
+  test("self-loops, duplicate and reversed edges, isolated nodes") {
+    val edges = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 4L), (9L, 9L))
+    val got = labelsOf(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 9L -> 9L))
+  }
+
+  test("two stars joined by a bridge merge to one component") {
+    val a = (101L to 110L).map(i => (100L, i))
+    val b = (201L to 210L).map(i => (200L, i))
+    val edges = a ++ b :+ ((110L, 210L): (Long, Long))
+    val got = labelsOf(edges)
+    assert(got.values.toSet == Set(100L))
+  }
+}
