@@ -342,8 +342,14 @@ object Pipeline {
     val emb = dupEmbeddings(spark, dir)
     val maskRel = emb.agg(count(lit(1)).as("n"))
       .select((pow(lit(2.0), srpBitsCol(col("n"))).cast("long") - 1L).as("mask"))
+    // persisted: the signature stage (32 plane dots per row + the
+    // corpus count) feeds BOTH sides of the bucket self-join — one
+    // MEMORY_AND_DISK copy replaces a full second derivation (same
+    // rationale as q24's persisted hash arrays / q31's assignment)
     val bucketed = emb.crossJoin(broadcast(maskRel))
       .withColumn("bucket", bucketBits.reduce(_ + _).bitwiseAND(col("mask")))
+      .select(col("vec_id"), col("e"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = bucketed.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("bucket"))
     val y = bucketed.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("bucket"))
     x.join(y, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
