@@ -653,21 +653,28 @@ object Pipeline {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Each round: one hash-shuffle join + one partial-aggregated
+    // groupBy. The node's OWN previous label rides through the union
+    // (tagged), so the convergence probe is a filter over the round's
+    // aggregate — no second join. Rounds end in an eager
+    // localCheckpoint: persist() truncates recompute but not the
+    // logical plan, which otherwise grows per round (the Graph.scala
+    // lesson, where unbounded iterative lineage OOM'd analysis).
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
       val prop = sym.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("label"))
-        .union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = prop.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = prop
+        .select(col("dst").as("node"), col("label"), lit(false).as("own"))
+        .union(labels.select(col("node"), col("label"), lit(true).as("own")))
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"),
+          min(when(col("own"), col("label"))).as("prev"))
+        .localCheckpoint(true)
+      changed = prop.filter(col("label") =!= col("prev")).count()
+      labels = prop.select(col("node"), col("label"))
       rounds += 1
     }
     val out = labels
