@@ -82,6 +82,8 @@ object SparkEntry {
     "q48_pii_scrub" -> (Pipeline.q48PiiScrub _),
     "q49_contamination" -> (Pipeline.q49Contamination _),
     "q50_dedup_clusters" -> (Pipeline.q50DedupClusters _),
+    // round 5: SemDeDup-shaped cluster-scoped embedding dedup
+    "q51_semantic_dedup" -> (Pipeline.q51SemanticDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -687,6 +687,56 @@ object Pipeline {
     out
   }
 
+  /** L2 — semantic deduplication (the SemDeDup shape, Abbas et al.
+    * 2023, arXiv:2303.09540): cluster embeddings around the label
+    * centroids (the same assignment stage as [[q31IvfAnn]]'s IVF
+    * index), then inside each cluster mark every vector DOMINATED by a
+    * smaller-id cluster-mate with cosine ≥ 0.99; report per-cluster
+    * kept/removed. Complements [[q30EmbeddingNearDup]]: LSH buckets
+    * trade recall for speed, centroid clusters give the
+    * semantic-neighborhood scoping the SemDeDup recipe prescribes.
+    *
+    * Scale shape: the quadratic step is CLUSTER-SCOPED — pair
+    * generation is bounded by cluster occupancy, never all-pairs, and
+    * the centroid count is the occupancy knob exactly as IVF's nlist
+    * (at 100 TB: more centroids → smaller clusters → bounded
+    * per-cluster work; the assignment stage is a broadcast crossJoin
+    * against the centroid relation either way). The dominance test is
+    * a cluster-bucketed self-join (one hash shuffle), and the verdict
+    * aggregation is map-side partial. */
+  def q51SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cent = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cavg"))
+      .groupBy(col("label"))
+      .agg(collect_list(struct(col("pos"), col("cavg"))).as("tmp"))
+      .select(col("label"),
+        transform(array_sort(col("tmp")), s => s.getField("cavg")).as("cvec"))
+    val e = dupEmbeddings(spark, dir)
+    val asg = e.crossJoin(broadcast(cent))
+      .withColumn("cos6", round(vecCosine(col("e"), col("cvec")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("label"), col("cos6") * 1000000000.0 + col("label")).as("cluster"))
+    // persisted: members feeds both sides of the dominance self-join
+    // and the final rollup (q31's persisted-index rationale)
+    val members = e.join(asg, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val smaller = members.select(col("cluster"),
+      col("vec_id").as("smaller_id"), col("e").as("se"))
+    val removed = members.join(smaller, "cluster")
+      .filter(col("smaller_id") < col("vec_id") &&
+        round(vecCosine(col("e"), col("se")), 4) >= CosineDupThreshold)
+      .select(col("vec_id")).distinct()
+      .withColumn("hit", lit(1))
+    members.join(removed, Seq("vec_id"), "left")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("hit")).as("n_removed"),
+        (count(lit(1)) - count(col("hit"))).as("n_kept"))
+      .orderBy(col("cluster"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   /** DuckDB twins. Fragments mirror [[graft.functions.TextFunctions]]
@@ -1027,6 +1077,35 @@ object Pipeline {
          |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
          |FROM cl GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+    val q51 =
+      s"""WITH base AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(embedding, (x, i) ->
+         |      x::DOUBLE * (1.0 + 0.002 * ((vec_id + i - 1) % 3 - 1)))
+         |  FROM embeddings WHERE vec_id % 9 = 0),
+         |cent AS (
+         |  SELECT label, list(cavg ORDER BY pos) AS cvec FROM (
+         |    SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 6) AS cavg
+         |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i)
+         |  GROUP BY label),
+         |asg AS (
+         |  SELECT vec_id, arg_max(label, cos6 * 1000000000 + label) AS cluster FROM (
+         |    SELECT vec_id, label, round(${cos("e", "cvec")}, 6) AS cos6
+         |    FROM base CROSS JOIN cent)
+         |  GROUP BY vec_id),
+         |m AS (SELECT vec_id, e, cluster FROM base JOIN asg USING (vec_id)),
+         |rem AS (
+         |  SELECT DISTINCT x.vec_id FROM m x JOIN m y
+         |    ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+         |  WHERE round(${cos("x.e", "y.e")}, 4) >= 0.99)
+         |SELECT cluster, count(*) AS n_docs,
+         |  CAST(count(r.vec_id) AS BIGINT) AS n_removed,
+         |  CAST(count(*) - count(r.vec_id) AS BIGINT) AS n_kept
+         |FROM m LEFT JOIN rem r ON m.vec_id = r.vec_id
+         |GROUP BY cluster ORDER BY cluster""".stripMargin
+
     val all: Map[String, String] = Map(
       "q23_exact_dedup" -> q23,
       "q24_near_dup_minhash" -> q24,
@@ -1044,6 +1123,7 @@ object Pipeline {
       "q48_pii_scrub" -> q48,
       "q49_contamination" -> q49,
       "q50_dedup_clusters" -> q50,
+      "q51_semantic_dedup" -> q51,
     )
   }
 }

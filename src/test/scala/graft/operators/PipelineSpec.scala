@@ -103,6 +103,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q51 semantic dedup: removed+kept partition each cluster, constructed copies are removed") {
+    val rows = Pipeline.q51SemanticDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        "n_docs must equal n_removed + n_kept")
+    }
+    // every constructed +1M near-copy has a smaller-id original with
+    // cosine ~0.99999 in (almost surely) the same cluster — the total
+    // removed count must cover the vast majority of them
+    val nCopies = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 9 === 0).count()
+    val totalRemoved = rows.map(_.getLong(2)).sum
+    assert(totalRemoved >= (nCopies * 0.8).toLong,
+      s"removed $totalRemoved of $nCopies constructed copies")
+  }
+
   test("q31 IVF probes only the query's cluster and ranks correctly") {
     val rows = Pipeline.q31IvfAnn(spark, sfDir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
