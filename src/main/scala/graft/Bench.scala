@@ -77,7 +77,14 @@ object Bench {
         System.gc()
         elapsed
       }.sorted
-      name -> samples(samples.size / 2)
+      // true median: mean of the two middle samples when N is even
+      // (upper-middle alone would report the slower run at repeat=2 —
+      // the exact GC artifact the repeat knob exists to suppress)
+      val mid = samples.size / 2
+      val median =
+        if (samples.size % 2 == 1) samples(mid)
+        else (samples(mid - 1) + samples(mid)) / 2.0
+      name -> median
     }
     val ok = results.filter { case (n, _) => !errors.contains(n) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }

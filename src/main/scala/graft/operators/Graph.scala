@@ -25,6 +25,23 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Eager localCheckpoint that also hands back a DETERMINISTIC release
+    * for the blocks it created. `localCheckpoint` alone frees its
+    * storage only when the driver GCs the RDD reference and the
+    * ContextCleaner runs — in an iterative loop that pins O(rounds)
+    * superseded copies in the block manager, evicting other persisted
+    * stages. The created-RDD ids are captured by diffing the persistent
+    * set around the checkpoint call; releasing a block that some other
+    * query still reads is safe (worst case it recomputes). */
+  private[operators] def checkpointRound(df: DataFrame): (DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val cp = df.localCheckpoint(true)
+    val created = sc.getPersistentRDDs.keySet.toSet -- before
+    (cp, () => created.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
+  }
+
   /** Connected components by alternating star contractions.
     *
     * @param edges undirected edge relation with two long columns
@@ -41,47 +58,54 @@ object Graph {
     // exponentially in the round count — analysis alone OOMs around
     // round ~15. Checkpointing bounds every round's plan to one round's
     // operators (the same idiom GraphX/ALS use for iterative lineage).
-    var e = edges
+    var (e, freeE) = checkpointRound(edges
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var eCount = e.count()
     val isolated = edges.filter(col("src") === col("dst"))
       .select(col("src").as("node")).distinct()
 
     var converged = false
     var rounds = 0
-    // O(log² n) bound; 40 rounds covers any corpus this engine will see
-    while (!converged && rounds < 40) {
+    // O(log² n) worst-case round bound (Kiveris et al. Thm 1); 60
+    // covers any realistic corpus, and non-convergence THROWS below —
+    // a partially-contracted edge set would silently mislabel nodes
+    val maxRounds = 60
+    while (!converged && rounds < maxRounds) {
       // LARGE-STAR over symmetric neighborhoods: every node u links its
       // strictly-larger neighbors to m = min(Γ(u) ∪ {u}).
       val sym = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
       val mLarge = sym.groupBy(col("u"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
-      val large = sym.join(mLarge, "u")
+      val (large, freeLarge) = checkpointRound(sym.join(mLarge, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       // SMALL-STAR on the canonical (big -> small) form: every node u
       // links its smaller neighbors and itself to their minimum.
       val mSmall = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = large.join(mSmall, "u")
+      val (next, freeNext) = checkpointRound(large.join(mSmall, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mSmall.select(col("u"), col("m").as("v")))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       // fixpoint = identical canonical edge sets (counts + empty diff)
       val nextCount = next.count()
       converged = nextCount == eCount && next.except(e).isEmpty
+      freeLarge()
+      freeE()
       e = next
+      freeE = freeNext
       eCount = nextCount
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxRounds rounds " +
+          s"($eCount canonical edges remain) — labels would be partial")
     // at the fixpoint every edge is (member -> component min): centers
     // label themselves, members take their star center
     val labels = e.select(col("u").as("node"), col("v").as("label"))

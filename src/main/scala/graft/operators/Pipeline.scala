@@ -359,6 +359,32 @@ object Pipeline {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Per-label mean vectors of the base embeddings table — the coarse
+    * centroid relation shared by [[q31IvfAnn]] (IVF index) and
+    * [[q51SemanticDedup]] (cluster scoping). */
+  private def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cavg"))
+      .groupBy(col("label"))
+      .agg(collect_list(struct(col("pos"), col("cavg"))).as("tmp"))
+      .select(col("label"),
+        transform(array_sort(col("tmp")), s => s.getField("cavg")).as("cvec"))
+
+  /** Nearest-centroid assignment of `(vec_id, e)` rows: broadcast
+    * crossJoin + portable argmax, returning `(vec_id, cluster)`.
+    * Tie-break key: cos6 has 1e-6 granularity, so the 1e12 multiplier
+    * keeps one cosine step worth 1e6 in the key — label ids up to 1e6
+    * can never outweigh a genuine cosine difference (exact in doubles:
+    * |key| < 1e12 + 1e6 << 2^53); the DuckDB twins embed the identical
+    * formula. */
+  private def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .withColumn("cos6", round(vecCosine(col("e"), col("cvec")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("label"), col("cos6") * 1000000000000.0 + col("label")).as("cluster"))
+
   /** L3 — IVF approximate nearest neighbour: coarse centroids = the
     * per-label mean vector (computed from the data); every vector is
     * assigned to its nearest centroid; each query probes ONLY its own
@@ -367,23 +393,12 @@ object Pipeline {
   def q31IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-    val cent = Tables.spread(Tables.embeddings(spark, dir))
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("v").cast("double")), 6).as("cavg"))
-      .groupBy(col("label"))
-      .agg(collect_list(struct(col("pos"), col("cavg"))).as("tmp"))
-      .select(col("label"),
-        transform(array_sort(col("tmp")), s => s.getField("cavg")).as("cvec"))
     // The assignment (vec_id → cluster) is the IVF index: it feeds both
     // the query-set lookup and the member lists, and without
     // materialization the centroid crossJoin + argmax would run twice.
     // Real IVF systems persist the index by construction; one cached
     // copy of the (id, cluster) pairs is its in-session analog.
-    val asg = e.crossJoin(broadcast(cent))
-      .withColumn("cos6", round(vecCosine(col("e"), col("cvec")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("label"), col("cos6") * 1000000000.0 + col("label")).as("cluster"))
+    val asg = assignToCentroids(e, labelCentroids(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = e.join(asg, "vec_id")
     val q = members.filter(col("vec_id") < NumQueries)
@@ -599,6 +614,9 @@ object Pipeline {
     // persisted hash arrays in verifiedNearDupPairs / q40).
     val grams = dupDocs(spark, dir)
       .withColumn("b", bucket)
+      // the val split [80,90) feeds neither consumer — drop it BEFORE
+      // the explode+hash and the persist, not after
+      .filter(col("b") < 80 || col("b") >= 90)
       .select(col("doc_id"), col("lang"), col("b"),
         explode(wordShingles(split(col("text"), " "), 8)).as("gram"))
       .select(col("doc_id"), col("lang"), col("b"), portableHashMod(col("gram")).as("h"))
@@ -656,25 +674,28 @@ object Pipeline {
     // Each round: one hash-shuffle join + one partial-aggregated
     // groupBy. The node's OWN previous label rides through the union
     // (tagged), so the convergence probe is a filter over the round's
-    // aggregate — no second join. Rounds end in an eager
-    // localCheckpoint: persist() truncates recompute but not the
-    // logical plan, which otherwise grows per round (the Graph.scala
-    // lesson, where unbounded iterative lineage OOM'd analysis).
-    var labels = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+    // aggregate — no second join. Rounds end in Graph.checkpointRound:
+    // an eager localCheckpoint (persist() truncates recompute but not
+    // the logical plan, which otherwise grows per round and OOMs
+    // analysis) plus a deterministic release of the superseded round's
+    // blocks (GC-dependent cleanup would pin O(rounds) label copies).
+    var (labels, freeLabels) = Graph.checkpointRound(
+      sym.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
-      val prop = sym.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("label"), lit(false).as("own"))
-        .union(labels.select(col("node"), col("label"), lit(true).as("own")))
-        .groupBy(col("node"))
-        .agg(min(col("label")).as("label"),
-          min(when(col("own"), col("label"))).as("prev"))
-        .localCheckpoint(true)
+      val (prop, freeProp) = Graph.checkpointRound(
+        sym.join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("label"), lit(false).as("own"))
+          .union(labels.select(col("node"), col("label"), lit(true).as("own")))
+          .groupBy(col("node"))
+          .agg(min(col("label")).as("label"),
+            min(when(col("own"), col("label"))).as("prev")))
       changed = prop.filter(col("label") =!= col("prev")).count()
+      freeLabels()
       labels = prop.select(col("node"), col("label"))
+      freeLabels = freeProp
       rounds += 1
     }
     val out = labels
@@ -705,19 +726,8 @@ object Pipeline {
     * a cluster-bucketed self-join (one hash shuffle), and the verdict
     * aggregation is map-side partial. */
   def q51SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val cent = Tables.spread(Tables.embeddings(spark, dir))
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("v").cast("double")), 6).as("cavg"))
-      .groupBy(col("label"))
-      .agg(collect_list(struct(col("pos"), col("cavg"))).as("tmp"))
-      .select(col("label"),
-        transform(array_sort(col("tmp")), s => s.getField("cavg")).as("cvec"))
     val e = dupEmbeddings(spark, dir)
-    val asg = e.crossJoin(broadcast(cent))
-      .withColumn("cos6", round(vecCosine(col("e"), col("cvec")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("label"), col("cos6") * 1000000000.0 + col("label")).as("cluster"))
+    val asg = assignToCentroids(e, labelCentroids(spark, dir))
     // persisted: members feeds both sides of the dominance self-join
     // and the final rollup (q31's persisted-index rationale)
     val members = e.join(asg, "vec_id")
@@ -910,7 +920,7 @@ object Pipeline {
          |  GROUP BY label),
          |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
          |asg AS (
-         |  SELECT vec_id, arg_max(label, cos6 * 1000000000 + label) AS cluster FROM (
+         |  SELECT vec_id, arg_max(label, cos6 * 1000000000000 + label) AS cluster FROM (
          |    SELECT vec_id, label, round(${cos("e", "cvec")}, 6) AS cos6
          |    FROM e CROSS JOIN cent)
          |  GROUP BY vec_id),
@@ -1091,7 +1101,7 @@ object Pipeline {
          |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i)
          |  GROUP BY label),
          |asg AS (
-         |  SELECT vec_id, arg_max(label, cos6 * 1000000000 + label) AS cluster FROM (
+         |  SELECT vec_id, arg_max(label, cos6 * 1000000000000 + label) AS cluster FROM (
          |    SELECT vec_id, label, round(${cos("e", "cvec")}, 6) AS cos6
          |    FROM base CROSS JOIN cent)
          |  GROUP BY vec_id),
