@@ -329,6 +329,19 @@ object Oracles {
         |SELECT 'union', count(*), min(user_id), max(user_id) FROM u
         |ORDER BY op""".stripMargin,
 
+    // Spark side does the lookup through a literal MAP
+    // (map_from_arrays + element_at); the twin indexes the equivalent
+    // list positionally (DuckDB lists are 1-based).
+    "q52_channel_map" ->
+      s"""WITH fr AS (${Ch.frames})
+         |SELECT target_id,
+         |  (['roll','pitch','throttle','yaw','aux1','aux2','aux3','aux4'])[ci + 1] AS channel,
+         |  count(*) AS n_samples,
+         |  round(avg(ch), 4) AS avg_ch,
+         |  max(ch) AS max_ch
+         |FROM fr GROUP BY target_id, channel
+         |ORDER BY target_id, channel""".stripMargin,
+
     // The HLL estimate itself is engine-specific; the oracle pins the
     // exact counts and the accuracy CONTRACT (estimate within 5% of
     // exact must hold, i.e. TRUE) — see Relational.q36ApproxDistinct.

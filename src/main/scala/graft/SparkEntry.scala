@@ -82,8 +82,10 @@ object SparkEntry {
     "q48_pii_scrub" -> (Pipeline.q48PiiScrub _),
     "q49_contamination" -> (Pipeline.q49Contamination _),
     "q50_dedup_clusters" -> (Pipeline.q50DedupClusters _),
-    // round 5: SemDeDup-shaped cluster-scoped embedding dedup
+    // round 5: SemDeDup-shaped cluster-scoped embedding dedup +
+    // map-typed channel-name lookup (SURVEY §2.2 scalar row)
     "q51_semantic_dedup" -> (Pipeline.q51SemanticDedup _),
+    "q52_channel_map" -> (Reference.q52ChannelMap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -256,6 +256,31 @@ object Reference {
       .orderBy(col("target_id"))
   }
 
+  /** Map-typed channel-name lookup (SURVEY.md §2.2 scalar-function
+    * row): the 8 positional channels (`lib/TargetManager/
+    * TargetManager.h:13-25` — opaque uint16 slots in the reference)
+    * get the standard RC naming via a literal `map_from_arrays` +
+    * `element_at` lookup, then per-(target, channel-name) sample
+    * stats. The map is a compile-time constant — Catalyst folds the
+    * construction, the lookup stays codegen'd, and the aggregation is
+    * an ordinary partial+final hash agg on (target_id, name); the
+    * DuckDB twin indexes the equivalent list literal positionally. */
+  def q52ChannelMap(spark: SparkSession, dir: String): DataFrame = {
+    val names = Seq("roll", "pitch", "throttle", "yaw",
+      "aux1", "aux2", "aux3", "aux4")
+    val nameMap = map_from_arrays(
+      array(names.indices.map(i => lit(i)): _*),
+      array(names.map(lit): _*))
+    Channels.frames(spark, dir)
+      .select(col("target_id"), element_at(nameMap, col("ci")).as("channel"),
+        col("ch"))
+      .groupBy(col("target_id"), col("channel"))
+      .agg(count(lit(1)).as("n_samples"),
+        round(avg(col("ch")), 4).as("avg_ch"),
+        max(col("ch")).as("max_ch"))
+      .orderBy(col("target_id"), col("channel"))
+  }
+
   /** Set operations (SURVEY.md §2.2): INTERSECT / UNION / EXCEPT over
     * user-id snapshots (targets present in tick A vs tick B semantics),
     * summarized to one row per operation. */
