@@ -30,16 +30,59 @@ object Graph {
     * storage only when the driver GCs the RDD reference and the
     * ContextCleaner runs — in an iterative loop that pins O(rounds)
     * superseded copies in the block manager, evicting other persisted
-    * stages. The created-RDD ids are captured by diffing the persistent
-    * set around the checkpoint call; releasing a block that some other
-    * query still reads is safe (worst case it recomputes). */
+    * stages.
+    *
+    * The checkpointed RDD is taken DIRECTLY from the returned Dataset's
+    * plan: `Dataset.localCheckpoint` roots the new plan at exactly one
+    * `LogicalRDD` wrapping the persisted RDD. (An earlier form diffed
+    * the global `getPersistentRDDs` set around the call — racy under
+    * concurrent queries, whose freshly-persisted RDDs would land in the
+    * diff and get released from under them.)
+    *
+    * CAUTION: unpersisting a localCheckpointed RDD is LOSSY, not a
+    * recompute — checkpointing truncates lineage, so once its blocks
+    * are dropped any plan still reading the relation FAILS rather than
+    * re-deriving it. Callers must invoke the release only after every
+    * consumer of the superseded round has executed (the iterative loops
+    * below do: round N+1 is fully materialized by its own eager
+    * checkpoint before round N is released). */
   private[operators] def checkpointRound(df: DataFrame): (DataFrame, () => Unit) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val cp = df.localCheckpoint(true)
-    val created = sc.getPersistentRDDs.keySet.toSet -- before
-    (cp, () => created.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
+    val rdds = cp.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    (cp, () => rdds.foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Bookkeeping for an iterative checkpoint loop: every checkpoint
+    * registers its release; whatever is still pending when the loop
+    * exits — normally the last round, or everything after a mid-round
+    * exception — is released in the loop's `finally` via
+    * [[releaseAll]]. Releases are idempotent (a handle removes itself
+    * on first call), so eager per-round frees compose with the final
+    * sweep. A relation that must OUTLIVE the loop (an operator's
+    * returned result) is kept alive with [[detach]]; its blocks then
+    * belong to the caller and are reclaimed by the ContextCleaner when
+    * the result is dropped. */
+  private[operators] final class CheckpointScope {
+    private val pending = scala.collection.mutable.LinkedHashSet.empty[() => Unit]
+
+    def checkpoint(df: DataFrame): (DataFrame, () => Unit) = {
+      val (cp, free) = checkpointRound(df)
+      val handle: () => Unit = new (() => Unit) {
+        def apply(): Unit = if (pending.remove(this)) free()
+      }
+      pending += handle
+      (cp, handle)
+    }
+
+    /** Remove from the scope WITHOUT freeing. */
+    def detach(release: () => Unit): Unit = pending.remove(release)
+
+    /** Free every checkpoint still pending (newest first — the reverse
+      * of creation order, so a dependent relation is never orphaned
+      * before its own release runs). */
+    def releaseAll(): Unit = pending.toList.reverse.foreach(_.apply())
   }
 
   /** Connected components by alternating star contractions.
@@ -58,60 +101,72 @@ object Graph {
     // exponentially in the round count — analysis alone OOMs around
     // round ~15. Checkpointing bounds every round's plan to one round's
     // operators (the same idiom GraphX/ALS use for iterative lineage).
-    var (e, freeE) = checkpointRound(edges
-      .select(greatest(col("src"), col("dst")).as("u"),
-        least(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct())
-    var eCount = e.count()
-    val isolated = edges.filter(col("src") === col("dst"))
-      .select(col("src").as("node")).distinct()
+    // The scope's finally releases whatever is still pending — the last
+    // round's edges on success, every live round on an exception —
+    // because checkpoint blocks bypass the CacheManager: clearCache()
+    // cannot reclaim them, only these callbacks (or driver GC) can.
+    val scope = new CheckpointScope
+    try {
+      var (e, freeE) = scope.checkpoint(edges
+        .select(greatest(col("src"), col("dst")).as("u"),
+          least(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+      var eCount = e.count()
+      val isolated = edges.filter(col("src") === col("dst"))
+        .select(col("src").as("node")).distinct()
 
-    var converged = false
-    var rounds = 0
-    // O(log² n) worst-case round bound (Kiveris et al. Thm 1); 60
-    // covers any realistic corpus, and non-convergence THROWS below —
-    // a partially-contracted edge set would silently mislabel nodes
-    val maxRounds = 60
-    while (!converged && rounds < maxRounds) {
-      // LARGE-STAR over symmetric neighborhoods: every node u links its
-      // strictly-larger neighbors to m = min(Γ(u) ∪ {u}).
-      val sym = e.select(col("u"), col("v"))
-        .union(e.select(col("v").as("u"), col("u").as("v")))
-      val mLarge = sym.groupBy(col("u"))
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      val (large, freeLarge) = checkpointRound(sym.join(mLarge, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .distinct())
-      // SMALL-STAR on the canonical (big -> small) form: every node u
-      // links its smaller neighbors and itself to their minimum.
-      val mSmall = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val (next, freeNext) = checkpointRound(large.join(mSmall, "u")
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(mSmall.select(col("u"), col("m").as("v")))
-        .distinct())
-      // fixpoint = identical canonical edge sets (counts + empty diff)
-      val nextCount = next.count()
-      converged = nextCount == eCount && next.except(e).isEmpty
-      freeLarge()
-      freeE()
-      e = next
-      freeE = freeNext
-      eCount = nextCount
-      rounds += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponentsStar did not converge in $maxRounds rounds " +
-          s"($eCount canonical edges remain) — labels would be partial")
-    // at the fixpoint every edge is (member -> component min): centers
-    // label themselves, members take their star center
-    val labels = e.select(col("u").as("node"), col("v").as("label"))
-      .union(e.select(col("v").as("node"), col("v").as("label")))
-      .union(isolated.select(col("node"), col("node").as("label")))
-      .groupBy(col("node")).agg(min(col("label")).as("label"))
-    labels
+      var converged = false
+      var rounds = 0
+      // O(log² n) worst-case round bound (Kiveris et al. Thm 1); 60
+      // covers any realistic corpus, and non-convergence THROWS below —
+      // a partially-contracted edge set would silently mislabel nodes
+      val maxRounds = 60
+      while (!converged && rounds < maxRounds) {
+        // LARGE-STAR over symmetric neighborhoods: every node u links its
+        // strictly-larger neighbors to m = min(Γ(u) ∪ {u}).
+        val sym = e.select(col("u"), col("v"))
+          .union(e.select(col("v").as("u"), col("u").as("v")))
+        val mLarge = sym.groupBy(col("u"))
+          .agg(least(min(col("v")), first(col("u"))).as("m"))
+        val (large, freeLarge) = scope.checkpoint(sym.join(mLarge, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .distinct())
+        // SMALL-STAR on the canonical (big -> small) form: every node u
+        // links its smaller neighbors and itself to their minimum.
+        val mSmall = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+        val (next, freeNext) = scope.checkpoint(large.join(mSmall, "u")
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(mSmall.select(col("u"), col("m").as("v")))
+          .distinct())
+        // fixpoint = identical canonical edge sets (counts + empty diff)
+        val nextCount = next.count()
+        converged = nextCount == eCount && next.except(e).isEmpty
+        freeLarge()
+        freeE()
+        e = next
+        freeE = freeNext
+        eCount = nextCount
+        rounds += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponentsStar did not converge in $maxRounds rounds " +
+            s"($eCount canonical edges remain) — labels would be partial")
+      // at the fixpoint every edge is (member -> component min): centers
+      // label themselves, members take their star center. The labels
+      // are MATERIALIZED (eager checkpoint) and DETACHED from the scope
+      // so the finally can release the final round's edge blocks before
+      // returning; the result's own blocks belong to the caller.
+      val (labels, keep) = scope.checkpoint(
+        e.select(col("u").as("node"), col("v").as("label"))
+          .union(e.select(col("v").as("node"), col("v").as("label")))
+          .union(isolated.select(col("node"), col("node").as("label")))
+          .groupBy(col("node")).agg(min(col("label")).as("label")))
+      scope.detach(keep)
+      labels
+    } finally scope.releaseAll()
   }
 }

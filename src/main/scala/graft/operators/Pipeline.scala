@@ -665,47 +665,74 @@ object Pipeline {
     // the union form evaluates the expensive LSH-candidate + intersect
     // verification once per branch (the shingle-hash base is persisted,
     // the candidate/verify stage is not). One explode = one evaluation.
+    // Persisted PRE-PARTITIONED on the join key: the static edge side
+    // feeds every propagation round's join, and an unpartitioned cache
+    // would re-exchange the full symmetric edge set each round. Cached
+    // as hash(src) the rounds' joins reuse that partitioning and
+    // exchange only the (much smaller per round) labels side — one
+    // edge exchange TOTAL, paid at cache fill.
     val sym = verifiedNearDupPairs(corpus)
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Each round: one hash-shuffle join + one partial-aggregated
     // groupBy. The node's OWN previous label rides through the union
     // (tagged), so the convergence probe is a filter over the round's
-    // aggregate — no second join. Rounds end in Graph.checkpointRound:
-    // an eager localCheckpoint (persist() truncates recompute but not
-    // the logical plan, which otherwise grows per round and OOMs
-    // analysis) plus a deterministic release of the superseded round's
-    // blocks (GC-dependent cleanup would pin O(rounds) label copies).
-    var (labels, freeLabels) = Graph.checkpointRound(
-      sym.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label")))
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      val (prop, freeProp) = Graph.checkpointRound(
-        sym.join(labels, col("src") === col("node"))
-          .select(col("dst").as("node"), col("label"), lit(false).as("own"))
-          .union(labels.select(col("node"), col("label"), lit(true).as("own")))
-          .groupBy(col("node"))
-          .agg(min(col("label")).as("label"),
-            min(when(col("own"), col("label"))).as("prev")))
-      changed = prop.filter(col("label") =!= col("prev")).count()
-      freeLabels()
-      labels = prop.select(col("node"), col("label"))
-      freeLabels = freeProp
-      rounds += 1
+    // aggregate — no second join. Rounds end in an eager localCheckpoint
+    // (persist() truncates recompute but not the logical plan, which
+    // otherwise grows per round and OOMs analysis) with deterministic
+    // release of the superseded round's blocks (GC-dependent cleanup
+    // would pin O(rounds) label copies); the CheckpointScope's finally
+    // frees whatever is still live if a round throws.
+    val scope = new Graph.CheckpointScope
+    try {
+      var (labels, freeLabels) = scope.checkpoint(
+        sym.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("label")))
+      var changed = 1L
+      var rounds = 0
+      // near-dup graphs are shallow (original ↔ copies, diameter ~3);
+      // 20 rounds is gross headroom, and NON-convergence must throw —
+      // emitting the partial labels would silently fuse/split clusters
+      val maxRounds = 20
+      while (changed > 0 && rounds < maxRounds) {
+        val (prop, freeProp) = scope.checkpoint(
+          sym.join(labels, col("src") === col("node"))
+            .select(col("dst").as("node"), col("label"), lit(false).as("own"))
+            .union(labels.select(col("node"), col("label"), lit(true).as("own")))
+            .groupBy(col("node"))
+            .agg(min(col("label")).as("label"),
+              min(when(col("own"), col("label"))).as("prev")))
+        changed = prop.filter(col("label") =!= col("prev")).count()
+        freeLabels()
+        labels = prop.select(col("node"), col("label"))
+        freeLabels = freeProp
+        rounds += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"q50 label propagation did not converge in $maxRounds rounds " +
+            "(diameter exceeds the shallow near-dup assumption) — use " +
+            "Graph.connectedComponentsStar for deep graphs")
+      // materialize the (tiny) histogram and DETACH it so the final
+      // labels round and the edge cache can be released before
+      // returning — checkpoint blocks bypass the CacheManager, so
+      // nothing else would ever reclaim them
+      val (out, keep) = scope.checkpoint(labels
+        .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"))
+        .orderBy(col("cluster_size")))
+      scope.detach(keep)
+      out
+    } finally {
+      scope.releaseAll()
+      sym.unpersist(blocking = false)
     }
-    val out = labels
-      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-      .groupBy(col("cluster_size"))
-      .agg(count(lit(1)).as("n_clusters"),
-        sum(col("cluster_size")).as("n_docs"))
-      .orderBy(col("cluster_size"))
-    sym.unpersist()
-    out
   }
 
   /** L2 — semantic deduplication (the SemDeDup shape, Abbas et al.

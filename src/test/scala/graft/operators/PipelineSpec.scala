@@ -232,4 +232,63 @@ class PipelineSpec extends SparkSpec {
     // component chains to size >= 3 through the shared original
     assert(rows.exists(_.getLong(0) >= 3), "no chained components found")
   }
+
+  test("q50 round join: pre-partitioned edge cache eliminates the per-round edge exchange") {
+    // The propagation loop's static side is persisted
+    // repartition(col("src")) — each round's join must then reuse that
+    // partitioning and exchange ONLY the labels side. Broadcast is
+    // disabled because at test scale the tiny labels relation would
+    // broadcast and hide the exchange accounting that matters at 100 TB.
+    // Count shuffles the round EXECUTES: walk the adaptive final plan,
+    // not its toString — InMemoryTableScan prints the whole cached plan
+    // (including the cache-fill repartition, paid once, not per round),
+    // so string-counting overstates. Reused exchanges don't re-shuffle.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def countShuffles(p: SparkPlan): Int = p match {
+      case _: InMemoryTableScanExec => 0
+      case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+      case s: QueryStageExec => countShuffles(s.plan)
+      case e: ShuffleExchangeLike => 1 + e.children.map(countShuffles).sum
+      case other =>
+        other.children.map(countShuffles).sum +
+          other.subqueries.map(countShuffles).sum
+    }
+    def exchanges(sym: org.apache.spark.sql.DataFrame): Int = {
+      val labels = sym.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      val round = sym.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      round.collect() // force execution so the ADAPTIVE final plan forms
+      countShuffles(round.queryExecution.executedPlan)
+    }
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (5L, 6L), (6L, 5L))
+        .toDF("src", "dst")
+      val part = edges.repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val flat = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        part.count(); flat.count() // fill both caches
+        val withPart = exchanges(part)
+        val without = exchanges(flat)
+        // partitioned cache: the distinct over src, the join's edge
+        // side, AND the labels side (derived from the same cached
+        // partitioning) all reuse hash(src) — the join plans with zero
+        // exchanges and only the final aggregate shuffles; the
+        // unpartitioned cache re-shuffles every one of them
+        assert(withPart < without,
+          s"pre-partitioned cache must save exchanges ($withPart vs $without)")
+        assert(withPart == 1, s"expected only the aggregate exchange, got $withPart")
+      } finally { part.unpersist(); flat.unpersist() }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
