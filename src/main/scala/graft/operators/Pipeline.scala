@@ -60,13 +60,27 @@ object Pipeline {
   private val MaxHyperplanes = 32
   private val MinSrpBits = 8
   private val SrpTargetOccupancy = 4
+  /** Target expected occupancy of a FINE cluster in
+    * [[corpusScaledClusters]] — the knob that bounds the per-cluster
+    * quadratic work in q51 and the per-query candidate list in q31. */
+  private val ClusterTargetOccupancy = 32
 
-  /** The in-plan form of the bits derivation (shared with the DuckDB
+  /** Occupancy-driven bit derivation, the library's one scale knob
+    * shape: the smallest `b` in [minBits, MaxHyperplanes] with
+    * `targetOcc * 2^b >= n`, so expected bucket occupancy stays ≤
+    * targetOcc as n grows. All quantities exact in IEEE doubles
+    * (b ≤ 32, n < 2^53): the Spark plan and the DuckDB twins derive
+    * the identical count from the identical n. */
+  private[operators] def occBitsCol(n: Column, minBits: Int, targetOcc: Int): Column =
+    coalesce(
+      array_min(filter(sequence(lit(minBits), lit(MaxHyperplanes)),
+        b => lit(targetOcc.toDouble) * pow(lit(2.0), b) >= n.cast("double"))),
+      lit(MaxHyperplanes))
+
+  /** The in-plan form of q30's bits derivation (shared with the DuckDB
     * twin's generate_series scan); `n` is the corpus row count. */
-  private[operators] def srpBitsCol(n: Column): Column = coalesce(
-    array_min(filter(sequence(lit(MinSrpBits), lit(MaxHyperplanes)),
-      b => lit(SrpTargetOccupancy.toDouble) * pow(lit(2.0), b) >= n.cast("double"))),
-    lit(MaxHyperplanes))
+  private[operators] def srpBitsCol(n: Column): Column =
+    occBitsCol(n, MinSrpBits, SrpTargetOccupancy)
 
   /** Sign-random-projection hyperplanes for q30: 32 × 64 ±1 entries
     * derived from md5 so both engines share the exact matrix (a plain
@@ -328,17 +342,18 @@ object Pipeline {
     * count is derived in-plan from a broadcast one-row count relation —
     * no driver-side action, and the counting scan column-prunes to
     * vec_id alone (the dup-branch filter needs it). */
+  /** The 32-bit sign-random-projection signature of a double-array
+    * column: one codegen'd native dot per hyperplane against a literal
+    * plane vector — not a transform-over-planes HOF, whose nested
+    * lambdas would evaluate interpreted and re-dispatch per element.
+    * Masking the result to its low b bits IS bucketing on the first b
+    * hyperplanes (the consumers each derive their own b). */
+  private[operators] def srpSignature(e: Column): Column =
+    (0 until MaxHyperplanes).map { h =>
+      when(vecDot(e, typedlit(hyperSigns(h))) > 0, lit(1L << h)).otherwise(0L)
+    }.reduce(_ + _)
+
   def q30EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // One codegen'd native dot per hyperplane against a literal plane
-    // vector — not a transform-over-planes HOF, whose nested lambdas
-    // would evaluate interpreted and re-dispatch per element. Bit 2^h
-    // and the per-plane sequential accumulation match the previous HOF
-    // form and the DuckDB twin exactly. All 32 plane bits are computed,
-    // then masked to the low `bits` — masking to b bits IS bucketing on
-    // the first b hyperplanes.
-    val bucketBits = (0 until MaxHyperplanes).map { h =>
-      when(vecDot(col("e"), typedlit(hyperSigns(h))) > 0, lit(1L << h)).otherwise(0L)
-    }
     val emb = dupEmbeddings(spark, dir)
     val maskRel = emb.agg(count(lit(1)).as("n"))
       .select((pow(lit(2.0), srpBitsCol(col("n"))).cast("long") - 1L).as("mask"))
@@ -347,7 +362,7 @@ object Pipeline {
     // MEMORY_AND_DISK copy replaces a full second derivation (same
     // rationale as q24's persisted hash arrays / q31's assignment)
     val bucketed = emb.crossJoin(broadcast(maskRel))
-      .withColumn("bucket", bucketBits.reduce(_ + _).bitwiseAND(col("mask")))
+      .withColumn("bucket", srpSignature(col("e")).bitwiseAND(col("mask")))
       .select(col("vec_id"), col("e"), col("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = bucketed.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("bucket"))
@@ -385,30 +400,78 @@ object Pipeline {
       .groupBy(col("vec_id"))
       .agg(max_by(col("label"), col("cos6") * 1000000000000.0 + col("label")).as("cluster"))
 
-  /** L3 — IVF approximate nearest neighbour: coarse centroids = the
-    * per-label mean vector (computed from the data); every vector is
-    * assigned to its nearest centroid; each query probes ONLY its own
-    * centroid's inverted list (nprobe = 1) — the candidate set shrinks
-    * by the cluster count, which is the whole point of IVF at scale. */
+  /** CORPUS-SCALED fine clustering for the embedding dedup/ANN family
+    * (q31/q51): nearest-centroid coarse assignment subdivided per
+    * cluster by sign-random-projection bits, with each cluster's bit
+    * count derived from its OWN occupancy ([[occBitsCol]]: smallest b
+    * with `targetOcc * 2^b >= n_c`). The effective cluster count is
+    * `Σ_c 2^(b_c)` — it grows with the corpus so expected fine-cluster
+    * occupancy stays ≤ targetOcc at any scale, and it adapts to skew
+    * (an oversized coarse cluster gets more hyperplane bisections, a
+    * small one none).
+    *
+    * Why subdivision instead of re-deriving k ∝ n centroids (k-means):
+    * nearest-centroid assignment is O(n·k·d) work against a broadcast
+    * relation of k vectors — with k ∝ n that is quadratic total work
+    * and an unbroadcastable centroid set at the 100 TB design point.
+    * Hyperplane subdivision reaches the same bounded occupancy with
+    * O(n·d) map-side work per row, a constant 10-row broadcast, and
+    * one 10-row occupancy aggregate — nothing in the plan grows with
+    * the corpus except the data itself. The recall trade is explicit
+    * and small: two cosine-θ neighbours stay together per bisection
+    * w.p. 1 − θ/π (≥ 0.9985 per bit at the 0.99 dup threshold).
+    *
+    * Returns `(vec_id, e, cluster)` with `cluster = coarse · 2^32 +
+    * subbucket` (exact in longs; coarse labels are small ints). Both
+    * DuckDB twins derive the identical ids. */
+  def corpusScaledClusters(e: DataFrame, cent: DataFrame, targetOcc: Int): DataFrame = {
+    // the (vec_id, coarse) assignment is the expensive stage (centroid
+    // crossJoin + argmax) and feeds BOTH the occupancy aggregate and
+    // the member join — persist the narrow 16-byte pairs, not the
+    // vectors (q31's persisted-IVF-index rationale)
+    val asg = assignToCentroids(e, cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occ = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_c"))
+    e.join(asg, "vec_id").join(broadcast(occ), "cluster")
+      .withColumn("mask",
+        pow(lit(2.0), occBitsCol(col("n_c"), 0, targetOcc)).cast("long") - 1L)
+      .select(col("vec_id"), col("e"),
+        (col("cluster").cast("long") * lit(4294967296L) +
+          srpSignature(col("e")).bitwiseAND(col("mask"))).as("cluster"))
+  }
+
+  /** L3 — IVF approximate nearest neighbour with a CORPUS-SCALED list
+    * count: the inverted lists are [[corpusScaledClusters]]'s fine
+    * clusters (label centroids subdivided to ≤ 32 expected occupancy),
+    * so the effective nlist grows with the corpus and each query's
+    * nprobe=1 candidate list stays O(1) rows at any scale — a fixed
+    * nlist would let candidate lists grow as n/nlist. Ranking is the
+    * bounded [[graft.functions.TopK]] Aggregator (the q25 swap, proven
+    * interchangeable in TopKSpec): each partition reduces to a
+    * k-element buffer map-side — no WindowExec, no per-query sort of
+    * the whole candidate list through one task. */
   def q31IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-    // The assignment (vec_id → cluster) is the IVF index: it feeds both
-    // the query-set lookup and the member lists, and without
-    // materialization the centroid crossJoin + argmax would run twice.
-    // Real IVF systems persist the index by construction; one cached
-    // copy of the (id, cluster) pairs is its in-session analog.
-    val asg = assignToCentroids(e, labelCentroids(spark, dir))
+    // The fine-cluster membership is the IVF index: it feeds both the
+    // query-set lookup and the member lists. Real IVF systems persist
+    // the index by construction; one cached copy is its in-session
+    // analog (the coarse assignment stage persists its own narrow
+    // pairs inside corpusScaledClusters).
+    val members = corpusScaledClusters(e, labelCentroids(spark, dir),
+        ClusterTargetOccupancy)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val members = e.join(asg, "vec_id")
     val q = members.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("cluster"))
     val scored = members.join(broadcast(q), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", round(vecCosine(col("qe"), col("e")), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
-      .select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topK(TopK, col("vec_id"), col("cosine")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("s.id").as("vec_id"), col("s.score").as("cosine"))
       .orderBy(col("query_id"), col("rk"))
   }
 
@@ -745,19 +808,19 @@ object Pipeline {
     * semantic-neighborhood scoping the SemDeDup recipe prescribes.
     *
     * Scale shape: the quadratic step is CLUSTER-SCOPED — pair
-    * generation is bounded by cluster occupancy, never all-pairs, and
-    * the centroid count is the occupancy knob exactly as IVF's nlist
-    * (at 100 TB: more centroids → smaller clusters → bounded
-    * per-cluster work; the assignment stage is a broadcast crossJoin
-    * against the centroid relation either way). The dominance test is
-    * a cluster-bucketed self-join (one hash shuffle), and the verdict
-    * aggregation is map-side partial. */
+    * generation is bounded by cluster occupancy, never all-pairs — and
+    * the clusters are [[corpusScaledClusters]]'s CORPUS-SCALED fine
+    * clusters: expected occupancy ≤ 32 at any corpus size, so the
+    * per-cluster pair volume is O(1) per row at 100 TB exactly as
+    * q30's scaled SRP bucket space (a fixed cluster count would make
+    * occupancy — and the quadratic step — grow linearly with n). The
+    * dominance test is a cluster-bucketed self-join (one hash
+    * shuffle), and the verdict aggregation is map-side partial. */
   def q51SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = dupEmbeddings(spark, dir)
-    val asg = assignToCentroids(e, labelCentroids(spark, dir))
     // persisted: members feeds both sides of the dominance self-join
     // and the final rollup (q31's persisted-index rationale)
-    val members = e.join(asg, "vec_id")
+    val members = corpusScaledClusters(dupEmbeddings(spark, dir),
+        labelCentroids(spark, dir), ClusterTargetOccupancy)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val smaller = members.select(col("cluster"),
       col("vec_id").as("smaller_id"), col("e").as("se"))
@@ -912,6 +975,35 @@ object Pipeline {
       hyperSigns.map(_.map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]"))
         .mkString("[", ",", "]")
 
+    /** The [[Pipeline.corpusScaledClusters]] twin: CTE block deriving
+      * fine clusters for the `(vec_id, e)` relation `rel` against the
+      * `cent` CTE — ends with `m` = (vec_id, e, cluster) where cluster
+      * is the composite coarse·2^32 + masked-SRP-subbucket id. Bits per
+      * coarse cluster derive from its occupancy exactly as the Spark
+      * plan ([[Pipeline.occBitsCol]], integer/double-exact both
+      * engines); the hyperplane matrix is the shared md5-derived
+      * literal. A `def`, not a `val`: it must not capture `signsLit`
+      * before object init reaches it. */
+    private def fineClusterCtes(rel: String): String =
+      s"""asg AS (
+         |  SELECT vec_id, arg_max(label, cos6 * 1000000000000 + label) AS cluster FROM (
+         |    SELECT vec_id, label, round(${cos("e", "cvec")}, 6) AS cos6
+         |    FROM $rel CROSS JOIN cent)
+         |  GROUP BY vec_id),
+         |occ AS (SELECT cluster, count(*) AS n_c FROM asg GROUP BY cluster),
+         |bits AS (SELECT cluster, coalesce((SELECT min(b)
+         |    FROM generate_series(0, 32) t(b)
+         |    WHERE ${ClusterTargetOccupancy}.0 * power(2.0, b) >= n_c), 32) AS bb
+         |  FROM occ),
+         |s AS (SELECT $signsLit::DOUBLE[][] AS sm),
+         |m AS (
+         |  SELECT vec_id, e, CAST(cluster AS BIGINT) * 4294967296 +
+         |    (CAST(list_sum(list_transform(generate_series(1, 32), h ->
+         |        CASE WHEN list_sum(list_transform(e, (x, i) -> x * sm[h][i])) > 0
+         |        THEN CAST(2**(h-1) AS BIGINT) ELSE 0 END)) AS BIGINT)
+         |      & (CAST(power(2.0, bb) AS BIGINT) - 1)) AS cluster
+         |  FROM $rel JOIN asg USING (vec_id) JOIN bits USING (cluster), s)""".stripMargin
+
     val q30 =
       s"""WITH base AS (
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
@@ -946,12 +1038,7 @@ object Pipeline {
          |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i)
          |  GROUP BY label),
          |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-         |asg AS (
-         |  SELECT vec_id, arg_max(label, cos6 * 1000000000000 + label) AS cluster FROM (
-         |    SELECT vec_id, label, round(${cos("e", "cvec")}, 6) AS cos6
-         |    FROM e CROSS JOIN cent)
-         |  GROUP BY vec_id),
-         |m AS (SELECT vec_id, e, cluster FROM e JOIN asg USING (vec_id)),
+         |${fineClusterCtes("e")},
          |q AS (SELECT vec_id AS query_id, e AS qe, cluster FROM m WHERE vec_id < 10),
          |scored AS (
          |  SELECT query_id, vec_id, round(${cos("qe", "m.e")}, 4) AS cosine
@@ -1127,12 +1214,7 @@ object Pipeline {
          |    SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 6) AS cavg
          |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i)
          |  GROUP BY label),
-         |asg AS (
-         |  SELECT vec_id, arg_max(label, cos6 * 1000000000000 + label) AS cluster FROM (
-         |    SELECT vec_id, label, round(${cos("e", "cvec")}, 6) AS cos6
-         |    FROM base CROSS JOIN cent)
-         |  GROUP BY vec_id),
-         |m AS (SELECT vec_id, e, cluster FROM base JOIN asg USING (vec_id)),
+         |${fineClusterCtes("base")},
          |rem AS (
          |  SELECT DISTINCT x.vec_id FROM m x JOIN m y
          |    ON x.cluster = y.cluster AND y.vec_id < x.vec_id

@@ -120,6 +120,40 @@ class PipelineSpec extends SparkSpec {
       s"removed $totalRemoved of $nCopies constructed copies")
   }
 
+  test("corpusScaledClusters: occupancy stays bounded as the corpus doubles") {
+    // The q30 bits-scaling shape applied to the cluster family: with a
+    // FIXED cluster count, doubling the corpus doubles occupancy (and
+    // quadruples the cluster-scoped pair volume in q51); the corpus-
+    // scaled subdivision must instead grow the cluster count and hold
+    // max occupancy roughly flat. Deterministic fixture: seeded vectors,
+    // one coarse centroid — subdivision does all the work.
+    def corpus(n: Int) = {
+      val r = new scala.util.Random(42)
+      Seq.tabulate(n)(i => (i.toLong, Seq.fill(64)(r.nextDouble() * 2 - 1)))
+    }
+    val cent = Seq((0, Seq.fill(64)(1.0))).toDF("label", "cvec")
+    def stats(n: Int): (Long, Long) = {
+      val e = corpus(n).toDF("vec_id", "e")
+      val occ = Pipeline.corpusScaledClusters(e, cent, 8)
+        .groupBy(col("cluster")).count()
+      (occ.count(), occ.agg(max(col("count"))).first().getLong(0))
+    }
+    val (k1, max1) = stats(256)
+    val (k2, max2) = stats(1024)
+    assert(k2 >= 3 * k1,
+      s"cluster count must scale with the corpus ($k1 -> $k2)")
+    assert(max2 <= max1 * 2,
+      s"max occupancy must stay roughly flat at 4x corpus ($max1 -> $max2)")
+    assert(max2 <= 4 * 8, s"max occupancy far above target: $max2")
+  }
+
+  test("q31 ranks with the bounded TopK aggregator — no WindowExec in the plan") {
+    val plan = Pipeline.q31IvfAnn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "q31 must not funnel candidate lists through a per-query window sort")
+  }
+
   test("q31 IVF probes only the query's cluster and ranks correctly") {
     val rows = Pipeline.q31IvfAnn(spark, sfDir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
