@@ -14,15 +14,16 @@ case class MediaFeatures(mediaId: Long, mediaType: String, nBytes: Int, features
 
 /** Multimodal-column plumbing for a training-data pipeline: opaque
   * binary payloads with typed metadata, a partition-wise decode/
-  * feature-extract stage, frame sampling, and an oracle-checked rollup.
+  * feature-extract stage, a real image resize, frame sampling, and an
+  * oracle-checked rollup.
   *
-  * The decode step is a STUB: this container has no image/audio codecs,
-  * so `decodeFeaturesStub` derives deterministic pseudo-features from
-  * the payload bytes (documented below). Everything around it — the
-  * `Dataset[MediaFile]` schema, the `mapPartitions` batch shape (one
-  * decoder instantiation per partition, streaming over rows), the
-  * feature-vector output schema, and the partitioning — is real and is
-  * what a production decoder would plug into.
+  * The image path is REAL: `javax.imageio` (JDK built-in — PNG/JPEG/
+  * BMP/GIF, no external jars) decodes payloads to pixels for feature
+  * extraction and `BufferedImage` resamples for resize. Payloads no
+  * installed codec accepts (audio/video containers in this corpus)
+  * take a deterministic byte-derived fallback, so both operators are
+  * total; a production build plugs its codecs into the same
+  * `mapPartitions` seam.
   *
   * Scale posture: payloads never leave their partition (no shuffle
   * before feature extraction); the decode stage is embarrassingly
@@ -49,49 +50,89 @@ object Multimodal {
       .as[MediaFile]
   }
 
-  /** STUB decoder — partition-wise feature extraction with the real
-    * batch shape: one "decoder" per partition, rows streamed through
-    * it. A production build replaces `fakeDecode` with a codec call;
-    * the fake derives k pseudo-features deterministically from the
-    * payload bytes (byte-sum / length moments), so tests can pin exact
-    * values. */
-  def decodeFeaturesStub(files: Dataset[MediaFile], k: Int = 4): Dataset[MediaFeatures] = {
+  /** Deterministic byte-moment pseudo-features — the decode fallback
+    * for payloads no installed codec accepts (opaque audio/video
+    * containers here; a production build registers codecs for those
+    * too). Derived from the byte-sum so tests can pin exact values. */
+  private def byteMomentFeatures(payload: Array[Byte], k: Int): Array[Double] = {
+    val sum = payload.foldLeft(0L)((a, b) => a + (b & 0xFF))
+    Array.tabulate(k)(i => ((sum * (i + 1)) % P).toDouble / P.toDouble)
+  }
+
+  /** REAL decoder — JDK-only codecs, no external jars: `javax.imageio`
+    * reads PNG/JPEG/BMP/GIF from the binary payload. Partition-wise
+    * batch shape: decoder configuration happens once per partition
+    * (disk-cache off — ImageIO otherwise spools every stream through a
+    * temp file), rows stream through it, payloads never shuffle.
+    *
+    * Features for a decodable image: `[width, height, meanR, meanG,
+    * meanB]` with channel means normalized to [0,1] — real pixel
+    * statistics, asserted against hand-built images in MultimodalSpec.
+    * Undecodable payloads (this corpus's synthetic audio/video bytes)
+    * fall back to [[byteMomentFeatures]], so the operator is total and
+    * deterministic either way. */
+  def decodeFeatures(files: Dataset[MediaFile], k: Int = 5): Dataset[MediaFeatures] = {
     import files.sparkSession.implicits._
     files.mapPartitions { rows =>
-      // per-partition decoder setup would happen here (codec handles,
-      // model weights, ...) — the stub needs none.
-      def fakeDecode(payload: Array[Byte]): Array[Double] = {
-        val n = payload.length.max(1)
-        val sum = payload.foldLeft(0L)((a, b) => a + (b & 0xFF))
-        Array.tabulate(k)(i => ((sum * (i + 1)) % P).toDouble / P.toDouble)
+      javax.imageio.ImageIO.setUseCache(false) // per-partition decoder setup
+      rows.map { f =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.payload))
+        val feats =
+          if (img == null) byteMomentFeatures(f.payload, k)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (r, g, b) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h * 255).toDouble
+            Array[Double](w, h, r / n, g / n, b / n).padTo(k, 0.0)
+          }
+        MediaFeatures(f.mediaId, f.mediaType, f.payload.length, feats)
       }
-      rows.map(f => MediaFeatures(f.mediaId, f.mediaType, f.payload.length,
-        fakeDecode(f.payload)))
     }
   }
 
-  /** Resize: re-dimension each image payload to `w × h`. The pixel
-    * kernel is a STUB (no codecs in this container): the "resampled"
-    * payload is the byte buffer truncated/zero-padded to the target
-    * size — deterministic, so tests pin exact bytes. What's real and
-    * load-bearing: the metadata rewrite (downstream stages trust
-    * `meta.widthPx/heightPx`), the binary-in/binary-out column shape,
-    * and the per-row map with NO shuffle — resize is embarrassingly
-    * parallel and must stay inside the scan stage's codegen pipeline
-    * (verified: pure Project over the scan). A production build swaps
-    * the `substring`/pad for a codec call in `mapInPandas`/
-    * `mapPartitions` with the identical schema contract. */
-  def resizeStub(files: Dataset[MediaFile], w: Int, h: Int): Dataset[MediaFile] = {
+  /** REAL resize — decode via `javax.imageio`, resample with a
+    * `BufferedImage`/`Graphics2D` bilinear draw, re-encode as PNG, and
+    * rewrite the metadata the downstream stages trust. Per-row map with
+    * NO shuffle: resize is embarrassingly parallel and stays inside the
+    * scan stage (verified in MultimodalSpec via Layout.hasShuffle).
+    * Payloads no codec accepts keep the deterministic truncate/pad
+    * fallback on the raw bytes, so the operator is total and the
+    * metadata contract holds for every row. */
+  def resizeImage(files: Dataset[MediaFile], w: Int, h: Int): Dataset[MediaFile] = {
     import files.sparkSession.implicits._
-    val target = w * h
-    files.toDF()
-      .withColumn("payload",
-        expr(s"rpad(substring(payload, 1, $target), $target, x'00')"))
-      .withColumn("meta", struct(
-        lit(w).as("widthPx"), lit(h).as("heightPx"),
-        col("meta.sampleRateHz").as("sampleRateHz"),
-        col("meta.nFrames").as("nFrames")))
-      .as[MediaFile]
+    files.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { f =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.payload))
+        val payload =
+          if (img == null) java.util.Arrays.copyOf(f.payload, w * h)
+          else {
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val gfx = out.createGraphics()
+            gfx.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            gfx.drawImage(img, 0, 0, w, h, null)
+            gfx.dispose()
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", baos)
+            baos.toByteArray
+          }
+        MediaFile(f.mediaId, f.mediaType, payload,
+          MediaMeta(w, h, f.meta.sampleRateHz, f.meta.nFrames))
+      }
+    }
   }
 
   /** Frame sampling: every `stride`-th fixed-size chunk of the payload —

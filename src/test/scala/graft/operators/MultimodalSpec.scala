@@ -16,13 +16,50 @@ class MultimodalSpec extends SparkSpec {
       f.meta.nFrames >= 1))
   }
 
-  test("stub decoder: deterministic features with the declared batch shape") {
-    val feats = Multimodal.decodeFeaturesStub(Multimodal.mediaFiles(spark, sfDir))
+  /** In-memory image fixture: solid-color w×h encoded with the given
+    * ImageIO format (png/bmp/gif — JDK built-ins). */
+  private def imageBytes(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+
+  private def media(id: Long, payload: Array[Byte]): MediaFile =
+    MediaFile(id, "image", payload, MediaMeta(0, 0, 0, 1))
+
+  test("decode: real pixel dimensions and channel means from actual PNG/BMP images") {
+    import spark.implicits._
+    val red = 0xFF0000
+    val teal = 0x008080
+    val files = Seq(
+      media(1L, imageBytes(8, 5, red, "png")),
+      media(2L, imageBytes(16, 9, teal, "bmp")),
+      media(3L, "not an image at all".getBytes("UTF-8"))).toDS()
+    val got = Multimodal.decodeFeatures(files)
+      .collect().map(f => f.mediaId -> f.features.toSeq).toMap
+    // metadata said 0×0 — the DECODER reports the true pixel geometry
+    assert(got(1L) == Seq(8.0, 5.0, 1.0, 0.0, 0.0), s"png: ${got(1L)}")
+    assert(got(2L).take(2) == Seq(16.0, 9.0))
+    assert(math.abs(got(2L)(2) - 0.0) < 1e-9 &&
+      math.abs(got(2L)(3) - 0x80 / 255.0) < 1e-9 &&
+      math.abs(got(2L)(4) - 0x80 / 255.0) < 1e-9, s"bmp means: ${got(2L)}")
+    // undecodable payloads fall back to deterministic byte moments
+    assert(got(3L).length == 5 && got(3L).forall(v => v >= 0.0 && v < 1.0))
+    val again = Multimodal.decodeFeatures(files)
+      .collect().map(f => f.mediaId -> f.features.toSeq).toMap
+    assert(again == got, "decode must be deterministic")
+  }
+
+  test("decode over the synthetic corpus: total, deterministic, declared batch shape") {
+    val feats = Multimodal.decodeFeatures(Multimodal.mediaFiles(spark, sfDir))
       .collect()
-    assert(feats.forall(_.features.length == 4))
+    assert(feats.forall(_.features.length == 5))
+    // text payloads are undecodable -> byte-moment fallback in [0,1)
     assert(feats.forall(_.features.forall(v => v >= 0.0 && v < 1.0)))
-    // determinism: a second run yields identical vectors
-    val again = Multimodal.decodeFeaturesStub(Multimodal.mediaFiles(spark, sfDir))
+    val again = Multimodal.decodeFeatures(Multimodal.mediaFiles(spark, sfDir))
       .collect().map(f => f.mediaId -> f.features.toSeq).toMap
     assert(feats.forall(f => again(f.mediaId) == f.features.toSeq))
   }
@@ -38,17 +75,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize: exact payload bytes (truncate/pad) and rewritten metadata, no shuffle") {
-    val files = Multimodal.mediaFiles(spark, sfDir)
-    val resized = Multimodal.resizeStub(files, w = 4, h = 3) // 12 bytes
-    val r = resized.head()
+  test("resize: real resample — output decodes to the target geometry with preserved color") {
+    import spark.implicits._
+    val blue = 0x0000FF
+    val files = Seq(media(1L, imageBytes(12, 8, blue, "png"))).toDS()
+    val r = Multimodal.resizeImage(files, w = 4, h = 3).head()
+    assert(r.meta.widthPx == 4 && r.meta.heightPx == 3)
+    // the payload is a REAL re-encoded image: decode it back and check
+    // pixels — a solid color survives bilinear resampling exactly
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    assert(img != null, "resized payload must be a decodable image")
+    assert(img.getWidth == 4 && img.getHeight == 3)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert((img.getRGB(x, y) & 0xFFFFFF) == blue, f"pixel ($x,$y): ${img.getRGB(x, y)}%06x")
+  }
+
+  test("resize: undecodable payloads keep the deterministic byte fallback and metadata rewrite") {
+    import spark.implicits._
+    val raw = "not an image at all".getBytes("UTF-8")
+    val r = Multimodal.resizeImage(Seq(media(7L, raw)).toDS(), w = 4, h = 3).head()
     assert(r.meta.widthPx == 4 && r.meta.heightPx == 3)
     assert(r.payload.length == 12)
-    val orig = files.filter(_.mediaId == r.mediaId).head().payload
-    if (orig.length >= 12) assert(r.payload.toSeq == orig.take(12).toSeq)
-    else assert(r.payload.toSeq ==
-      (orig.toSeq ++ Seq.fill(12 - orig.length)(0.toByte)))
-    // resize must stay map-side: a Project over the scan, no exchange
+    assert(r.payload.toSeq == raw.take(12).toSeq)
+  }
+
+  test("resize stays partition-wise: no shuffle in the plan") {
+    val resized = Multimodal.resizeImage(Multimodal.mediaFiles(spark, sfDir), 4, 3)
     assert(!Layout.hasShuffle(resized.toDF()), "resize must not shuffle")
   }
 
