@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.functions.TextFunctions.{portableHashMod, simhash16}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming deduplication through the state store — the streaming twin
+  * of the batch L1/L2 dedup family (q23 exact digest dedup, q28 SimHash
+  * near-dup), with the same portable md5-derived keys.
+  *
+  * The reference holds exactly this shape of keyed first/last-value
+  * state in its receive path (last-write-wins frame register,
+  * `src/receiver/main.cpp:36`); here the key is a content signature and
+  * the policy is KEEP-FIRST: every document whose signature was already
+  * seen inside the watermark horizon is dropped.
+  *
+  * Scale posture (100 TB ingest):
+  *  - the signature is computed map-side (codegen'd md5 / simhash over
+  *    token hashes); the only shuffle is the state-store exchange on
+  *    the signature itself, so dedup state partitions across executors
+  *    like any keyed aggregate;
+  *  - state is BOUNDED by the watermark: `dropDuplicatesWithinWatermark`
+  *    evicts a signature once the watermark passes its first-seen event
+  *    time plus the horizon. Unbounded-lookback dedup over an infinite
+  *    stream is impossible in finite state — the horizon IS the dedup
+  *    contract, and a re-arrival after eviction is re-admitted
+  *    (asserted in DedupSpec). Full-corpus dedup remains the batch
+  *    operator's job (q23/q50);
+  *  - state beyond executor heap goes to the RocksDB provider
+  *    ([[StateStores.withRocksDB]]) — exactly-once across restarts via
+  *    the checkpoint, asserted in DedupSpec.
+  */
+object Dedup {
+
+  /** Exact streaming dedup: keep the first document per md5 content
+    * digest seen within the watermark horizon (streaming q23). */
+  def dedupExact(docs: DataFrame, textCol: String, eventTimeCol: String,
+      horizon: String): DataFrame =
+    docs.withColumn("digest", md5(col(textCol).cast("binary")))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("digest")
+      .drop("digest")
+
+  /** Near-dup streaming dedup: keep the first document per 16-bit
+    * SimHash signature (frequency-weighted token votes — streaming
+    * q28): token-level near-copies collapse onto the same signature
+    * without any pairwise comparison, the only shape that works on an
+    * unbounded stream. */
+  def dedupSimhash(docs: DataFrame, textCol: String, eventTimeCol: String,
+      horizon: String): DataFrame =
+    docs.withColumn("hs",
+        transform(split(col(textCol), " "), t => portableHashMod(t)))
+      .withColumn("simhash", simhash16(col("hs")))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("simhash")
+      .drop("hs", "simhash")
+}
