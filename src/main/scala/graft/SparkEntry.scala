@@ -86,6 +86,10 @@ object SparkEntry {
     // map-typed channel-name lookup (SURVEY §2.2 scalar row)
     "q51_semantic_dedup" -> (Pipeline.q51SemanticDedup _),
     "q52_channel_map" -> (Reference.q52ChannelMap _),
+    // round 6: corpus-derived k-means centroids (the SemDeDup "choose k"
+    // step without a label crutch) + deterministic corpus mixing
+    "q53_kmeans_clusters" -> (Pipeline.q53KmeansClusters _),
+    "q54_corpus_mix" -> (Pipeline.q54CorpusMix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

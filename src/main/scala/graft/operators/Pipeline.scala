@@ -798,6 +798,89 @@ object Pipeline {
     }
   }
 
+  /** Derived-centroid clustering — the "choose k for the corpus" half
+    * of the SemDeDup recipe (the label column borrowed by
+    * [[labelCentroids]] is a stand-in a real corpus doesn't have):
+    * deterministic distributed k-means with
+    *
+    *  - k DERIVED IN-PLAN from the corpus count (`least(64,
+    *    ceil(n/32))`, integer-exact both engines) — no driver action;
+    *  - EXPECTED-k THRESHOLD SEEDING: a vector seeds iff its portable
+    *    hash of `seed:vec_id` falls under `k·10^6 div n` — the
+    *    scale-safe alternative to a global sort-limit (no single-task
+    *    top-k over the corpus, and the seed SET is identical in both
+    *    engines because the hash is);
+    *  - `iters` Lloyd refinements: broadcast-centroid argmax assignment
+    *    (the [[assignToCentroids]] tie-break, exact for labels < 10^6)
+    *    then a per-dimension partial-aggregated mean, rounded to 6
+    *    decimals so both engines carry identical centroids.
+    *
+    * Each iteration is O(n·k·d) map-side work against a ≤64-row
+    * broadcast — k-means derives SEMANTIC centroids at bounded cost;
+    * occupancy bounding at scale stays [[corpusScaledClusters]]'s job,
+    * and the two compose: `corpusScaledClusters(e, kMeansCentroids(e),
+    * occ)` is the full derived-centroid SemDeDup pipeline (composition
+    * asserted in PipelineSpec). Returns `(label, cvec)` with label =
+    * the seed's vec_id. */
+  def kMeansCentroids(e: DataFrame, iters: Int = 1): DataFrame = {
+    val nRel = e.agg(count(lit(1)).as("n"))
+    var cent = e.crossJoin(broadcast(nRel))
+      .withColumn("thr", expr("least(64, (n + 31) div 32) * 1000000 div n"))
+      .filter(pmod(portableHash(concat(lit("seed:"), col("vec_id").cast("string"))),
+        lit(1000000L)) < col("thr"))
+      .select(col("vec_id").as("label"), col("e").as("cvec"))
+    for (_ <- 1 to iters)
+      cent = e.join(assignToCentroids(e, cent), "vec_id")
+        .select(col("cluster").as("label"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos")).agg(round(avg(col("v")), 6).as("cavg"))
+        .groupBy(col("label")).agg(collect_list(struct(col("pos"), col("cavg"))).as("tmp"))
+        .select(col("label"),
+          transform(array_sort(col("tmp")), s => s.getField("cavg")).as("cvec"))
+    cent
+  }
+
+  /** L2/L3 — corpus-derived k-means clustering report: the
+    * [[kMeansCentroids]] centroids (k scaled to the corpus), final
+    * assignment, and per-cluster membership + centroid norm. */
+  def q53KmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    // the centroid relation feeds the final assignment AND the report
+    // join; it is tiny (≤64 rows) — persist beats re-running Lloyd
+    val cent = kMeansCentroids(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assignToCentroids(e, cent)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+      .join(cent.select(col("label").as("cluster"),
+        round(vecNorm(col("cvec")), 4).as("centroid_norm")), "cluster")
+      .select(col("cluster"), col("n_members"), col("centroid_norm"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Pipeline — corpus mixing: deterministically downsample every
+    * language stratum to the SMALLEST stratum's size (uniform target
+    * mix), the data-mixing step every multi-source training corpus
+    * needs. The acceptance threshold per stratum is derived IN-PLAN
+    * from the corpus counts (broadcast relations, integer-exact both
+    * engines: `n_min·10^6 div n_lang`), and membership is the portable
+    * md5 hash of `mix:doc_id` — stable across engines, partitionings,
+    * and reruns, exactly like [[q41StratifiedSplit]]. Map-side verdict
+    * + partial-aggregated rollup: one scan at 100 TB. */
+  def q54CorpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minRel = counts.agg(min(col("n_lang")).as("n_min"))
+    docs(spark, dir)
+      .join(broadcast(counts), "lang").crossJoin(broadcast(minRel))
+      .withColumn("thr", expr("n_min * 1000000 div n_lang"))
+      .withColumn("keep",
+        pmod(portableHash(concat(lit("mix:"), col("doc_id").cast("string"))),
+          lit(1000000L)) < col("thr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** L2 — semantic deduplication (the SemDeDup shape, Abbas et al.
     * 2023, arXiv:2303.09540): cluster embeddings around the label
     * centroids (the same assignment stage as [[q31IvfAnn]]'s IVF
@@ -1225,6 +1308,46 @@ object Pipeline {
          |FROM m LEFT JOIN rem r ON m.vec_id = r.vec_id
          |GROUP BY cluster ORDER BY cluster""".stripMargin
 
+    val q53 =
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |nn AS (SELECT count(*) AS n FROM e),
+         |seeds AS (
+         |  SELECT vec_id AS label, e AS cvec FROM e, nn
+         |  WHERE ${ph("'seed:' || CAST(vec_id AS VARCHAR)")} % 1000000
+         |    < (least(64, (n + 31) // 32) * 1000000) // n),
+         |asg0 AS (
+         |  SELECT vec_id, arg_max(label, cos6 * 1000000000000 + label) AS cluster FROM (
+         |    SELECT vec_id, label, round(${cos("e", "cvec")}, 6) AS cos6
+         |    FROM e CROSS JOIN seeds)
+         |  GROUP BY vec_id),
+         |cent1 AS (
+         |  SELECT label, list(cavg ORDER BY pos) AS cvec FROM (
+         |    SELECT cluster AS label, i AS pos, round(avg(e[i]), 6) AS cavg
+         |    FROM e JOIN asg0 USING (vec_id), generate_series(1, 64) t(i)
+         |    GROUP BY cluster, i)
+         |  GROUP BY label),
+         |asg1 AS (
+         |  SELECT vec_id, arg_max(label, cos6 * 1000000000000 + label) AS cluster FROM (
+         |    SELECT vec_id, label, round(${cos("e", "cvec")}, 6) AS cos6
+         |    FROM e CROSS JOIN cent1)
+         |  GROUP BY vec_id),
+         |norms AS (SELECT label AS cluster, round(${nrm("cvec")}, 4) AS centroid_norm FROM cent1)
+         |SELECT cluster, count(*) AS n_members, centroid_norm
+         |FROM asg1 JOIN norms USING (cluster)
+         |GROUP BY cluster, centroid_norm ORDER BY cluster""".stripMargin
+
+    val q54 =
+      s"""WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+         |mn AS (SELECT min(n_lang) AS n_min FROM counts),
+         |v AS (
+         |  SELECT d.lang,
+         |    ${ph("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |      < (n_min * 1000000) // n_lang AS keep
+         |  FROM documents d JOIN counts USING (lang), mn)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM v GROUP BY lang ORDER BY lang""".stripMargin
+
     val all: Map[String, String] = Map(
       "q23_exact_dedup" -> q23,
       "q24_near_dup_minhash" -> q24,
@@ -1243,6 +1366,8 @@ object Pipeline {
       "q49_contamination" -> q49,
       "q50_dedup_clusters" -> q50,
       "q51_semantic_dedup" -> q51,
+      "q53_kmeans_clusters" -> q53,
+      "q54_corpus_mix" -> q54,
     )
   }
 }

@@ -147,6 +147,46 @@ class PipelineSpec extends SparkSpec {
     assert(max2 <= 4 * 8, s"max occupancy far above target: $max2")
   }
 
+  test("q53 k-means: k scales with the corpus, assignment total, composition with subdivision") {
+    val rows = Pipeline.q53KmeansClusters(spark, sfDir).collect()
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    // every vector lands in exactly one cluster
+    assert(rows.map(_.getLong(1)).sum == n)
+    // expected-k threshold seeding: cluster count tracks ceil(n/32)
+    // (hash sampling is binomial — allow wide but meaningful bounds)
+    val k = math.min(64L, (n + 31) / 32)
+    assert(rows.length >= (k / 2).toInt && rows.length <= (k * 2).toInt,
+      s"expected ~$k clusters, got ${rows.length}")
+    // centroids are unit-scale vectors of the data, not degenerate
+    assert(rows.forall(r => r.getDouble(2) > 0.0))
+    // the full derived-centroid SemDeDup composition: k-means centroids
+    // feed the occupancy-bounded subdivision
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val occ = Pipeline.corpusScaledClusters(e, Pipeline.kMeansCentroids(e), 8)
+      .groupBy(col("cluster")).count().agg(max(col("count"))).first().getLong(0)
+    assert(occ <= 4 * 8, s"composition must bound occupancy, max was $occ")
+  }
+
+  test("q54 corpus mix: deterministic, strata downsampled toward the smallest") {
+    val rows = Pipeline.q54CorpusMix(spark, sfDir).collect()
+    val again = Pipeline.q54CorpusMix(spark, sfDir).collect()
+    assert(rows.toSeq == again.toSeq, "mix must be deterministic")
+    val kept = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val sizes = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = sizes.values.min
+    // the smallest stratum keeps everything (threshold = 10^6)
+    val smallest = sizes.minBy(_._2)._1
+    assert(kept(smallest) == nMin)
+    // every stratum lands near the target size (binomial hash sampling:
+    // generous ±40% tolerance holds at sf0.001's ~100-doc strata)
+    kept.foreach { case (lang, nk) =>
+      assert(nk <= sizes(lang))
+      assert(math.abs(nk - nMin).toDouble / nMin <= 0.4,
+        s"$lang kept $nk, target $nMin")
+    }
+  }
+
   test("q31 ranks with the bounded TopK aggregator — no WindowExec in the plan") {
     val plan = Pipeline.q31IvfAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
