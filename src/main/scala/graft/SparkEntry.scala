@@ -90,6 +90,7 @@ object SparkEntry {
     // step without a label crutch) + deterministic corpus mixing
     "q53_kmeans_clusters" -> (Pipeline.q53KmeansClusters _),
     "q54_corpus_mix" -> (Pipeline.q54CorpusMix _),
+    "q55_quantized_ann" -> (Pipeline.q55QuantizedAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -798,6 +798,61 @@ object Pipeline {
     }
   }
 
+  /** Shortlist size for [[q55QuantizedAnn]]'s approximate first pass —
+    * the recall knob: quantization error can reorder near-ties, so the
+    * exact re-rank sees 4× the final k. */
+  private val QuantShortlist = 20
+
+  /** L3 — quantization-accelerated re-rank ANN: the MEMORY side of ANN
+    * at 100 TB. The scan-side index is the int8-quantized vector (64
+    * bytes + one scale vs 512 bytes of doubles — 4× less to hold
+    * resident than the raw embeddings), the first pass scores every
+    * vector with the cheap quantized dot and keeps a
+    * [[QuantShortlist]]-deep shortlist per query (bounded TopK
+    * aggregator, map-side), and ONLY the shortlist rows fetch their
+    * exact vectors for the final cosine re-rank. Quantization is
+    * symmetric per-vector (`scale = max|x|/127`, half-up rounding —
+    * identical in DuckDB), so both engines build the identical index;
+    * shortlist ties break (approx desc, vec_id) in both. Complements
+    * q31: IVF prunes by PARTITIONING the corpus, quantization prunes
+    * the BYTES per candidate — production systems stack both. */
+  def q55QuantizedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    // the quantized index: persisted like q31's assignment — it IS the
+    // structure a production system keeps resident
+    val quant = e
+      .withColumn("scale",
+        greatest(array_max(transform(col("e"), x => abs(x))) / 127.0, lit(1e-12)))
+      .select(col("vec_id"),
+        transform(col("e"), x => round(x / col("scale")).cast("int")).as("qv"),
+        col("scale"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = quant.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"), col("scale").as("qs"))
+    // pass 1: quantized dot over the whole index, bounded shortlist
+    val approx = quant.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("adot",
+        vecDot(transform(col("qv"), x => x.cast("double")),
+          transform(col("qq"), x => x.cast("double"))) * col("scale") * col("qs"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topK(QuantShortlist, col("vec_id"), col("adot")).as("short"))
+      .select(col("query_id"), explode(col("short")).as("s"))
+      .select(col("query_id"), col("s.id").as("vec_id"))
+    // pass 2: exact re-rank of the shortlist only
+    val qe = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qvec"))
+    val exact = approx.join(e, "vec_id").join(broadcast(qe), "query_id")
+      .withColumn("cosine", round(vecCosine(col("qvec"), col("e")), 4))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    exact.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topK(TopK, col("vec_id"), col("cosine")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("s.id").as("vec_id"), col("s.score").as("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Derived-centroid clustering — the "choose k for the corpus" half
     * of the SemDeDup recipe (the label column borrowed by
     * [[labelCentroids]] is a stand-in a real corpus doesn't have):
@@ -1336,6 +1391,31 @@ object Pipeline {
          |FROM asg1 JOIN norms USING (cluster)
          |GROUP BY cluster, centroid_norm ORDER BY cluster""".stripMargin
 
+    val q55 =
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |qt AS (
+         |  SELECT vec_id, list_transform(e, x -> CAST(round(x / scale) AS INT)) AS qv, scale
+         |  FROM (SELECT vec_id, e,
+         |      greatest(list_max(list_transform(e, x -> abs(x))) / 127.0, 1e-12) AS scale
+         |    FROM e)),
+         |q AS (SELECT vec_id AS query_id, qv AS qq, scale AS qs FROM qt WHERE vec_id < 10),
+         |ap AS (
+         |  SELECT query_id, vec_id, ${dot("qv", "qq")} * scale * qs AS adot
+         |  FROM qt JOIN q ON vec_id <> query_id),
+         |short AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adot DESC, vec_id) AS srk FROM ap)
+         |  WHERE srk <= 20),
+         |qe AS (SELECT vec_id AS query_id, e AS qvec FROM e WHERE vec_id < 10),
+         |ex AS (
+         |  SELECT s.query_id, s.vec_id, round(${cos("qvec", "e.e")}, 4) AS cosine
+         |  FROM short s JOIN e ON e.vec_id = s.vec_id JOIN qe ON qe.query_id = s.query_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, vec_id) AS rk FROM ex)
+         |SELECT query_id, rk, vec_id, cosine FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin
+
     val q54 =
       s"""WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
          |mn AS (SELECT min(n_lang) AS n_min FROM counts),
@@ -1368,6 +1448,7 @@ object Pipeline {
       "q51_semantic_dedup" -> q51,
       "q53_kmeans_clusters" -> q53,
       "q54_corpus_mix" -> q54,
+      "q55_quantized_ann" -> q55,
     )
   }
 }

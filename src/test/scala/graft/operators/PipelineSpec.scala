@@ -168,6 +168,22 @@ class PipelineSpec extends SparkSpec {
     assert(occ <= 4 * 8, s"composition must bound occupancy, max was $occ")
   }
 
+  test("q55 quantized ANN: exact top-1 survives quantized shortlisting for every query") {
+    val exact = Pipeline.q25SimilarityTopk(spark, sfDir).collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Pipeline.q55QuantizedAnn(spark, sfDir).collect()
+    val byQuery = got.groupBy(_.getLong(0))
+    assert(byQuery.keySet == exact.keySet)
+    byQuery.foreach { case (q, rs) =>
+      // the int8 pass may reorder near-ties inside the shortlist, but
+      // the true nearest neighbour must never be pruned by it
+      assert(rs.map(_.getLong(2)).contains(exact(q)),
+        s"query $q lost its exact top-1 ${exact(q)}")
+      val sorted = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("q54 corpus mix: deterministic, strata downsampled toward the smallest") {
     val rows = Pipeline.q54CorpusMix(spark, sfDir).collect()
     val again = Pipeline.q54CorpusMix(spark, sfDir).collect()
