@@ -91,6 +91,8 @@ object SparkEntry {
     "q53_kmeans_clusters" -> (Pipeline.q53KmeansClusters _),
     "q54_corpus_mix" -> (Pipeline.q54CorpusMix _),
     "q55_quantized_ann" -> (Pipeline.q55QuantizedAnn _),
+    "q56_passage_dedup" -> (Pipeline.q56PassageDedup _),
+    "q57_bm25" -> (Pipeline.q57Bm25 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -853,6 +853,71 @@ object Pipeline {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** L1 — PASSAGE-level exact dedup: non-overlapping 16-token chunks
+    * hashed and deduplicated across the whole corpus — the granularity
+    * that catches partially-copied documents a whole-document digest
+    * (q23) misses (boilerplate headers, quoted passages, template
+    * bodies). Runs over the exact-dup corpus so cross-document chunk
+    * duplication demonstrably exists. Per language: chunk instances,
+    * distinct chunks, and removable instances under a keep-first
+    * policy. Scale shape: explode to one row per chunk, codegen'd md5,
+    * partial-aggregated counts — one shuffle on the chunk hash. */
+  def q56PassageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunkTokens = 16
+    val toks = split(col("text"), " ")
+    val nChunks = (size(toks) / chunkTokens).cast("int")
+    // filter BEFORE sequence: Spark's sequence(1, 0) descends ([1, 0]),
+    // it does not return empty — short docs must not reach it
+    val chunks = dupDocs(spark, dir)
+      .filter(size(toks) >= chunkTokens)
+      .select(col("lang"), posexplode(transform(sequence(lit(1), nChunks),
+        i => array_join(slice(toks, (i - 1) * chunkTokens + 1, lit(chunkTokens)), " ")))
+        .as(Seq("pos", "chunk")))
+      .select(col("lang"), portableHashMod(col("chunk")).as("h"))
+    chunks
+      .groupBy(col("lang"), col("h")).agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_chunks"),
+        count(lit(1)).as("n_uniq_chunks"),
+        (sum(col("n")) - count(lit(1))).as("n_dup_chunks"))
+      .orderBy(col("lang"))
+  }
+
+  /** L4 — BM25 retrieval over the corpus (Robertson/Spärck Jones,
+    * k1 = 1.2, b = 0.75): the ranked-search primitive of a curation
+    * pipeline (audit queries, decontamination probes, targeted
+    * sampling). Everything data-dependent derives IN-PLAN: document
+    * frequency per query term, corpus size, and average document
+    * length ride one broadcast one-row relation — no driver-side
+    * constants. The per-doc accumulation is a partial-aggregated
+    * groupBy and the final top-10 is the bounded TopK aggregator;
+    * ranking uses the ROUNDED score (ties by doc_id) so both engines
+    * cut the identical list. */
+  def q57Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join", "window")
+    val d = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val stats = d.agg(count(lit(1)).cast("double").as("nn"),
+      avg(col("dl")).as("avgdl"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(df_), "t").crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("nn") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * col("tf") * (lit(1.2) + 1.0)
+        / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id")).agg(round(sum(col("w")), 4).as("score"))
+    scored
+      .agg(graft.functions.TopK.topK(10, col("doc_id"), col("score")).as("topk"))
+      .select(posexplode(col("topk")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("int").as("rk"),
+        col("s.id").as("doc_id"), col("s.score").as("score"))
+      .orderBy(col("rk"))
+  }
+
   /** Derived-centroid clustering — the "choose k for the corpus" half
     * of the SemDeDup recipe (the label column borrowed by
     * [[labelCentroids]] is a stand-in a real corpus doesn't have):
@@ -1391,6 +1456,42 @@ object Pipeline {
          |FROM asg1 JOIN norms USING (cluster)
          |GROUP BY cluster, centroid_norm ORDER BY cluster""".stripMargin
 
+    val q56 =
+      s"""WITH corpus AS (
+         |  SELECT lang, text FROM documents
+         |  UNION ALL
+         |  SELECT lang, text FROM documents WHERE doc_id % 7 = 0),
+         |tk AS (SELECT lang, string_split(text, ' ') AS toks FROM corpus),
+         |ch AS (
+         |  SELECT lang, unnest(list_transform(generate_series(1, len(toks) // 16),
+         |    i -> ${phm("array_to_string(toks[(i-1)*16+1 : (i-1)*16+16], ' ')")})) AS h
+         |  FROM tk WHERE len(toks) >= 16),
+         |g AS (SELECT lang, h, count(*) AS n FROM ch GROUP BY lang, h)
+         |SELECT lang, CAST(sum(n) AS BIGINT) AS n_chunks,
+         |  count(*) AS n_uniq_chunks,
+         |  CAST(sum(n) - count(*) AS BIGINT) AS n_dup_chunks
+         |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+
+    val q57 =
+      s"""WITH dd AS (
+         |  SELECT doc_id, len(toks) AS dl, toks
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |st AS (SELECT count(*)::DOUBLE AS nn, avg(dl) AS avgdl FROM dd),
+         |tf AS (
+         |  SELECT doc_id, dl, t, count(*)::DOUBLE AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM dd) u
+         |  WHERE t IN ('spark', 'join', 'window')
+         |  GROUP BY doc_id, dl, t),
+         |dfr AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+         |sc AS (
+         |  SELECT doc_id, round(sum(
+         |    ln(1.0 + (nn - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+         |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+         |  FROM tf JOIN dfr USING (t), st GROUP BY doc_id),
+         |ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM sc)
+         |SELECT CAST(rk AS INT) AS rk, doc_id, score FROM ranked WHERE rk <= 10
+         |ORDER BY rk""".stripMargin
+
     val q55 =
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
          |qt AS (
@@ -1449,6 +1550,8 @@ object Pipeline {
       "q53_kmeans_clusters" -> q53,
       "q54_corpus_mix" -> q54,
       "q55_quantized_ann" -> q55,
+      "q56_passage_dedup" -> q56,
+      "q57_bm25" -> q57,
     )
   }
 }

@@ -184,6 +184,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q56 passage dedup: constructed exact copies make every chunk a duplicate") {
+    val rows = Pipeline.q56PassageDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        "instances = uniq + dups")
+    }
+    // every doc_id % 7 == 0 doc with >= 16 tokens re-inserts all its
+    // chunks verbatim — dup chunks must at least cover those
+    val minDups = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 0)
+      .select((size(split(col("text"), " ")) / 16).cast("long").as("c"))
+      .agg(sum(col("c"))).first().getLong(0)
+    assert(rows.map(_.getLong(3)).sum >= minDups,
+      s"expected >= $minDups duplicate chunks")
+  }
+
+  test("q57 BM25: 10 ranked docs, monotone scores, hits actually contain a query term") {
+    val rows = Pipeline.q57Bm25(spark, sfDir).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0.0))
+    val hitIds = rows.map(_.getLong(1)).toSet
+    val withTerm = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").rlike("\\b(spark|join|window)\\b"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(hitIds.subsetOf(withTerm))
+  }
+
   test("q54 corpus mix: deterministic, strata downsampled toward the smallest") {
     val rows = Pipeline.q54CorpusMix(spark, sfDir).collect()
     val again = Pipeline.q54CorpusMix(spark, sfDir).collect()
