@@ -93,6 +93,7 @@ object SparkEntry {
     "q55_quantized_ann" -> (Pipeline.q55QuantizedAnn _),
     "q56_passage_dedup" -> (Pipeline.q56PassageDedup _),
     "q57_bm25" -> (Pipeline.q57Bm25 _),
+    "q58_unigram_quality" -> (Pipeline.q58UnigramQuality _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

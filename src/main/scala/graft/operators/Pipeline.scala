@@ -918,6 +918,39 @@ object Pipeline {
       .orderBy(col("rk"))
   }
 
+  /** L4 — unigram-LM quality scoring (the CCNet/Gopher perplexity-proxy
+    * signal with the LM DERIVED IN-PLAN): token unigram probabilities
+    * come from the corpus's own counts, every document is scored by its
+    * mean token log-probability, and documents more than two standard
+    * deviations below the corpus mean are flagged as outliers
+    * (gibberish / vocabulary-atypical text scores low under the
+    * corpus's own distribution). Threshold, mean, and deviation are all
+    * corpus-derived broadcast one-row relations — no tuned constants.
+    * Scale shape: one token-count aggregate (the LM), one hash join of
+    * token instances against it, one per-doc aggregate, one rollup;
+    * flagging compares 6-decimal-rounded scores so both engines make
+    * the identical cut. */
+  def q58UnigramQuality(spark: SparkSession, dir: String): DataFrame = {
+    val inst = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("t"))
+    // the unigram LM: p(t) = count(t) / total — derived once, reused
+    // via the join below (token vocabulary shuffles once)
+    val lm = inst.groupBy(col("t")).agg(count(lit(1)).as("ct"))
+    val tot = lm.agg(sum(col("ct")).cast("double").as("tot"))
+    val perDoc = inst.join(lm, "t").crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(avg(log(col("ct").cast("double") / col("tot"))), 6).as("alp"))
+    val bounds = perDoc.agg(
+      (avg(col("alp")) - lit(2.0) * stddev_samp(col("alp"))).as("lo"))
+    perDoc.crossJoin(broadcast(bounds))
+      .withColumn("flagged", col("alp") < round(col("lo"), 6))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("alp")), 4).as("avg_logprob"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("lang"))
+  }
+
   /** Derived-centroid clustering — the "choose k for the corpus" half
     * of the SemDeDup recipe (the label column borrowed by
     * [[labelCentroids]] is a stand-in a real corpus doesn't have):
@@ -1456,6 +1489,19 @@ object Pipeline {
          |FROM asg1 JOIN norms USING (cluster)
          |GROUP BY cluster, centroid_norm ORDER BY cluster""".stripMargin
 
+    val q58 =
+      s"""WITH inst AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+         |lm AS (SELECT t, count(*) AS ct FROM inst GROUP BY t),
+         |tot AS (SELECT sum(ct)::DOUBLE AS tot FROM lm),
+         |pd AS (
+         |  SELECT doc_id, lang, round(avg(ln(ct::DOUBLE / tot)), 6) AS alp
+         |  FROM inst JOIN lm USING (t), tot GROUP BY doc_id, lang),
+         |b AS (SELECT avg(alp) - 2.0 * stddev_samp(alp) AS lo FROM pd)
+         |SELECT lang, count(*) AS n_docs, round(avg(alp), 4) AS avg_logprob,
+         |  CAST(sum(CASE WHEN alp < round(lo, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM pd, b GROUP BY lang ORDER BY lang""".stripMargin
+
     val q56 =
       s"""WITH corpus AS (
          |  SELECT lang, text FROM documents
@@ -1552,6 +1598,7 @@ object Pipeline {
       "q55_quantized_ann" -> q55,
       "q56_passage_dedup" -> q56,
       "q57_bm25" -> q57,
+      "q58_unigram_quality" -> q58,
     )
   }
 }

@@ -215,6 +215,19 @@ class PipelineSpec extends SparkSpec {
     assert(hitIds.subsetOf(withTerm))
   }
 
+  test("q58 unigram quality: totals cover the corpus, scores negative, outliers bounded") {
+    val rows = Pipeline.q58UnigramQuality(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.Tables.documents(spark, sfDir).count())
+    // log-probabilities are strictly negative; a 2-sigma cut flags a
+    // small minority of each stratum
+    rows.foreach { r =>
+      assert(r.getDouble(2) < 0.0)
+      assert(r.getLong(3) <= r.getLong(1) / 4,
+        s"${r.getString(0)}: ${r.getLong(3)} of ${r.getLong(1)} flagged")
+    }
+  }
+
   test("q54 corpus mix: deterministic, strata downsampled toward the smallest") {
     val rows = Pipeline.q54CorpusMix(spark, sfDir).collect()
     val again = Pipeline.q54CorpusMix(spark, sfDir).collect()
