@@ -76,10 +76,9 @@ object Multimodal {
     files.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // per-partition decoder setup
       rows.map { f =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.payload))
-        val feats =
-          if (img == null) byteMomentFeatures(f.payload, k)
-          else {
+        val feats = tryDecode(f.payload) match {
+          case None => byteMomentFeatures(f.payload, k)
+          case Some(img) =>
             val (w, h) = (img.getWidth, img.getHeight)
             var (r, g, b) = (0L, 0L, 0L)
             var y = 0
@@ -93,12 +92,25 @@ object Multimodal {
               y += 1
             }
             val n = (w.toLong * h * 255).toDouble
-            Array[Double](w, h, r / n, g / n, b / n).padTo(k, 0.0)
-          }
+            // padTo + take: features are ALWAYS length k, decodable or
+            // not — mixed-length vectors in one Dataset break downstream
+            // consumers that assume a fixed dimension
+            Array[Double](w, h, r / n, g / n, b / n).padTo(k, 0.0).take(k)
+        }
         MediaFeatures(f.mediaId, f.mediaType, f.payload.length, feats)
       }
     }
   }
+
+  /** Decode one payload, or None when no reader claims it OR a claimed
+    * decode fails mid-stream (truncated / bit-rotted body behind a
+    * valid magic — the normal corruption mode in a harvested corpus;
+    * ImageIO.read THROWS there rather than returning null, and an
+    * uncaught throw would fail the whole task instead of taking the
+    * documented fallback). */
+  private def tryDecode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
 
   /** REAL resize — decode via `javax.imageio`, resample with a
     * `BufferedImage`/`Graphics2D` bilinear draw, re-encode as PNG, and
@@ -113,10 +125,9 @@ object Multimodal {
     files.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { f =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.payload))
-        val payload =
-          if (img == null) java.util.Arrays.copyOf(f.payload, w * h)
-          else {
+        val payload = tryDecode(f.payload) match {
+          case None => java.util.Arrays.copyOf(f.payload, w * h)
+          case Some(img) =>
             val out = new java.awt.image.BufferedImage(
               w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
             val gfx = out.createGraphics()
@@ -128,7 +139,7 @@ object Multimodal {
             val baos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(out, "png", baos)
             baos.toByteArray
-          }
+        }
         MediaFile(f.mediaId, f.mediaType, payload,
           MediaMeta(w, h, f.meta.sampleRateHz, f.meta.nFrames))
       }

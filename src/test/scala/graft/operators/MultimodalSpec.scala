@@ -48,6 +48,13 @@ class MultimodalSpec extends SparkSpec {
       math.abs(got(2L)(4) - 0x80 / 255.0) < 1e-9, s"bmp means: ${got(2L)}")
     // undecodable payloads fall back to deterministic byte moments
     assert(got(3L).length == 5 && got(3L).forall(v => v >= 0.0 && v < 1.0))
+    // a TRUNCATED image (valid magic, corrupt body) makes ImageIO's
+    // reader throw mid-decode — must fall back, not fail the task
+    val corrupt = imageBytes(8, 5, red, "png").take(24)
+    val c = Multimodal.decodeFeatures(Seq(media(9L, corrupt)).toDS()).head()
+    assert(c.features.length == 5)
+    val cr = Multimodal.resizeImage(Seq(media(9L, corrupt)).toDS(), 4, 3).head()
+    assert(cr.payload.length == 12 && cr.meta.widthPx == 4)
     val again = Multimodal.decodeFeatures(files)
       .collect().map(f => f.mediaId -> f.features.toSeq).toMap
     assert(again == got, "decode must be deterministic")

@@ -134,9 +134,11 @@ class PipelineSpec extends SparkSpec {
     val cent = Seq((0, Seq.fill(64)(1.0))).toDF("label", "cvec")
     def stats(n: Int): (Long, Long) = {
       val e = corpus(n).toDF("vec_id", "e")
-      val occ = Pipeline.corpusScaledClusters(e, cent, 8)
-        .groupBy(col("cluster")).count()
-      (occ.count(), occ.agg(max(col("count"))).first().getLong(0))
+      val (fine, release) = Pipeline.corpusScaledClustersWithRelease(e, cent, 8)
+      try {
+        val occ = fine.groupBy(col("cluster")).count()
+        (occ.count(), occ.agg(max(col("count"))).first().getLong(0))
+      } finally release()
     }
     val (k1, max1) = stats(256)
     val (k2, max2) = stats(1024)
@@ -163,8 +165,11 @@ class PipelineSpec extends SparkSpec {
     // feed the occupancy-bounded subdivision
     val e = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-    val occ = Pipeline.corpusScaledClusters(e, Pipeline.kMeansCentroids(e), 8)
-      .groupBy(col("cluster")).count().agg(max(col("count"))).first().getLong(0)
+    val (fine, release) =
+      Pipeline.corpusScaledClustersWithRelease(e, Pipeline.kMeansCentroids(e), 8)
+    val occ =
+      try fine.groupBy(col("cluster")).count().agg(max(col("count"))).first().getLong(0)
+      finally release()
     assert(occ <= 4 * 8, s"composition must bound occupancy, max was $occ")
   }
 
