@@ -252,6 +252,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("cluster/seed assignment is layout-invariant: any partitioning yields identical results") {
+    // The scaladocs promise "stable across partitionings" — pin it: the
+    // same corpus through 1, 3, and 13 partitions must produce the
+    // IDENTICAL fine-cluster relation and k-means seed set (hash-derived
+    // decisions only, no first()/monotonically_increasing_id leakage).
+    def corpus(parts: Int) = {
+      val r = new scala.util.Random(7)
+      val rows = Seq.tabulate(200)(i => (i.toLong, Seq.fill(64)(r.nextDouble() * 2 - 1)))
+      rows.toDF("vec_id", "e").repartition(parts)
+    }
+    val cent = Seq((0, Seq.fill(64)(1.0)), (1, Seq.fill(64)(-0.5))).toDF("label", "cvec")
+    def clusters(parts: Int) = {
+      val (fine, release) = Pipeline.corpusScaledClustersWithRelease(corpus(parts), cent, 8)
+      try fine.select("vec_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally release()
+    }
+    def centroids(parts: Int) = Pipeline.kMeansCentroids(corpus(parts))
+      .select("label").collect().map(_.getLong(0)).toSet
+    assert(clusters(1) == clusters(3) && clusters(3) == clusters(13))
+    assert(centroids(1) == centroids(3) && centroids(3) == centroids(13))
+  }
+
   test("q31 ranks with the bounded TopK aggregator — no WindowExec in the plan") {
     val plan = Pipeline.q31IvfAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
