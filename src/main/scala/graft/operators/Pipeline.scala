@@ -442,13 +442,38 @@ object Pipeline {
     val asg = assignToCentroids(e, cent)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val occ = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_c"))
+    // `mask` (the cluster's active sub-bucket bits) rides along so
+    // consumers can MULTI-PROBE: enumerate Hamming-neighbour sub-buckets
+    // without re-deriving the per-cluster bit count
     val fine = e.join(asg, "vec_id").join(broadcast(occ), "cluster")
       .withColumn("mask",
         pow(lit(2.0), occBitsCol(col("n_c"), 0, targetOcc)).cast("long") - 1L)
       .select(col("vec_id"), col("e"),
         (col("cluster").cast("long") * lit(4294967296L) +
-          srpSignature(col("e")).bitwiseAND(col("mask"))).as("cluster"))
+          srpSignature(col("e")).bitwiseAND(col("mask"))).as("cluster"),
+        col("mask"))
     (fine, () => { asg.unpersist(blocking = false); () })
+  }
+
+  /** Hamming-1 MULTI-PROBE expansion of a fine-cluster relation: each
+    * row is emitted under its own cluster AND under every cluster that
+    * differs in exactly one active sub-bucket bit. The recall
+    * counterpart of the occupancy bound: at the 100 TB design point the
+    * per-cluster bit count b_c grows to ~30, so a true cosine-0.99 pair
+    * lands in different sub-buckets with probability ~1−(1−θ/π)^b ≈ 4% —
+    * probing the b_c one-bit flips recovers every single-plane split
+    * (residual misses need ≥2 flipped planes, ~0.1%) for an O(b_c) row
+    * expansion, the classic multi-probe LSH trade. XOR on the composite
+    * id flips only sub-bucket bits (the coarse label lives above bit
+    * 32; probe bits are masked to the active sub-bits). */
+  private[operators] def hammingProbes(rel: DataFrame): DataFrame = {
+    val flips = filter(
+      transform(sequence(lit(0), lit(MaxHyperplanes - 1)),
+        j => when(col("mask").bitwiseAND(pow(lit(2.0), j).cast("long")) =!= 0L,
+          col("cluster").bitwiseXOR(pow(lit(2.0), j).cast("long")))),
+      x => x.isNotNull)
+    rel.select(col("vec_id"), col("e"),
+      explode(concat(array(col("cluster")), flips)).as("cluster"))
   }
 
   /** L3 — IVF approximate nearest neighbour with a CORPUS-SCALED list
@@ -1095,7 +1120,10 @@ object Pipeline {
     val members = corpusScaledClusters(dupEmbeddings(spark, dir),
         labelCentroids(spark, dir), ClusterTargetOccupancy)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val smaller = members.select(col("cluster"),
+    // the dominating side is MULTI-PROBED ([[hammingProbes]]): a dup
+    // pair split by one hyperplane still meets in the flipped bucket,
+    // so recall no longer decays with the (corpus-scaled) bit count
+    val smaller = hammingProbes(members).select(col("cluster"),
       col("vec_id").as("smaller_id"), col("e").as("se"))
     val removed = members.join(smaller, "cluster")
       .filter(col("smaller_id") < col("vec_id") &&
@@ -1274,7 +1302,8 @@ object Pipeline {
          |    (CAST(list_sum(list_transform(generate_series(1, 32), h ->
          |        CASE WHEN list_sum(list_transform(e, (x, i) -> x * sm[h][i])) > 0
          |        THEN CAST(2**(h-1) AS BIGINT) ELSE 0 END)) AS BIGINT)
-         |      & (CAST(power(2.0, bb) AS BIGINT) - 1)) AS cluster
+         |      & (CAST(power(2.0, bb) AS BIGINT) - 1)) AS cluster,
+         |    CAST(power(2.0, bb) AS BIGINT) - 1 AS mask
          |  FROM $rel JOIN asg USING (vec_id) JOIN bits USING (cluster), s)""".stripMargin
 
     val q30 =
@@ -1488,10 +1517,16 @@ object Pipeline {
          |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i)
          |  GROUP BY label),
          |${fineClusterCtes("base")},
+         |probes AS (
+         |  SELECT vec_id AS smaller_id, e AS se,
+         |    unnest(list_prepend(cluster, list_transform(
+         |      list_filter(generate_series(0, 31), j -> (mask & CAST(2**j AS BIGINT)) != 0),
+         |      j -> xor(cluster, CAST(2**j AS BIGINT))))) AS cluster
+         |  FROM m),
          |rem AS (
-         |  SELECT DISTINCT x.vec_id FROM m x JOIN m y
-         |    ON x.cluster = y.cluster AND y.vec_id < x.vec_id
-         |  WHERE round(${cos("x.e", "y.e")}, 4) >= 0.99)
+         |  SELECT DISTINCT x.vec_id FROM m x JOIN probes y
+         |    ON x.cluster = y.cluster AND y.smaller_id < x.vec_id
+         |  WHERE round(${cos("x.e", "y.se")}, 4) >= 0.99)
          |SELECT cluster, count(*) AS n_docs,
          |  CAST(count(r.vec_id) AS BIGINT) AS n_removed,
          |  CAST(count(*) - count(r.vec_id) AS BIGINT) AS n_kept
