@@ -362,15 +362,23 @@ object Pipeline {
     // MEMORY_AND_DISK copy replaces a full second derivation (same
     // rationale as q24's persisted hash arrays / q31's assignment)
     val bucketed = emb.crossJoin(broadcast(maskRel))
-      .withColumn("bucket", srpSignature(col("e")).bitwiseAND(col("mask")))
-      .select(col("vec_id"), col("e"), col("bucket"))
+      .withColumn("cluster", srpSignature(col("e")).bitwiseAND(col("mask")))
+      .select(col("vec_id"), col("e"), col("cluster"), col("mask"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val x = bucketed.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("bucket"))
-    val y = bucketed.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("bucket"))
-    x.join(y, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+    // one side is Hamming-1 MULTI-PROBED (hammingProbes): as the bit
+    // count scales with the corpus, the chance a true dup pair is split
+    // by one hyperplane grows with it — probing the one-bit flips keeps
+    // recall flat for an O(bits) expansion of one join side (the same
+    // trade as q51's dominance side)
+    val x = hammingProbes(bucketed)
+      .select(col("vec_id").as("vec_a"), col("e").as("ea"), col("cluster"))
+    val y = bucketed.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("cluster"))
+    x.join(y, Seq("cluster")).filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine", round(vecCosine(col("ea"), col("eb")), 4))
       .filter(col("cosine") >= CosineDupThreshold)
-      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      // a pair split by bit j meets twice (via a's probe and b's own
+      // bucket vs …): distinct on the verified triple dedupes
+      .select(col("vec_a"), col("vec_b"), col("cosine")).distinct()
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -1324,12 +1332,18 @@ object Pipeline {
          |b AS (
          |  SELECT vec_id, e, CAST(list_sum(list_transform(generate_series(1, 32), h ->
          |      CASE WHEN list_sum(list_transform(e, (x, i) -> x * sm[h][i])) > 0
-         |      THEN CAST(2**(h-1) AS BIGINT) ELSE 0 END)) AS BIGINT) & mask AS bucket
+         |      THEN CAST(2**(h-1) AS BIGINT) ELSE 0 END)) AS BIGINT) & mask AS bucket,
+         |    mask
          |  FROM base, s, mask),
+         |pr AS (
+         |  SELECT vec_id, e, unnest(list_prepend(bucket, list_transform(
+         |    list_filter(generate_series(0, 31), j -> (mask & CAST(2**j AS BIGINT)) != 0),
+         |    j -> xor(bucket, CAST(2**j AS BIGINT))))) AS bucket
+         |  FROM b),
          |scored AS (
-         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
          |    round(${cos("x.e", "y.e")}, 4) AS cosine
-         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |  FROM pr x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.99
          |ORDER BY vec_a, vec_b""".stripMargin
 
