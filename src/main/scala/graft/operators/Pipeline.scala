@@ -373,12 +373,14 @@ object Pipeline {
     val x = hammingProbes(bucketed)
       .select(col("vec_id").as("vec_a"), col("e").as("ea"), col("cluster"))
     val y = bucketed.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("cluster"))
+    // no distinct needed: with only the x side probed, an ordered pair
+    // meets at most once — a's probe buckets are pairwise-distinct and
+    // b occupies exactly one of them; the mirror meeting (b's probe
+    // into a's bucket) is the (b, a) ordering, dropped by the < filter
     x.join(y, Seq("cluster")).filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine", round(vecCosine(col("ea"), col("eb")), 4))
       .filter(col("cosine") >= CosineDupThreshold)
-      // a pair split by bit j meets twice (via a's probe and b's own
-      // bucket vs …): distinct on the verified triple dedupes
-      .select(col("vec_a"), col("vec_b"), col("cosine")).distinct()
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -429,9 +431,10 @@ object Pipeline {
     * and small: two cosine-θ neighbours stay together per bisection
     * w.p. 1 − θ/π (≥ 0.9985 per bit at the 0.99 dup threshold).
     *
-    * Returns `(vec_id, e, cluster)` with `cluster = coarse · 2^32 +
-    * subbucket` (exact in longs; coarse labels are small ints). Both
-    * DuckDB twins derive the identical ids. */
+    * Returns `(vec_id, e, cluster, mask)` with `cluster = coarse · 2^32
+    * + subbucket` (exact in longs; coarse labels are small ints) and
+    * `mask` = the cluster's active sub-bucket bits (for
+    * [[hammingProbes]]). Both DuckDB twins derive the identical ids. */
   def corpusScaledClusters(e: DataFrame, cent: DataFrame, targetOcc: Int): DataFrame =
     corpusScaledClustersWithRelease(e, cent, targetOcc)._1
 
@@ -473,7 +476,15 @@ object Pipeline {
     * (residual misses need ≥2 flipped planes, ~0.1%) for an O(b_c) row
     * expansion, the classic multi-probe LSH trade. XOR on the composite
     * id flips only sub-bucket bits (the coarse label lives above bit
-    * 32; probe bits are masked to the active sub-bits). */
+    * 32; probe bits are masked to the active sub-bits).
+    *
+    * The probe rows CARRY the vector deliberately: verification needs
+    * both vectors per candidate, and candidates outnumber probe rows by
+    * the expected bucket occupancy — fetching vectors per candidate via
+    * a join-back would shuffle strictly more bytes than carrying them
+    * per probe whenever occupancy ≥ 1 (it always is; the targets are 4
+    * and 32). Carrying `e` keeps the cosine inside the cluster-join
+    * stage with zero post-join exchanges. */
   private[operators] def hammingProbes(rel: DataFrame): DataFrame = {
     val flips = filter(
       transform(sequence(lit(0), lit(MaxHyperplanes - 1)),
@@ -1341,7 +1352,7 @@ object Pipeline {
          |    j -> xor(bucket, CAST(2**j AS BIGINT))))) AS bucket
          |  FROM b),
          |scored AS (
-         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
          |    round(${cos("x.e", "y.e")}, 4) AS cosine
          |  FROM pr x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.99
