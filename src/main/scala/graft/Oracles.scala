@@ -365,13 +365,16 @@ object Oracles {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
-    // Spark `percentile` and DuckDB `quantile_cont` share the exact
-    // linear-interpolation definition; round(2) absorbs ulp noise.
+    // Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    // interpolation definition but differ by ulps on raw doubles —
+    // both sides interpolate over EXACT integer cents (see
+    // Relational.q42Percentiles) so midpoints are exact and the final
+    // round agrees everywhere.
     "q42_percentiles" ->
       """SELECT l_returnflag, count(*) AS n_lines,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+        |  round(quantile_cont(round(l_extendedprice * 100), 0.5) / 100, 2) AS p50,
+        |  round(quantile_cont(round(l_extendedprice * 100), 0.9) / 100, 2) AS p90,
+        |  round(quantile_cont(round(l_extendedprice * 100), 0.99) / 100, 2) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q45_unpivot" ->
       """WITH m AS (

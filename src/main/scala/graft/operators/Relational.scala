@@ -230,16 +230,23 @@ object Relational {
   def q42Percentiles(spark: SparkSession, dir: String): DataFrame =
     // one percentile call with an array of fractions: a single value
     // buffer per group serves all three quantiles (three separate
-    // calls each buffer the whole group — measured 3x the cost)
+    // calls each buffer the whole group — measured 3x the cost).
+    // Prices are snapped to EXACT INTEGER CENTS before interpolation:
+    // the engines' interpolation formulas (a + (b-a)·f vs (1-f)·a + f·b)
+    // differ by ulps on raw doubles, and a midpoint landing on a .005
+    // boundary then rounds to different cents (bit sf0.001's p50, off
+    // by one cent); over exact integers the p50 midpoint is exact in
+    // both formulas, both engines divide the SAME double by 100, and
+    // the rounding agrees.
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_lines"),
-        percentile(col("l_extendedprice"),
+        percentile(round(col("l_extendedprice") * 100),
           array(lit(0.5), lit(0.9), lit(0.99))).as("ps"))
       .select(col("l_returnflag"), col("n_lines"),
-        round(element_at(col("ps"), 1), 2).as("p50"),
-        round(element_at(col("ps"), 2), 2).as("p90"),
-        round(element_at(col("ps"), 3), 2).as("p99"))
+        round(element_at(col("ps"), 1) / 100, 2).as("p50"),
+        round(element_at(col("ps"), 2) / 100, 2).as("p90"),
+        round(element_at(col("ps"), 3) / 100, 2).as("p99"))
       .orderBy(col("l_returnflag"))
 
   /** PIVOT — long-to-wide reshaping with an explicit value list (the
