@@ -108,11 +108,14 @@ class DedupSpec extends SparkSpec {
     try {
       addFile("f1.txt", Seq("1|alpha content|1", "2|alpha content|2", "3|beta content|3"))
       await(DedupSpec.restartSink.asScala.map(_._1).toSet == Set(1L, 3L), "phase-1 rows")
-      // genuinely on RocksDB: provider-specific metrics in the progress
-      val metrics = Option(q1.lastProgress).toSeq
+      // genuinely on RocksDB: provider-specific metrics in the progress.
+      // POLLED: foreachBatch hands rows over before the batch's progress
+      // event is published, so the metric can lag the sink — the first
+      // await returning does not mean lastProgress is populated yet.
+      def rocksdbSeen = q1.recentProgress
         .flatMap(_.stateOperators.flatMap(_.customMetrics.keySet.asScala))
-      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
-        s"expected rocksdb state metrics, got: ${metrics.take(10)}")
+        .exists(_.toLowerCase.contains("rocksdb"))
+      await(rocksdbSeen, "rocksdb state metrics in query progress")
     } finally q1.stop()
     // phase 2: restart from the checkpoint — a duplicate of phase 1's
     // content must STILL be dropped (recovered state), a new doc passes
