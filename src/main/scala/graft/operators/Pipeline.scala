@@ -646,25 +646,33 @@ object Pipeline {
     * Thresholds are corpus-calibrated so every rule demonstrably
     * fires (keep/too_short/too_long/low_diversity/repetitive all
     * non-empty on the synthetic corpus). */
-  def q46QualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
+  /** The quality-gate verdict as a pure column expression over a text
+    * column — `keep` or the FIRST failing rule in a fixed order. Pure
+    * map-side logic, so the IDENTICAL definition runs in batch (q46)
+    * and over an unbounded stream ([[graft.streaming.Curation]]) —
+    * batch/stream agreement is asserted row-for-row in DedupSpec. */
+  def qualityVerdict(text: Column): Column = {
+    val toks = split(text, " ")
     val n = size(toks)
     val ttr = size(array_distinct(toks)).cast("double") / n
     // duplicate-bigram fraction: 1 − distinct bigrams / total bigrams
     val rep = when(n >= 2,
       lit(1.0) - size(wordShingles(toks, 2)).cast("double") / (n - 1))
       .otherwise(lit(0.0))
-    val verdict = when(n < 20, "too_short")
+    when(n < 20, "too_short")
       .when(n > 90, "too_long")
       .when(ttr < 0.35, "low_diversity")
       .when(rep > 0.08, "repetitive")
       .otherwise("keep")
+  }
+
+  def q46QualityFilter(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("lang"), verdict.as("verdict"), n.as("n_toks"))
+      .select(col("lang"), qualityVerdict(col("text")).as("verdict"),
+        size(split(col("text"), " ")).as("n_toks"))
       .groupBy(col("lang"), col("verdict"))
       .agg(count(lit(1)).as("n_docs"), round(avg(col("n_toks")), 2).as("avg_toks"))
       .orderBy(col("lang"), col("verdict"))
-  }
 
   /** Pipeline — corpus vocabulary top-k: the 20 globally most frequent
     * tokens with total occurrences and document frequency. Explode →

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.operators.Pipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus curation — the STATELESS half of the pipeline
+  * family run over unbounded document streams. Quality gating and PII
+  * scrubbing are pure map-side column logic, so the batch definitions
+  * apply to a streaming DataFrame verbatim: one rule definition, two
+  * execution modes, no semantic drift between the nightly batch job and
+  * the near-line ingest path (batch/stream row-for-row agreement is
+  * asserted in DedupSpec).
+  *
+  * Scale posture: no state, no shuffle — every micro-batch is a
+  * narrow map over the source partitions, and the operators compose
+  * before [[Dedup]]'s stateful stage (gate → scrub → dedup is the
+  * canonical ingest order: cheap verdicts shrink the stream before
+  * state is paid). */
+object Curation {
+
+  /** Quality verdict per document ([[Pipeline.qualityVerdict]]): the
+    * row survives with a `verdict` column; route on it downstream
+    * (keep / dead-letter by rule). */
+  def withQualityVerdict(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("verdict", Pipeline.qualityVerdict(col(textCol)))
+
+  /** Keep only documents passing the gate. */
+  def qualityGate(docs: DataFrame, textCol: String): DataFrame =
+    withQualityVerdict(docs, textCol)
+      .filter(col("verdict") === "keep").drop("verdict")
+
+  /** Redact emails/URLs in place (q48's scrub regexes) and count what
+    * was removed per row — map-side, stream-safe. */
+  def piiScrub(docs: DataFrame, textCol: String): DataFrame = {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.]+"
+    val urlRe = "https?://[a-z0-9./]+"
+    docs
+      .withColumn("n_pii",
+        size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))) +
+          size(regexp_extract_all(col(textCol), lit(urlRe), lit(0))))
+      .withColumn(textCol,
+        regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+          urlRe, "<URL>"))
+  }
+}

@@ -70,6 +70,45 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming curation agrees with batch row-for-row (one definition, two modes)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "short doc"), // too_short
+      (2L, Seq.tabulate(40)(i => s"tok$i").mkString(" ")), // keep
+      (3L, ("the same pair " * 30).trim), // repetitive/low_diversity
+      (4L, "mail me at someone@mail.example or see http://site.example/x " +
+        Seq.tabulate(30)(i => s"w$i").mkString(" ")))
+    // batch verdicts + scrub over a plain DataFrame
+    val batchDF = rows.toDF("doc_id", "text")
+    val expVerdicts = Curation.withQualityVerdict(batchDF, "text")
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expScrub = Curation.piiScrub(batchDF, "text")
+      .select("doc_id", "text", "n_pii").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    // the SAME operators over a stream
+    val in = MemoryStream[(Long, String)]
+    val streamed = Curation.piiScrub(
+      Curation.withQualityVerdict(in.toDF().toDF("doc_id", "text"), "text"), "text")
+    val query = streamed.writeStream.format("memory").queryName("curation_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("curation_mem").collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[String]("verdict"), r.getAs[String]("text"), r.getAs[Int]("n_pii"))))
+        .toMap
+      assert(got.keySet == expVerdicts.keySet)
+      got.foreach { case (id, (v, t, n)) =>
+        assert(v == expVerdicts(id), s"doc $id verdict: $v vs ${expVerdicts(id)}")
+        assert((t, n) == expScrub(id), s"doc $id scrub mismatch")
+      }
+      assert(got(1L)._1 == "too_short" && got(2L)._1 == "keep")
+      assert(got(4L)._3 == 2 && got(4L)._2.contains("<EMAIL>") && got(4L)._2.contains("<URL>"))
+    } finally query.stop()
+  }
+
   test("dedup state survives a restart on RocksDB (exactly-once across checkpoint recovery)") {
     // memory sinks don't replay from checkpoints — record through
     // foreachBatch into a shared queue (EngineSpec restart idiom);
