@@ -365,17 +365,27 @@ object Oracles {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
-    // Spark `percentile` and DuckDB `quantile_cont` share the linear-
-    // interpolation definition but differ by ulps on raw doubles —
-    // both sides interpolate over EXACT integer cents (see
-    // Relational.q42Percentiles) so midpoints are exact and the final
-    // round agrees everywhere.
-    "q42_percentiles" ->
-      """SELECT l_returnflag, count(*) AS n_lines,
-        |  round(quantile_cont(round(l_extendedprice * 100), 0.5) / 100, 2) AS p50,
-        |  round(quantile_cont(round(l_extendedprice * 100), 0.9) / 100, 2) AS p90,
-        |  round(quantile_cont(round(l_extendedprice * 100), 0.99) / 100, 2) AS p99
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Explicit shared interpolation arithmetic (see
+    // Relational.q42Percentiles): the same h/lo/frac expression tree
+    // over the same sorted integer-cents list — bit-equal doubles in
+    // both engines, so the final rounding agrees by construction.
+    "q42_percentiles" -> {
+      def q(f: String, name: String) =
+        s"""round((vs[CAST(floor((n_lines - 1) * $f) AS INT) + 1]
+           |  + (vs[least(CAST(floor((n_lines - 1) * $f) AS INT) + 2, CAST(n_lines AS INT))]
+           |     - vs[CAST(floor((n_lines - 1) * $f) AS INT) + 1])
+           |    * ((n_lines - 1) * $f - floor((n_lines - 1) * $f))) / 100, 2) AS $name"""
+          .stripMargin.replaceAll("\n\\s*", " ")
+      s"""WITH g AS (
+         |  SELECT l_returnflag, count(*) AS n_lines,
+         |    list_sort(list(round(l_extendedprice * 100))) AS vs
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n_lines,
+         |  ${q("0.5", "p50")},
+         |  ${q("0.9", "p90")},
+         |  ${q("0.99", "p99")}
+         |FROM g ORDER BY l_returnflag""".stripMargin
+    },
     "q45_unpivot" ->
       """WITH m AS (
         |  SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part

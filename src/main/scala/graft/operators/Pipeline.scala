@@ -636,21 +636,18 @@ object Pipeline {
       .orderBy(col("lang"), col("split"))
   }
 
-  /** Pipeline — quality-filter gate (the C4/Gopher-style rule cascade):
-    * every document gets a verdict — `keep` or the FIRST failing rule
-    * in a fixed order (too_short → too_long → low_diversity →
-    * repetitive), mirroring the reference's first-error validation
-    * cascade (`src/transmitter/main.cpp:151-210`) applied to corpus
-    * curation. All signals are per-row array expressions — the whole
-    * verdict is map-side; the only shuffle is the final rollup.
-    * Thresholds are corpus-calibrated so every rule demonstrably
-    * fires (keep/too_short/too_long/low_diversity/repetitive all
-    * non-empty on the synthetic corpus). */
   /** The quality-gate verdict as a pure column expression over a text
-    * column — `keep` or the FIRST failing rule in a fixed order. Pure
+    * column (the C4/Gopher-style rule cascade): `keep` or the FIRST
+    * failing rule in a fixed order (too_short → too_long →
+    * low_diversity → repetitive), mirroring the reference's first-error
+    * validation cascade (`src/transmitter/main.cpp:151-210`) applied to
+    * corpus curation. A NULL/missing text is `too_short` — without the
+    * guard every rule predicate is null and the cascade would fall
+    * through to `keep`, passing malformed records (moot for the
+    * null-free batch corpus, real on a near-line ingest stream). Pure
     * map-side logic, so the IDENTICAL definition runs in batch (q46)
     * and over an unbounded stream ([[graft.streaming.Curation]]) —
-    * batch/stream agreement is asserted row-for-row in DedupSpec. */
+    * batch/stream agreement asserted row-for-row in DedupSpec. */
   def qualityVerdict(text: Column): Column = {
     val toks = split(text, " ")
     val n = size(toks)
@@ -659,13 +656,33 @@ object Pipeline {
     val rep = when(n >= 2,
       lit(1.0) - size(wordShingles(toks, 2)).cast("double") / (n - 1))
       .otherwise(lit(0.0))
-    when(n < 20, "too_short")
+    when(text.isNull, "too_short")
+      .when(n < 20, "too_short")
       .when(n > 90, "too_long")
       .when(ttr < 0.35, "low_diversity")
       .when(rep > 0.08, "repetitive")
       .otherwise("keep")
   }
 
+  /** The PII patterns and redaction, shared by batch q48 and
+    * [[graft.streaming.Curation.piiScrub]] — ONE definition, so
+    * tightening a pattern cannot leave the streaming ingest path
+    * scrubbing with stale regexes. */
+  private[graft] val PiiEmailRe = "[a-z0-9._]+@[a-z0-9.]+"
+  private[graft] val PiiUrlRe = "https?://[a-z0-9./]+"
+  private[graft] def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(text, PiiEmailRe, "<EMAIL>"),
+      PiiUrlRe, "<URL>")
+  private[graft] def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PiiEmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(PiiUrlRe), lit(0)))
+
+  /** Pipeline — quality-filter gate: [[qualityVerdict]] per document,
+    * rolled up per (lang, verdict). The whole verdict is map-side; the
+    * only shuffle is the final rollup. Thresholds are
+    * corpus-calibrated so every rule demonstrably fires
+    * (keep/too_short/too_long/low_diversity/repetitive all non-empty
+    * on the synthetic corpus). */
   def q46QualityFilter(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("lang"), qualityVerdict(col("text")).as("verdict"),
@@ -698,21 +715,17 @@ object Pipeline {
     * the scrubber demonstrably fires. Pure map-side projection +
     * rollup — at 100 TB this is a single scan. */
   def q48PiiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val emailRe = "[a-z0-9._]+@[a-z0-9.]+"
-    val urlRe = "https?://[a-z0-9./]+"
     val corpus = docs(spark, dir).select(col("lang"),
       when(col("doc_id") % 13 === 0,
         concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
           lit("@mail.example or http://site"), col("doc_id").cast("string"),
           lit(".example/page")))
         .otherwise(col("text")).as("text"))
-    val scrubbed = regexp_replace(
-      regexp_replace(col("text"), emailRe, "<EMAIL>"), urlRe, "<URL>")
     corpus
       .select(col("lang"),
-        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(urlRe), lit(0))).as("n_urls"),
-        (length(col("text")) - length(scrubbed)).as("len_delta"))
+        size(regexp_extract_all(col("text"), lit(PiiEmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PiiUrlRe), lit(0))).as("n_urls"),
+        (length(col("text")) - length(piiRedact(col("text")))).as("len_delta"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("n_emails") + col("n_urls") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -227,27 +227,36 @@ object Relational {
     * partial merge) — the approximate twin is engine-specific (no hash
     * oracle), so the exact form carries the correctness row and the
     * approximate path is bound-tested in RelationalSpec. */
-  def q42Percentiles(spark: SparkSession, dir: String): DataFrame =
-    // one percentile call with an array of fractions: a single value
-    // buffer per group serves all three quantiles (three separate
-    // calls each buffer the whole group — measured 3x the cost).
-    // Prices are snapped to EXACT INTEGER CENTS before interpolation:
-    // the engines' interpolation formulas (a + (b-a)·f vs (1-f)·a + f·b)
-    // differ by ulps on raw doubles, and a midpoint landing on a .005
-    // boundary then rounds to different cents (bit sf0.001's p50, off
-    // by one cent); over exact integers the p50 midpoint is exact in
-    // both formulas, both engines divide the SAME double by 100, and
-    // the rounding agrees.
+  def q42Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    // Interpolation arithmetic is EXPLICIT and engine-shared: built-in
+    // `percentile` vs `quantile_cont` use the same definition but
+    // ulp-different formulas (a + (b−a)·f vs (1−f)·a + f·b), and a
+    // value landing on a half-cent rounding boundary then rounds to
+    // different cents (bit sf0.001's p50). Here BOTH engines evaluate
+    // the IDENTICAL expression tree — h = (n−1)·f, integer-cent
+    // neighbours from the sorted array, a + (b−a)·(h−⌊h⌋) — over
+    // identical inputs, so every intermediate double is bit-equal and
+    // the final rounding agrees by construction. One sorted value
+    // buffer per group serves all three quantiles (the built-in array
+    // form had the same single-buffer property; the exact operator
+    // inherently holds the group's multiset — approx_percentile is the
+    // 100 TB sketch path, bound-tested in RelationalSpec).
+    def q(f: Double): Column = {
+      val h = (col("n_lines") - 1).cast("double") * f
+      val lo = floor(h)
+      val a = element_at(col("vs"), lo.cast("int") + 1)
+      val b = element_at(col("vs"),
+        least(lo.cast("int") + 2, col("n_lines").cast("int")))
+      round((a + (b - a) * (h - lo)) / 100, 2)
+    }
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_lines"),
-        percentile(round(col("l_extendedprice") * 100),
-          array(lit(0.5), lit(0.9), lit(0.99))).as("ps"))
+        sort_array(collect_list(round(col("l_extendedprice") * 100))).as("vs"))
       .select(col("l_returnflag"), col("n_lines"),
-        round(element_at(col("ps"), 1) / 100, 2).as("p50"),
-        round(element_at(col("ps"), 2) / 100, 2).as("p90"),
-        round(element_at(col("ps"), 3) / 100, 2).as("p99"))
+        q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** PIVOT — long-to-wide reshaping with an explicit value list (the
     * unbounded-cardinality form is an anti-pattern at scale: Spark

@@ -30,17 +30,13 @@ object Curation {
     withQualityVerdict(docs, textCol)
       .filter(col("verdict") === "keep").drop("verdict")
 
-  /** Redact emails/URLs in place (q48's scrub regexes) and count what
-    * was removed per row — map-side, stream-safe. */
-  def piiScrub(docs: DataFrame, textCol: String): DataFrame = {
-    val emailRe = "[a-z0-9._]+@[a-z0-9.]+"
-    val urlRe = "https?://[a-z0-9./]+"
+  /** Redact emails/URLs in place and count what was removed per row —
+    * the ONE shared definition with batch q48
+    * ([[Pipeline.piiRedact]]/[[Pipeline.piiCount]]), map-side,
+    * stream-safe. A null text row counts 0 and stays null. */
+  def piiScrub(docs: DataFrame, textCol: String): DataFrame =
     docs
       .withColumn("n_pii",
-        size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))) +
-          size(regexp_extract_all(col(textCol), lit(urlRe), lit(0))))
-      .withColumn(textCol,
-        regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"),
-          urlRe, "<URL>"))
-  }
+        coalesce(Pipeline.piiCount(col(textCol)), lit(0)))
+      .withColumn(textCol, Pipeline.piiRedact(col(textCol)))
 }

@@ -77,7 +77,8 @@ class DedupSpec extends SparkSpec {
       (2L, Seq.tabulate(40)(i => s"tok$i").mkString(" ")), // keep
       (3L, ("the same pair " * 30).trim), // repetitive/low_diversity
       (4L, "mail me at someone@mail.example or see http://site.example/x " +
-        Seq.tabulate(30)(i => s"w$i").mkString(" ")))
+        Seq.tabulate(30)(i => s"w$i").mkString(" ")),
+      (5L, null)) // malformed record: must gate out, not pass as keep
     // batch verdicts + scrub over a plain DataFrame
     val batchDF = rows.toDF("doc_id", "text")
     val expVerdicts = Curation.withQualityVerdict(batchDF, "text")
@@ -106,6 +107,8 @@ class DedupSpec extends SparkSpec {
       }
       assert(got(1L)._1 == "too_short" && got(2L)._1 == "keep")
       assert(got(4L)._3 == 2 && got(4L)._2.contains("<EMAIL>") && got(4L)._2.contains("<URL>"))
+      // null text: gated out (NOT keep), zero PII, text stays null
+      assert(got(5L)._1 == "too_short" && got(5L)._2 == null && got(5L)._3 == 0)
     } finally query.stop()
   }
 
