@@ -94,6 +94,7 @@ object SparkEntry {
     "q56_passage_dedup" -> (Pipeline.q56PassageDedup _),
     "q57_bm25" -> (Pipeline.q57Bm25 _),
     "q58_unigram_quality" -> (Pipeline.q58UnigramQuality _),
+    "q59_sequence_packing" -> (Pipeline.q59SequencePacking _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1045,6 +1045,49 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** Pipeline — training-sequence packing (the GPT-style concat-and-
+    * chunk step): documents concatenate in deterministic doc_id order
+    * and split into fixed 512-token training sequences; the report
+    * counts, per language, the documents whose tokens straddle a
+    * sequence boundary (the packing property loss functions care
+    * about).
+    *
+    * The token positions need a GLOBAL prefix sum in doc order — the
+    * naive `Window.orderBy` with no partition key funnels the whole
+    * corpus through ONE sort task. Here it is the distributed
+    * TWO-LEVEL scan: bucket-local cumulative sums run in parallel
+    * (window partitioned by bucket), and each bucket's carry-in offset
+    * comes from a window over the tiny bucket-summary relation
+    * (corpus/100 rows — the same carry-in shape as
+    * [[Joins]]' bucketed as-of fill), broadcast back. Both engines
+    * compute identical integer token offsets, so the boundary
+    * arithmetic is exact. */
+  def q59SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val seqTokens = 512
+    val docsPerBucket = 100
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("b", (col("doc_id") / docsPerBucket).cast("long"))
+    // level 1: per-bucket token totals; level 2: exclusive prefix over
+    // the SMALL summary relation (single-partition window over
+    // corpus/100 rows — documented, not a data-volume funnel)
+    val offsets = d.groupBy(col("b")).agg(sum(col("n_tok")).as("bt"))
+      .withColumn("off", coalesce(
+        sum(col("bt")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("off"))
+    d.join(broadcast(offsets), "b")
+      .withColumn("fin", col("off") +
+        sum(col("n_tok")).over(Window.partitionBy(col("b")).orderBy(col("doc_id"))))
+      .withColumn("crosses",
+        expr(s"(fin - n_tok) div $seqTokens") =!= expr(s"(fin - 1) div $seqTokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("crosses"), 1L).otherwise(0L)).as("n_crossing"))
+      .orderBy(col("lang"))
+  }
+
   /** Derived-centroid clustering — the "choose k for the corpus" half
     * of the SemDeDup recipe (the label column borrowed by
     * [[labelCentroids]] is a stand-in a real corpus doesn't have):
@@ -1610,6 +1653,19 @@ object Pipeline {
          |FROM asg1 JOIN norms USING (cluster)
          |GROUP BY cluster, centroid_norm ORDER BY cluster""".stripMargin
 
+    val q59 =
+      """WITH d AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    sum(n_tok) OVER (ORDER BY doc_id) AS fin
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN (fin - n_tok) // 512 != (fin - 1) // 512
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
     val q58 =
       s"""WITH inst AS (
          |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -1720,6 +1776,7 @@ object Pipeline {
       "q56_passage_dedup" -> q56,
       "q57_bm25" -> q57,
       "q58_unigram_quality" -> q58,
+      "q59_sequence_packing" -> q59,
     )
   }
 }

@@ -235,6 +235,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q59 sequence packing: totals cover the corpus, crossing fraction plausible") {
+    val rows = Pipeline.q59SequencePacking(spark, sfDir).collect()
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs == graft.Tables.documents(spark, sfDir).count())
+    val nTok = rows.map(_.getLong(2)).sum
+    val crossing = rows.map(_.getLong(3)).sum
+    // each 512-token boundary lands inside at most one document, so
+    // crossings are bounded by the sequence count; ~100-token docs
+    // make boundary hits common but far from universal
+    assert(crossing <= nTok / 512 + 1)
+    assert(crossing > 0 && crossing < nDocs)
+  }
+
   test("q54 corpus mix: deterministic, strata downsampled toward the smallest") {
     val rows = Pipeline.q54CorpusMix(spark, sfDir).collect()
     val again = Pipeline.q54CorpusMix(spark, sfDir).collect()
