@@ -370,12 +370,20 @@ object Oracles {
     // over the same sorted integer-cents list — bit-equal doubles in
     // both engines, so the final rounding agrees by construction.
     "q42_percentiles" -> {
-      def q(f: String, name: String) =
-        s"""round((vs[CAST(floor((n_lines - 1) * $f) AS INT) + 1]
-           |  + (vs[least(CAST(floor((n_lines - 1) * $f) AS INT) + 2, CAST(n_lines AS INT))]
-           |     - vs[CAST(floor((n_lines - 1) * $f) AS INT) + 1])
-           |    * ((n_lines - 1) * $f - floor((n_lines - 1) * $f))) / 100, 2) AS $name"""
+      // the fraction MUST be cast: a bare 0.9 literal is DECIMAL in
+      // DuckDB and the whole h/frac computation then runs in exact
+      // decimal arithmetic, diverging from Spark's doubles by far more
+      // than an ulp (h = 9·0.9 is exactly 8.1 in decimal but
+      // 8.100000000000001 in binary — frac differs in the 13th digit
+      // and one-cent flips return)
+      def q(f: String, name: String) = {
+        val h = s"(CAST(n_lines - 1 AS DOUBLE) * CAST($f AS DOUBLE))"
+        s"""round((vs[CAST(floor($h) AS INT) + 1]
+           |  + (vs[least(CAST(floor($h) AS INT) + 2, CAST(n_lines AS INT))]
+           |     - vs[CAST(floor($h) AS INT) + 1])
+           |    * ($h - floor($h))) / 100, 2) AS $name"""
           .stripMargin.replaceAll("\n\\s*", " ")
+      }
       s"""WITH g AS (
          |  SELECT l_returnflag, count(*) AS n_lines,
          |    list_sort(list(round(l_extendedprice * 100))) AS vs

@@ -1065,9 +1065,13 @@ object Pipeline {
   def q59SequencePacking(spark: SparkSession, dir: String): DataFrame = {
     val seqTokens = 512
     val docsPerBucket = 100
+    // persisted: the narrow tokenized relation feeds both the bucket-
+    // summary aggregation and the offset join — without it the corpus
+    // scan + split runs once per branch
     val d = docs(spark, dir).select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).as("n_tok"))
       .withColumn("b", (col("doc_id") / docsPerBucket).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // level 1: per-bucket token totals; level 2: exclusive prefix over
     // the SMALL summary relation (single-partition window over
     // corpus/100 rows — documented, not a data-volume funnel)
