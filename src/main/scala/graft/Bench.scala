@@ -95,12 +95,23 @@ object Bench {
       name -> median
     }
     val ok = results.filter { case (n, _) => !errors.contains(n) }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver captures only the last ~2000 chars of process output;
+    // at 59 queries the full-precision line (~2030 chars + sbt's
+    // success footer) overflowed that window and truncated the head
+    // (BENCH_r06). Millisecond precision is all the comparison needs —
+    // emit 3 decimals, trailing zeros stripped, so the line stays
+    // within the window as the suite grows.
+    def fmt(v: Double): String = {
+      val s = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
+      if (s.isEmpty) "0" else s
+    }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"repeat":$repeat,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"repeat":$repeat,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -513,9 +513,15 @@ object Pipeline {
     // the index by construction; one cached copy is its in-session
     // analog (the coarse assignment stage persists its own narrow
     // pairs inside corpusScaledClusters).
-    val members = corpusScaledClusters(e, labelCentroids(spark, dir),
-        ClusterTargetOccupancy)
+    val (fine, release) = corpusScaledClustersWithRelease(e,
+      labelCentroids(spark, dir), ClusterTargetOccupancy)
+    val members = fine
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the index eagerly so the internal (vec_id, coarse)
+    // assignment cache can be released HERE — the query must not leak
+    // a persisted relation it no longer needs into the session
+    members.foreach(_ => ())
+    release()
     val q = members.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("cluster"))
     val scored = members.join(broadcast(q), Seq("cluster"))
@@ -907,10 +913,15 @@ object Pipeline {
     val q = quant.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"), col("scale").as("qs"))
     // pass 1: quantized dot over the whole index, bounded shortlist
+    // adot is ROUNDED before the shortlist cut (like every other
+    // cross-engine ranking cut here — cos/score round before rank):
+    // the raw product depends on summation association, and an
+    // ulp-level divergence at the 20th-place boundary would change
+    // the shortlist between engines
     val approx = quant.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("adot",
-        vecDot(transform(col("qv"), x => x.cast("double")),
-          transform(col("qq"), x => x.cast("double"))) * col("scale") * col("qs"))
+        round(vecDot(transform(col("qv"), x => x.cast("double")),
+          transform(col("qq"), x => x.cast("double"))) * col("scale") * col("qs"), 6))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopK.topK(QuantShortlist, col("vec_id"), col("adot")).as("short"))
       .select(col("query_id"), explode(col("short")).as("s"))
@@ -1204,9 +1215,15 @@ object Pipeline {
   def q51SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     // persisted: members feeds both sides of the dominance self-join
     // and the final rollup (q31's persisted-index rationale)
-    val members = corpusScaledClusters(dupEmbeddings(spark, dir),
-        labelCentroids(spark, dir), ClusterTargetOccupancy)
+    val (fine, release) = corpusScaledClustersWithRelease(
+      dupEmbeddings(spark, dir), labelCentroids(spark, dir),
+      ClusterTargetOccupancy)
+    val members = fine
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager materialization so the internal assignment cache is
+    // released before the query returns (q31's discipline)
+    members.foreach(_ => ())
+    release()
     // the dominating side is MULTI-PROBED ([[hammingProbes]]): a dup
     // pair split by one hyperplane still meets in the flipped bucket,
     // so recall no longer decays with the (corpus-scaled) bit count
@@ -1728,7 +1745,7 @@ object Pipeline {
          |    FROM e)),
          |q AS (SELECT vec_id AS query_id, qv AS qq, scale AS qs FROM qt WHERE vec_id < 10),
          |ap AS (
-         |  SELECT query_id, vec_id, ${dot("qv", "qq")} * scale * qs AS adot
+         |  SELECT query_id, vec_id, round(${dot("qv", "qq")} * scale * qs, 6) AS adot
          |  FROM qt JOIN q ON vec_id <> query_id),
          |short AS (
          |  SELECT query_id, vec_id FROM (

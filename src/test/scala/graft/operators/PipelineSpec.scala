@@ -82,6 +82,11 @@ class PipelineSpec extends SparkSpec {
     // multi-probe a pair is lost only if TWO hyperplane dots flip sign
     // (~1e-4 on this corpus) — recall of the constructed pairs is FULL,
     // and all recovered pairs are near-perfect cosine.
+    // SEED DEPENDENCE: the equality below holds for the committed
+    // testdata fixtures; a regenerated corpus (different seed) has a
+    // ~1e-4 per-pair chance of a 2-plane flip. If this ever fails by
+    // exactly one pair on fresh fixtures, that residual is the cause —
+    // not a recall regression.
     val nBase = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 9 === 0).count()
     assert(constructed.length == nBase,
