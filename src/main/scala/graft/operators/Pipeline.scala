@@ -519,8 +519,10 @@ object Pipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the index eagerly so the internal (vec_id, coarse)
     // assignment cache can be released HERE — the query must not leak
-    // a persisted relation it no longer needs into the session
-    members.foreach(_ => ())
+    // a persisted relation it no longer needs into the session.
+    // count() stays on the internal-row path; foreach would deserialize
+    // every row to an external Row inside the timed region (ADVICE r7)
+    members.count()
     release()
     val q = members.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("cluster"))
@@ -914,10 +916,11 @@ object Pipeline {
       .select(col("vec_id").as("query_id"), col("qv").as("qq"), col("scale").as("qs"))
     // pass 1: quantized dot over the whole index, bounded shortlist
     // adot is ROUNDED before the shortlist cut (like every other
-    // cross-engine ranking cut here — cos/score round before rank):
-    // the raw product depends on summation association, and an
-    // ulp-level divergence at the 20th-place boundary would change
-    // the shortlist between engines
+    // cross-engine ranking cut here — cos/score round before rank).
+    // Here the rounding is defensive parity hygiene, not a fix for an
+    // observed divergence: the quantized dot is a sum of int products,
+    // exact in doubles, so the raw value is already engine-identical —
+    // the round just keeps this cut on the same convention as the rest
     val approx = quant.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("adot",
         round(vecDot(transform(col("qv"), x => x.cast("double")),
@@ -1221,8 +1224,9 @@ object Pipeline {
     val members = fine
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // eager materialization so the internal assignment cache is
-    // released before the query returns (q31's discipline)
-    members.foreach(_ => ())
+    // released before the query returns (q31's discipline);
+    // count() = internal-row path, no per-row deserialization
+    members.count()
     release()
     // the dominating side is MULTI-PROBED ([[hammingProbes]]): a dup
     // pair split by one hyperplane still meets in the flipped bucket,
