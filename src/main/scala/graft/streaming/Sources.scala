@@ -62,6 +62,35 @@ object Sources {
       .as[EngineEvent]
   }
 
+  /** Kinesis-analog ingestion adapter: [[ShardStream]] records → the
+    * line envelope [[commandsFromJsonLines]] consumes, completing the
+    * connector-backed form of the ingestion chain
+    * (shard-stream → commandsFromJsonLines → Engine.effectiveStates →
+    * Sinks.telemetryWriter).
+    *
+    * The projected `seq` packs (shard-hash << 32 | per-shard seq):
+    * within a shard — the only scope where the source (like Kinesis)
+    * guarantees order — it's strictly increasing, so same-ms command
+    * conflicts from one shard resolve in arrival order; across shards
+    * it's just a stable tie-break, matching the source's no-cross-shard-
+    * order contract. (Streaming-only path, so non-portable xxhash64 is
+    * fine here — no DuckDB twin.)
+    *
+    * @param maxRecordsPerTrigger Kinesis-style per-batch admission cap
+    * @param startingPosition     "trim_horizon" (default) | "latest"
+    */
+  def linesFromShards(spark: SparkSession, dir: String,
+      maxRecordsPerTrigger: Option[Long] = None,
+      startingPosition: String = "trim_horizon"): DataFrame = {
+    val reader = spark.readStream.format(ShardStream.ShortName)
+      .option("startingPosition", startingPosition)
+    maxRecordsPerTrigger.foreach(n =>
+      reader.option("maxRecordsPerTrigger", n.toString))
+    reader.load(dir)
+      .select(col("value"),
+        (shiftleft(xxhash64(col("shard")), 32) + col("seq")).as("seq"))
+  }
+
   /** Parsed serial-line stream split three ways, mirroring every
     * pre-dispatch outcome of the reference's serial loop:
     *
