@@ -1246,6 +1246,49 @@ object Pipeline {
       .orderBy(col("cluster"))
   }
 
+  /** L2 — the FULL derived-centroid SemDeDup pipeline, label-free end
+    * to end: [[kMeansCentroids]] derives the coarse centroids from the
+    * corpus itself (k scaled to n, hash-threshold seeding),
+    * [[corpusScaledClusters]] subdivides them to bounded occupancy, and
+    * the q51 dominance step dedups inside each fine cluster. q51 keeps
+    * the label-centroid variant (the SemDeDup paper's "given clusters"
+    * form); this is the form a production corpus — which has no labels
+    * — actually runs. Composition mechanics (occupancy invariant under
+    * derived centroids) are additionally asserted in PipelineSpec.
+    *
+    * Scale posture is the sum of its parts, all corpus-scaled: Lloyd
+    * iterations are O(n·k·d) map-side against a ≤64-row broadcast,
+    * subdivision bounds expected fine occupancy ≤ 32 at any n, the
+    * quadratic dominance step is fine-cluster-scoped, multi-probe
+    * protects recall, and the base relation is persisted once (it
+    * feeds seeding, two assignment passes, and the dominance join). */
+  def q61DerivedSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = dupEmbeddings(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (fine, release) = corpusScaledClustersWithRelease(
+      base, kMeansCentroids(base), ClusterTargetOccupancy)
+    val members = fine
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager internal-row materialization, then release the internal
+    // caches before the query returns (q31/q51's discipline)
+    members.count()
+    release()
+    base.unpersist(blocking = false)
+    val smaller = hammingProbes(members).select(col("cluster"),
+      col("vec_id").as("smaller_id"), col("e").as("se"))
+    val removed = members.join(smaller, "cluster")
+      .filter(col("smaller_id") < col("vec_id") &&
+        round(vecCosine(col("e"), col("se")), 4) >= CosineDupThreshold)
+      .select(col("vec_id")).distinct()
+      .withColumn("hit", lit(1))
+    members.join(removed, Seq("vec_id"), "left")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("hit")).as("n_removed"),
+        (count(lit(1)) - count(col("hit"))).as("n_kept"))
+      .orderBy(col("cluster"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   /** DuckDB twins. Fragments mirror [[graft.functions.TextFunctions]]

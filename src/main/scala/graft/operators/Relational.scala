@@ -258,6 +258,44 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** The 100 TB quantile path — q42's approximate twin: per-group
+    * `approx_percentile` (Greenwald–Khanna sketch; constant-size state,
+    * map-side partial merge — no per-group value buffer, unlike q42's
+    * exact `collect_list`, the suite's one remaining unbounded-state
+    * aggregate). Sketch OUTPUTS are engine-specific (DuckDB's
+    * `approx_quantile` is a different sketch), so — exactly like q36's
+    * HLL row — the hashable output carries the sketch's verifiable
+    * CONTRACT, not its raw estimate: GK with accuracy `a` returns an
+    * actual data element whose rank is within `n/a` of the target
+    * rank, so each `p*_in_bound` column asserts the estimate falls
+    * between the exact order statistics at `rank ± (⌈n/a⌉ + 1)` and
+    * the oracle pins TRUE. The exact sorted buffer used to CHECK the
+    * bound is the verification harness, not the operator under test —
+    * production runs only the sketch aggregate. */
+  def q60ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 10000 // rank error <= n/10000, ~2 ranks per group at sf0.01
+    def inBound(i: Int, f: Double): Column = {
+      val n = col("n_lines").cast("double")
+      val target = ceil(n * f)
+      val margin = ceil(n / acc) + 1 // +1: half-open target-rank slack
+      val loRank = greatest(lit(1.0), target - margin).cast("int")
+      val hiRank = least(n, target + margin).cast("int")
+      element_at(col("ap"), i)
+        .between(element_at(col("vs"), loRank), element_at(col("vs"), hiRank))
+    }
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(acc)).as("ap"),
+        sort_array(collect_list(col("l_extendedprice"))).as("vs"))
+      .select(col("l_returnflag"), col("n_lines"),
+        inBound(1, 0.5).as("p50_in_bound"),
+        inBound(2, 0.9).as("p90_in_bound"),
+        inBound(3, 0.99).as("p99_in_bound"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** PIVOT — long-to-wide reshaping with an explicit value list (the
     * unbounded-cardinality form is an anti-pattern at scale: Spark
     * would first scan to discover values, then build a column per
