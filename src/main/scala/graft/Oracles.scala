@@ -351,6 +351,17 @@ object Oracles {
         | count(*) AS n_events,
         | TRUE AS approx_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // GK-sketch estimates are engine-specific; the oracle pins the
+    // exact group counts and the rank-error CONTRACT (each estimate's
+    // rank within ⌈n/acc⌉+1 of target, i.e. TRUE) — see
+    // Relational.q60ApproxPercentiles.
+    "q60_approx_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        | TRUE AS p50_in_bound,
+        | TRUE AS p90_in_bound,
+        | TRUE AS p99_in_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   ) ++ graft.operators.Pipeline.Sql.all ++ Map(
     "q32_command_router" -> graft.operators.Router.oracleSql,
     "q33_multimodal_stats" -> graft.operators.Multimodal.oracleSql,

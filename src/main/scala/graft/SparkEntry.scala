@@ -95,6 +95,10 @@ object SparkEntry {
     "q57_bm25" -> (Pipeline.q57Bm25 _),
     "q58_unigram_quality" -> (Pipeline.q58UnigramQuality _),
     "q59_sequence_packing" -> (Pipeline.q59SequencePacking _),
+    // round 10: the GK-sketch quantile path (q42's constant-state twin)
+    // + the label-free derived-centroid SemDeDup composition
+    "q60_approx_percentiles" -> (Relational.q60ApproxPercentiles _),
+    "q61_derived_semantic_dedup" -> (Pipeline.q61DerivedSemanticDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

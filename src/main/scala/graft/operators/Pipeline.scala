@@ -1721,6 +1721,54 @@ object Pipeline {
          |FROM asg1 JOIN norms USING (cluster)
          |GROUP BY cluster, centroid_norm ORDER BY cluster""".stripMargin
 
+    /** q61 — q53's derived k-means (seed threshold + one Lloyd pass)
+      * over the DUP'D base corpus, its refined centroids feeding the
+      * shared [[fineClusterCtes]] block (which expects the `cent`
+      * name), then q51's multi-probed dominance step verbatim. */
+    val q61 =
+      s"""WITH base AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(embedding, (x, i) ->
+         |      x::DOUBLE * (1.0 + 0.002 * ((vec_id + i - 1) % 3 - 1)))
+         |  FROM embeddings WHERE vec_id % 9 = 0),
+         |nn AS (SELECT count(*) AS n FROM base),
+         |hs AS (SELECT vec_id, e,
+         |    ${ph("'seed:' || CAST(vec_id AS VARCHAR)")} % 1000000 AS sh FROM base),
+         |mn AS (SELECT min(sh) AS sh_min FROM hs),
+         |seeds AS (
+         |  SELECT vec_id AS label, e AS cvec FROM hs, nn, mn
+         |  WHERE sh < (least(64, (n + 31) // 32) * 1000000) // n
+         |    OR sh = sh_min),
+         |asg0 AS (
+         |  SELECT vec_id, arg_max(label, cos6 * 1000000000000 + label) AS cluster FROM (
+         |    SELECT vec_id, label, round(${cos("e", "cvec")}, 6) AS cos6
+         |    FROM base CROSS JOIN seeds)
+         |  GROUP BY vec_id),
+         |cent AS (
+         |  SELECT label, list(cavg ORDER BY pos) AS cvec FROM (
+         |    SELECT cluster AS label, i AS pos, round(avg(e[i]), 6) AS cavg
+         |    FROM base JOIN asg0 USING (vec_id), generate_series(1, 64) t(i)
+         |    GROUP BY cluster, i)
+         |  GROUP BY label),
+         |${fineClusterCtes("base")},
+         |probes AS (
+         |  SELECT vec_id AS smaller_id, e AS se,
+         |    unnest(list_prepend(cluster, list_transform(
+         |      list_filter(generate_series(0, 31), j -> (mask & CAST(2**j AS BIGINT)) != 0),
+         |      j -> xor(cluster, CAST(2**j AS BIGINT))))) AS cluster
+         |  FROM m),
+         |rem AS (
+         |  SELECT DISTINCT x.vec_id FROM m x JOIN probes y
+         |    ON x.cluster = y.cluster AND y.smaller_id < x.vec_id
+         |  WHERE round(${cos("x.e", "y.se")}, 4) >= 0.99)
+         |SELECT cluster, count(*) AS n_docs,
+         |  CAST(count(r.vec_id) AS BIGINT) AS n_removed,
+         |  CAST(count(*) - count(r.vec_id) AS BIGINT) AS n_kept
+         |FROM m LEFT JOIN rem r ON m.vec_id = r.vec_id
+         |GROUP BY cluster ORDER BY cluster""".stripMargin
+
     val q59 =
       """WITH d AS (
         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents),
@@ -1845,6 +1893,7 @@ object Pipeline {
       "q57_bm25" -> q57,
       "q58_unigram_quality" -> q58,
       "q59_sequence_packing" -> q59,
+      "q61_derived_semantic_dedup" -> q61,
     )
   }
 }

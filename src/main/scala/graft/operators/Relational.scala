@@ -267,28 +267,47 @@ object Relational {
     * HLL row — the hashable output carries the sketch's verifiable
     * CONTRACT, not its raw estimate: GK with accuracy `a` returns an
     * actual data element whose rank is within `n/a` of the target
-    * rank, so each `p*_in_bound` column asserts the estimate falls
-    * between the exact order statistics at `rank ± (⌈n/a⌉ + 1)` and
-    * the oracle pins TRUE. The exact sorted buffer used to CHECK the
-    * bound is the verification harness, not the operator under test —
-    * production runs only the sketch aggregate. */
+    * rank, so each `p*_in_bound` column asserts the estimate's rank
+    * interval intersects `target ± (⌈n/a⌉ + 1)` and the oracle pins
+    * TRUE.
+    *
+    * The rank CHECK is itself constant-state: the 3-row sketch
+    * relation broadcasts back onto the fact table and a second hash
+    * aggregation counts values strictly below / at-most each estimate
+    * (`estimate ≥ vs[lo] ⟺ atmost ≥ lo`; `estimate ≤ vs[hi] ⟺
+    * below + 1 ≤ hi` — the identical bound, without materializing the
+    * per-group sorted buffer an order-statistics lookup would need).
+    * Two scans, one broadcast, map-side partials throughout — nothing
+    * in the plan holds more than the sketch per group at 100 TB. */
   def q60ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val acc = 10000 // rank error <= n/10000, ~2 ranks per group at sf0.01
+    val sketch = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(acc)).as("ap"))
+    def cmp(i: Int, strict: Boolean): Column = {
+      val est = element_at(col("ap"), i)
+      val hit = if (strict) col("l_extendedprice") < est
+                else col("l_extendedprice") <= est
+      sum(when(hit, 1L).otherwise(0L))
+    }
+    val counts = Tables.lineitem(spark, dir)
+      .join(broadcast(sketch.select(col("l_returnflag"), col("ap"))),
+        "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(cmp(1, strict = true).as("below_1"), cmp(1, strict = false).as("atmost_1"),
+        cmp(2, strict = true).as("below_2"), cmp(2, strict = false).as("atmost_2"),
+        cmp(3, strict = true).as("below_3"), cmp(3, strict = false).as("atmost_3"))
     def inBound(i: Int, f: Double): Column = {
       val n = col("n_lines").cast("double")
       val target = ceil(n * f)
       val margin = ceil(n / acc) + 1 // +1: half-open target-rank slack
-      val loRank = greatest(lit(1.0), target - margin).cast("int")
-      val hiRank = least(n, target + margin).cast("int")
-      element_at(col("ap"), i)
-        .between(element_at(col("vs"), loRank), element_at(col("vs"), hiRank))
+      val loRank = greatest(lit(1.0), target - margin)
+      val hiRank = least(n, target + margin)
+      (col(s"atmost_$i") >= loRank) && (col(s"below_$i") + 1 <= hiRank)
     }
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_lines"),
-        percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(acc)).as("ap"),
-        sort_array(collect_list(col("l_extendedprice"))).as("vs"))
+    sketch.join(counts, "l_returnflag")
       .select(col("l_returnflag"), col("n_lines"),
         inBound(1, 0.5).as("p50_in_bound"),
         inBound(2, 0.9).as("p90_in_bound"),

@@ -180,6 +180,26 @@ class PipelineSpec extends SparkSpec {
     assert(occ <= 4 * 8, s"composition must bound occupancy, max was $occ")
   }
 
+  test("q61 derived SemDeDup: partition invariant, constructed copies removed without labels") {
+    val rows = Pipeline.q61DerivedSemanticDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        "n_docs must equal n_removed + n_kept")
+    }
+    // the whole corpus (base + constructed +1M near-copies) is
+    // partitioned across the derived fine clusters
+    val nBase = Tables.embeddings(spark, sfDir).count()
+    val nCopies = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 9 === 0).count()
+    assert(rows.map(_.getLong(1)).sum == nBase + nCopies)
+    // label-free composition must still catch the constructed dups:
+    // same bar as q51's given-label variant
+    val totalRemoved = rows.map(_.getLong(2)).sum
+    assert(totalRemoved >= (nCopies * 0.8).toLong,
+      s"removed $totalRemoved of $nCopies constructed copies")
+  }
+
   test("q55 quantized ANN: exact top-1 survives quantized shortlisting for every query") {
     val exact = Pipeline.q25SimilarityTopk(spark, sfDir).collect()
       .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap

@@ -30,6 +30,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q60 approx percentiles: GK rank contract holds, estimates near exact") {
+    // the query's own contract columns (what the oracle pins TRUE)
+    val rows = Relational.q60ApproxPercentiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (2 to 4).foreach(i => assert(r.getBoolean(i),
+        s"${r.getString(0)}: in_bound column $i false"))
+    }
+    // cross-check the sketch against q42's exact interpolated
+    // percentiles: a GK estimate (an actual element at rank error
+    // <= n/acc) must land within 1% of the exact p50 on this data
+    val exact = Relational.q42Percentiles(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val approx = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, a) =>
+      assert(math.abs(a - exact(k)) / exact(k) <= 0.01,
+        s"$k: sketch p50 $a vs exact ${exact(k)}")
+    }
+  }
+
   test("q09 top customers: exactly 10, strictly ordered by revenue") {
     val rows = Relational.q09TopCustomers(spark, sfDir).collect()
     assert(rows.length == 10)
