@@ -56,6 +56,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `maxFetchRecordsPerShard`-style backpressure every production
   *    Kinesis reader has); the scanner stops AT the capped record
   *    boundary, so capped offsets still carry exact byte positions.
+  *    The budget splits FAIRLY across shards (equal shares in rounds,
+  *    rotated start) — per-shard caps are the Kinesis semantics, and a
+  *    first-listed-wins drain would let one hot shard starve the rest.
   *  - `startingPosition` = `trim_horizon` (default: everything
   *    retained) | `latest` (only records after query start) — the two
   *    Kinesis starting positions.
@@ -210,21 +213,60 @@ class ShardMicroBatchStream(dir: String, starting: String, maxRows: Option[Long]
     at
   }
 
+  /** Rotates the capped scan's starting shard across triggers so that
+    * when the budget is smaller than the hot-shard count, no shard is
+    * permanently first in line. Driver-memory only: a restart resets it
+    * to 0, which costs nothing but one batch of positional bias —
+    * offsets own correctness, fairness is a liveness property. */
+  private var scanRotation = 0
+
   private def scanAll(start: Map[String, ShardPosition], budget: Long): ShardOffset = {
-    var left = budget
-    val out = Map.newBuilder[String, ShardPosition]
     val listed = shardFiles()
-    listed.foreach { case (name, file) =>
-      val from = start.getOrElse(name, ShardPosition(0L, 0L))
-      val cap = if (left == Long.MaxValue) Long.MaxValue else from.seq + left
-      val end = scanShard(name, file, cap)
-      if (left != Long.MaxValue) left -= (end.seq - from.seq)
-      out += name -> end
+    val pos = mutable.Map.empty[String, ShardPosition]
+    listed.foreach { case (name, _) =>
+      pos(name) = start.getOrElse(name, ShardPosition(0L, 0L))
+    }
+    if (budget == Long.MaxValue) {
+      listed.foreach { case (name, file) =>
+        pos(name) = scanShard(name, file, Long.MaxValue)
+      }
+    } else if (listed.nonEmpty) {
+      // FAIR admission: Kinesis backpressure is per-shard
+      // (maxFetchRecordsPerShard), never first-listed-wins — draining
+      // shards in a fixed order would hand one hot early shard the
+      // whole budget every trigger and leave later shards unboundedly
+      // stale. The budget instead splits across shards in rounds:
+      // every shard gets an equal share (>= 1), a shard that drains
+      // below its share drops out and returns the remainder to the
+      // next round, and the round order rotates per trigger so a
+      // budget below the shard count still reaches everyone
+      // eventually. Terminates: each round either spends budget on
+      // every surviving shard or shrinks the shard set.
+      val r = scanRotation % listed.size
+      scanRotation += 1
+      var pending = listed.drop(r) ++ listed.take(r)
+      var left = budget
+      while (left > 0 && pending.nonEmpty) {
+        val share = math.max(1L, left / pending.size)
+        pending = pending.filter { case (name, file) =>
+          if (left <= 0) false
+          else {
+            val from = pos(name)
+            val take = math.min(share, left)
+            val end = scanShard(name, file, from.seq + take)
+            left -= end.seq - from.seq
+            pos(name) = end
+            end.seq == from.seq + take // hit its cap → may hold more
+          }
+        }
+      }
     }
     // a shard present in the start offset but gone from the directory
     // (retention expiry analog): carry its mark forward unchanged so
     // offsets stay monotone and nothing is re-planned
     val names = listed.map(_._1).toSet
+    val out = Map.newBuilder[String, ShardPosition]
+    out ++= pos
     start.foreach { case (k, v) => if (!names.contains(k)) out += k -> v }
     ShardOffset(out.result())
   }

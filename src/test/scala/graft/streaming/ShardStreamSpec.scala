@@ -100,6 +100,37 @@ class ShardStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("admission control is fair: a hot early shard cannot starve late-sorted shards") {
+    // shard-a always has more pending than the whole per-trigger budget
+    // — a first-listed-wins drain would hand it every batch and shard-z
+    // would never advance (unbounded staleness). Fair split: shard-z's
+    // records must land within the first few batches.
+    val dir = newStreamDir()
+    append(dir, "shard-a", (0 until 40).map(i => s"hot$i"): _*)
+    append(dir, "shard-z", "cold0", "cold1")
+    val q = readStream(dir, "maxRecordsPerTrigger" -> "3")
+      .writeStream.format("memory")
+      .queryName("shard_fair").outputMode("append").start()
+    try {
+      // drive exactly 3 triggers' worth: 9 records admitted
+      val deadline = System.currentTimeMillis() + 60000
+      def admitted = spark.table("shard_fair").count()
+      while (admitted < 9 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val snap = spark.table("shard_fair").as[(String, Long, String)].collect()
+      assert(snap.count(_._1 == "shard-z") >= 1,
+        s"shard-z starved across ${snap.length} admitted records: ${snap.toSeq}")
+      // and the cap still drains everything exactly once
+      q.processAllAvailable()
+      val all = spark.table("shard_fair").as[(String, Long, String)].collect()
+      assert(all.length == 42 && all.distinct.length == 42,
+        s"fairness must not break exactly-once: ${all.length}")
+      val byShard = all.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq)
+      assert(byShard("shard-z") == Seq("cold0", "cold1"))
+      assert(byShard("shard-a") == (0 until 40).map(i => s"hot$i"))
+    } finally q.stop()
+  }
+
   test("resharding: a split shard's tail and its children deliver with no loss or duplication") {
     val dir = newStreamDir()
     append(dir, "shard-0", (0 until 5).map(i => s"p$i"): _*)
