@@ -353,6 +353,20 @@ object Pipeline {
       when(vecDot(e, typedlit(hyperSigns(h))) > 0, lit(1L << h)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** The SRP bucket signature masked to a FIXED `bits` hyperplanes —
+    * the public form of [[srpSignature]] for consumers that cannot
+    * corpus-scale the bit count in-plan. The streaming dedup twin
+    * ([[graft.streaming.Dedup.dedupEmbedding]]) is the canonical user:
+    * an unbounded stream has no corpus count to derive bits from, so
+    * bits is its capacity knob, sized to the expected in-horizon
+    * volume. Same hyperplane matrix as every batch consumer, so batch
+    * and stream agree bucket-for-bucket at equal bits. */
+  def srpBucket(e: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= MaxHyperplanes,
+      s"bits must be in [1, $MaxHyperplanes], got $bits")
+    srpSignature(e).bitwiseAND(lit((1L << bits) - 1))
+  }
+
   def q30EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = dupEmbeddings(spark, dir)
     val maskRel = emb.agg(count(lit(1)).as("n"))

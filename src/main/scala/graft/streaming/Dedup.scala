@@ -54,4 +54,34 @@ object Dedup {
       .withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark("simhash")
       .drop("hs", "simhash")
+
+  /** Embedding near-dup streaming dedup: keep the first document per
+    * sign-random-projection bucket (streaming q30, completing the
+    * batch/stream dedup matrix: exact, SimHash, embedding). The same
+    * hyperplane matrix as the batch family
+    * ([[graft.operators.Pipeline.srpBucket]]), so a batch job and the
+    * ingest stream agree bucket-for-bucket at equal bits.
+    *
+    * Like [[dedupSimhash]], this is SIGNATURE-COLLAPSE dedup, not
+    * pairwise verification: two cosine-θ near-dups share all `bits`
+    * hyperplane signs w.p. (1 − θ/π)^bits (≥ 0.95 at 16 bits for the
+    * 0.99-cosine dups q30 targets), and collapse requires no join — the
+    * only shape that works record-at-a-time on an unbounded stream.
+    * Pairwise-verified dedup (and multi-probe recall recovery) stays
+    * the batch operator's job (q30/q51).
+    *
+    * Batch q30 derives its bit count from the corpus size in-plan; an
+    * unbounded stream HAS no corpus count, so `bits` is this operator's
+    * capacity knob: size it so the expected distinct-document volume
+    * per watermark horizon stays well under 2^bits (16 bits ≈ 65k
+    * buckets per horizon window; state is one signature per kept doc,
+    * evicted at the horizon like the exact twin). */
+  def dedupEmbedding(docs: DataFrame, embCol: String, eventTimeCol: String,
+      horizon: String, bits: Int = 16): DataFrame =
+    docs.withColumn("srp_sig",
+        graft.operators.Pipeline.srpBucket(
+          transform(col(embCol), x => x.cast("double")), bits))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("srp_sig")
+      .drop("srp_sig")
 }

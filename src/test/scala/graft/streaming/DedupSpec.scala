@@ -9,6 +9,7 @@ object DedupSpec {
   /** Recorder for the restart test — a companion-object queue so the
     * foreachBatch closure survives serialization (EngineSpec idiom). */
   val restartSink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+  val embRestartSink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
 }
 
 /** Streaming dedup through the state store: keep-first semantics,
@@ -68,6 +69,103 @@ class DedupSpec extends SparkSpec {
       assert(ids.contains(1L) && ids.contains(3L), s"got $ids")
       assert(!ids.contains(2L), s"near-copy must collapse onto doc 1's signature: $ids")
     } finally query.stop()
+  }
+
+  test("embedding near-dup dedup: SRP collapse, batch bucket agreement, horizon eviction") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // deterministic fixture: v2 is a positive scaling of v1 — identical
+    // dot signs against ANY hyperplane, so collapse is certain, not
+    // probabilistic; v3 is an independent vector
+    val v1 = Seq.tabulate(64)(i => math.sin(i + 1.0))
+    val v2 = v1.map(_ * 1.0002)
+    val v3 = Seq.tabulate(64)(i => math.cos(3.0 * i + 1.0))
+    // batch/stream agreement: the expected kept set comes from the
+    // BATCH operator's buckets (same hyperplanes, same bits)
+    val batchBuckets = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), graft.operators.Pipeline.srpBucket(
+        transform(col("embedding"), x => x.cast("double")), 16).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batchBuckets(1L) == batchBuckets(2L), "scaled copy must share the bucket")
+    assert(batchBuckets(1L) != batchBuckets(3L), "independent vector must not")
+    val in = MemoryStream[(Long, Seq[Double], Long)]
+    val docs = in.toDF().toDF("vec_id", "embedding", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val query = Dedup.dedupEmbedding(docs, "embedding", "ts", "10 seconds")
+      .select("vec_id")
+      .writeStream.format("memory").queryName("dedup_emb_mem")
+      .outputMode("append").start()
+    def ids = spark.table("dedup_emb_mem").as[Long].collect().sorted.toSeq
+    try {
+      in.addData((1L, v1, 1L), (3L, v3, 2L))
+      query.processAllAvailable()
+      assert(ids == Seq(1L, 3L), s"got $ids")
+      // the near-copy arrives in a later batch, inside the horizon:
+      // collapses onto doc 1's signature exactly as the batch buckets say
+      in.addData((2L, v2, 4L))
+      query.processAllAvailable()
+      assert(ids == Seq(1L, 3L), s"near-copy must collapse: $ids")
+      // horizon contract: watermark passes first-seen + horizon, state
+      // evicts, a re-arrival is re-admitted (the documented trade)
+      in.addData((4L, Seq.tabulate(64)(i => math.sin(2.0 * i + 0.5)), 100L))
+      query.processAllAvailable()
+      in.addData((5L, v2, 95L))
+      query.processAllAvailable()
+      assert(ids == Seq(1L, 3L, 4L, 5L), s"got $ids")
+    } finally query.stop()
+  }
+
+  test("embedding dedup state survives a restart on RocksDB") {
+    val root = java.nio.file.Files.createTempDirectory("graft-embdedup-restart")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val ckpt = root.resolve("ckpt").toString
+    val v1 = Seq.tabulate(64)(i => math.sin(i + 1.0))
+    val v3 = Seq.tabulate(64)(i => math.cos(3.0 * i + 1.0))
+    val v5 = Seq.tabulate(64)(i => math.sin(2.0 * i + 0.5))
+    def enc(v: Seq[Double]) = v.mkString(",")
+    def addFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(inDir.resolve(name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def startQuery() = StateStores.withRocksDB(spark) {
+      val parts = split(col("value"), "\\|")
+      val docs = spark.readStream.text(inDir.toString)
+        .select(parts.getItem(0).cast("long").as("vec_id"),
+          split(parts.getItem(1), ",").cast("array<double>").as("embedding"),
+          parts.getItem(2).cast("long").cast("timestamp").as("ts"))
+      Dedup.dedupEmbedding(docs, "embedding", "ts", "1 hour")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("vec_id").collect()
+            .foreach(r => DedupSpec.embRestartSink.add(r.getLong(0)))
+        }
+        .start()
+    }
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what " +
+        s"(sink: ${DedupSpec.embRestartSink.asScala.toSeq})")
+    }
+    DedupSpec.embRestartSink.clear()
+    // phase 1: v1 passes, its scaled in-batch copy is dropped
+    val q1 = startQuery()
+    try {
+      addFile("f1.txt", Seq(s"1|${enc(v1)}|1", s"2|${enc(v1.map(_ * 1.0002))}|2",
+        s"3|${enc(v3)}|3"))
+      await(DedupSpec.embRestartSink.asScala.toSet == Set(1L, 3L), "phase-1 rows")
+    } finally q1.stop()
+    // phase 2: restart — a scaled copy of phase 1's vector must STILL
+    // collapse (recovered RocksDB state), a fresh vector passes
+    val q2 = startQuery()
+    try {
+      addFile("f2.txt", Seq(s"4|${enc(v1.map(_ * 1.0001))}|5", s"5|${enc(v5)}|6"))
+      await(DedupSpec.embRestartSink.asScala.toSet.contains(5L), "phase-2 row")
+      val seen = DedupSpec.embRestartSink.asScala.toSet
+      assert(!seen.contains(4L),
+        s"duplicate re-emitted after restart — state lost: $seen")
+      assert(!seen.contains(2L), s"phase-1 duplicate resurfaced: $seen")
+    } finally q2.stop()
   }
 
   test("streaming curation agrees with batch row-for-row (one definition, two modes)") {
