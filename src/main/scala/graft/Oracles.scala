@@ -365,6 +365,7 @@ object Oracles {
   ) ++ graft.operators.Pipeline.Sql.all ++ Map(
     "q32_command_router" -> graft.operators.Router.oracleSql,
     "q33_multimodal_stats" -> graft.operators.Multimodal.oracleSql,
+    "q62_audio_stats" -> graft.operators.Multimodal.audioOracleSql,
     "q37_asof_join" -> graft.operators.Joins.q37Sql,
     "q38_range_join" -> graft.operators.Joins.q38Sql,
     "q39_cube" ->

@@ -99,6 +99,8 @@ object SparkEntry {
     // + the label-free derived-centroid SemDeDup composition
     "q60_approx_percentiles" -> (Relational.q60ApproxPercentiles _),
     "q61_derived_semantic_dedup" -> (Pipeline.q61DerivedSemanticDedup _),
+    // second real multimodal modality: WAV/PCM decode via javax.sound
+    "q62_audio_stats" -> (Multimodal.q62AudioStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -12,6 +12,14 @@ case class MediaMeta(widthPx: Int, heightPx: Int, sampleRateHz: Int, nFrames: In
 case class MediaFile(mediaId: Long, mediaType: String, payload: Array[Byte], meta: MediaMeta)
 case class MediaFeatures(mediaId: Long, mediaType: String, nBytes: Int, features: Array[Double])
 
+/** Decoded audio statistics: sample rate and frame count from the
+  * container header, RMS amplitude from the PCM samples themselves.
+  * `decoded=false` rows carry the deterministic byte-moment fallback
+  * in `rms` and -1 sentinels (the operator is total, like the image
+  * decoder). */
+case class AudioFeatures(mediaId: Long, decoded: Boolean, sampleRateHz: Int,
+    nSamples: Long, rms: Double)
+
 /** Multimodal-column plumbing for a training-data pipeline: opaque
   * binary payloads with typed metadata, a partition-wise decode/
   * feature-extract stage, a real image resize, frame sampling, and an
@@ -175,6 +183,145 @@ object Multimodal {
         sum(col("n_frames")).as("total_frames"),
         round(avg(col("f0")), 4).as("avg_f0"))
       .orderBy(col("media_type"))
+
+  // ------------------------------------------------------------ audio
+
+  /** Encode 16-bit signed little-endian mono PCM as a WAV container via
+    * `javax.sound.sampled` (JDK built-in, no external jars) — the
+    * fixture encoder for the audio corpus and the specs. */
+  def encodeWavPcm16(samples: Array[Short], rateHz: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rateHz.toFloat, 16, 1, true, false) // signed, little-endian
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xFF).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode one payload to (sampleRate, PCM samples), or None when no
+    * installed reader claims it, the decode fails mid-stream, or the
+    * format isn't the 16-bit mono PCM this extractor handles — same
+    * total-operator contract as [[tryDecode]] for images. */
+  private def tryDecodeAudio(payload: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            if (fmt.isBigEndian) (((raw(2 * i) & 0xFF) << 8) | (raw(2 * i + 1) & 0xFF)).toShort
+            else (((raw(2 * i + 1) & 0xFF) << 8) | (raw(2 * i) & 0xFF)).toShort
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, out))
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic WAV corpus over the documents table: one 16-bit mono
+    * PCM square wave per document, rate/length/amplitude derived from
+    * (doc_id, n_chars) — REAL containers a real decoder must parse, with
+    * generation parameters an oracle can recompute in closed form (a
+    * ±A square wave's RMS is exactly A; frame count and rate round-trip
+    * the header). Synthesis is partition-wise over the spread scan. */
+  def audioFiles(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val rate = 8000 + (nChars % 3).toInt * 4000
+        val n = 400 + (id % 200).toInt
+        val amp = (1000 + (id % 20) * 500).toInt
+        val samples = Array.tabulate(n)(i =>
+          (if ((i / 4) % 2 == 0) amp else -amp).toShort)
+        MediaFile(id, "audio", encodeWavPcm16(samples, rate),
+          MediaMeta(0, 0, rate, n))
+      }
+  }
+
+  /** REAL audio decoder — `javax.sound.sampled` (JDK-only) parses the
+    * WAV container and streams PCM frames: sample rate and frame count
+    * come from the decoded stream (NOT the metadata struct), RMS from
+    * the samples. Same partition-wise no-shuffle shape as the image
+    * path: payloads never leave their partition, rows stream through a
+    * per-partition decoder. Undecodable payloads take the
+    * [[byteMomentFeatures]] fallback with -1 sentinels. */
+  def decodeAudioFeatures(files: Dataset[MediaFile]): Dataset[AudioFeatures] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { rows =>
+      rows.map { f =>
+        tryDecodeAudio(f.payload) match {
+          case Some((rate, samples)) =>
+            var sq = 0.0
+            var i = 0
+            while (i < samples.length) {
+              sq += samples(i).toDouble * samples(i); i += 1
+            }
+            val rms = if (samples.isEmpty) 0.0 else math.sqrt(sq / samples.length)
+            AudioFeatures(f.mediaId, decoded = true, rate, samples.length.toLong, rms)
+          case None =>
+            AudioFeatures(f.mediaId, decoded = false, -1, -1L,
+              byteMomentFeatures(f.payload, 1)(0))
+        }
+      }
+    }
+  }
+
+  /** MM — oracle-checked audio rollup: synthesize the WAV corpus,
+    * decode it for real, and aggregate per decoded sample rate. Every
+    * aggregated quantity is integer-exact per row (square-wave RMS is
+    * exactly the amplitude; counts and rates round-trip the container),
+    * so the DuckDB twin recomputes them from the generation arithmetic
+    * while Spark's side only sees what the decoder produced — the
+    * hash-match PROVES the decode is real and lossless. Duration is
+    * derived from the exact integer sums in one division (per-row
+    * double sums would be summation-order-dependent). */
+  def q62AudioStats(spark: SparkSession, dir: String): DataFrame =
+    decodeAudioFeatures(audioFiles(spark, dir)).toDF()
+      .filter(col("decoded"))
+      .select(col("sampleRateHz").as("sample_rate"),
+        col("nSamples").as("n_samples"), col("rms"))
+      .groupBy(col("sample_rate"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_samples")).as("total_samples"),
+        round(avg(col("rms").cast("long")), 4).as("avg_rms"))
+      .withColumn("total_duration_ms",
+        round(col("total_samples").cast("double") * 1000.0 / col("sample_rate"), 4))
+      .select(col("sample_rate"), col("n_files"), col("total_samples"),
+        col("total_duration_ms"), col("avg_rms"))
+      .orderBy(col("sample_rate"))
+
+  /** DuckDB twin of [[q62AudioStats]]: recomputes the synthesis
+    * parameters from (doc_id, n_chars) — rate, frame count, and the
+    * square wave's exact RMS (= amplitude) — that Spark's side obtains
+    * by actually decoding the WAV containers. */
+  val audioOracleSql: String =
+    """WITH a AS (
+      |  SELECT CAST(8000 + (n_chars % 3) * 4000 AS INT) AS sample_rate,
+      |    400 + doc_id % 200 AS n_samples,
+      |    1000 + (doc_id % 20) * 500 AS amp
+      |  FROM documents)
+      |SELECT sample_rate, count(*) AS n_files,
+      |  CAST(sum(n_samples) AS BIGINT) AS total_samples,
+      |  round(CAST(sum(n_samples) AS DOUBLE) * 1000.0 / sample_rate, 4) AS total_duration_ms,
+      |  round(avg(amp), 4) AS avg_rms
+      |FROM a GROUP BY sample_rate ORDER BY sample_rate""".stripMargin
 
   /** DuckDB twin of [[q33MultimodalStats]]: the payload is the UTF-8
     * text bytes, so md5(payload) == md5(text) and octet_length matches

@@ -111,6 +111,55 @@ class MultimodalSpec extends SparkSpec {
     assert(!Layout.hasShuffle(resized.toDF()), "resize must not shuffle")
   }
 
+  test("audio decode: real WAV round-trip — rate, frame count, and RMS from the PCM stream") {
+    import spark.implicits._
+    // hand-built fixture: 1 kHz of ±2000 square wave at 8 kHz — the
+    // decoder must report the CONTAINER's truth, not the metadata's
+    val samples = Array.tabulate(800)(i => (if (i % 2 == 0) 2000 else -2000).toShort)
+    val wav = Multimodal.encodeWavPcm16(samples, 8000)
+    val files = Seq(
+      MediaFile(1L, "audio", wav, MediaMeta(0, 0, 999, 1)), // lying metadata
+      MediaFile(2L, "audio", "definitely not audio".getBytes("UTF-8"),
+        MediaMeta(0, 0, 0, 1))).toDS()
+    val got = Multimodal.decodeAudioFeatures(files)
+      .collect().map(f => f.mediaId -> f).toMap
+    assert(got(1L).decoded && got(1L).sampleRateHz == 8000 &&
+      got(1L).nSamples == 800L, s"decoded: ${got(1L)}")
+    assert(got(1L).rms == 2000.0, s"square-wave RMS must be exactly A: ${got(1L).rms}")
+    // undecodable payload: total operator, deterministic fallback
+    assert(!got(2L).decoded && got(2L).nSamples == -1L &&
+      got(2L).rms >= 0.0 && got(2L).rms < 1.0)
+    // asymmetric samples exercise the full sqrt(mean-square) path
+    val asym = Array[Short](300, -400, 1200, 0)
+    val a = Multimodal.decodeAudioFeatures(
+      Seq(MediaFile(3L, "audio", Multimodal.encodeWavPcm16(asym, 16000),
+        MediaMeta(0, 0, 0, 1))).toDS()).head()
+    val expected = math.sqrt(asym.map(s => s.toDouble * s).sum / 4)
+    assert(a.decoded && a.sampleRateHz == 16000 && a.nSamples == 4L &&
+      math.abs(a.rms - expected) < 1e-9)
+  }
+
+  test("audio corpus decodes completely: every synthesized WAV parses with exact counts") {
+    val feats = Multimodal.decodeAudioFeatures(
+      Multimodal.audioFiles(spark, sfDir)).collect()
+    val n = graft.Tables.documents(spark, sfDir).count()
+    assert(feats.length == n)
+    assert(feats.forall(_.decoded), "every synthesized container must decode")
+    // decoded frame counts and rates match the generation arithmetic
+    feats.foreach { f =>
+      assert(f.nSamples == 400 + f.mediaId % 200, s"${f.mediaId}: ${f.nSamples}")
+      assert(Set(8000, 12000, 16000).contains(f.sampleRateHz))
+      assert(f.rms == (1000 + (f.mediaId % 20) * 500).toDouble,
+        s"${f.mediaId}: rms ${f.rms}")
+    }
+  }
+
+  test("audio decode stays partition-wise: no shuffle before the rollup") {
+    val decoded = Multimodal.decodeAudioFeatures(Multimodal.audioFiles(spark, sfDir))
+    assert(!Layout.hasShuffle(decoded.toDF().filter(col("decoded"))),
+      "decode must not shuffle")
+  }
+
   test("q33 rollup covers all media types with plausible stats") {
     val rows = Multimodal.q33MultimodalStats(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
