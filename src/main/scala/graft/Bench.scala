@@ -31,16 +31,16 @@ object Bench {
       // measured 2-4x slower than the same query in isolation.
       .config("spark.sql.ui.retainedExecutions", "4")
       .config("spark.cleaner.periodicGC.interval", "15s")
+      // wide plans (q61's composed pipeline) trip the plan-string
+      // truncation WARN mid-run otherwise — one more line in the
+      // captured tail that breaks the driver's one-line JSON parse
+      .config("spark.sql.debug.maxToStringFields", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // The iterative CC queries INTENTIONALLY unpersist superseded
-    // localCheckpoint rounds (Graph.CheckpointScope); Spark warns on
-    // every such release, and in the r5 driver run those WARN lines
-    // landed in the captured tail and broke the one-line JSON contract.
-    // Expected-by-design noise — silence just that logger here.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // The iterative CC queries' deliberate localCheckpoint releases used
+    // to be silenced HERE, process-wide — hiding genuine block-loss
+    // WARNs for the whole run. The suppression now lives scoped inside
+    // Graph.checkpointRound around exactly the deliberate unpersist.
     // q59's sequence-packing window runs over the corpus/100 bucket-summary
     // relation — a bounded, by-design single-partition frame (PLANS.md).
     // Spark still emits the "No Partition Defined" WARN for it, and two of
@@ -120,7 +120,11 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"repeat":$repeat,"sf":"$sfDir"}""")
+    // stop FIRST, print LAST: async block-removal WARNs (the final
+    // clearCache/GC racing the ContextCleaner) and anything stop()
+    // itself logs must flush BEFORE the JSON line — the driver captures
+    // the output tail, and a log line after the JSON breaks its parse
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"repeat":$repeat,"sf":"$sfDir"}""")
   }
 }

@@ -14,13 +14,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.debug.maxToStringFields", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // expected-by-design noise from the iterative CC queries' per-round
-    // checkpoint releases (see Bench.scala for the full rationale)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // the CC queries' checkpoint-release WARN suppression is scoped
+    // inside Graph.checkpointRound (see Bench.scala)
     // q59's by-design bounded single-partition window (see Bench.scala)
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",

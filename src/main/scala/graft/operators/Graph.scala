@@ -51,7 +51,22 @@ object Graph {
     val rdds = cp.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
-    (cp, () => rdds.foreach(_.unpersist(blocking = false)))
+    (cp, () => {
+      // Spark WARNs on every unpersist of a locally-checkpointed RDD
+      // ("lineage has been truncated ..."). Here the release is the
+      // whole point and provably safe (CAUTION above), so the logger is
+      // raised to ERROR for exactly this call — NOT process-wide as the
+      // Bench/Verify mains once did, which would also have hidden a
+      // genuine block-loss WARN from any unrelated stage. The window is
+      // a few synchronous log calls wide; a concurrent query's WARN
+      // landing inside it is the accepted residual risk.
+      val name = "org.apache.spark.rdd.MapPartitionsRDD"
+      val prev = org.apache.logging.log4j.LogManager.getLogger(name).getLevel
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        name, org.apache.logging.log4j.Level.ERROR)
+      try rdds.foreach(_.unpersist(blocking = false))
+      finally org.apache.logging.log4j.core.config.Configurator.setLevel(name, prev)
+    })
   }
 
   /** Bookkeeping for an iterative checkpoint loop: every checkpoint
