@@ -435,21 +435,15 @@ class PipelineSpec extends SparkSpec {
     assert(rows.exists(_.getLong(0) >= 3), "no chained components found")
   }
 
-  test("q50 round join: pre-partitioned edge cache eliminates the per-round edge exchange") {
-    // The propagation loop's static side is persisted
-    // repartition(col("src")) — each round's join must then reuse that
-    // partitioning and exchange ONLY the labels side. Broadcast is
-    // disabled because at test scale the tiny labels relation would
-    // broadcast and hide the exchange accounting that matters at 100 TB.
-    // Count shuffles the round EXECUTES: walk the adaptive final plan,
-    // not its toString — InMemoryTableScan prints the whole cached plan
-    // (including the cache-fill repartition, paid once, not per round),
-    // so string-counting overstates. Reused exchanges don't re-shuffle.
-    import org.apache.spark.sql.execution.SparkPlan
+  /** Count shuffles a query EXECUTES: walk the adaptive final plan, not
+    * its toString — InMemoryTableScan prints the whole cached plan
+    * (including the cache-fill exchanges, paid once, not per read), so
+    * string-counting overstates. Reused exchanges don't re-shuffle. */
+  private def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def countShuffles(p: SparkPlan): Int = p match {
+    p match {
       case _: InMemoryTableScanExec => 0
       case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
       case s: QueryStageExec => countShuffles(s.plan)
@@ -458,6 +452,56 @@ class PipelineSpec extends SparkSpec {
         other.children.map(countShuffles).sum +
           other.subqueries.map(countShuffles).sum
     }
+  }
+
+  /** Execute `df` (so the adaptive final plan forms) and count its
+    * exchanges. */
+  private def executedShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.count()
+    countShuffles(df.queryExecution.executedPlan)
+  }
+
+  test("ANN family exchange accounting: the embedding queries shuffle a bounded, known number of times") {
+    // The q50 zero-exchange discipline applied to the whole embedding
+    // family: each query's executed plan must carry exactly the
+    // exchanges its design calls for — a regression here (a lost
+    // broadcast, a new repartition, an orderBy creeping into a hot
+    // path) multiplies shuffled bytes at 100 TB long before it shows
+    // in a small-SF wall clock. Counts are POST-CACHE: the persisted
+    // index/membership fills are paid once by construction (asserted
+    // by their own specs), so the numbers here are the per-query
+    // marginal shuffles.
+    val budgets = Map(
+      // members ⋈ broadcast(q) → TopK agg pair collapses to ONE
+      // exchange + the 50-row result orderBy
+      "q31" -> (Pipeline.q31IvfAnn(spark, sfDir), 2),
+      // dominance join on cached cluster keys (no exchange: both sides
+      // read the persisted membership) + removed-set distinct + rollup
+      // agg + result orderBy, with AQE folding the distinct into the
+      // join-back
+      "q51" -> (Pipeline.q51SemanticDedup(spark, sfDir), 3),
+      // quantized shortlist TopK agg + shortlist join-back + exact
+      // re-rank TopK agg + result orderBy
+      "q55" -> (Pipeline.q55QuantizedAnn(spark, sfDir), 4),
+      // q51's exact shape over derived centroids — same dominance plan,
+      // same three exchanges (the k-means stages hide behind the
+      // persisted membership, paid once at index build)
+      "q61" -> (Pipeline.q61DerivedSemanticDedup(spark, sfDir), 3))
+    budgets.foreach { case (name, (df, expected)) =>
+      val got = executedShuffles(df)
+      assert(got == expected, s"$name: $got exchanges, design says $expected — " +
+        "a new exchange multiplies shuffled bytes at scale; a vanished one " +
+        "usually means a broadcast quietly replaced a distributed stage")
+      info(s"$name executes $got exchanges")
+    }
+  }
+
+  test("q50 round join: pre-partitioned edge cache eliminates the per-round edge exchange") {
+    // The propagation loop's static side is persisted
+    // repartition(col("src")) — each round's join must then reuse that
+    // partitioning and exchange ONLY the labels side. Broadcast is
+    // disabled because at test scale the tiny labels relation would
+    // broadcast and hide the exchange accounting that matters at 100 TB.
     def exchanges(sym: org.apache.spark.sql.DataFrame): Int = {
       val labels = sym.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
