@@ -366,6 +366,7 @@ object Oracles {
     "q32_command_router" -> graft.operators.Router.oracleSql,
     "q33_multimodal_stats" -> graft.operators.Multimodal.oracleSql,
     "q62_audio_stats" -> graft.operators.Multimodal.audioOracleSql,
+    "q63_video_stats" -> graft.operators.Multimodal.videoOracleSql,
     "q37_asof_join" -> graft.operators.Joins.q37Sql,
     "q38_range_join" -> graft.operators.Joins.q38Sql,
     "q39_cube" ->

@@ -99,8 +99,10 @@ object SparkEntry {
     // + the label-free derived-centroid SemDeDup composition
     "q60_approx_percentiles" -> (Relational.q60ApproxPercentiles _),
     "q61_derived_semantic_dedup" -> (Pipeline.q61DerivedSemanticDedup _),
-    // second real multimodal modality: WAV/PCM decode via javax.sound
+    // second + third real multimodal modalities: WAV/PCM decode via
+    // javax.sound, frame-packed video via per-frame javax.imageio
     "q62_audio_stats" -> (Multimodal.q62AudioStats _),
+    "q63_video_stats" -> (Multimodal.q63VideoStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

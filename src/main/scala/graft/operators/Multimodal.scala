@@ -20,6 +20,14 @@ case class MediaFeatures(mediaId: Long, mediaType: String, nBytes: Int, features
 case class AudioFeatures(mediaId: Long, decoded: Boolean, sampleRateHz: Int,
     nSamples: Long, rms: Double)
 
+/** Decoded video statistics: frame count from the container framing,
+  * summed per-frame channel means from the decoded pixels. `decoded=
+  * false` rows carry -1 sentinels (total operator). `lumSum` is an
+  * exact integer for solid-color frames — the fixtures exploit that
+  * for engine-portable verification. */
+case class VideoFeatures(mediaId: Long, decoded: Boolean, nFrames: Int,
+    lumSum: Long)
+
 /** Multimodal-column plumbing for a training-data pipeline: opaque
   * binary payloads with typed metadata, a partition-wise decode/
   * feature-extract stage, a real image resize, frame sampling, and an
@@ -322,6 +330,135 @@ object Multimodal {
       |  round(CAST(sum(n_samples) AS DOUBLE) * 1000.0 / sample_rate, 4) AS total_duration_ms,
       |  round(avg(amp), 4) AS avg_rms
       |FROM a GROUP BY sample_rate ORDER BY sample_rate""".stripMargin
+
+  // ------------------------------------------------------------ video
+
+  /** Pack image frames into an MJPEG-style container: each frame is a
+    * 4-byte big-endian length prefix + its encoded bytes (the framing
+    * every packetized video stream uses; MJPEG itself is just
+    * concatenated JPEGs). JDK-only, like the WAV and PNG paths. */
+  def encodeFramePacked(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    frames.foreach { f => d.writeInt(f.length); d.write(f) }
+    out.toByteArray
+  }
+
+  /** Deterministic video corpus over the documents table: per document,
+    * 2–6 solid-color PNG frames (colors derived per-frame from doc_id —
+    * every frame must be INDIVIDUALLY decoded to reproduce the sums) in
+    * the length-prefixed container. A solid WxH frame's per-channel
+    * mean is exactly its color byte, so the decoded luminance sum has a
+    * closed form the oracle recomputes from doc_id arithmetic. */
+  def videoFiles(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val n = 2 + (id % 5).toInt
+        val frames = (0 until n).map { i =>
+          val r = ((id * 3 + i * 11) % 256).toInt
+          val g = ((id * 5 + i * 23) % 256).toInt
+          val b = ((id * 7 + i * 37) % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val gfx = img.createGraphics()
+          gfx.setColor(new java.awt.Color(r, g, b))
+          gfx.fillRect(0, 0, 8, 6)
+          gfx.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          baos.toByteArray
+        }
+        MediaFile(id, "video", encodeFramePacked(frames), MediaMeta(8, 6, 0, n))
+      }
+  }
+
+  /** REAL video decode — walk the length-prefixed container, decode
+    * every frame with `javax.imageio`, and accumulate the per-frame
+    * mean channel values (exact integers for solid frames). The frame
+    * count comes from the FRAMING and each luminance term from DECODED
+    * pixels, so a framing bug or a skipped frame changes the output.
+    * Same partition-wise no-shuffle contract as the image/audio paths;
+    * malformed containers or undecodable frames → -1 sentinels. */
+  def decodeVideoFeatures(files: Dataset[MediaFile]): Dataset[VideoFeatures] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { f =>
+        try {
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(f.payload))
+          var nFrames = 0
+          var lum = 0L
+          var ok = true
+          while (ok && in.available() >= 4) {
+            val len = in.readInt()
+            if (len <= 0 || len > in.available()) ok = false
+            else {
+              val bytes = new Array[Byte](len)
+              in.readFully(bytes)
+              tryDecode(bytes) match {
+                case None => ok = false
+                case Some(img) =>
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  var (r, g, b) = (0L, 0L, 0L)
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val p = img.getRGB(x, y)
+                      r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  // per-frame mean channel values; exact when solid
+                  lum += r / (w * h) + g / (w * h) + b / (w * h)
+                  nFrames += 1
+              }
+            }
+          }
+          if (ok && nFrames > 0 && in.available() == 0)
+            VideoFeatures(f.mediaId, decoded = true, nFrames, lum)
+          else VideoFeatures(f.mediaId, decoded = false, -1, -1L)
+        } catch {
+          case _: Exception => VideoFeatures(f.mediaId, decoded = false, -1, -1L)
+        }
+      }
+    }
+  }
+
+  /** MM — oracle-checked video rollup: synthesize the frame-packed
+    * corpus, decode every frame for real, aggregate per frame count.
+    * All integer-exact (solid frames decode to exact channel means),
+    * so the DuckDB twin recomputes the sums from the generation
+    * arithmetic — a hash match means every frame of every container
+    * was individually decoded correctly. */
+  def q63VideoStats(spark: SparkSession, dir: String): DataFrame =
+    decodeVideoFeatures(videoFiles(spark, dir)).toDF()
+      .filter(col("decoded"))
+      .groupBy(col("nFrames").as("n_frames"))
+      .agg(count(lit(1)).as("n_videos"),
+        sum(col("lumSum")).as("total_lum"))
+      .withColumn("total_frames",
+        (col("n_frames").cast("long") * col("n_videos")).as("total_frames"))
+      .select(col("n_frames"), col("n_videos"), col("total_frames"), col("total_lum"))
+      .orderBy(col("n_frames"))
+
+  /** DuckDB twin of [[q63VideoStats]]: the per-frame colors (and so the
+    * decoded luminance sums) have closed forms in doc_id. */
+  val videoOracleSql: String =
+    """WITH v AS (
+      |  SELECT CAST(2 + doc_id % 5 AS INT) AS n_frames,
+      |    list_sum(list_transform(generate_series(0, CAST(1 + doc_id % 5 AS INT)),
+      |      i -> (doc_id * 3 + i * 11) % 256 + (doc_id * 5 + i * 23) % 256
+      |           + (doc_id * 7 + i * 37) % 256)) AS lum_sum
+      |  FROM documents)
+      |SELECT n_frames, count(*) AS n_videos,
+      |  CAST(n_frames * count(*) AS BIGINT) AS total_frames,
+      |  CAST(sum(lum_sum) AS BIGINT) AS total_lum
+      |FROM v GROUP BY n_frames ORDER BY n_frames""".stripMargin
 
   /** DuckDB twin of [[q33MultimodalStats]]: the payload is the UTF-8
     * text bytes, so md5(payload) == md5(text) and octet_length matches

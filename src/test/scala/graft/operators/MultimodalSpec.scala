@@ -160,6 +160,45 @@ class MultimodalSpec extends SparkSpec {
       "decode must not shuffle")
   }
 
+  test("video decode: every frame of the packed container is individually decoded") {
+    import spark.implicits._
+    // two solid frames with known colors: the luminance sum only comes
+    // out right if BOTH frames decode and their pixels are read
+    val f1 = imageBytes(8, 6, 0x102030, "png") // means 16, 32, 48
+    val f2 = imageBytes(4, 4, 0x405060, "png") // means 64, 80, 96
+    val packed = Multimodal.encodeFramePacked(Seq(f1, f2))
+    val got = Multimodal.decodeVideoFeatures(
+      Seq(MediaFile(1L, "video", packed, MediaMeta(8, 6, 0, 2))).toDS()).head()
+    assert(got.decoded && got.nFrames == 2, s"$got")
+    assert(got.lumSum == (16 + 32 + 48) + (64 + 80 + 96), s"lum: ${got.lumSum}")
+    // a TRUNCATED container (mid-frame cut) and plain garbage both take
+    // the sentinel path instead of failing the task
+    val torn = java.util.Arrays.copyOf(packed, packed.length - 7)
+    val t = Multimodal.decodeVideoFeatures(
+      Seq(MediaFile(2L, "video", torn, MediaMeta(0, 0, 0, 0))).toDS()).head()
+    assert(!t.decoded && t.nFrames == -1)
+    val g = Multimodal.decodeVideoFeatures(
+      Seq(MediaFile(3L, "video", "not a container".getBytes("UTF-8"),
+        MediaMeta(0, 0, 0, 0))).toDS()).head()
+    assert(!g.decoded)
+  }
+
+  test("video corpus decodes completely with the closed-form frame sums") {
+    val feats = Multimodal.decodeVideoFeatures(
+      Multimodal.videoFiles(spark, sfDir)).collect()
+    assert(feats.length == graft.Tables.documents(spark, sfDir).count())
+    assert(feats.forall(_.decoded), "every synthesized container must decode")
+    feats.foreach { f =>
+      val id = f.mediaId
+      val n = 2 + (id % 5).toInt
+      assert(f.nFrames == n, s"$id: ${f.nFrames}")
+      val expected = (0 until n).map(i =>
+        (id * 3 + i * 11) % 256 + (id * 5 + i * 23) % 256 +
+          (id * 7 + i * 37) % 256).sum
+      assert(f.lumSum == expected, s"$id: ${f.lumSum} vs $expected")
+    }
+  }
+
   test("q33 rollup covers all media types with plausible stats") {
     val rows = Multimodal.q33MultimodalStats(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
