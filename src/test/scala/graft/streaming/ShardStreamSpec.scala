@@ -131,6 +131,32 @@ class ShardStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("admission fairness below shard count: rotation reaches every shard across triggers") {
+    // budget 1 < 3 shards: within any single trigger only one shard can
+    // advance, so fairness rests entirely on the rotated scan start —
+    // without it, the lexicographically first hot shard wins every
+    // trigger and the other two never move.
+    val dir = newStreamDir()
+    append(dir, "shard-a", (0 until 30).map(i => s"a$i"): _*)
+    append(dir, "shard-m", "m0", "m1")
+    append(dir, "shard-z", "z0", "z1")
+    val q = readStream(dir, "maxRecordsPerTrigger" -> "1")
+      .writeStream.format("memory")
+      .queryName("shard_rotate").outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def shardsSeen = spark.table("shard_rotate").as[(String, Long, String)]
+        .collect().map(_._1).toSet
+      while (shardsSeen.size < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(shardsSeen == Set("shard-a", "shard-m", "shard-z"),
+        s"rotation must reach every shard, saw only $shardsSeen")
+      q.processAllAvailable()
+      val all = spark.table("shard_rotate").as[(String, Long, String)].collect()
+      assert(all.length == 34 && all.distinct.length == 34)
+    } finally q.stop()
+  }
+
   test("resharding: a split shard's tail and its children deliver with no loss or duplication") {
     val dir = newStreamDir()
     append(dir, "shard-0", (0 until 5).map(i => s"p$i"): _*)
