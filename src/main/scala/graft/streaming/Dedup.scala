@@ -84,4 +84,34 @@ object Dedup {
       .withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark("srp_sig")
       .drop("srp_sig")
+
+  /** PASSAGE-level streaming dedup (streaming q56): explode each
+    * arriving document into non-overlapping `chunkTokens`-token chunks
+    * and keep the FIRST occurrence of each chunk within the horizon —
+    * the granularity that catches partially-copied documents (quoted
+    * passages, boilerplate headers) a whole-document digest misses.
+    * Returns the surviving CHUNKS (all input columns + `chunk_idx`,
+    * `chunk`); documents shorter than one chunk produce no output,
+    * exactly as in the batch operator. Chunk keys are the same
+    * portable hash as q56, so batch and stream agree chunk-for-chunk.
+    *
+    * Scale posture: chunking and hashing are map-side (the toks
+    * projection guards the nested-HOF recompute trap exactly as the
+    * batch plan does); state is one key per distinct in-horizon chunk
+    * — larger than document-level state by the chunks-per-doc factor,
+    * which is why the horizon (and RocksDB) matter more here. */
+  def dedupPassages(docs: DataFrame, textCol: String, eventTimeCol: String,
+      horizon: String, chunkTokens: Int = 16): DataFrame =
+    docs.withColumn("toks", split(col(textCol), " "))
+      // filter BEFORE sequence: sequence(1, 0) DESCENDS, not empties
+      .filter(size(col("toks")) >= chunkTokens)
+      .select(col("*"), posexplode(transform(
+        sequence(lit(1), (size(col("toks")) / chunkTokens).cast("int")),
+        i => array_join(
+          slice(col("toks"), (i - 1) * chunkTokens + 1, lit(chunkTokens)), " ")))
+        .as(Seq("chunk_idx", "chunk")))
+      .withColumn("chunk_h", portableHashMod(col("chunk")))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("chunk_h")
+      .drop("toks", "chunk_h")
 }

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.expressions.VectorFunctions.vecCosine
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming similarity matching — the streaming face of the L3 batch
+  * family (q25/q31/q55): score every ARRIVING embedding against a
+  * small static query/centroid relation and emit the matches. The
+  * routing primitive of an ingest pipeline (send a document to the
+  * dedup shard / topic bucket / safety queue whose centroid it is
+  * closest to), and the same posture as the reference's point-lookup
+  * join against its in-memory registry
+  * (`/root/reference/lib/TargetManager/TargetManager.h:66-135`): a
+  * tiny keyed relation consulted per arriving record.
+  *
+  * Scale posture: stream-static BROADCAST join — the query relation
+  * ships to every executor once, scoring is map-side per micro-batch
+  * (codegen'd `vec_dot`), and there is NO state and NO shuffle: the
+  * operator composes with any downstream stateful stage without adding
+  * exchanges. Full corpus-vs-corpus search stays the batch operators'
+  * job; a stream can only ever score against what fits in a broadcast,
+  * which is exactly the IVF-centroid / routing-table use case.
+  */
+object Similarity {
+
+  /** Emit one row per (arriving row, query) pair with cosine ≥
+    * `threshold`: all input columns plus `query_id` and `cosine`
+    * (rounded to 4 decimals, the batch family's convention).
+    *
+    * @param stream   streaming DataFrame with an array-typed
+    *                 embedding column `embCol`
+    * @param queries  SMALL static relation (broadcast wholesale) with
+    *                 `queryIdCol` and an array-typed `queryVecCol`
+    */
+  def streamingMatch(stream: DataFrame, embCol: String, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, threshold: Double): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"),
+      transform(col(queryVecCol), x => x.cast("double")).as("qvec")))
+    stream
+      .withColumn("e", transform(col(embCol), x => x.cast("double")))
+      .crossJoin(q)
+      .withColumn("cosine", round(vecCosine(col("e"), col("qvec")), 4))
+      .filter(col("cosine") >= threshold)
+      .drop("e", "qvec")
+  }
+
+  /** Route each arriving embedding to its NEAREST query (the streaming
+    * analog of the batch nearest-centroid assignment): all input
+    * columns plus `query_id` and `cosine` of the argmax, ties broken
+    * to the larger query id — the identical portable tie-break key as
+    * `Pipeline.assignToCentroids` (`cos6·10^12 + id`), so a batch
+    * re-run of the assignment agrees row-for-row. Map-side: `max_by` over the broadcast-
+    * expanded pairs is computed per arriving row via a grouped
+    * aggregate on the stream's own key, so this form is for BATCH
+    * micro-use or append streams grouped downstream; the filter form
+    * ([[streamingMatch]]) is the zero-state primitive. */
+  def nearestQuery(stream: DataFrame, keyCol: String, embCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"),
+      transform(col(queryVecCol), x => x.cast("double")).as("qvec")))
+    stream
+      .withColumn("e", transform(col(embCol), x => x.cast("double")))
+      .crossJoin(q)
+      .withColumn("cos6", round(vecCosine(col("e"), col("qvec")), 6))
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(col("query_id"), col("cos6")),
+        col("cos6") * 1000000000000.0 + col("query_id")).as("best"))
+      .select(col(keyCol), col("best.query_id").as("query_id"),
+        col("best.cos6").as("cosine"))
+  }
+}

@@ -168,6 +168,43 @@ class DedupSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("passage dedup: repeated chunks collapse across documents, fresh chunks survive") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val query = Dedup.dedupPassages(docs, "text", "ts", "1 hour", chunkTokens = 4)
+      .select("doc_id", "chunk_idx", "chunk")
+      .writeStream.format("memory").queryName("dedup_pass_mem")
+      .outputMode("append").start()
+    def rows = spark.table("dedup_pass_mem").as[(Long, Int, String)]
+      .collect().sorted.toSeq
+    try {
+      // doc 1: two distinct chunks; doc too short for a chunk: silent
+      in.addData((1L, "a b c d e f g h", 1L), (2L, "tiny", 2L))
+      query.processAllAvailable()
+      assert(rows == Seq((1L, 0, "a b c d"), (1L, 1, "e f g h")), s"got $rows")
+      // doc 3 copies doc 1's first chunk (boilerplate) + adds a fresh
+      // one: only the fresh chunk survives — the partial-copy catch
+      in.addData((3L, "a b c d x y z w", 5L))
+      query.processAllAvailable()
+      assert(rows == Seq((1L, 0, "a b c d"), (1L, 1, "e f g h"),
+        (3L, 1, "x y z w")), s"got $rows")
+      // batch agreement: distinct surviving chunks == the batch
+      // operator's distinct chunk hashes over the same corpus
+      val batch = Seq((1L, "a b c d e f g h"), (2L, "tiny"), (3L, "a b c d x y z w"))
+        .toDF("doc_id", "text")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 4)
+        .select(posexplode(transform(
+          sequence(lit(1), (size(col("toks")) / 4).cast("int")),
+          i => array_join(slice(col("toks"), (i - 1) * 4 + 1, lit(4)), " ")))
+          .as(Seq("p", "chunk")))
+        .select("chunk").distinct().as[String].collect().toSet
+      assert(rows.map(_._3).toSet == batch, "stream survivors must equal batch distinct chunks")
+    } finally query.stop()
+  }
+
   test("streaming curation agrees with batch row-for-row (one definition, two modes)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = Seq(
