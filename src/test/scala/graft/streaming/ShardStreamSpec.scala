@@ -241,6 +241,48 @@ class ShardStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("training-data ingest E2E: shards -> quality gate -> PII scrub -> streaming dedup") {
+    // The LLM-pipeline composition over the connector: documents arrive
+    // on shards, flow through the curation gate and PII scrub, and the
+    // exact-dedup state drops in-horizon recopies — one declarative
+    // streaming plan, no glue code. Asserts each stage did its job on
+    // one pass through real shard files.
+    val dir = newStreamDir()
+    val longDoc = Seq.tabulate(40)(i => s"tok$i").mkString(" ")
+    val piiDoc = "mail me at someone@mail.example " +
+      Seq.tabulate(30)(i => s"w$i").mkString(" ")
+    val q = Sources.linesFromShards(spark, dir.toString)
+      .transform { lines =>
+        val parts = split(col("value"), "\\|")
+        val docs = lines.select(
+          parts.getItem(0).cast("long").as("doc_id"),
+          parts.getItem(1).as("text"),
+          parts.getItem(2).cast("long").cast("timestamp").as("ts"))
+        val gated = Curation.piiScrub(
+          Curation.withQualityVerdict(docs, "text"), "text")
+          .filter(col("verdict") === "keep")
+        Dedup.dedupExact(gated, "text", "ts", "1 hour")
+      }
+      .select("doc_id", "text", "n_pii")
+      .writeStream.format("memory").queryName("ingest_e2e")
+      .outputMode("append").start()
+    try {
+      append(dir, "shard-0",
+        s"1|$longDoc|1",
+        s"2|short doc|2",          // quality gate: too_short
+        s"3|$longDoc|3",           // exact recopy of 1: dedup drops
+        s"4|$piiDoc|4")            // keep, but scrubbed
+      q.processAllAvailable()
+      val rows = spark.table("ingest_e2e")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      assert(rows.map(_._1).toSet == Set(1L, 4L),
+        s"gate+dedup must leave exactly docs 1 and 4: ${rows.toSeq}")
+      val scrubbed = rows.find(_._1 == 4L).get
+      assert(scrubbed._3 == 1 && scrubbed._2.contains("<EMAIL>"),
+        s"PII must be scrubbed in-flight: $scrubbed")
+    } finally q.stop()
+  }
+
   test("ingestion E2E: shard record -> commands -> keyed engine state -> telemetry envelope") {
     // The connector-backed form of the file-directory E2E: a command
     // record lands in a shard (the reference's packet receive callback,
