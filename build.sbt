@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): the single-JVM local[32] suite runs 63
+  // queries x3 back to back, and at 8g the accumulated block-manager +
+  // codegen + GC pressure inflated in-suite medians ~20% over isolated
+  // runs (measured 65.9s -> 52.7s total at sf0.1 on identical code).
+  // The box has 128 GiB; on a real cluster this is per-executor memory
+  // sizing, which the partition-size guidance in PLANS.md covers.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -281,11 +281,19 @@ object Relational {
     * in the plan holds more than the sketch per group at 100 TB. */
   def q60ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val acc = 10000 // rank error <= n/10000, ~2 ranks per group at sf0.01
+    // persisted: the 3-row sketch feeds BOTH the broadcast rank check
+    // and the final join with DIFFERENT projections, which defeats
+    // subtree reuse — unpersisted, each consumer re-runs the full
+    // sketch scan and the query pays three lineitem passes instead of
+    // two (q31's persisted-index discipline; count() materializes on
+    // the internal-row path)
     val sketch = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_lines"),
         percentile_approx(col("l_extendedprice"),
           array(lit(0.5), lit(0.9), lit(0.99)), lit(acc)).as("ap"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sketch.count()
     def cmp(i: Int, strict: Boolean): Column = {
       val est = element_at(col("ap"), i)
       val hit = if (strict) col("l_extendedprice") < est
