@@ -242,8 +242,8 @@ class ShardMicroBatchStream(dir: String, starting: String, maxRows: Option[Long]
       // budget below the shard count still reaches everyone
       // eventually. Terminates: each round either spends budget on
       // every surviving shard or shrinks the shard set.
-      val r = scanRotation % listed.size
-      scanRotation += 1
+      val r = math.floorMod(scanRotation, listed.size)
+      scanRotation += 1 // Int wrap after ~2^31 triggers: floorMod keeps r valid
       var pending = listed.drop(r) ++ listed.take(r)
       var left = budget
       while (left > 0 && pending.nonEmpty) {

@@ -199,6 +199,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV property: encode/decode round-trips arbitrary samples and rates exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val samplesGen = Gen.nonEmptyListOf(
+      Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt).map(_.toShort))
+    val rateGen = Gen.choose(4000, 96000)
+    // round-trip through the container + decoder must be lossless:
+    // 16-bit PCM has no re-quantization step to hide behind
+    val p = Prop.forAll(samplesGen, rateGen) { (samples, rate) =>
+      import spark.implicits._
+      val wav = Multimodal.encodeWavPcm16(samples.toArray, rate)
+      val got = Multimodal.decodeAudioFeatures(
+        Seq(MediaFile(1L, "audio", wav, MediaMeta(0, 0, 0, 1))).toDS()).head()
+      val expRms = math.sqrt(samples.map(s => s.toDouble * s).sum / samples.size)
+      got.decoded && got.sampleRateHz == rate &&
+        got.nSamples == samples.size.toLong && math.abs(got.rms - expRms) < 1e-9
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), p).passed)
+  }
+
   test("q33 rollup covers all media types with plausible stats") {
     val rows = Multimodal.q33MultimodalStats(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
