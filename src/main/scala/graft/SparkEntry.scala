@@ -103,6 +103,9 @@ object SparkEntry {
     // javax.sound, frame-packed video via per-frame javax.imageio
     "q62_audio_stats" -> (Multimodal.q62AudioStats _),
     "q63_video_stats" -> (Multimodal.q63VideoStats _),
+    // bounded-memory heavy hitters (Misra-Gries + exact recount) — the
+    // 100 TB twin of q47's full-vocabulary groupBy
+    "q64_heavy_hitters" -> (Pipeline.q64HeavyHitters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

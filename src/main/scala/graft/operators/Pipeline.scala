@@ -728,6 +728,37 @@ object Pipeline {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(20)
 
+  /** L4 — heavy hitters with BOUNDED memory (the 100 TB twin of
+    * [[q47VocabTopk]]): q47's full `groupBy(token)` exchanges one row
+    * per distinct token and holds the whole vocabulary in aggregation
+    * state — fine for this corpus, unbounded for a web-scale one.
+    * This form never materializes the vocabulary: pass 1 runs the
+    * Misra–Gries sketch ([[graft.functions.HeavyHitters]], ≤ m
+    * counters per partial, associative merges, every token with count
+    * > N/(m+1) guaranteed to survive), pass 2 recounts EXACTLY but
+    * only over the ≤ m broadcast candidates (LEFT SEMI prunes the
+    * explode output map-side, so the second exchange carries ≤ m
+    * distinct keys no matter the vocabulary size). Output is
+    * bit-identical to q47 whenever the top-k all clear the N/(m+1)
+    * bar — m = 4096 puts that bar at 0.024% token frequency, far
+    * below any stopword — so the oracle is q47's EXACT sql, not a
+    * weakened contract: the hash match proves the sketch candidates
+    * covered the true top-20. */
+  def q64HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val m = 4096
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val cands = toks
+      .agg(graft.functions.HeavyHitters.candidates(m, col("token")).as("c"))
+      .select(explode(col("c")).as("token"))
+    toks.join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(20)
+  }
+
   /** Pipeline — PII detection + scrub accounting: emails and URLs are
     * extracted (regexp, codegen'd) and redacted to `<EMAIL>`/`<URL>`
     * placeholders; the rollup reports per-language how many documents
@@ -1908,6 +1939,9 @@ object Pipeline {
       "q58_unigram_quality" -> q58,
       "q59_sequence_packing" -> q59,
       "q61_derived_semantic_dedup" -> q61,
+      // q64's bounded-memory path must reproduce q47's exact answer —
+      // same oracle, the hash match proves candidate coverage
+      "q64_heavy_hitters" -> q47,
     )
   }
 }

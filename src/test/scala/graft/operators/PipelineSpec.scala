@@ -200,6 +200,13 @@ class PipelineSpec extends SparkSpec {
       s"removed $totalRemoved of $nCopies constructed copies")
   }
 
+  test("q64 heavy hitters: the bounded-memory path reproduces q47's exact answer") {
+    val exact = Pipeline.q47VocabTopk(spark, sfDir).collect().toSeq
+    val bounded = Pipeline.q64HeavyHitters(spark, sfDir).collect().toSeq
+    assert(bounded == exact,
+      "Misra-Gries candidates + exact recount must be bit-identical to the full groupBy")
+  }
+
   test("q55 quantized ANN: exact top-1 survives quantized shortlisting for every query") {
     val exact = Pipeline.q25SimilarityTopk(spark, sfDir).collect()
       .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
