@@ -362,6 +362,15 @@ object Oracles {
         | TRUE AS p90_in_bound,
         | TRUE AS p99_in_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // statistical moments: both engines run stable single-pass
+    // co-moment aggregation; rounding absorbs merge-order ulps
+    "q65_stats_moments" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        | round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        | round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   ) ++ graft.operators.Pipeline.Sql.all ++ Map(
     "q32_command_router" -> graft.operators.Router.oracleSql,
     "q33_multimodal_stats" -> graft.operators.Multimodal.oracleSql,

@@ -106,6 +106,8 @@ object SparkEntry {
     // bounded-memory heavy hitters (Misra-Gries + exact recount) — the
     // 100 TB twin of q47's full-vocabulary groupBy
     "q64_heavy_hitters" -> (Pipeline.q64HeavyHitters _),
+    // statistical moment aggregates (corr/stddev/covar co-moments)
+    "q65_stats_moments" -> (Relational.q65StatsMoments _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

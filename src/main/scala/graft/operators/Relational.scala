@@ -323,6 +323,23 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Statistical moment aggregates — the correlation/variance family
+    * the rest of the suite doesn't touch: Pearson corr, sample stddev,
+    * and sample covariance per group. All three are single-pass
+    * co-moment aggregations (Welford/M2-style partial + merge) in both
+    * engines, so they partial-aggregate map-side and hold O(1) state
+    * per group at any scale; the rounding (6 for the scale-free corr,
+    * 2 for the dimensioned moments) absorbs the cross-engine ulp drift
+    * of the differing merge orders. */
+  def q65StatsMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"))
+      .orderBy(col("l_returnflag"))
+
   /** PIVOT — long-to-wide reshaping with an explicit value list (the
     * unbounded-cardinality form is an anti-pattern at scale: Spark
     * would first scan to discover values, then build a column per

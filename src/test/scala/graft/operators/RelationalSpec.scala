@@ -54,6 +54,22 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q65 stats moments: corr in [-1,1], stddev consistent with covar identity") {
+    val rows = Relational.q65StatsMoments(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (corr, sd, cov) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(corr >= -1.0 && corr <= 1.0, s"corr out of range: $corr")
+      assert(sd > 0.0, "price variance must be positive on this data")
+      // corr = covar / (sd_q * sd_p): recompute sd_q and cross-check
+      val sdQ = graft.Tables.lineitem(spark, sfDir)
+        .filter(col("l_returnflag") === r.getString(0))
+        .agg(stddev_samp(col("l_quantity"))).head().getDouble(0)
+      assert(math.abs(corr - cov / (sdQ * sd)) < 1e-2,
+        s"${r.getString(0)}: corr $corr vs identity ${cov / (sdQ * sd)}")
+    }
+  }
+
   test("q09 top customers: exactly 10, strictly ordered by revenue") {
     val rows = Relational.q09TopCustomers(spark, sfDir).collect()
     assert(rows.length == 10)
