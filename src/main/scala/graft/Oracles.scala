@@ -371,6 +371,13 @@ object Oracles {
         | round(stddev_samp(l_extendedprice), 2) AS price_stddev,
         | round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q67_regression" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        | round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   ) ++ graft.operators.Pipeline.Sql.all ++ Map(
     "q32_command_router" -> graft.operators.Router.oracleSql,
     "q33_multimodal_stats" -> graft.operators.Multimodal.oracleSql,

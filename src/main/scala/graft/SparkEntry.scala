@@ -108,6 +108,10 @@ object SparkEntry {
     "q64_heavy_hitters" -> (Pipeline.q64HeavyHitters _),
     // statistical moment aggregates (corr/stddev/covar co-moments)
     "q65_stats_moments" -> (Relational.q65StatsMoments _),
+    // deterministic per-stratum sample (bounded TopK on portable hash)
+    "q66_deterministic_sample" -> (Pipeline.q66DeterministicSample _),
+    // OLS regression aggregates (slope/intercept/r2 co-moments)
+    "q67_regression" -> (Relational.q67Regression _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -759,6 +759,31 @@ object Pipeline {
       .limit(20)
   }
 
+  /** Pipeline — deterministic per-stratum uniform sample: the k
+    * documents with the smallest portable hash of `sample:doc_id` per
+    * language — "show me k random docs per stratum" with an answer
+    * that is stable across engines, partitionings, and reruns (the
+    * audit/eyeball primitive every curation pipeline needs; same
+    * hash-membership idiom as q41/q54). Ranking runs through the
+    * bounded [[graft.functions.TopK]] Aggregator on the NEGATED hash —
+    * each partition reduces to k rows map-side, so there is no
+    * per-stratum window sort and no skew funnel: the shuffle carries
+    * ≤ partitions × k rows per language at any corpus size. */
+  def q66DeterministicSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(portableHash(concat(lit("sample:"), col("doc_id").cast("string"))),
+      lit(1000000L))
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"), h.as("h"))
+      .groupBy(col("lang"))
+      // TopK keeps the LARGEST scores (desc, id asc on ties): negating
+      // the hash yields hash ASC with the same deterministic tie-break
+      .agg(graft.functions.TopK.topK(5, col("doc_id"), -col("h").cast("double")).as("topk"))
+      .select(col("lang"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+        col("s.id").as("doc_id"), (-col("s.score")).cast("long").as("h"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Pipeline — PII detection + scrub accounting: emails and URLs are
     * extracted (regexp, codegen'd) and redacted to `<EMAIL>`/`<URL>`
     * placeholders; the rollup reports per-language how many documents
@@ -1766,6 +1791,16 @@ object Pipeline {
          |FROM asg1 JOIN norms USING (cluster)
          |GROUP BY cluster, centroid_norm ORDER BY cluster""".stripMargin
 
+    val q66 =
+      s"""WITH s AS (
+         |  SELECT lang, doc_id,
+         |    ${ph("'sample:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+         |  FROM s)
+         |SELECT lang, CAST(rk AS INT) AS rk, doc_id, h FROM r WHERE rk <= 5
+         |ORDER BY lang, rk""".stripMargin
+
     /** q61 — q53's derived k-means (seed threshold + one Lloyd pass)
       * over the DUP'D base corpus, its refined centroids feeding the
       * shared [[fineClusterCtes]] block (which expects the `cent`
@@ -1942,6 +1977,7 @@ object Pipeline {
       // q64's bounded-memory path must reproduce q47's exact answer —
       // same oracle, the hash match proves candidate coverage
       "q64_heavy_hitters" -> q47,
+      "q66_deterministic_sample" -> q66,
     )
   }
 }

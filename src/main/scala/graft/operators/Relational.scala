@@ -340,6 +340,21 @@ object Relational {
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"))
       .orderBy(col("l_returnflag"))
 
+  /** Linear-regression aggregates — ordinary least squares per group
+    * (`regr_slope`/`regr_intercept`/`regr_r2`), closing out the
+    * moment-aggregate family with q65: same single-pass co-moment
+    * machinery (slope = covar/var), O(1) state per group, map-side
+    * partials. The r² is scale-free (rounded 6); the dimensioned
+    * slope/intercept round to 2. */
+  def q67Regression(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+
   /** PIVOT — long-to-wide reshaping with an explicit value list (the
     * unbounded-cardinality form is an anti-pattern at scale: Spark
     * would first scan to discover values, then build a column per

@@ -200,6 +200,22 @@ class PipelineSpec extends SparkSpec {
       s"removed $totalRemoved of $nCopies constructed copies")
   }
 
+  test("q66 deterministic sample: k per stratum, hash-ordered, rerun-stable") {
+    val rows = Pipeline.q66DeterministicSample(spark, sfDir).collect()
+    val langs = Tables.documents(spark, sfDir).select("lang").distinct().count()
+    assert(rows.length == 5 * langs, s"expected 5 per stratum, got ${rows.length}")
+    // within each stratum: ranks dense 1..5, hashes non-decreasing
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5), s"$lang ranks")
+      val hs = sorted.map(_.getLong(3))
+      assert(hs.zip(hs.tail).forall { case (a, b) => a <= b }, s"$lang hash order")
+    }
+    // deterministic: a rerun (fresh plan) returns the identical sample
+    val again = Pipeline.q66DeterministicSample(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("q64 heavy hitters: the bounded-memory path reproduces q47's exact answer") {
     val exact = Pipeline.q47VocabTopk(spark, sfDir).collect().toSeq
     val bounded = Pipeline.q64HeavyHitters(spark, sfDir).collect().toSeq

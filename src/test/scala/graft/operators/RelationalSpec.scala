@@ -70,6 +70,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q67 regression: OLS identities hold against the moment aggregates") {
+    val moments = Relational.q65StatsMoments(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val rows = Relational.q67Regression(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (flag, slope, r2) = (r.getString(0), r.getDouble(2), r.getDouble(4))
+      val (corr, _, cov) = moments(flag)
+      assert(r2 >= 0.0 && r2 <= 1.0)
+      // r2 = corr^2 for simple OLS
+      assert(math.abs(r2 - corr * corr) < 1e-4, s"$flag: r2 $r2 vs corr² ${corr * corr}")
+      // slope = covar / var(x): recompute var(x) and cross-check
+      val varQ = graft.Tables.lineitem(spark, sfDir)
+        .filter(col("l_returnflag") === flag)
+        .agg(var_samp(col("l_quantity"))).head().getDouble(0)
+      assert(math.abs(slope - cov / varQ) < 1e-1, s"$flag: slope $slope vs ${cov / varQ}")
+    }
+  }
+
   test("q09 top customers: exactly 10, strictly ordered by revenue") {
     val rows = Relational.q09TopCustomers(spark, sfDir).collect()
     assert(rows.length == 10)
