@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * narrow map over the source partitions, and the operators compose
   * before [[Dedup]]'s stateful stage (gate → scrub → dedup is the
   * canonical ingest order: cheap verdicts shrink the stream before
-  * state is paid). */
+  * state is paid). The one stateful member, [[trendingTerms]], bounds
+  * its per-window state by construction (Misra–Gries buffer, ≤ m
+  * counters). */
 object Curation {
 
   /** Quality verdict per document ([[Pipeline.qualityVerdict]]): the
@@ -34,6 +36,27 @@ object Curation {
     * the ONE shared definition with batch q48
     * ([[Pipeline.piiRedact]]/[[Pipeline.piiCount]]), map-side,
     * stream-safe. A null text row counts 0 and stays null. */
+  /** Trending terms per event-time window — the streaming face of
+    * q64's bounded-memory heavy hitters: tokens explode map-side, the
+    * Misra–Gries aggregator ([[graft.functions.HeavyHitters]]) runs
+    * INSIDE a watermarked tumbling-window aggregation, and each
+    * window's state is one ≤ m-counter buffer — bounded regardless of
+    * how many distinct tokens the window saw (a full `groupBy(window,
+    * token)` would hold the whole per-window vocabulary in the state
+    * store). Candidates carry the N/(m+1) survival guarantee per
+    * window; a consumer needing exact counts recounts the candidates
+    * downstream, exactly like the batch twin. Append mode: a window's
+    * candidate set finalizes when the watermark passes its end. */
+  def trendingTerms(docs: DataFrame, textCol: String, eventTimeCol: String,
+      windowLen: String, horizon: String, m: Int = 1024): DataFrame =
+    docs
+      .withColumn("token", explode(split(col(textCol), " ")))
+      .withWatermark(eventTimeCol, horizon)
+      .groupBy(window(col(eventTimeCol), windowLen))
+      .agg(graft.functions.HeavyHitters.candidates(m, col("token")).as("candidates"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("candidates"))
+
   def piiScrub(docs: DataFrame, textCol: String): DataFrame =
     docs
       .withColumn("n_pii",

@@ -247,6 +247,35 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("trending terms: per-window Misra-Gries candidates, heavy tokens survive, windows finalize") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val query = Curation.trendingTerms(docs, "text", "ts",
+        windowLen = "10 seconds", horizon = "5 seconds", m = 8)
+      .writeStream.format("memory").queryName("trending_mem")
+      .outputMode("append").start()
+    try {
+      // window [0,10): "alpha" dominates; long tail forces eviction
+      val tail1 = (0 until 40).map(i => s"w$i").mkString(" ")
+      in.addData((1L, ("alpha " * 30).trim + " " + tail1, 2L))
+      // window [10,20): "beta" dominates
+      in.addData((2L, ("beta " * 25).trim + " " + tail1, 12L))
+      query.processAllAvailable()
+      // push the watermark past both windows so they finalize
+      in.addData((3L, "closer", 40L))
+      query.processAllAvailable()
+      val rows = spark.table("trending_mem").collect()
+        .map(r => r.getTimestamp(0).getTime / 1000 -> r.getSeq[String](2)).toMap
+      assert(rows.keySet == Set(0L, 10L), s"windows: ${rows.keySet}")
+      assert(rows(0L).contains("alpha") && !rows(0L).contains("beta"),
+        s"window 0: ${rows(0L)}")
+      assert(rows(10L).contains("beta"), s"window 10: ${rows(10L)}")
+      assert(rows.values.forall(_.size <= 8), "buffer bound must hold per window")
+    } finally query.stop()
+  }
+
   test("dedup state survives a restart on RocksDB (exactly-once across checkpoint recovery)") {
     // memory sinks don't replay from checkpoints — record through
     // foreachBatch into a shared queue (EngineSpec restart idiom);
