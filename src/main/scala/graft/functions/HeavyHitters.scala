@@ -56,7 +56,11 @@ class MisraGriesAggregator(m: Int)
 
   override def reduce(buf: mutable.HashMap[String, Long],
       tok: String): mutable.HashMap[String, Long] = {
-    offer(buf, tok, 1L); buf
+    // skip nulls: HashMap would admit a null key, and finish's sort
+    // would NPE on it — a nullable token column must not crash the
+    // aggregate (null carries no heavy-hitter information anyway)
+    if (tok != null) offer(buf, tok, 1L)
+    buf
   }
 
   override def merge(a: mutable.HashMap[String, Long],

@@ -281,19 +281,24 @@ object Relational {
     * in the plan holds more than the sketch per group at 100 TB. */
   def q60ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val acc = 10000 // rank error <= n/10000, ~2 ranks per group at sf0.01
-    // persisted: the 3-row sketch feeds BOTH the broadcast rank check
-    // and the final join with DIFFERENT projections, which defeats
-    // subtree reuse — unpersisted, each consumer re-runs the full
-    // sketch scan and the query pays three lineitem passes instead of
-    // two (q31's persisted-index discipline; count() materializes on
-    // the internal-row path)
-    val sketch = Tables.lineitem(spark, dir)
+    // The sketch feeds BOTH the broadcast rank check and the final join
+    // with DIFFERENT projections, which defeats subtree reuse —
+    // re-derived, each consumer re-runs the full sketch scan and the
+    // query pays three lineitem passes instead of two. It is collected
+    // into a LOCAL relation rather than persisted: the aggregate is one
+    // row per l_returnflag (3 at any corpus size — bounded by the
+    // domain, not the data), and a persisted copy referenced by the
+    // returned plan can never be released before the caller executes
+    // (ADVICE r10: each bench repeat leaked the cached sketch + its
+    // lineage for the session's lifetime). A 3-row driver collect is
+    // the same bounded-snapshot discipline as the telemetry registry.
+    val sketchAgg = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_lines"),
         percentile_approx(col("l_extendedprice"),
           array(lit(0.5), lit(0.9), lit(0.99)), lit(acc)).as("ap"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sketch.count()
+    val sketch = spark.createDataFrame(
+      java.util.Arrays.asList(sketchAgg.collect(): _*), sketchAgg.schema)
     def cmp(i: Int, strict: Boolean): Column = {
       val est = element_at(col("ap"), i)
       val hit = if (strict) col("l_extendedprice") < est

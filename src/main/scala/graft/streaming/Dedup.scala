@@ -92,8 +92,15 @@ object Dedup {
     * passages, boilerplate headers) a whole-document digest misses.
     * Returns the surviving CHUNKS (all input columns + `chunk_idx`,
     * `chunk`); documents shorter than one chunk produce no output,
-    * exactly as in the batch operator. Chunk keys are the same
-    * portable hash as q56, so batch and stream agree chunk-for-chunk.
+    * exactly as in the batch operator. The state key is the FULL md5
+    * of the chunk, not batch q56's 31-bit oracle-portable hash: a
+    * 31-bit key space starts silently dropping distinct chunks as
+    * false-positive dups at ~50k in-horizon chunks (birthday bound) —
+    * a real hazard at the ingest volumes this operator is pitched for,
+    * and the stream side has no DuckDB-portability reason to truncate.
+    * Batch/stream chunk AGREEMENT is unaffected: both derive the chunk
+    * text identically, and md5 collisions are cryptographically
+    * negligible (the same contract as [[dedupExact]]).
     *
     * Scale posture: chunking and hashing are map-side (the toks
     * projection guards the nested-HOF recompute trap exactly as the
@@ -110,7 +117,7 @@ object Dedup {
         i => array_join(
           slice(col("toks"), (i - 1) * chunkTokens + 1, lit(chunkTokens)), " ")))
         .as(Seq("chunk_idx", "chunk")))
-      .withColumn("chunk_h", portableHashMod(col("chunk")))
+      .withColumn("chunk_h", md5(col("chunk").cast("binary")))
       .withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark("chunk_h")
       .drop("toks", "chunk_h")

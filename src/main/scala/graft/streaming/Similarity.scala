@@ -47,15 +47,28 @@ object Similarity {
   }
 
   /** Route each arriving embedding to its NEAREST query (the streaming
-    * analog of the batch nearest-centroid assignment): all input
-    * columns plus `query_id` and `cosine` of the argmax, ties broken
-    * to the larger query id — the identical portable tie-break key as
+    * analog of the batch nearest-centroid assignment). Output schema is
+    * `(keyCol, query_id, cosine)` — ONLY the key survives; callers
+    * needing other input columns join back on the key. Ties break to
+    * the larger query id via the identical portable tie-break key as
     * `Pipeline.assignToCentroids` (`cos6·10^12 + id`), so a batch
-    * re-run of the assignment agrees row-for-row. Map-side: `max_by` over the broadcast-
-    * expanded pairs is computed per arriving row via a grouped
-    * aggregate on the stream's own key, so this form is for BATCH
-    * micro-use or append streams grouped downstream; the filter form
-    * ([[streamingMatch]]) is the zero-state primitive. */
+    * re-run of the assignment agrees row-for-row. Contract: query ids
+    * must be `< 10^6` — rounded cosines are 10^6 apart in the key
+    * space, so a larger id would outvote a genuinely larger cosine
+    * (the batch assignment's existing convention, made explicit here).
+    *
+    * STREAMING form: run in `update` output mode (asserted runnable in
+    * SimilaritySpec over a MemoryStream). The `groupBy` on the
+    * stream's own key is a stateful aggregation — one small state row
+    * per distinct in-flight key, re-emitted (upserted) if a key
+    * recurs; there is no watermark because the key space of a routing
+    * stream (one row per arriving document id) does not recur beyond
+    * its micro-batch in practice. For key spaces that DO grow without
+    * bound, compose the same expression tree with
+    * `groupBy(window(eventTime, ...), key)` plus a watermark so state
+    * evicts — the scoring side (broadcast crossJoin, map-side argmax
+    * input) is unchanged. Append-mode sinks need that windowed form;
+    * the un-windowed form is update/complete-only. */
   def nearestQuery(stream: DataFrame, keyCol: String, embCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String): DataFrame = {
     val q = broadcast(queries.select(

@@ -445,6 +445,46 @@ class PipelineSpec extends SparkSpec {
       "constructed exact dups straddling the split must contaminate")
   }
 
+  test("q49 Bloom pre-filter: false positives cannot change the answer") {
+    // Drive the filter width down to 32 bits: with ~thousands of
+    // distinct test grams the filter saturates (nearly every bit set),
+    // so nearly every train gram is a false positive — the worst case
+    // the pre-filter can produce. The exact semi-join behind it must
+    // absorb all of them: the report is bit-identical to the
+    // production width's.
+    val exact = Pipeline.q49Contamination(spark, sfDir).collect().toSeq
+    val saturated = Pipeline.contaminationReport(spark, sfDir, bloomBits = 5)
+      .collect().toSeq
+    assert(saturated == exact,
+      s"saturated-Bloom report diverged: $saturated vs $exact")
+  }
+
+  test("q49 Bloom pre-filter sits BELOW the train-side exchange") {
+    // The scale claim is positional: the corpus-side gram relation must
+    // be pruned map-side, i.e. the Bloom membership predicate
+    // (element_at over the word-array literal) must appear UNDER a
+    // shuffle exchange in the executed plan — pruning after the
+    // exchange would still ship every corpus gram. countShuffles-style
+    // walk: look for an exchange whose subtree carries the predicate.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = Pipeline.q49Contamination(spark, sfDir)
+    df.count()
+    def hasBloomPredicate(p: SparkPlan): Boolean =
+      p.toString.contains("element_at")
+    def exchangesAbovePredicate(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => exchangesAbovePredicate(a.executedPlan)
+      case s: QueryStageExec => exchangesAbovePredicate(s.plan)
+      case e: ShuffleExchangeLike if e.children.exists(hasBloomPredicate) => true
+      case other => (other.children ++ other.subqueries).exists(exchangesAbovePredicate)
+    }
+    assert(exchangesAbovePredicate(df.queryExecution.executedPlan),
+      "no exchange found with the Bloom predicate below it — the " +
+        "corpus-gram shuffle is no longer pre-filtered:\n" +
+        df.queryExecution.executedPlan.toString.take(4000))
+  }
+
   test("q50 dedup clusters: sizes >= 2, histogram consistent, chains exist") {
     val rows = Pipeline.q50DedupClusters(spark, sfDir).collect()
     assert(rows.nonEmpty)
@@ -517,6 +557,60 @@ class PipelineSpec extends SparkSpec {
         "usually means a broadcast quietly replaced a distributed stage")
       info(s"$name executes $got exchanges")
     }
+  }
+
+  test("r10 newcomer exchange accounting: q62-q67 shuffle exactly their designed counts") {
+    // The q31/q51/q55/q61 accounting pattern extended to the round-10
+    // additions (VERDICT r10 §next-6). Counts are the executed
+    // marginal exchanges; the design notes say where each one is.
+    val budgets = Map(
+      // q62/q63: decode is partition-wise AFTER the (payload-free)
+      // test-layout spread of the source rows — no shuffle ever
+      // carries a decoded byte; then the few-row post-decode rollup
+      // (partial agg map-side: decoded features, not payloads, cross)
+      // + the few-row result sort
+      "q62_audio_stats" -> 3,
+      "q63_video_stats" -> 3,
+      // q64: two corpus passes by design (candidates, then exact
+      // recount — the q60 two-pass discipline; persisting an exploded
+      // corpus-sized token relation would be the 100 TB mistake), each
+      // paying the test-layout spread repartition (absent on a real
+      // cluster where the source arrives partitioned); + the
+      // single-partition exchange of ≤ m pre-aggregated candidate
+      // buffers; + the exact count-distinct pair, which exchanges ONLY
+      // candidate-matching tokens (≤ m keys by construction — asserted
+      // separately below). Top-20 is TakeOrdered, no sort exchange.
+      "q64_heavy_hitters" -> 5,
+      // q65/q67: one hash-aggregate exchange (single-pass co-moments,
+      // O(1) state per group) + the 3-row result sort
+      "q65_stats_moments" -> 2,
+      "q67_regression" -> 2,
+      // q66: test-layout spread + per-stratum bounded TopK aggregate
+      // (one exchange of ≤ partitions×k rows per language) + result
+      // sort of ≤ 5·|lang| rows
+      "q66_deterministic_sample" -> 3)
+    val got = budgets.keys.toSeq.sorted.map(name =>
+      name -> executedShuffles(graft.SparkEntry.queries(name)(spark, sfDir)))
+    val bad = got.filter { case (n, g) => g != budgets(n) }
+    assert(bad.isEmpty, bad.map { case (n, g) =>
+      s"$n: $g exchanges, design says ${budgets(n)}" }.mkString("; "))
+    got.foreach { case (n, g) => info(s"$n executes $g exchanges") }
+    // the q64 recount-side exchange bound: the semi-join's candidate
+    // set (what the second exchange keys on) is the aggregator's ≤ m
+    // guarantee — verify the candidate relation itself is bounded
+    val m = 4096
+    val nCands = Pipeline.q64HeavyHitters(spark, sfDir).count()
+    assert(nCands <= 20, "q64 emits its top-20 contract")
+    val rawCands = graft.Tables.spread(
+        graft.Tables.documents(spark, sfDir))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("token"))
+      .agg(graft.functions.HeavyHitters.candidates(m,
+        org.apache.spark.sql.functions.col("token")))
+      .head().getSeq[String](0)
+    assert(rawCands.size <= m,
+      s"Misra-Gries candidate set ${rawCands.size} exceeds m=$m")
   }
 
   test("q50 round join: pre-partitioned edge cache eliminates the per-round edge exchange") {

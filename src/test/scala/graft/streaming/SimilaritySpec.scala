@@ -45,9 +45,9 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("nearestQuery agrees with the batch argmax tie-break") {
-    // batch-mode check of the routing form (complete-mode streaming
-    // aggregation would need a different sink; the expression tree is
-    // identical either way)
+    // batch-mode check of the routing form (the expression tree is
+    // identical either way; the streaming test below runs the same op
+    // in update mode)
     val rows = Seq(
       (1L, Seq(0.9, 0.1, 0.0, 0.0)),
       (2L, Seq(0.1, 0.9, 0.05, 0.0)),
@@ -58,5 +58,40 @@ class SimilaritySpec extends SparkSpec {
         queries, "qid", "qvec")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 10L, 2L -> 20L, 3L -> 20L), s"got $got")
+  }
+
+  test("nearestQuery streams in update mode and matches the batch argmax") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Double])]
+    val stream = in.toDF().toDF("vec_id", "embedding")
+    val query = Similarity.nearestQuery(stream, "vec_id", "embedding",
+        queries, "qid", "qvec")
+      .writeStream.format("memory").queryName("sim_route_mem")
+      .outputMode("update").start()
+    def got = spark.table("sim_route_mem").as[(Long, Long, Double)]
+      .collect().toSeq
+    try {
+      val batch1 = Seq(
+        (1L, Seq(0.9, 0.1, 0.0, 0.0)),   // -> q10
+        (3L, Seq(0.7, 0.7, 0.0, 0.0)))   // tie -> larger id q20
+      in.addData(batch1: _*)
+      query.processAllAvailable()
+      assert(got.map(r => (r._1, r._2)).sorted == Seq((1L, 10L), (3L, 20L)),
+        s"got $got")
+      // a recurring key with a better match UPSERTS (update-mode
+      // re-emission) — the routing verdict follows the new maximum
+      in.addData((1L, Seq(0.0, 0.0, 1.0, 0.0)))   // now nearest q30
+      query.processAllAvailable()
+      val latest = got.groupBy(_._1).map { case (k, rows) => k -> rows.last._2 }
+      assert(latest == Map(1L -> 30L, 3L -> 20L), s"got $got")
+      // the aggregation is stateful by design: one state row per key
+      assert(query.lastProgress.stateOperators.nonEmpty,
+        "nearestQuery's routing aggregate must appear as a state operator")
+      // streaming verdicts agree with the batch form on the same rows
+      val batch = Similarity.nearestQuery(batch1.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", queries, "qid", "qvec")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batch == Map(1L -> 10L, 3L -> 20L))
+    } finally query.stop()
   }
 }
