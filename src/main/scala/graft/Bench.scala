@@ -119,8 +119,19 @@ object Bench {
         // persisted (q24/q31 materialize reused stages) and let the
         // cleaner reclaim shuffle/broadcast blocks, so each measurement
         // starts from the same executor-storage and driver-heap state.
+        // ContextCleaner cleanup is ASYNC behind a GC-fed reference
+        // queue: a single System.gc() enqueues the dead shuffle /
+        // broadcast refs but the cleaner thread drains them
+        // concurrently with the NEXT sample unless given time — the
+        // r10 in-suite sample ramps (q50 3.9→10.8 s across 5 repeats
+        // on identical code) were exactly this race. Two GC passes
+        // with short drain pauses flatten the ramp; the pauses are
+        // untimed.
         spark.catalog.clearCache()
         System.gc()
+        Thread.sleep(250)
+        System.gc()
+        Thread.sleep(100)
         s
       }.sortBy(_.sec)
       // true median: mean of the two middle samples when N is even

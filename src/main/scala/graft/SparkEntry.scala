@@ -112,6 +112,9 @@ object SparkEntry {
     "q66_deterministic_sample" -> (Pipeline.q66DeterministicSample _),
     // OLS regression aggregates (slope/intercept/r2 co-moments)
     "q67_regression" -> (Relational.q67Regression _),
+    // round 11: intra-document repetition (Gopher duplicated-3-gram
+    // rule) — the quality signal corpus-level dedup can't see
+    "q68_repetition_filter" -> (Pipeline.q68RepetitionFilter _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -50,6 +50,21 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** As [[wordShingles]] but WITHOUT the distinct: the full k-gram
+    * MULTISET in document order. Set-similarity operators (MinHash,
+    * Jaccard) want the distinct form; repetition measurement
+    * (duplicated-gram fraction, q68) needs every occurrence. Same
+    * zip_with fold — one map-side pass, no explode. */
+  def wordShingleMultiset(toks: Column, k: Int): Column = {
+    require(k >= 2, "shingle width must be >= 2")
+    val n = size(toks)
+    val joined = (2 to k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), n - (j - 1)), (a, b) => concat(a, lit(" "), b))
+    }
+    when(n >= k, slice(joined, lit(1), n - (k - 1)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** MinHash signature: for each of `numHashes` linear hash functions
     * `(a_h·x + b_h) mod P` (a_h = 2h+1, b_h = 12289·h), the minimum over
     * the shingle-hash set. One pass over an array column — no explode, so

@@ -35,19 +35,31 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** Storage level for every persisted intermediate in this file:
-    * serialized, not deserialized object rows. The wide relations here
-    * (64-dim double vectors, exploded gram sets, quantized index rows)
-    * cached as deserialized objects put millions of small objects on
-    * the old-gen heap; under suite-wide pressure their GC cost showed
-    * up as 2-3x wall-time swings on unchanged plans (driver bench r10:
+  /** Storage level for the WIDE persisted intermediates in this file —
+    * relations carrying 64-dim vectors or per-row hash arrays (q24/q40
+    * shingle hashes, the SRP signature stage, the IVF membership, the
+    * quantized index, q51/q61's members and base). Cached as
+    * deserialized batches these put millions of array objects on the
+    * old-gen heap; under suite-wide pressure their GC cost showed up
+    * as 2-3x wall-time swings on unchanged plans (driver bench r10:
     * q51 2.09→6.41 s). One serialized buffer per block keeps the cache
     * GC-cheap at the cost of a per-use deserialize — the right trade
-    * for relations that are written once and scanned 2-3 times, and
-    * the same posture an executor on a real cluster would want at
-    * 100 TB (cache bytes, not object graphs). */
+    * for relations written once and scanned 2-3 times, and the posture
+    * an executor on a real cluster wants at 100 TB (cache bytes, not
+    * object graphs). */
   private val CacheLevel =
     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
+  /** Storage level for the NARROW persisted intermediates (fixed-width
+    * columns only: q49's gram hashes, q50's edge pairs, the coarse
+    * assignment, q57-q59's token stats, q53's ≤64-row centroids).
+    * These stay DESERIALIZED: their columnar batches are already
+    * compact primitives with no per-row object population, so the
+    * serialized level would only add a serialize+deserialize layer on
+    * every one of their (multi-round, in q50's case) reads — measured
+    * ~25% on q49/q50 wall time for zero GC relief. */
+  private val NarrowCacheLevel =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
   private val NumMinhash = 16
   private val NumBands = 4
@@ -479,7 +491,7 @@ object Pipeline {
   def corpusScaledClustersWithRelease(e: DataFrame, cent: DataFrame,
       targetOcc: Int): (DataFrame, () => Unit) = {
     val asg = assignToCentroids(e, cent)
-      .persist(CacheLevel)
+      .persist(NarrowCacheLevel)
     val occ = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_c"))
     // `mask` (the cluster's active sub-bucket bits) rides along so
     // consumers can MULTI-PROBE: enumerate Hamming-neighbour sub-buckets
@@ -798,6 +810,52 @@ object Pipeline {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Pipeline — intra-document repetition detection: the Gopher-style
+    * duplicated-n-gram quality rule (Rae et al. 2021 drop documents
+    * whose duplicated 3-gram fraction is high — the boilerplate /
+    * template-spam signal that per-corpus dedup can't see because the
+    * repetition is INSIDE one document). Per document: the full 3-gram
+    * multiset ([[graft.functions.TextFunctions.wordShingleMultiset]]),
+    * `g` occurrences, `d` distinct — duplicated fraction `(g-d)/g`.
+    * The corpus deterministically appends each (doc_id % 17 == 0)
+    * document's own first 12 tokens twice — injected boilerplate, the
+    * same reinsertion idiom as the dedup corpora — so the rule
+    * demonstrably fires.
+    *
+    * Scale posture: pure map-side array math per row (the zip_with
+    * shingle fold + array_distinct — no explode, no shuffle before
+    * the per-language rollup, which partial-aggregates to |lang|
+    * rows). The flag threshold compares in INTEGERS
+    * (`(g-d)*100 >= 15*g` ⟺ dup fraction ≥ 0.15) so the cut is
+    * engine-portable with no float boundary, and the corpus-level
+    * `rep_pct` is a single division of two exactly-summed longs. */
+  def q68RepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    // two-step select: the lateral-alias guard (see dupEmbeddings) —
+    // `toks` must bind to the SPLIT array, not re-derive per reference
+    val aug = docs(spark, dir)
+      .select(col("lang"), col("doc_id"), split(col("text"), " ").as("t0"))
+      .select(col("lang"), col("doc_id"),
+        when(col("doc_id") % 17 === 0,
+          concat(col("t0"), slice(col("t0"), 1, 12), slice(col("t0"), 1, 12)))
+          .otherwise(col("t0")).as("toks"))
+    val perDoc = aug.select(col("lang"),
+        wordShingleMultiset(col("toks"), 3).as("grams"))
+      .select(col("lang"),
+        size(col("grams")).cast("long").as("g"),
+        size(array_distinct(col("grams"))).cast("long").as("d"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("g")).as("n_grams"),
+        sum(col("g") - col("d")).as("n_dup_grams"),
+        sum(when((col("g") - col("d")) * 100 >= col("g") * 15, 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .withColumn("rep_pct",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+      .select(col("lang"), col("n_docs"), col("n_grams"),
+        col("n_dup_grams"), col("n_flagged"), col("rep_pct"))
+      .orderBy(col("lang"))
+  }
+
   /** Pipeline — PII detection + scrub accounting: emails and URLs are
     * extracted (regexp, codegen'd) and redacted to `<EMAIL>`/`<URL>`
     * placeholders; the rollup reports per-language how many documents
@@ -870,7 +928,7 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("b"),
         explode(wordShingles(split(col("text"), " "), 8)).as("gram"))
       .select(col("doc_id"), col("lang"), col("b"), portableHashMod(col("gram")).as("h"))
-      .persist(CacheLevel)
+      .persist(NarrowCacheLevel)
     val test = grams.filter(col("b") >= 90)
     // ---- broadcast Bloom pre-filter (VERDICT r10 §missing-1) --------
     // The LEFT SEMI below is exact but hash-partitions BOTH sides; at
@@ -894,6 +952,11 @@ object Pipeline {
     // the double is exact) — no UDF in the hot path.
     val m = 1L << bloomBits
     val pos = pmod(col("h"), lit(m))
+    // The build pass reads the test grams through the persisted gram
+    // cache: the fill is paid exactly once either way (the main
+    // query's train side scans the same cache), so routing the build
+    // through it adds no corpus work — it only moves the one fill
+    // into the build job.
     val words = test
       .select((pos / 32).cast("int").as("w"),
         pow(lit(2.0), pos.cast("int") % 32).cast("long").as("bit"))
@@ -960,7 +1023,7 @@ object Pipeline {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
-      .persist(CacheLevel)
+      .persist(NarrowCacheLevel)
     // Each round: one hash-shuffle join + one partial-aggregated
     // groupBy. The node's OWN previous label rides through the union
     // (tagged), so the convergence probe is a filter over the round's
@@ -1141,7 +1204,7 @@ object Pipeline {
       .filter(col("t").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("t"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .persist(CacheLevel)
+      .persist(NarrowCacheLevel)
     val df_ = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
     val scored = tf.join(broadcast(df_), "t").crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) + (col("nn") - col("df") + 0.5) / (col("df") + 0.5)))
@@ -1183,7 +1246,7 @@ object Pipeline {
     val perDoc = inst.join(lm, "t").crossJoin(broadcast(tot))
       .groupBy(col("doc_id"), col("lang"))
       .agg(round(avg(log(col("ct").cast("double") / col("tot"))), 6).as("alp"))
-      .persist(CacheLevel)
+      .persist(NarrowCacheLevel)
     val bounds = perDoc.agg(
       (avg(col("alp")) - lit(2.0) * stddev_samp(col("alp"))).as("lo"))
     perDoc.crossJoin(broadcast(bounds))
@@ -1221,7 +1284,7 @@ object Pipeline {
     val d = docs(spark, dir).select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).as("n_tok"))
       .withColumn("b", (col("doc_id") / docsPerBucket).cast("long"))
-      .persist(CacheLevel)
+      .persist(NarrowCacheLevel)
     // level 1: per-bucket token totals; level 2: exclusive prefix over
     // the SMALL summary relation (single-partition window over
     // corpus/100 rows — documented, not a data-volume funnel)
@@ -1300,7 +1363,7 @@ object Pipeline {
     // the centroid relation feeds the final assignment AND the report
     // join; it is tiny (≤64 rows) — persist beats re-running Lloyd
     val cent = kMeansCentroids(e)
-      .persist(CacheLevel)
+      .persist(NarrowCacheLevel)
     assignToCentroids(e, cent)
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
       .join(cent.select(col("label").as("cluster"),
@@ -1867,6 +1930,32 @@ object Pipeline {
          |SELECT lang, CAST(rk AS INT) AS rk, doc_id, h FROM r WHERE rk <= 5
          |ORDER BY lang, rk""".stripMargin
 
+    /** q68 — duplicated-3-gram repetition: DuckDB's 1-based
+      * `toks[i:i+2]` slice = Spark's zip_with fold; the injected
+      * boilerplate (`doc_id % 17`) appends the doc's own first 12
+      * tokens twice on both sides; flag cut in integers. */
+    val q68 =
+      """WITH base AS (
+        |  SELECT lang, doc_id, string_split(text, ' ') AS t0 FROM documents),
+        |aug AS (
+        |  SELECT lang, CASE WHEN doc_id % 17 = 0
+        |    THEN list_concat(list_concat(t0, t0[1:12]), t0[1:12])
+        |    ELSE t0 END AS toks
+        |  FROM base),
+        |pd AS (
+        |  SELECT lang,
+        |    CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS g,
+        |    CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(
+        |      generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+2], ' ')))) ELSE 0 END AS d
+        |  FROM aug)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(g) AS BIGINT) AS n_grams,
+        |  CAST(sum(g - d) AS BIGINT) AS n_dup_grams,
+        |  CAST(sum(CASE WHEN (g - d) * 100 >= g * 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  round(sum(g - d)::DOUBLE / sum(g), 6) AS rep_pct
+        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+
     /** q61 — q53's derived k-means (seed threshold + one Lloyd pass)
       * over the DUP'D base corpus, its refined centroids feeding the
       * shared [[fineClusterCtes]] block (which expects the `cent`
@@ -2044,6 +2133,7 @@ object Pipeline {
       // same oracle, the hash match proves candidate coverage
       "q64_heavy_hitters" -> q47,
       "q66_deterministic_sample" -> q66,
+      "q68_repetition_filter" -> q68,
     )
   }
 }

@@ -438,6 +438,29 @@ class PipelineSpec extends SparkSpec {
     rows.filter(r => r.getLong(2) > 0).foreach(r => assert(r.getLong(5) > 0))
   }
 
+  test("q68 repetition: exactly the injected-boilerplate docs are flagged") {
+    val rows = Pipeline.q68RepetitionFilter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per-language totals cover the corpus
+    val nDocs = rows.map(_.getLong(1)).sum
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(nDocs == corpus.count())
+    // flagged = exactly the doc_id % 17 == 0 injection (docs are >= 10
+    // tokens, so the twice-appended 12-token prefix always pushes the
+    // duplicated fraction over 0.15; the synthetic corpus itself has
+    // no 15%-repetition docs)
+    val injected = corpus.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 17 === 0).count()
+    assert(rows.map(_.getLong(4)).sum == injected,
+      s"flagged ${rows.map(_.getLong(4)).sum} vs injected $injected")
+    // duplicated occurrences are a strict subset of occurrences and
+    // the corpus-level fraction is sane
+    rows.foreach { r =>
+      assert(r.getLong(3) < r.getLong(2))
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 0.5)
+    }
+  }
+
   test("q49 contamination: bounded by test size and non-zero on straddling dups") {
     val rows = Pipeline.q49Contamination(spark, sfDir).collect()
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
