@@ -383,6 +383,7 @@ object Oracles {
     "q33_multimodal_stats" -> graft.operators.Multimodal.oracleSql,
     "q62_audio_stats" -> graft.operators.Multimodal.audioOracleSql,
     "q63_video_stats" -> graft.operators.Multimodal.videoOracleSql,
+    "q69_video_thumbnails" -> graft.operators.Multimodal.videoThumbsOracleSql,
     "q37_asof_join" -> graft.operators.Joins.q37Sql,
     "q38_range_join" -> graft.operators.Joins.q38Sql,
     "q39_cube" ->

@@ -115,6 +115,9 @@ object SparkEntry {
     // round 11: intra-document repetition (Gopher duplicated-3-gram
     // rule) — the quality signal corpus-level dedup can't see
     "q68_repetition_filter" -> (Pipeline.q68RepetitionFilter _),
+    // frame-sample + real thumbnail resize: decode cost scales with
+    // SAMPLED frames, not stored ones
+    "q69_video_thumbnails" -> (Multimodal.q69VideoThumbnails _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -27,6 +27,8 @@ case class AudioFeatures(mediaId: Long, decoded: Boolean, sampleRateHz: Int,
   * for engine-portable verification. */
 case class VideoFeatures(mediaId: Long, decoded: Boolean, nFrames: Int,
     lumSum: Long)
+case class ThumbFeatures(mediaId: Long, decoded: Boolean, nFrames: Int,
+    nSampled: Int, thumbLum: Long)
 
 /** Multimodal-column plumbing for a training-data pipeline: opaque
   * binary payloads with typed metadata, a partition-wise decode/
@@ -458,6 +460,117 @@ object Multimodal {
       |SELECT n_frames, count(*) AS n_videos,
       |  CAST(n_frames * count(*) AS BIGINT) AS total_frames,
       |  CAST(sum(lum_sum) AS BIGINT) AS total_lum
+      |FROM v GROUP BY n_frames ORDER BY n_frames""".stripMargin
+
+  /** REAL frame-sample + thumbnail resize — the decode-COST operator of
+    * the video family. The container walk reads every length prefix
+    * (framing is cheap: 4 bytes per frame), but only every
+    * `sampleEvery`-th frame is DECODED and resized to
+    * `thumbW`×`thumbH` via `Graphics2D.drawImage` bilinear scaling;
+    * unsampled frames are `skipBytes`'d wholesale. At 100 TB that is
+    * the entire economics of video featurization: decode cost scales
+    * with the SAMPLED frames, not the stored ones (MultimodalSpec
+    * proves it by corrupting the unsampled frames — the full decoder
+    * fails, this one doesn't notice). Partition-wise like every
+    * decoder here; payloads never shuffle.
+    *
+    * `thumbLum` accumulates each THUMBNAIL's per-channel pixel means —
+    * read from the resized raster, so a resize that didn't happen
+    * (wrong dimensions) or a sampler with the wrong stride changes the
+    * output. For solid source frames any correct resampling yields the
+    * same solid thumbnail, which is what gives the q69 oracle its
+    * closed form. */
+  def decodeVideoThumbnails(files: Dataset[MediaFile], sampleEvery: Int = 2,
+      thumbW: Int = 4, thumbH: Int = 3): Dataset[ThumbFeatures] = {
+    require(sampleEvery >= 1 && thumbW >= 1 && thumbH >= 1)
+    import files.sparkSession.implicits._
+    files.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { f =>
+        try {
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(f.payload))
+          var idx = 0
+          var nSampled = 0
+          var lum = 0L
+          var ok = true
+          while (ok && in.available() >= 4) {
+            val len = in.readInt()
+            if (len <= 0 || len > in.available()) ok = false
+            else if (idx % sampleEvery != 0) { in.skipBytes(len); idx += 1 }
+            else {
+              val bytes = new Array[Byte](len)
+              in.readFully(bytes)
+              tryDecode(bytes) match {
+                case None => ok = false
+                case Some(img) =>
+                  val thumb = new java.awt.image.BufferedImage(
+                    thumbW, thumbH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g2 = thumb.createGraphics()
+                  g2.setRenderingHint(
+                    java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g2.drawImage(img, 0, 0, thumbW, thumbH, null)
+                  g2.dispose()
+                  var (r, g, b) = (0L, 0L, 0L)
+                  var y = 0
+                  while (y < thumbH) {
+                    var x = 0
+                    while (x < thumbW) {
+                      val p = thumb.getRGB(x, y)
+                      r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val n = thumbW.toLong * thumbH
+                  lum += r / n + g / n + b / n
+                  nSampled += 1
+                  idx += 1
+              }
+            }
+          }
+          if (ok && nSampled > 0 && in.available() == 0)
+            ThumbFeatures(f.mediaId, decoded = true, idx, nSampled, lum)
+          else ThumbFeatures(f.mediaId, decoded = false, -1, -1, -1L)
+        } catch {
+          case _: Exception => ThumbFeatures(f.mediaId, decoded = false, -1, -1, -1L)
+        }
+      }
+    }
+  }
+
+  /** MM — oracle-checked frame-sample + thumbnail rollup: every 2nd
+    * frame of each container is decoded and resized for real; the
+    * luminance sums come from the RESIZED rasters. Solid frames make
+    * the thumbnail means integer-exact, so the DuckDB twin recomputes
+    * them from the generation arithmetic over the SAMPLED indices only
+    * — a hash match proves the stride, the skip, and the resize all
+    * executed correctly. */
+  def q69VideoThumbnails(spark: SparkSession, dir: String): DataFrame =
+    decodeVideoThumbnails(videoFiles(spark, dir)).toDF()
+      .filter(col("decoded"))
+      .groupBy(col("nFrames").as("n_frames"))
+      .agg(count(lit(1)).as("n_videos"),
+        sum(col("nSampled").cast("long")).as("n_sampled_frames"),
+        sum(col("thumbLum")).as("total_thumb_lum"))
+      .orderBy(col("n_frames"))
+
+  /** DuckDB twin of [[q69VideoThumbnails]]: the sampled-index luminance
+    * terms have the same closed form as q63's, restricted to even
+    * frame indices (the sample stride). */
+  val videoThumbsOracleSql: String =
+    """WITH v AS (
+      |  SELECT CAST(2 + doc_id % 5 AS INT) AS n_frames,
+      |    CAST((2 + doc_id % 5 + 1) // 2 AS BIGINT) AS n_sampled,
+      |    list_sum(list_transform(generate_series(0, CAST(1 + doc_id % 5 AS INT)),
+      |      i -> CASE WHEN i % 2 = 0
+      |           THEN (doc_id * 3 + i * 11) % 256 + (doc_id * 5 + i * 23) % 256
+      |                + (doc_id * 7 + i * 37) % 256 ELSE 0 END)) AS lum_sum
+      |  FROM documents)
+      |SELECT n_frames, count(*) AS n_videos,
+      |  CAST(sum(n_sampled) AS BIGINT) AS n_sampled_frames,
+      |  CAST(sum(lum_sum) AS BIGINT) AS total_thumb_lum
       |FROM v GROUP BY n_frames ORDER BY n_frames""".stripMargin
 
   /** DuckDB twin of [[q33MultimodalStats]]: the payload is the UTF-8

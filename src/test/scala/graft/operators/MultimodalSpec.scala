@@ -183,6 +183,58 @@ class MultimodalSpec extends SparkSpec {
     assert(!g.decoded)
   }
 
+  test("video thumbnails: stride skips DECODE (corrupt unsampled frames don't matter), resize reads real pixels") {
+    import spark.implicits._
+    val solid = imageBytes(8, 6, 0x102030, "png") // means 16, 32, 48
+    val garbage = Array.fill[Byte](37)(0x5A)      // valid framing, undecodable
+    // frames 1 and 3 are garbage — the FULL decoder must fail, the
+    // stride-2 sampler must never look at them
+    val packed = Multimodal.encodeFramePacked(
+      Seq(solid, garbage, solid, garbage, solid))
+    val full = Multimodal.decodeVideoFeatures(
+      Seq(MediaFile(1L, "video", packed, MediaMeta(8, 6, 0, 5))).toDS()).head()
+    assert(!full.decoded, "full decode must hit the corrupt frames")
+    val th = Multimodal.decodeVideoThumbnails(
+      Seq(MediaFile(1L, "video", packed, MediaMeta(8, 6, 0, 5))).toDS()).head()
+    assert(th.decoded && th.nFrames == 5 && th.nSampled == 3, s"$th")
+    // solid source → solid thumbnail at any interpolation: exact means
+    assert(th.thumbLum == 3 * (16 + 32 + 48), s"lum: ${th.thumbLum}")
+    // resize reality: a half-black / half-white frame must average in
+    // the thumbnail raster — a decoder that read the source raster
+    // without resizing, or resized to the wrong geometry, lands on a
+    // pure extreme instead of a mixture
+    val img = new java.awt.image.BufferedImage(
+      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gfx = img.createGraphics()
+    gfx.setColor(java.awt.Color.BLACK); gfx.fillRect(0, 0, 4, 6)
+    gfx.setColor(java.awt.Color.WHITE); gfx.fillRect(4, 0, 4, 6)
+    gfx.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val two = Multimodal.decodeVideoThumbnails(
+      Seq(MediaFile(2L, "video", Multimodal.encodeFramePacked(Seq(baos.toByteArray)),
+        MediaMeta(8, 6, 0, 1))).toDS(), thumbW = 2, thumbH = 1).head()
+    assert(two.decoded && two.nSampled == 1)
+    // 2x1 thumbnail of a half/half frame: one dark-side mean + one
+    // light-side mean per channel — strictly between the extremes
+    assert(two.thumbLum > 0 && two.thumbLum < 3 * 255, s"lum: ${two.thumbLum}")
+  }
+
+  test("video thumbnail corpus: closed-form sums over the SAMPLED indices only") {
+    val feats = Multimodal.decodeVideoThumbnails(
+      Multimodal.videoFiles(spark, sfDir)).collect()
+    assert(feats.forall(_.decoded))
+    feats.foreach { f =>
+      val id = f.mediaId
+      val n = 2 + (id % 5).toInt
+      assert(f.nFrames == n && f.nSampled == (n + 1) / 2, s"$id: $f")
+      val expected = (0 until n).filter(_ % 2 == 0).map(i =>
+        (id * 3 + i * 11) % 256 + (id * 5 + i * 23) % 256 +
+          (id * 7 + i * 37) % 256).sum
+      assert(f.thumbLum == expected, s"$id: ${f.thumbLum} vs $expected")
+    }
+  }
+
   test("video corpus decodes completely with the closed-form frame sums") {
     val feats = Multimodal.decodeVideoFeatures(
       Multimodal.videoFiles(spark, sfDir)).collect()
