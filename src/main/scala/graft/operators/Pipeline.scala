@@ -829,26 +829,36 @@ object Pipeline {
     * (`(g-d)*100 >= 15*g` ⟺ dup fraction ≥ 0.15) so the cut is
     * engine-portable with no float boundary, and the corpus-level
     * `rep_pct` is a single division of two exactly-summed longs. */
+  /** The ONE shared repetition definition behind q68 and the streaming
+    * twin ([[graft.streaming.Curation.withRepetitionVerdict]]):
+    * per-document 3-gram occurrence count, duplicated-occurrence
+    * count, and the flag — `g > 0 && dup·100 ≥ 15·g` (integer-exact:
+    * no float boundary between engines; the `g > 0` guard keeps
+    * sub-3-token documents unflagged). All map-side array math. */
+  def repetitionColumns(textCol: Column): (Column, Column, Column) = {
+    val grams = wordShingleMultiset(split(textCol, " "), 3)
+    val g = size(grams).cast("long")
+    val dup = (g - size(array_distinct(grams)).cast("long"))
+    (g, dup, g > 0L && dup * 100L >= g * 15L)
+  }
+
   def q68RepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
     // two-step select: the lateral-alias guard (see dupEmbeddings) —
-    // `toks` must bind to the SPLIT array, not re-derive per reference
+    // the boilerplate append must bind to the SPLIT array once
+    val prefix12 = array_join(slice(split(col("text"), " "), 1, 12), " ")
     val aug = docs(spark, dir)
-      .select(col("lang"), col("doc_id"), split(col("text"), " ").as("t0"))
-      .select(col("lang"), col("doc_id"),
-        when(col("doc_id") % 17 === 0,
-          concat(col("t0"), slice(col("t0"), 1, 12), slice(col("t0"), 1, 12)))
-          .otherwise(col("t0")).as("toks"))
-    val perDoc = aug.select(col("lang"),
-        wordShingleMultiset(col("toks"), 3).as("grams"))
+      .select(col("lang"), col("doc_id"), col("text"), prefix12.as("p12"))
       .select(col("lang"),
-        size(col("grams")).cast("long").as("g"),
-        size(array_distinct(col("grams"))).cast("long").as("d"))
-    perDoc.groupBy(col("lang"))
+        when(col("doc_id") % 17 === 0,
+          concat_ws(" ", col("text"), col("p12"), col("p12")))
+          .otherwise(col("text")).as("text"))
+    val (g, dup, flag) = repetitionColumns(col("text"))
+    aug.select(col("lang"), g.as("g"), dup.as("dup"), flag.as("flagged"))
+      .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("g")).as("n_grams"),
-        sum(col("g") - col("d")).as("n_dup_grams"),
-        sum(when((col("g") - col("d")) * 100 >= col("g") * 15, 1L)
-          .otherwise(0L)).as("n_flagged"))
+        sum(col("dup")).as("n_dup_grams"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
       .withColumn("rep_pct",
         round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
       .select(col("lang"), col("n_docs"), col("n_grams"),
@@ -1952,7 +1962,7 @@ object Pipeline {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(g) AS BIGINT) AS n_grams,
         |  CAST(sum(g - d) AS BIGINT) AS n_dup_grams,
-        |  CAST(sum(CASE WHEN (g - d) * 100 >= g * 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(CASE WHEN g > 0 AND (g - d) * 100 >= g * 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
         |  round(sum(g - d)::DOUBLE / sum(g), 6) AS rep_pct
         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -62,4 +62,20 @@ object Curation {
       .withColumn("n_pii",
         coalesce(Pipeline.piiCount(col(textCol)), lit(0)))
       .withColumn(textCol, Pipeline.piiRedact(col(textCol)))
+
+  /** Repetition verdict per document — the streaming face of q68's
+    * Gopher duplicated-3-gram rule, from the ONE shared definition
+    * ([[Pipeline.repetitionColumns]]): adds `rep_frac` (duplicated
+    * 3-gram occurrence fraction; 0 for sub-3-token or null docs) and
+    * `rep_flagged` (the integer-exact ≥ 0.15 cut). Stateless map-side
+    * column math like the quality gate — composes BEFORE the stateful
+    * dedup stages (boilerplate-heavy docs are dropped before they cost
+    * state). Batch/stream row-for-row agreement asserted in DedupSpec. */
+  def withRepetitionVerdict(docs: DataFrame, textCol: String): DataFrame = {
+    val (g, dup, flag) = Pipeline.repetitionColumns(col(textCol))
+    docs
+      .withColumn("rep_frac",
+        when(g > 0L, dup.cast("double") / g).otherwise(lit(0.0)))
+      .withColumn("rep_flagged", coalesce(flag, lit(false)))
+  }
 }

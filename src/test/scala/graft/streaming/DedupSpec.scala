@@ -247,6 +247,39 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming repetition verdict agrees with batch row-for-row (q68's shared definition)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val boiler = Seq.tabulate(12)(i => s"tok$i").mkString(" ")
+    val rows = Seq(
+      (1L, Seq.tabulate(40)(i => s"w$i").mkString(" ")), // unique grams: clean
+      (2L, s"$boiler $boiler $boiler"),                  // pure boilerplate: flagged
+      (3L, "one two"),                                   // < 3 tokens: g=0, unflagged
+      (4L, null.asInstanceOf[String]))                   // null: unflagged, frac 0
+    val batch = Curation.withRepetitionVerdict(rows.toDF("doc_id", "text"), "text")
+      .select("doc_id", "rep_frac", "rep_flagged").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    val in = MemoryStream[(Long, String)]
+    val query = Curation.withRepetitionVerdict(
+        in.toDF().toDF("doc_id", "text"), "text")
+      .select("doc_id", "rep_frac", "rep_flagged")
+      .writeStream.format("memory").queryName("rep_verdict_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("rep_verdict_mem").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got(2L)._2 && got(2L)._1 > 0.5, "boilerplate doc must flag")
+      assert(!got(1L)._2 && got(1L)._1 == 0.0)
+      assert(!got(3L)._2 && got(3L)._1 == 0.0)
+      assert(!got(4L)._2 && got(4L)._1 == 0.0)
+      // stateless: composes before any stateful stage
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
   test("trending terms: per-window Misra-Gries candidates, heavy tokens survive, windows finalize") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String, Long)]
