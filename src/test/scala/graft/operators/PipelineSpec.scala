@@ -611,7 +611,14 @@ class PipelineSpec extends SparkSpec {
       // q66: test-layout spread + per-stratum bounded TopK aggregate
       // (one exchange of ≤ partitions×k rows per language) + result
       // sort of ≤ 5·|lang| rows
-      "q66_deterministic_sample" -> 3)
+      "q66_deterministic_sample" -> 3,
+      // q68: spread + the |lang|-row rollup (map-side partials over
+      // per-row array math — no gram ever leaves its partition) +
+      // result sort
+      "q68_repetition_filter" -> 3,
+      // q69: q63's shape — payload-free spread, sampled-decode
+      // features rollup, few-row sort
+      "q69_video_thumbnails" -> 3)
     val got = budgets.keys.toSeq.sorted.map(name =>
       name -> executedShuffles(graft.SparkEntry.queries(name)(spark, sfDir)))
     val bad = got.filter { case (n, g) => g != budgets(n) }
