@@ -118,6 +118,9 @@ object SparkEntry {
     // frame-sample + real thumbnail resize: decode cost scales with
     // SAMPLED frames, not stored ones
     "q69_video_thumbnails" -> (Multimodal.q69VideoThumbnails _),
+    // bigram-LM quality (add-one smoothed conditional model) — q58's
+    // unigram can't see broken word order; this can
+    "q70_bigram_quality" -> (Pipeline.q70BigramQuality _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

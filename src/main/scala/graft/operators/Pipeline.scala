@@ -1268,6 +1268,56 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** Pipeline — bigram-LM quality scoring: the CONDITIONAL upgrade of
+    * q58's unigram model (the CCNet recipe scores documents with an
+    * n-gram LM precisely because unigram frequency can't see broken
+    * word ORDER — "the of and a" is unigram-perfect and bigram-garbage).
+    * The LM is add-one smoothed `p(w2|w1) = (c(w1 w2) + 1) /
+    * (c(w1·) + V)`, derived from the corpus itself in-plan; each
+    * document scores the mean log-probability of its bigrams, and the
+    * outlier threshold is the same in-plan mean − 2σ contract as q58.
+    *
+    * Scale posture (q58's, one level up): the bigram-instance relation
+    * is derived TWICE (LM counts, scoring join) and deliberately never
+    * persisted — at 100 TB it is larger than the corpus and
+    * recomputing a scan+split beats spilling it. The LM and context
+    * tables are vocabulary-bounded, not corpus-bounded, and both joins
+    * hash-partition on their key (no broadcast assumption: a web-scale
+    * bigram table does not fit an executor). Only V (a scalar) and the
+    * 1-row bounds relation broadcast. Per-doc scores round to 6 before
+    * any comparison — the shared cross-engine log discipline. */
+  def q70BigramQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val inst = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(wordShingleMultiset(toks, 2)).as("bg"))
+    val lm = inst.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val ctx = inst
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("cu"))
+    val vocab = docs(spark, dir).select(explode(toks).as("t"))
+      .agg(countDistinct(col("t")).cast("double").as("v"))
+    // perDoc persisted (narrow): feeds the bounds aggregate AND the
+    // final rollup — q58's exact rationale
+    val perDoc = inst
+      .join(lm, "bg")
+      .join(ctx, substring_index(col("bg"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(avg(log((col("cb") + 1L).cast("double") /
+        (col("cu") + col("v")))), 6).as("alp"))
+      .persist(NarrowCacheLevel)
+    val bounds = perDoc.agg(
+      (avg(col("alp")) - lit(2.0) * stddev_samp(col("alp"))).as("lo"))
+    perDoc.crossJoin(broadcast(bounds))
+      .withColumn("flagged", col("alp") < round(col("lo"), 6))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("alp")), 4).as("avg_bigram_logprob"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("lang"))
+  }
+
   /** Pipeline — training-sequence packing (the GPT-style concat-and-
     * chunk step): documents concatenate in deterministic doc_id order
     * and split into fixed 512-token training sequences; the report
@@ -1966,6 +2016,36 @@ object Pipeline {
         |  round(sum(g - d)::DOUBLE / sum(g), 6) AS rep_pct
         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
 
+    /** q70 — the bigram twin of q58's CTE chain: bigram instances via
+      * the 1-based `t[i:i+1]` slice (= Spark's zip_with fold at k=2),
+      * add-one smoothing over the in-plan vocabulary size, identical
+      * round-6-before-compare log discipline. */
+    val q70 =
+      """WITH tk AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |inst AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+1], ' '))) AS bg
+        |  FROM tk WHERE len(t) >= 2),
+        |lm AS (SELECT bg, count(*) AS cb FROM inst GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS cu
+        |  FROM inst GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT t)::DOUBLE AS v FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+        |pd AS (
+        |  SELECT doc_id, lang,
+        |    round(avg(ln((cb + 1)::DOUBLE / (cu + v))), 6) AS alp
+        |  FROM inst
+        |  JOIN lm USING (bg)
+        |  JOIN ctx ON split_part(inst.bg, ' ', 1) = ctx.w1, vocab
+        |  GROUP BY doc_id, lang),
+        |b AS (SELECT avg(alp) - 2.0 * stddev_samp(alp) AS lo FROM pd)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(alp), 4) AS avg_bigram_logprob,
+        |  CAST(sum(CASE WHEN alp < round(lo, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM pd, b GROUP BY lang ORDER BY lang""".stripMargin
+
     /** q61 — q53's derived k-means (seed threshold + one Lloyd pass)
       * over the DUP'D base corpus, its refined centroids feeding the
       * shared [[fineClusterCtes]] block (which expects the `cent`
@@ -2144,6 +2224,7 @@ object Pipeline {
       "q64_heavy_hitters" -> q47,
       "q66_deterministic_sample" -> q66,
       "q68_repetition_filter" -> q68,
+      "q70_bigram_quality" -> q70,
     )
   }
 }

@@ -461,6 +461,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q70 bigram quality: totals cover the corpus, scores negative, outliers bounded") {
+    val rows = Pipeline.q70BigramQuality(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == n,
+      "every document (all are >= 2 tokens) must score")
+    rows.foreach { r =>
+      assert(r.getDouble(2) < 0.0, "mean log-probabilities are negative")
+      assert(r.getLong(3) < r.getLong(1), "2-sigma outliers are a minority")
+    }
+    // the per-language doc counts line up with q58's (same corpus, the
+    // two LM scorers cover identical documents)
+    val uni = Pipeline.q58UnigramQuality(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(uni(r.getString(0)) == r.getLong(1)))
+  }
+
   test("q49 contamination: bounded by test size and non-zero on straddling dups") {
     val rows = Pipeline.q49Contamination(spark, sfDir).collect()
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
