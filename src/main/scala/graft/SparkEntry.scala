@@ -121,6 +121,9 @@ object SparkEntry {
     // bigram-LM quality (add-one smoothed conditional model) — q58's
     // unigram can't see broken word order; this can
     "q70_bigram_quality" -> (Pipeline.q70BigramQuality _),
+    // incremental crawl dedup: batch anti-join vs the reference corpus,
+    // Bloom-pruned reference exchange (the production L1 shape)
+    "q71_incremental_dedup" -> (Pipeline.q71IncrementalDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

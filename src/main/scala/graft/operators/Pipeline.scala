@@ -919,6 +919,45 @@ object Pipeline {
     * ~2% of corpus grams instead of 100%. */
   private val DecontamBloomBits = 20
 
+  /** Build a broadcast single-hash Bloom filter over `keys` (a
+    * one-LONG-column relation — already-hashed values) and return the
+    * membership PREDICATE as a reusable Column function. The shared
+    * primitive behind [[q49Contamination]] and [[q71IncrementalDedup]]
+    * — the candidates-then-exact asymmetry: whenever an exact
+    * (semi/anti) join pairs a SMALL keyed relation against a
+    * CORPUS-sized one, a Bloom of the small side prunes the corpus
+    * side map-side BEFORE its exchange. No false negatives, so the
+    * exact join downstream keeps exactness; FPs only pass extra rows.
+    *
+    * Construction is distributed and bounded: bit position = `key mod
+    * 2^bits`, OR-ed into 32-bit words by a partial-aggregated groupBy;
+    * only the word relation (≤ 2^bits/32 rows — bounded by the filter
+    * WIDTH, not the data) is collected. The membership test compiles
+    * to codegen'd `element_at`/`pmod`/`pow` over one array literal
+    * (bit = pow(2, pos&31): exponent ≤ 31, exact in doubles) — no UDF.
+    * Size `bits` to the SMALL side's cardinality; the small side of
+    * this asymmetry (eval sets, daily crawl batches) does not grow
+    * with the corpus, so neither does the filter. */
+  private[operators] def bloomMightContain(keys: DataFrame,
+      bloomBits: Int): Column => Column = {
+    require(bloomBits >= 5 && bloomBits <= 30, "bloomBits in [5, 30]")
+    val m = 1L << bloomBits
+    val keyCol = col(keys.columns.head)
+    val pos = pmod(keyCol, lit(m))
+    val words = keys
+      .select((pos / 32).cast("int").as("w"),
+        pow(lit(2.0), pos.cast("int") % 32).cast("long").as("bit"))
+      .groupBy(col("w")).agg(bit_or(col("bit")).as("bits"))
+      .collect()
+    val bloom = new Array[Long]((m / 32).toInt)
+    words.foreach(r => bloom(r.getInt(0)) = r.getLong(1))
+    (key: Column) => {
+      val p = pmod(key, lit(m))
+      element_at(lit(bloom), (p / 32).cast("int") + 1)
+        .bitwiseAND(pow(lit(2.0), p.cast("int") % 32).cast("long")) =!= 0L
+    }
+  }
+
   /** [[q49Contamination]] with the Bloom width exposed: PipelineSpec
     * drives `bloomBits` down to a deliberately saturated filter to
     * prove false positives cannot change the answer. */
@@ -960,24 +999,14 @@ object Pipeline {
     // The membership test compiles to codegen'd element_at/pmod/pow
     // over an array literal (bit = pow(2, pos&31): exponent ≤ 31, so
     // the double is exact) — no UDF in the hot path.
-    val m = 1L << bloomBits
-    val pos = pmod(col("h"), lit(m))
     // The build pass reads the test grams through the persisted gram
     // cache: the fill is paid exactly once either way (the main
     // query's train side scans the same cache), so routing the build
     // through it adds no corpus work — it only moves the one fill
     // into the build job.
-    val words = test
-      .select((pos / 32).cast("int").as("w"),
-        pow(lit(2.0), pos.cast("int") % 32).cast("long").as("bit"))
-      .groupBy(col("w")).agg(bit_or(col("bit")).as("bits"))
-      .collect()
-    val bloom = new Array[Long]((m / 32).toInt)
-    words.foreach(r => bloom(r.getInt(0)) = r.getLong(1))
-    val mightContain =
-      element_at(lit(bloom), (pos / 32).cast("int") + 1)
-        .bitwiseAND(pow(lit(2.0), pos.cast("int") % 32).cast("long")) =!= 0L
-    val trainGrams = grams.filter(col("b") < 80).filter(mightContain)
+    val mightContain = bloomMightContain(test.select(col("h")), bloomBits)
+    val trainGrams = grams.filter(col("b") < 80)
+      .filter(mightContain(col("h")))
       .select(col("h")).distinct()
     val contaminated = test.join(trainGrams, Seq("h"), "left_semi")
       .select(col("doc_id"), col("lang")).distinct()
@@ -1265,6 +1294,52 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("alp")), 4).as("avg_logprob"),
         sum(when(col("flagged"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("lang"))
+  }
+
+  /** Bloom width for [[q71IncrementalDedup]] — sized to the BATCH
+    * (a daily crawl's digest count), which is fixed by ingest cadence,
+    * not by the accumulated corpus. */
+  private val IncrementalBloomBits = 20
+
+  /** Pipeline — INCREMENTAL corpus dedup (the production shape of L1:
+    * dedup today's crawl against everything already ingested, not the
+    * corpus against itself): a batch of arriving documents — fresh
+    * content plus verbatim re-crawls, both derived deterministically
+    * from the documents table — is ANTI-joined on the md5 content
+    * digest against the reference corpus; the report counts, per
+    * language, how much of the batch survived.
+    *
+    * Scale posture — the q49 asymmetry, reversed join: the REFERENCE
+    * side is corpus-sized (at 100 TB it dwarfs any daily batch by
+    * orders of magnitude) and an unguarded anti-join exchanges all of
+    * it. [[bloomMightContain]] over the BATCH digests prunes the
+    * reference map-side before its exchange: a reference doc whose
+    * digest can't be in the batch can't affect the anti-join (no
+    * false negatives), so the exchange carries ~|batch| + FP rows at
+    * any corpus size. The exact join key stays the full md5 (the
+    * 31-bit portable hash is only the Bloom's bit-position hash —
+    * a collision there is just an FP, never a wrong drop). */
+  def q71IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ref = docs(spark, dir)
+    val batch = ref.filter(col("doc_id") % 10 === 3)
+      .select(col("lang"),
+        concat(col("text"), lit(" fresh"), col("doc_id").cast("string")).as("text"))
+      .unionByName(ref.filter(col("doc_id") % 23 === 0)
+        .select(col("lang"), col("text")))
+      .withColumn("h", md5(col("text").cast("binary")))
+    val might = bloomMightContain(
+      batch.select(portableHashMod(col("text")).as("k")), IncrementalBloomBits)
+    val refDigests = ref
+      .filter(might(portableHashMod(col("text"))))
+      .select(md5(col("text").cast("binary")).as("h")).distinct()
+    val kept = batch.join(refDigests, Seq("h"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    batch.groupBy(col("lang")).agg(count(lit(1)).as("n_batch"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_batch"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_batch") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
       .orderBy(col("lang"))
   }
 
@@ -2046,6 +2121,25 @@ object Pipeline {
         |  CAST(sum(CASE WHEN alp < round(lo, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM pd, b GROUP BY lang ORDER BY lang""".stripMargin
 
+    /** q71 — incremental dedup: batch (fresh + re-crawls) anti-joined
+      * against the reference digests. The Bloom pre-filter never
+      * appears here — it cannot change the result. */
+    val q71 =
+      """WITH batch AS (
+        |  SELECT lang, text || ' fresh' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT lang, text FROM documents WHERE doc_id % 23 = 0),
+        |refd AS (SELECT DISTINCT md5(text) AS h FROM documents),
+        |b AS (SELECT lang, md5(text) AS h FROM batch),
+        |k AS (SELECT lang, count(*) AS n_kept FROM b
+        |  WHERE h NOT IN (SELECT h FROM refd) GROUP BY lang),
+        |t AS (SELECT lang, count(*) AS n_batch FROM b GROUP BY lang)
+        |SELECT t.lang, n_batch,
+        |  coalesce(n_kept, 0) AS n_kept,
+        |  n_batch - coalesce(n_kept, 0) AS n_dropped
+        |FROM t LEFT JOIN k USING (lang) ORDER BY t.lang""".stripMargin
+
     /** q61 — q53's derived k-means (seed threshold + one Lloyd pass)
       * over the DUP'D base corpus, its refined centroids feeding the
       * shared [[fineClusterCtes]] block (which expects the `cent`
@@ -2225,6 +2319,7 @@ object Pipeline {
       "q66_deterministic_sample" -> q66,
       "q68_repetition_filter" -> q68,
       "q70_bigram_quality" -> q70,
+      "q71_incremental_dedup" -> q71,
     )
   }
 }

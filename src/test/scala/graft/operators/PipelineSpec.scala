@@ -461,6 +461,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q71 incremental dedup: re-crawls drop, fresh content survives, Bloom under the reference exchange") {
+    val rows = Pipeline.q71IncrementalDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val nFresh = corpus.filter(col("doc_id") % 10 === 3).count()
+    val nRecrawl = corpus.filter(col("doc_id") % 23 === 0).count()
+    assert(rows.map(_.getLong(1)).sum == nFresh + nRecrawl, "batch size")
+    // every verbatim re-crawl is dropped; every salted fresh doc kept
+    assert(rows.map(_.getLong(2)).sum == nFresh, "fresh docs survive")
+    assert(rows.map(_.getLong(3)).sum == nRecrawl, "re-crawls drop")
+    // the corpus-sized reference side must be Bloom-pruned BELOW its
+    // exchange (same positional claim as q49's assertion)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = Pipeline.q71IncrementalDedup(spark, sfDir)
+    df.count()
+    def pruned(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => pruned(a.executedPlan)
+      case s: QueryStageExec => pruned(s.plan)
+      case e: ShuffleExchangeLike
+        if e.children.exists(_.toString.contains("element_at")) => true
+      case other => (other.children ++ other.subqueries).exists(pruned)
+    }
+    assert(pruned(df.queryExecution.executedPlan),
+      "no exchange carries the Bloom predicate below it")
+  }
+
   test("q70 bigram quality: totals cover the corpus, scores negative, outliers bounded") {
     val rows = Pipeline.q70BigramQuality(spark, sfDir).collect()
     assert(rows.nonEmpty)
