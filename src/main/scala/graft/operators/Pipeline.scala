@@ -1322,14 +1322,19 @@ object Pipeline {
     * a collision there is just an FP, never a wrong drop). */
   def q71IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val ref = docs(spark, dir)
+    // the batch's NARROW key projection is persisted: (lang, md5,
+    // bloom-key) feeds THREE consumers (the Bloom build, the batch
+    // totals, the anti-join) and at 100 TB each re-derivation would
+    // re-scan and re-digest the crawl text — cache digests, not text
     val batch = ref.filter(col("doc_id") % 10 === 3)
       .select(col("lang"),
         concat(col("text"), lit(" fresh"), col("doc_id").cast("string")).as("text"))
       .unionByName(ref.filter(col("doc_id") % 23 === 0)
         .select(col("lang"), col("text")))
-      .withColumn("h", md5(col("text").cast("binary")))
-    val might = bloomMightContain(
-      batch.select(portableHashMod(col("text")).as("k")), IncrementalBloomBits)
+      .select(col("lang"), md5(col("text").cast("binary")).as("h"),
+        portableHashMod(col("text")).as("k"))
+      .persist(NarrowCacheLevel)
+    val might = bloomMightContain(batch.select(col("k")), IncrementalBloomBits)
     val refDigests = ref
       .filter(might(portableHashMod(col("text"))))
       .select(md5(col("text").cast("binary")).as("h")).distinct()
