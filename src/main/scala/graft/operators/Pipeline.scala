@@ -213,7 +213,7 @@ object Pipeline {
     * The hash-set relation is referenced three times (signature
     * computation + both sides of candidate verification); without
     * materialization Spark re-derives the full md5/shingle pipeline at
-    * each reference. One MEMORY_AND_DISK copy replaces two full
+    * each reference. One serialized cached copy replaces two full
     * re-derivations — the in-session analog of materializing the
     * signature stage as a table (Layout.writeBucketed) in a production
     * pipeline, where this stage would be persisted storage anyway.
@@ -399,7 +399,7 @@ object Pipeline {
       .select((pow(lit(2.0), srpBitsCol(col("n"))).cast("long") - 1L).as("mask"))
     // persisted: the signature stage (32 plane dots per row + the
     // corpus count) feeds BOTH sides of the bucket self-join — one
-    // MEMORY_AND_DISK copy replaces a full second derivation (same
+    // serialized cached copy replaces a full second derivation (same
     // rationale as q24's persisted hash arrays / q31's assignment)
     val bucketed = emb.crossJoin(broadcast(maskRel))
       .withColumn("cluster", srpSignature(col("e")).bitwiseAND(col("mask")))

@@ -514,6 +514,22 @@ class PipelineSpec extends SparkSpec {
       "constructed exact dups straddling the split must contaminate")
   }
 
+  test("bloomMightContain admits every member (no false negatives) at any width") {
+    // The primitive's exactness contract: a false POSITIVE costs a few
+    // extra rows in the downstream exact join; a false NEGATIVE would
+    // silently drop true matches. Every inserted key must pass, at
+    // the widest and the narrowest legal filter.
+    import spark.implicits._
+    val keys = (0 until 2000).map(i =>
+      math.abs((i * 2654435761L + 97) % 2147483647L))
+    for (bits <- Seq(5, 12, 30)) {
+      val pred = Pipeline.bloomMightContain(keys.toDF("k"), bits)
+      val admitted = keys.toDF("k")
+        .filter(pred(org.apache.spark.sql.functions.col("k"))).count()
+      assert(admitted == keys.length.toLong, s"bits=$bits dropped a member")
+    }
+  }
+
   test("q49 Bloom pre-filter: false positives cannot change the answer") {
     // Drive the filter width down to 32 bits: with ~thousands of
     // distinct test grams the filter saturates (nearly every bit set),
