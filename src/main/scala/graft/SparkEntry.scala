@@ -124,6 +124,9 @@ object SparkEntry {
     // incremental crawl dedup: batch anti-join vs the reference corpus,
     // Bloom-pruned reference exchange (the production L1 shape)
     "q71_incremental_dedup" -> (Pipeline.q71IncrementalDedup _),
+    // content-defined chunking passage dedup — catches the shifted
+    // copies fixed-grid chunking (q56) structurally cannot see
+    "q72_cdc_passage_dedup" -> (Pipeline.q72CdcPassageDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

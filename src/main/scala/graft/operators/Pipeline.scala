@@ -1219,6 +1219,55 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** L1 — CONTENT-DEFINED passage dedup: the alignment-robust upgrade
+    * of q56. Fixed 16-token chunking (q56) misses a copied passage the
+    * moment ANYTHING shifts its token offsets — a 3-token prefix, an
+    * inserted sentence — because every chunk boundary moves. Here the
+    * boundaries come from the CONTENT (a chunk ends after any token
+    * whose portable hash ≡ 0 mod D — the rsync/LBFS rolling-cut idea
+    * at token granularity): insert a prefix and the interior
+    * boundaries stay glued to the same tokens, so the interior chunks
+    * still collide. The corpus re-inserts PREFIX-SHIFTED copies
+    * (doc_id % 13 == 0, three extra lead tokens) — exactly the copies
+    * fixed chunking cannot see; PipelineSpec asserts the fixed-grid
+    * variant finds ~none of them while this finds them all.
+    *
+    * Scale posture = q56's: chunking is per-row array math (the
+    * bounds/toks attributes are projected BEFORE the lambdas — the
+    * nested-HOF recompute guard), one shuffle on the chunk hash,
+    * map-side partial aggregation. Expected chunk length is D tokens
+    * (D = 8), a knob, not a guess. */
+  def q72CdcPassageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cutMod = 8
+    val d = docs(spark, dir).select(col("lang"), col("doc_id"), col("text"))
+    val corpus = d.select(col("lang"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 13 === 0)
+        .select(col("lang"),
+          concat(lit("shifted copy lead "), col("text")).as("text")))
+    val tk = corpus.select(col("lang"), split(col("text"), " ").as("toks"))
+    val bd = tk.select(col("lang"), col("toks"),
+      concat(array(lit(0)),
+        filter(sequence(lit(1), size(col("toks"))),
+          i => pmod(portableHashMod(element_at(col("toks"), i)), lit(cutMod)) === 0),
+        array(size(col("toks")))).as("bounds"))
+    val chunks = bd.select(col("lang"), posexplode(
+        filter(transform(sequence(lit(1), size(col("bounds")) - 1),
+          j => when(
+            element_at(col("bounds"), j + 1) > element_at(col("bounds"), j),
+            array_join(slice(col("toks"),
+              element_at(col("bounds"), j) + 1,
+              element_at(col("bounds"), j + 1) - element_at(col("bounds"), j)),
+              " "))),
+          c => c.isNotNull)).as(Seq("pos", "chunk")))
+      .select(col("lang"), portableHashMod(col("chunk")).as("h"))
+    chunks.groupBy(col("lang"), col("h")).agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_chunks"),
+        count(lit(1)).as("n_uniq_chunks"),
+        (sum(col("n")) - count(lit(1))).as("n_dup_chunks"))
+      .orderBy(col("lang"))
+  }
+
   /** L4 — BM25 retrieval over the corpus (Robertson/Spärck Jones,
     * k1 = 1.2, b = 0.75): the ranked-search primitive of a curation
     * pipeline (audit queries, decontamination probes, targeted
@@ -2126,6 +2175,32 @@ object Pipeline {
         |  CAST(sum(CASE WHEN alp < round(lo, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM pd, b GROUP BY lang ORDER BY lang""".stripMargin
 
+    /** q72 — content-defined chunking: DuckDB's inclusive 1-based
+      * `toks[a:b]` slice = Spark's (start, length) slice; the
+      * filter-then-transform order differs from Spark's
+      * transform-then-filter but yields the identical chunk multiset. */
+    val q72 =
+      s"""WITH corpus AS (
+         |  SELECT lang, text FROM documents
+         |  UNION ALL
+         |  SELECT lang, 'shifted copy lead ' || text FROM documents WHERE doc_id % 13 = 0),
+         |tk AS (SELECT lang, string_split(text, ' ') AS toks FROM corpus),
+         |bd AS (SELECT lang, toks,
+         |  list_concat(list_concat([0], list_filter(generate_series(1, len(toks)),
+         |    i -> ${phm("toks[i]")} % 8 = 0)), [len(toks)]) AS bounds
+         |  FROM tk),
+         |ch AS (
+         |  SELECT lang, unnest(list_transform(
+         |    list_filter(generate_series(1, len(bounds) - 1),
+         |      j -> bounds[j + 1] > bounds[j]),
+         |    j -> ${phm("array_to_string(toks[bounds[j] + 1 : bounds[j + 1]], ' ')")})) AS h
+         |  FROM bd),
+         |g AS (SELECT lang, h, count(*) AS n FROM ch GROUP BY lang, h)
+         |SELECT lang, CAST(sum(n) AS BIGINT) AS n_chunks,
+         |  count(*) AS n_uniq_chunks,
+         |  CAST(sum(n) - count(*) AS BIGINT) AS n_dup_chunks
+         |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+
     /** q71 — incremental dedup: batch (fresh + re-crawls) anti-joined
       * against the reference digests. The Bloom pre-filter never
       * appears here — it cannot change the result. */
@@ -2325,6 +2400,7 @@ object Pipeline {
       "q68_repetition_filter" -> q68,
       "q70_bigram_quality" -> q70,
       "q71_incremental_dedup" -> q71,
+      "q72_cdc_passage_dedup" -> q72,
     )
   }
 }

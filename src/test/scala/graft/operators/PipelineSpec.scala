@@ -461,6 +461,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q72 CDC dedup catches the shifted copies fixed-grid chunking cannot see") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.q72CdcPassageDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nShifted = corpus.filter(col("doc_id") % 13 === 0).count()
+    val cdcDups = rows.map(_.getLong(3)).sum
+    // every shifted copy shares its interior chunks with the original:
+    // the duplicate count must scale with the injected copies, not
+    // just be nonzero
+    assert(cdcDups >= nShifted, s"cdc dups $cdcDups vs $nShifted copies")
+    // the SAME shifted corpus through q56-style FIXED 16-token grid:
+    // every boundary moved by the 3-token prefix, so the copies are
+    // (near-)invisible — the structural gap q72 exists to close
+    val d = corpus.select(col("lang"), col("doc_id"), col("text"))
+    val shifted = d.select(col("lang"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 13 === 0)
+        .select(col("lang"),
+          concat(lit("shifted copy lead "), col("text")).as("text")))
+    val tk = shifted.select(col("lang"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 16)
+    val fixedDups = tk.select(posexplode(transform(
+        sequence(lit(1), (size(col("toks")) / 16).cast("int")),
+        i => array_join(slice(col("toks"), (i - 1) * 16 + 1, lit(16)), " ")))
+        .as(Seq("pos", "chunk")))
+      .groupBy(col("chunk")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") - 1)).head().getLong(0)
+    assert(cdcDups > 5 * math.max(fixedDups, 1),
+      s"CDC must dominate the fixed grid on shifted copies: " +
+        s"cdc=$cdcDups fixed=$fixedDups")
+  }
+
   test("q71 incremental dedup: re-crawls drop, fresh content survives, Bloom under the reference exchange") {
     val rows = Pipeline.q71IncrementalDedup(spark, sfDir).collect()
     assert(rows.nonEmpty)
