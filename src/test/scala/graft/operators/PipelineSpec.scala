@@ -725,7 +725,13 @@ class PipelineSpec extends SparkSpec {
       // reference spread + Bloom-pruned distinct + the anti-join's
       // batch-side exchange + result sort. Was 11 before the digest
       // cache — three full batch re-derivations
-      "q71_incremental_dedup" -> 5)
+      "q71_incremental_dedup" -> 5,
+      // q72: the corpus union's two branches project differently
+      // (plain + shifted-copy concat), so each pays its test-layout
+      // spread (no AQE reuse across distinct subplans; both absent on
+      // a real cluster) + the chunk-hash aggregate + the lang rollup
+      // + result sort
+      "q72_cdc_passage_dedup" -> 5)
     val got = budgets.keys.toSeq.sorted.map(name =>
       name -> executedShuffles(graft.SparkEntry.queries(name)(spark, sfDir)))
     val bad = got.filter { case (n, g) => g != budgets(n) }
