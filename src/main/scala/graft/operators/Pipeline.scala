@@ -1237,28 +1237,44 @@ object Pipeline {
     * nested-HOF recompute guard), one shuffle on the chunk hash,
     * map-side partial aggregation. Expected chunk length is D tokens
     * (D = 8), a knob, not a guess. */
+  /** Explode `textCol` into content-defined chunks: all input columns
+    * plus `(chunk_idx, chunk)`. The ONE shared chunk derivation behind
+    * [[q72CdcPassageDedup]] and the streaming twin
+    * ([[graft.streaming.Dedup.dedupPassagesCdc]]) — boundaries after
+    * any token whose portable hash ≡ 0 mod `cutMod`, so chunk edges
+    * follow the CONTENT and survive offset shifts. The `_toks` /
+    * `_bounds` intermediates are projected to attributes before
+    * entering the lambdas (the nested-HOF recompute guard). Null-text
+    * rows produce no chunks (the null propagates to the exploded
+    * array). Stream-safe: pure map-side array math + posexplode. */
+  def cdcChunkExplode(df: DataFrame, textCol: String,
+      cutMod: Int = 8): DataFrame = {
+    require(cutMod >= 2, "cutMod must be >= 2")
+    val tk = df.withColumn("_toks", split(col(textCol), " "))
+    val bd = tk.withColumn("_bounds",
+      concat(array(lit(0)),
+        filter(sequence(lit(1), size(col("_toks"))),
+          i => pmod(portableHashMod(element_at(col("_toks"), i)), lit(cutMod)) === 0),
+        array(size(col("_toks")))))
+    bd.select(col("*"), posexplode(
+        filter(transform(sequence(lit(1), size(col("_bounds")) - 1),
+          j => when(
+            element_at(col("_bounds"), j + 1) > element_at(col("_bounds"), j),
+            array_join(slice(col("_toks"),
+              element_at(col("_bounds"), j) + 1,
+              element_at(col("_bounds"), j + 1) - element_at(col("_bounds"), j)),
+              " "))),
+          c => c.isNotNull)).as(Seq("chunk_idx", "chunk")))
+      .drop("_toks", "_bounds")
+  }
+
   def q72CdcPassageDedup(spark: SparkSession, dir: String): DataFrame = {
-    val cutMod = 8
     val d = docs(spark, dir).select(col("lang"), col("doc_id"), col("text"))
     val corpus = d.select(col("lang"), col("text"))
       .unionByName(d.filter(col("doc_id") % 13 === 0)
         .select(col("lang"),
           concat(lit("shifted copy lead "), col("text")).as("text")))
-    val tk = corpus.select(col("lang"), split(col("text"), " ").as("toks"))
-    val bd = tk.select(col("lang"), col("toks"),
-      concat(array(lit(0)),
-        filter(sequence(lit(1), size(col("toks"))),
-          i => pmod(portableHashMod(element_at(col("toks"), i)), lit(cutMod)) === 0),
-        array(size(col("toks")))).as("bounds"))
-    val chunks = bd.select(col("lang"), posexplode(
-        filter(transform(sequence(lit(1), size(col("bounds")) - 1),
-          j => when(
-            element_at(col("bounds"), j + 1) > element_at(col("bounds"), j),
-            array_join(slice(col("toks"),
-              element_at(col("bounds"), j) + 1,
-              element_at(col("bounds"), j + 1) - element_at(col("bounds"), j)),
-              " "))),
-          c => c.isNotNull)).as(Seq("pos", "chunk")))
+    val chunks = cdcChunkExplode(corpus, "text")
       .select(col("lang"), portableHashMod(col("chunk")).as("h"))
     chunks.groupBy(col("lang"), col("h")).agg(count(lit(1)).as("n"))
       .groupBy(col("lang"))

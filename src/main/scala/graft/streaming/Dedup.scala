@@ -121,4 +121,21 @@ object Dedup {
       .withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark("chunk_h")
       .drop("toks", "chunk_h")
+
+  /** CONTENT-DEFINED streaming passage dedup (streaming q72): chunk
+    * boundaries follow the content, not token offsets
+    * ([[graft.operators.Pipeline.cdcChunkExplode]] — the one shared
+    * derivation), so a re-arriving passage is caught even when a new
+    * prefix or inserted sentence has shifted it — the copies the
+    * fixed-grid twin ([[dedupPassages]]) structurally misses. State
+    * key is the full chunk md5 (the [[dedupPassages]] collision
+    * rationale); everything before the state exchange is map-side
+    * array math, stream-safe by construction. */
+  def dedupPassagesCdc(docs: DataFrame, textCol: String, eventTimeCol: String,
+      horizon: String, cutMod: Int = 8): DataFrame =
+    graft.operators.Pipeline.cdcChunkExplode(docs, textCol, cutMod)
+      .withColumn("chunk_h", md5(col("chunk").cast("binary")))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("chunk_h")
+      .drop("chunk_h")
 }

@@ -205,6 +205,44 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("CDC passage dedup stream: a SHIFTED re-arriving passage still collapses (batch parity)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val passage = Seq.tabulate(40)(i => s"body$i").mkString(" ")
+    val docs = Seq(
+      (1L, passage, 10L),                                // original
+      (2L, s"brand new lead tokens $passage", 20L),      // shifted copy
+      (3L, Seq.tabulate(30)(i => s"other$i").mkString(" "), 30L)) // unrelated
+    // ground truth from the SHARED batch derivation: first arrival
+    // (doc order) per chunk text survives
+    val batchChunks = graft.operators.Pipeline.cdcChunkExplode(
+        docs.toDF("doc_id", "text", "sec"), "text")
+      .select("doc_id", "chunk").collect().map(r => (r.getLong(0), r.getString(1)))
+    val expectKept = batchChunks.groupBy(_._2)
+      .valuesIterator.map(_.minBy(_._1)).toSet
+    val in = MemoryStream[(Long, String, Long)]
+    val stream = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val query = Dedup.dedupPassagesCdc(stream, "text", "ts", "1 hour")
+      .select("doc_id", "chunk")
+      .writeStream.format("memory").queryName("cdc_dedup_mem")
+      .outputMode("append").start()
+    try {
+      // one micro-batch per doc: deterministic first-arrival order
+      docs.foreach { d => in.addData(d); query.processAllAvailable() }
+      val got = spark.table("cdc_dedup_mem").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == expectKept, s"stream $got vs batch-derived $expectKept")
+      // the structural claim: the shifted copy's INTERIOR chunks
+      // deduped against the original — doc 2 must have lost chunks
+      val doc2All = batchChunks.count(_._1 == 2L)
+      val doc2Kept = got.count(_._1 == 2L)
+      assert(doc2Kept < doc2All,
+        s"shifted copy must collapse interior chunks ($doc2Kept of $doc2All kept)")
+      assert(got.count(_._1 == 1L) == batchChunks.count(_._1 == 1L),
+        "the original keeps every chunk")
+    } finally query.stop()
+  }
+
   test("streaming curation agrees with batch row-for-row (one definition, two modes)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = Seq(
