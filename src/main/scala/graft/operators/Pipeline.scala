@@ -1431,26 +1431,42 @@ object Pipeline {
     * bigram table does not fit an executor). Only V (a scalar) and the
     * 1-row bounds relation broadcast. Per-doc scores round to 6 before
     * any comparison — the shared cross-engine log discipline. */
-  def q70BigramQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val inst = docs(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        explode(wordShingleMultiset(toks, 2)).as("bg"))
+  /** Derive the add-one-smoothed bigram LM from a corpus: one row per
+    * observed bigram with its `ln((c(w1 w2)+1)/(c(w1·)+V))`
+    * log-probability — the artifact [[q70BigramQuality]] scores
+    * against in-plan and a nightly batch job would persist for the
+    * streaming scorer
+    * ([[graft.streaming.Curation.scoreBigramsAgainstLm]]). The
+    * context join runs LM-table ⋈ context-table — BOTH
+    * vocabulary-bounded — so the corpus-sized instance relation never
+    * re-shuffles on `w1` (the first q70 draft paid exactly that). */
+  def bigramLm(corpus: DataFrame, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val inst = corpus.select(explode(wordShingleMultiset(toks, 2)).as("bg"))
     val lm = inst.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
     val ctx = inst
       .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(count(lit(1)).as("cu"))
-    val vocab = docs(spark, dir).select(explode(toks).as("t"))
+    val vocab = corpus.select(explode(toks).as("t"))
       .agg(countDistinct(col("t")).cast("double").as("v"))
-    // perDoc persisted (narrow): feeds the bounds aggregate AND the
-    // final rollup — q58's exact rationale
-    val perDoc = inst
-      .join(lm, "bg")
-      .join(ctx, substring_index(col("bg"), " ", 1) === col("w1"))
+    lm.join(ctx, substring_index(col("bg"), " ", 1) === col("w1"))
       .crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        log((col("cb") + 1L).cast("double") / (col("cu") + col("v"))).as("logp"))
+  }
+
+  def q70BigramQuality(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(spark, dir)
+    val inst = corpus
+      .select(col("doc_id"), col("lang"),
+        explode(wordShingleMultiset(split(col("text"), " "), 2)).as("bg"))
+    // perDoc persisted (narrow): feeds the bounds aggregate AND the
+    // final rollup — q58's exact rationale. The instance relation
+    // joins the DERIVED (bg, logp) LM once, on bg only.
+    val perDoc = inst
+      .join(bigramLm(corpus, "text"), "bg")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(round(avg(log((col("cb") + 1L).cast("double") /
-        (col("cu") + col("v")))), 6).as("alp"))
+      .agg(round(avg(col("logp")), 6).as("alp"))
       .persist(NarrowCacheLevel)
     val bounds = perDoc.agg(
       (avg(col("alp")) - lit(2.0) * stddev_samp(col("alp"))).as("lo"))

@@ -63,6 +63,32 @@ object Curation {
         coalesce(Pipeline.piiCount(col(textCol)), lit(0)))
       .withColumn(textCol, Pipeline.piiRedact(col(textCol)))
 
+  /** Score arriving documents against a STATIC bigram-LM snapshot —
+    * the near-line face of q70: the LM (`(bg, logp)`, the artifact
+    * [[Pipeline.bigramLm]] derives and a nightly batch job would
+    * persist) joins the stream's exploded bigram instances as a
+    * stream-static equi-join. The planner is left free to pick the
+    * join: a broadcast when the snapshot fits (routing-table case), a
+    * per-micro-batch shuffled join when a web-scale vocabulary
+    * doesn't — either way NO streaming state is involved in the
+    * scoring itself. Bigrams unseen by the LM take `oovLogp` (the
+    * caller passes the batch model's unseen-pair floor, e.g.
+    * `ln(1/V)`). The per-document mean then aggregates on the
+    * stream's own doc key — update output mode, one state row per
+    * in-flight document, the [[Similarity.nearestQuery]] contract.
+    * Output: `(docIdCol, n_bigrams, avg_logprob)` rounded to 6 like
+    * every cross-engine log in the batch family. */
+  def scoreBigramsAgainstLm(docs: DataFrame, textCol: String,
+      docIdCol: String, lm: DataFrame, oovLogp: Double): DataFrame =
+    docs
+      .select(col(docIdCol), explode(graft.functions.TextFunctions
+        .wordShingleMultiset(split(col(textCol), " "), 2)).as("bg"))
+      .join(lm.select(col("bg"), col("logp")), Seq("bg"), "left")
+      .withColumn("logp", coalesce(col("logp"), lit(oovLogp)))
+      .groupBy(col(docIdCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("logp")), 6).as("avg_logprob"))
+
   /** Repetition verdict per document — the streaming face of q68's
     * Gopher duplicated-3-gram rule, from the ONE shared definition
     * ([[Pipeline.repetitionColumns]]): adds `rep_frac` (duplicated

@@ -285,6 +285,48 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming bigram scoring against a static LM snapshot agrees with the batch formula") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // "nightly" corpus → LM snapshot via the shared batch derivation
+    val corpus = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown cat sleeps under the warm sun",
+      "a slow green turtle walks past the quick brown fox")
+      .toDF("text")
+    val lm = graft.operators.Pipeline.bigramLm(corpus, "text")
+    val lmMap = lm.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val oov = math.log(1.0 / 16.0) // ln(1/V) for the fixture vocabulary
+    // arriving docs: one fully in-vocabulary, one with OOV bigrams
+    val arrivals = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "purple elephants the quick"))
+    def expected(text: String): (Long, Double) = {
+      val toks = text.split(" ")
+      val lps = toks.sliding(2).map(_.mkString(" "))
+        .map(bg => lmMap.getOrElse(bg, oov)).toSeq
+      (lps.size.toLong,
+        BigDecimal(lps.sum / lps.size).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val in = MemoryStream[(Long, String)]
+    val query = Curation.scoreBigramsAgainstLm(
+        in.toDF().toDF("doc_id", "text"), "text", "doc_id", lm, oov)
+      .writeStream.format("memory").queryName("lm_score_mem")
+      .outputMode("update").start()
+    try {
+      in.addData(arrivals: _*)
+      query.processAllAvailable()
+      val got = spark.table("lm_score_mem").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      arrivals.foreach { case (id, text) =>
+        assert(got(id) == expected(text), s"doc $id: ${got(id)} vs ${expected(text)}")
+      }
+      // scoring itself is join-only; the one state operator is the
+      // per-doc mean (the update-mode aggregation)
+      assert(query.lastProgress.stateOperators.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming repetition verdict agrees with batch row-for-row (q68's shared definition)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val boiler = Seq.tabulate(12)(i => s"tok$i").mkString(" ")
