@@ -127,6 +127,14 @@ object SparkEntry {
     // content-defined chunking passage dedup — catches the shifted
     // copies fixed-grid chunking (q56) structurally cannot see
     "q72_cdc_passage_dedup" -> (Pipeline.q72CdcPassageDedup _),
+    // Count-Min sketch frequency estimation — the third bounded-memory
+    // sketch (MG finds top keys, GK summarizes quantiles, CMS answers
+    // point frequency queries from 4096 counters)
+    "q73_cms_frequency" -> (Pipeline.q73CmsFrequency _),
+    // priority sampling (Duffield-Lund-Thorup): weight-proportional
+    // per-stratum sample + unbiased subset-sum estimator, division-only
+    // priorities (IEEE-exact across engines, no libm dependence)
+    "q74_priority_sample" -> (Pipeline.q74PrioritySample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1709,6 +1709,133 @@ object Pipeline {
       .orderBy(col("cluster"))
   }
 
+  /** Count-Min sketch geometry: depth 4 hash rows × width 1024
+    * buckets. The whole sketch is d·w = 4096 counters — the
+    * aggregation key space, so map-side partial aggregation bounds the
+    * sketch exchange at partitions × 4096 rows at ANY corpus size. */
+  private val CmsDepth = 4
+  private val CmsWidth = 1024L
+
+  /** L4 — Count-Min sketch frequency estimation (Cormode–Muthukrishnan
+    * 2005): answer "how often does token X occur?" for an arbitrary
+    * probe set WITHOUT ever shuffling the vocabulary. The third member
+    * of the bounded-memory family: q64's Misra–Gries finds the top
+    * keys, q60's GK sketch summarizes a numeric distribution, CMS
+    * estimates ANY key's frequency from d·w = 4096 counters. Each
+    * token instance increments one bucket per hash row; a probe's
+    * estimate is the MIN of its d buckets — never an undercount
+    * (every occurrence of the probe hashed into all d of its buckets),
+    * overcounts only from bucket collisions, bounded by N·e/w with
+    * probability 1 − e^−d.
+    *
+    * The probe set (distinct tokens of every doc_id ≡ 1 mod 29
+    * document) stands in for the operational "watchlist" a curation
+    * pipeline probes — bounded, broadcast. The exact recount joins the
+    * corpus LEFT SEMI against the broadcast probes first (the q64
+    * candidates-then-exact discipline), so its exchange carries only
+    * probe-matching keys; the hash-exact oracle proves both the sketch
+    * arithmetic and the ≥-exact guarantee. Scale posture: the sketch
+    * exchange is partitions × 4096 rows regardless of corpus size —
+    * the full-vocabulary `groupBy(token)` this replaces exchanges one
+    * row per DISTINCT TOKEN, unbounded on a web corpus. */
+  /** The reusable CMS core behind [[q73CmsFrequency]]: `instances`
+    * carries one row per token OCCURRENCE, `probes` one row per
+    * distinct probed token (both in a `token` column); `width`
+    * overrides the sketch width (the spec shrinks it to force
+    * collisions — this corpus's 31-token vocabulary never collides at
+    * 1024). Output: (token, n_est, n_exact, overcount ≥ 0). */
+  def cmsFrequency(instances: DataFrame, probes: DataFrame,
+      width: Long = CmsWidth): DataFrame = {
+    def cells(token: Column) = array((0 until CmsDepth).map { j =>
+      struct(lit(j).as("j"),
+        pmod(portableHash(concat(lit(s"cms$j:"), token)), lit(width)).as("b"))
+    }: _*)
+    val sketch = instances
+      .select(explode(cells(col("token"))).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+    // the exact recount (probe-bounded, q64 discipline) doubles as the
+    // probe relation for the estimate side: every probed token that
+    // occurs in the corpus has an exact row, so deriving the cells
+    // from it skips a second probe computation AND the est⋈exact
+    // join-back (a probe absent from the corpus is omitted — both
+    // sides would have dropped it anyway). The estimate groupBy adds
+    // NO exchange: the recount output is already hash-partitioned on
+    // token, which satisfies the (token, n_exact) clustering.
+    val exact = instances.join(broadcast(probes), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+    exact
+      .select(col("token"), col("n_exact"), explode(cells(col("token"))).as("c"))
+      .select(col("token"), col("n_exact"), col("c.j").as("j"), col("c.b").as("b"))
+      .join(broadcast(sketch), Seq("j", "b"))
+      .groupBy(col("token"), col("n_exact")).agg(min(col("n")).as("n_est"))
+      .select(col("token"), col("n_est"), col("n_exact"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+      .orderBy(col("token"))
+  }
+
+  def q73CmsFrequency(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val probes = docs(spark, dir).filter(col("doc_id") % 29 === 1)
+      .select(explode(split(col("text"), " ")).as("token")).distinct()
+    cmsFrequency(toks, probes)
+  }
+
+  /** L4 — priority sampling (Duffield–Lund–Thorup 2004): a
+    * weight-proportional k-sample per stratum with an UNBIASED
+    * subset-sum estimator — the principled form of "sample long
+    * documents more often" (weight = n_chars here; bytes, cost, or
+    * quality score in production). Each item draws uniform
+    * u = (h+1)/2⁶⁰ from the portable hash and gets priority
+    * q = w/u; the k largest priorities are the sample, the (k+1)-th
+    * priority is the threshold τ, and ŵ = max(w, τ) estimates any
+    * subset sum over the originals without bias.
+    *
+    * Engine portability is DESIGNED, not hoped for: the priority is
+    * computed as the single expression `w·2⁶⁰ / (h+1)` — the product
+    * is exact in binary64 (n_chars < 2¹⁰ carries ≤ 10 significant
+    * bits; ·2⁶⁰ only shifts the exponent) and int→double conversion
+    * and division are both correctly rounded under IEEE 754, so Spark
+    * and DuckDB produce bit-identical priorities and identical ranks.
+    * The textbook exponential/log-key form of weighted sampling
+    * (Efraimidis–Spirakis u^(1/w)) would ride on libm `pow`/`ln`,
+    * which IEEE does NOT pin down across engines — priority sampling
+    * gives the same PPS-like guarantees from division alone.
+    *
+    * Scale posture: q66's shape — the bounded [[graft.functions.TopK]]
+    * Aggregator reduces each partition to k+1 rows map-side (no
+    * per-stratum window sort, shuffle carries ≤ partitions × (k+1)
+    * rows per stratum), and the weight rides back via a broadcast of
+    * the ≤ |lang|·k sample rows, so the corpus side never shuffles. */
+  def q74PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val d = docs(spark, dir)
+    val h = portableHash(concat(lit("prio:"), col("doc_id").cast("string")))
+    val pri = col("n_chars").cast("double") * lit(1152921504606846976L).cast("double") /
+      (h + lit(1L)).cast("double")
+    val top = d.select(col("lang"), col("doc_id"), pri.as("pri"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopK.topK(k + 1, col("doc_id"), col("pri")).as("topk"))
+    // τ = the (k+1)-th priority; 0 when the stratum holds ≤ k docs
+    // (then every member is sampled and ŵ = w exactly). `get` is the
+    // OOB-null element accessor — ANSI element_at would throw.
+    val sample = top
+      .select(col("lang"),
+        coalesce(get(col("topk"), lit(k)).getField("score"), lit(0.0)).as("tau"),
+        posexplode(col("topk")).as(Seq("pos", "s")))
+      .filter(col("pos") < k)
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+        col("s.id").as("doc_id"), col("tau"))
+    d.select(col("doc_id"), col("n_chars"))
+      .join(broadcast(sample), "doc_id")
+      .select(col("lang"), col("rk"), col("doc_id"),
+        col("n_chars").as("weight"),
+        round(greatest(col("n_chars").cast("double"), col("tau")), 2).as("est_weight"),
+        round(col("tau"), 2).as("tau"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   /** DuckDB twins. Fragments mirror [[graft.functions.TextFunctions]]
@@ -2399,6 +2526,54 @@ object Pipeline {
          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM v GROUP BY lang ORDER BY lang""".stripMargin
 
+    /** q73 — CMS twin: identical keyed-hash bucket arithmetic
+      * (`ph('cms<j>:'‖token) % 1024`, j from generate_series 0..3);
+      * `min(n)` over the probe's 4 buckets = the CMS estimate; the
+      * exact side recounts only probe tokens. The hash match proves
+      * est ≥ exact row for row. */
+    val q73 =
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |cells AS (
+         |  SELECT j, ${ph("'cms' || CAST(j AS VARCHAR) || ':' || token")} % 1024 AS b,
+         |    count(*) AS n
+         |  FROM toks CROSS JOIN generate_series(0, 3) t(j)
+         |  GROUP BY j, b),
+         |probes AS (
+         |  SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+         |  FROM documents WHERE doc_id % 29 = 1),
+         |pc AS (
+         |  SELECT token, j, ${ph("'cms' || CAST(j AS VARCHAR) || ':' || token")} % 1024 AS b
+         |  FROM probes CROSS JOIN generate_series(0, 3) t(j)),
+         |es AS (
+         |  SELECT token, min(n) AS n_est FROM pc JOIN cells USING (j, b) GROUP BY token),
+         |ex AS (
+         |  SELECT token, count(*) AS n_exact FROM toks
+         |  WHERE token IN (SELECT token FROM probes) GROUP BY token)
+         |SELECT token, n_est, n_exact, n_est - n_exact AS overcount
+         |FROM es JOIN ex USING (token) ORDER BY token""".stripMargin
+
+    /** q74 — priority-sampling twin: the priority is the SAME single
+      * IEEE expression `w·2⁶⁰/(h+1)` (exact product, correctly-rounded
+      * conversion + division — bit-identical across engines); rank 6's
+      * priority is τ (0 for strata with ≤ 5 docs via max over the
+      * guarded CASE). */
+    val q74 =
+      s"""WITH s AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    CAST(n_chars AS DOUBLE) * 1152921504606846976 /
+         |      (${ph("'prio:' || CAST(doc_id AS VARCHAR)")} + 1) AS pri
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rk
+         |  FROM s),
+         |t AS (SELECT lang, max(CASE WHEN rk = 6 THEN pri ELSE 0 END) AS tau
+         |  FROM r GROUP BY lang)
+         |SELECT r.lang, CAST(rk AS INT) AS rk, doc_id, n_chars AS weight,
+         |  round(greatest(CAST(n_chars AS DOUBLE), tau), 2) AS est_weight,
+         |  round(tau, 2) AS tau
+         |FROM r JOIN t ON r.lang = t.lang WHERE rk <= 5
+         |ORDER BY r.lang, rk""".stripMargin
+
     val all: Map[String, String] = Map(
       "q23_exact_dedup" -> q23,
       "q24_near_dup_minhash" -> q24,
@@ -2433,6 +2608,8 @@ object Pipeline {
       "q70_bigram_quality" -> q70,
       "q71_incremental_dedup" -> q71,
       "q72_cdc_passage_dedup" -> q72,
+      "q73_cms_frequency" -> q73,
+      "q74_priority_sample" -> q74,
     )
   }
 }

@@ -797,4 +797,117 @@ class PipelineSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("cmsFrequency: never undercounts; a narrow sketch collides and overcounts; exact side right") {
+    // 2000 distinct tokens forced through a 4×64 sketch: every probe
+    // shares each of its 4 buckets with ~31 other tokens (P[alone in
+    // any row] ≈ e⁻³¹), so overcounts MUST appear — the behavior the
+    // 31-token corpus can't exhibit at width 1024. Token i occurs
+    // (i mod 7)+1 times, so the exact side is independently checkable.
+    val base = spark.range(0, 2000)
+      .select(concat(lit("tok"), col("id").cast("string")).as("token"),
+        (col("id") % 7 + 1).as("reps"))
+    val inst = base
+      .select(col("token"), explode(sequence(lit(1L), col("reps"))).as("i"))
+      .select("token")
+    val probes = base.filter(col("id") % 17 === 0).select("token")
+    val rows = Pipeline.cmsFrequency(inst, probes, width = 64L).collect()
+    assert(rows.length == 118, "one answer per probe (2000/17 rounded up)")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        s"CMS undercounted ${r.getString(0)} — structurally impossible")
+      val i = r.getString(0).drop(3).toLong
+      assert(r.getLong(2) == i % 7 + 1, "exact recount wrong")
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+    }
+    assert(rows.exists(_.getLong(3) > 0),
+      "no probe overcounted — 2000 tokens in 64 buckets must collide")
+  }
+
+  test("q73 CMS frequency: every probe answered, estimate dominates the exact count") {
+    val rows = Pipeline.q73CmsFrequency(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"undercount on ${r.getString(0)}")
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+    }
+    val nProbes = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 29 === 1)
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    assert(rows.length.toLong == nProbes, "a probe went unanswered")
+  }
+
+  test("q74 priority sample: 5 ranked rows per stratum, one tau, estimator = max(weight, tau)") {
+    val rows = Pipeline.q74PrioritySample(spark, sfDir).collect()
+    val nLangs = Tables.documents(spark, sfDir).select("lang").distinct().count()
+    assert(rows.length.toLong == 5L * nLangs)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5), s"$lang ranks")
+      assert(rs.map(_.getDouble(5)).distinct.length == 1, s"$lang must carry ONE tau")
+      rs.foreach { r =>
+        val w = r.getLong(3).toDouble
+        val tau = r.getDouble(5)
+        assert(tau > 0.0, "every stratum here has > k docs, tau must be the real rank-6 priority")
+        // est_weight rounds max(w, rawTau); tau column rounds rawTau —
+        // the two roundings agree to ±0.01
+        assert(math.abs(r.getDouble(4) - math.max(w, tau)) < 0.011, s"$lang estimator")
+      }
+    }
+  }
+
+  test("priority sampling subset-sum estimator is unbiased over hash salts (DLT property)") {
+    // The statistical contract behind q74, checked by independent
+    // re-derivation: for ANY fixed stratum, E_u[Σ_{i∈S} max(w_i, τ)]
+    // equals the true Σ w_i, with u drawn from the hash. Replicating
+    // over 64 salts averages 64 independent realizations — the mean
+    // must land near the truth (tolerance = 4× the ~6% expected
+    // standard error at k=5, n=193, this weight spread).
+    val en = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en").select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = en.map(_._2).sum.toDouble
+    val k = 5
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val ests = (0 until 64).map { salt =>
+      val pri = en.map { case (id, w) =>
+        (w, w.toDouble * 1.152921504606846976e18 / (h60(s"prio$salt:$id") + 1).toDouble)
+      }.sortBy(-_._2)
+      val tau = pri(k)._2
+      pri.take(k).map { case (w, _) => math.max(w.toDouble, tau) }.sum
+    }
+    val mean = ests.sum / ests.length
+    assert(math.abs(mean - truth) / truth < 0.25,
+      s"mean estimate $mean vs truth $truth: priority-sampling unbiasedness violated")
+  }
+
+  test("r11 late-newcomer exchange accounting: q73/q74 shuffle exactly their designed counts") {
+    val budgets = Map(
+      // q73: three test-layout spreads (sketch corpus pass, recount
+      // corpus pass, probe derivation — distinct subplans, no AQE
+      // reuse; all absent on a real cluster) + the 4096-key sketch
+      // aggregate + the probe distinct + the probe-bounded exact
+      // recount + result sort. The estimate side adds NOTHING: it
+      // derives from the recount output (already partitioned on
+      // token) and the sketch rides a broadcast
+      "q73_cms_frequency" -> 7,
+      // q74: q66's shape + the weight join-back — two test-layout
+      // spreads (the priority pass and the join-back's corpus side
+      // prune to different columns, so the subplans differ; both
+      // absent on a real cluster) + the per-stratum bounded TopK
+      // aggregate + the ≤ 5·|lang|-row result sort. The join-back
+      // broadcasts the SAMPLE, so the corpus side never shuffles —
+      // at 100 TB the second pass is a map-side scan, not an exchange
+      "q74_priority_sample" -> 4)
+    val got = budgets.keys.toSeq.sorted.map(name =>
+      name -> executedShuffles(graft.SparkEntry.queries(name)(spark, sfDir)))
+    val bad = got.filter { case (n, g) => g != budgets(n) }
+    assert(bad.isEmpty, bad.map { case (n, g) =>
+      s"$n: $g exchanges, design says ${budgets(n)}" }.mkString("; "))
+    got.foreach { case (n, g) => info(s"$n executes $g exchanges") }
+  }
 }
