@@ -1744,12 +1744,20 @@ object Pipeline {
     * overrides the sketch width (the spec shrinks it to force
     * collisions — this corpus's 31-token vocabulary never collides at
     * 1024). Output: (token, n_est, n_exact, overcount ≥ 0). */
-  def cmsFrequency(instances: DataFrame, probes: DataFrame,
-      width: Long = CmsWidth): DataFrame = {
-    def cells(token: Column) = array((0 until CmsDepth).map { j =>
+  /** The d cells a token occurrence increments: `(j, b)` with
+    * `b = portable_hash("cms<j>:" ‖ token) mod width` — ONE hash-family
+    * definition shared by the batch sketch and the streaming windowed
+    * twin ([[graft.streaming.Curation.windowedCmsSketch]]), so their
+    * sketches agree cell-for-cell. */
+  def cmsCells(token: Column, width: Long = CmsWidth): Column =
+    array((0 until CmsDepth).map { j =>
       struct(lit(j).as("j"),
         pmod(portableHash(concat(lit(s"cms$j:"), token)), lit(width)).as("b"))
     }: _*)
+
+  def cmsFrequency(instances: DataFrame, probes: DataFrame,
+      width: Long = CmsWidth): DataFrame = {
+    def cells(token: Column) = cmsCells(token, width)
     val sketch = instances
       .select(explode(cells(col("token"))).as("c"))
       .groupBy(col("c.j").as("j"), col("c.b").as("b"))

@@ -89,6 +89,73 @@ object Curation {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("logp")), 6).as("avg_logprob"))
 
+  /** Windowed Count-Min sketch per event-time window — the streaming
+    * face of q73's frequency estimation and the second member of the
+    * bounded-sketch streaming pair ([[trendingTerms]] finds the heavy
+    * keys, this answers point-frequency probes). Tokens explode
+    * map-side into their d=4 cells (the ONE shared hash family,
+    * [[Pipeline.cmsCells]] — stream and batch sketches agree
+    * cell-for-cell, asserted in DedupSpec), and the watermarked
+    * tumbling-window count aggregation holds at most d·width counter
+    * rows per window — bounded regardless of the window's vocabulary,
+    * where a `groupBy(window, token)` would hold every distinct token
+    * in the state store. Append mode: a window's sketch finalizes when
+    * the watermark passes its end; probe it downstream with
+    * [[cmsProbe]] (or any min-over-cells consumer). Occupied cells
+    * only: absent (j, b) rows are zero by construction. */
+  def windowedCmsSketch(docs: DataFrame, textCol: String,
+      eventTimeCol: String, windowLen: String, horizon: String,
+      width: Long = 1024L): DataFrame =
+    docs
+      .select(col(eventTimeCol),
+        explode(split(col(textCol), " ")).as("token"))
+      .select(col(eventTimeCol),
+        explode(Pipeline.cmsCells(col("token"), width)).as("c"))
+      .withWatermark(eventTimeCol, horizon)
+      .groupBy(window(col(eventTimeCol), windowLen),
+        col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("j"), col("b"), col("n"))
+
+  /** Probe a FINALIZED window sketch (the batch side of the streaming
+    * pair): min over the probe token's d cells = its CMS estimate for
+    * that window — never an undercount, the q73 contract. `sketch` is
+    * [[windowedCmsSketch]] output for one window (or any (j, b, n)
+    * relation); `probes` carries one `token` row per probe. */
+  def cmsProbe(sketch: DataFrame, probes: DataFrame,
+      width: Long = 1024L): DataFrame =
+    probes
+      .select(col("token"), explode(Pipeline.cmsCells(col("token"), width)).as("c"))
+      .select(col("token"), col("c.j").as("j"), col("c.b").as("b"))
+      .join(sketch.select(col("j"), col("b"), col("n")), Seq("j", "b"), "left")
+      // a probe whose cell nobody touched has a zero bucket — and a
+      // zero-able min means the token provably never occurred
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .groupBy(col("token")).agg(min(col("n")).as("n_est"))
+
+  /** Running priority sample per stratum — the streaming face of
+    * q74's Duffield–Lund–Thorup sampling: the SAME division-only
+    * priority (`w·2⁶⁰/(h+1)`, [[Pipeline.q74PrioritySample]]'s
+    * arithmetic) feeds the bounded [[graft.functions.TopK]] aggregator
+    * in an update-mode streaming aggregation, so each stratum's state
+    * is ONE (k+1)-item buffer at any stream length — a continuously
+    * maintained weight-proportional sample with the τ estimator always
+    * one read away. Emits `(stratum, topk)` upserts; element k+1 (when
+    * present) is τ, elements 1..k the current sample — batch/stream
+    * agreement on a shared fixture is asserted in DedupSpec. */
+  def runningPrioritySample(docs: DataFrame, strataCol: String,
+      idCol: String, weightCol: String, k: Int): DataFrame = {
+    val h = graft.functions.TextFunctions.portableHash(
+      concat(lit("prio:"), col(idCol).cast("string")))
+    docs
+      .select(col(strataCol), col(idCol),
+        (col(weightCol).cast("double") * lit(1152921504606846976L).cast("double") /
+          (h + lit(1L)).cast("double")).as("pri"))
+      .groupBy(col(strataCol))
+      .agg(graft.functions.TopK.topK(k + 1, col(idCol), col("pri")).as("topk"))
+  }
+
   /** Repetition verdict per document — the streaming face of q68's
     * Gopher duplicated-3-gram rule, from the ONE shared definition
     * ([[Pipeline.repetitionColumns]]): adds `rep_frac` (duplicated

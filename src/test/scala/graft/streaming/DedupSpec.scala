@@ -483,4 +483,90 @@ class DedupSpec extends SparkSpec {
       assert(!seen.contains(2L), s"phase-1 duplicate resurfaced: $seen")
     } finally q2.stop()
   }
+
+  test("windowed CMS parity: the finalized stream sketch answers probes exactly like batch q73") {
+    // The bounded-sketch pair's parity row: same fixture (sf0.001
+    // documents), same hash family (Pipeline.cmsCells), one event-time
+    // window covering the corpus — probing the STREAMED sketch must
+    // reproduce the batch operator's estimate for every probe token,
+    // and the per-window sketch must respect its d·width row bound.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batch = graft.operators.Pipeline.q73CmsFrequency(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), 2L)).toSeq
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val query = Curation.windowedCmsSketch(docs, "text", "ts",
+        windowLen = "10 seconds", horizon = "5 seconds")
+      .writeStream.format("memory").queryName("cms_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(fixture: _*)
+      query.processAllAvailable()
+      in.addData((-1L, "closer", 40L)) // advance the watermark: finalize
+      query.processAllAvailable()
+      val sketch = spark.table("cms_mem")
+        .filter(col("window_start") === lit("1970-01-01 00:00:00").cast("timestamp"))
+      assert(sketch.count() <= 4 * 1024,
+        "per-window sketch exceeded its d*width bound")
+      val probes = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 29 === 1)
+        .select(explode(split(col("text"), " ")).as("token")).distinct()
+      val streamed = Curation.cmsProbe(sketch, probes)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed.keySet == batch.keySet, "probe coverage differs")
+      val off = streamed.filter { case (t, n) => batch(t) != n }
+      assert(off.isEmpty, s"stream/batch estimates diverge: $off")
+    } finally query.stop()
+  }
+
+  test("running priority sample parity: the stream's final sample equals batch q74's") {
+    // q74's streaming twin: the whole fixture through the update-time
+    // bounded TopK state — the final (k+1)-item buffer per stratum
+    // must carry exactly the batch sample (ranks AND ids) and the same
+    // tau, because both sides compute the identical division-only
+    // priority. Complete mode: the memory table IS the current state.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batchRows = graft.operators.Pipeline.q74PrioritySample(spark, sfDir).collect()
+    val batchSample = batchRows.groupBy(_.getString(0))
+      .map { case (lang, rs) =>
+        lang -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val batchTau = batchRows.map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val in = MemoryStream[(String, Long, Long)]
+    val docs = in.toDF().toDF("lang", "doc_id", "n_chars")
+    val query = Curation.runningPrioritySample(docs, "lang", "doc_id", "n_chars", k = 5)
+      .writeStream.format("memory").queryName("prio_mem")
+      .outputMode("complete").start()
+    try {
+      // two installments: the sample must be correct AFTER the second
+      // even though the state saw the stream in pieces
+      val (a, b) = fixture.splitAt(fixture.size / 2)
+      in.addData(a: _*)
+      query.processAllAvailable()
+      in.addData(b: _*)
+      query.processAllAvailable()
+      val got = spark.table("prio_mem").collect().map { r =>
+        val items = r.getSeq[org.apache.spark.sql.Row](1)
+        r.getString(0) -> (items.take(5).map(_.getLong(0)),
+          items.lift(5).map(_.getDouble(1)).getOrElse(0.0))
+      }.toMap
+      assert(got.keySet == batchSample.keySet, "strata differ")
+      batchSample.foreach { case (lang, ids) =>
+        assert(got(lang)._1 == ids,
+          s"$lang sample diverges: stream ${got(lang)._1} vs batch $ids")
+        assert(math.abs(BigDecimal(got(lang)._2).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP).toDouble - batchTau(lang)) < 1e-9,
+          s"$lang tau diverges")
+      }
+      // bounded state: one buffer per stratum
+      val p = query.lastProgress
+      assert(p.stateOperators.nonEmpty, "expected a stateful aggregation")
+    } finally query.stop()
+  }
 }
