@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout utilities for repeated-join workloads: bucketing
   * co-locates both sides of an equi-join on the join key at WRITE
@@ -48,6 +49,57 @@ object Layout {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Scale a numeric column into the `[0, 2^bits)` grid cell index for
+    * [[zValue]]: `floor((c − min) · 2^bits / (max − min + 1))` —
+    * integer-exact for long inputs, monotone, total over the declared
+    * range. Bounds come from the caller (table statistics at ingest
+    * time), not a data pass. */
+  def rangeBucket(c: Column, min: Long, max: Long, bits: Int): Column =
+    // Column./ is double division; the cast truncates the non-negative
+    // quotient = floor. Deterministic in-engine (layout is not an
+    // oracle-shared surface, so no cross-engine float contract needed).
+    ((c - lit(min)).cast("double") * lit((1L << bits).toDouble) /
+      lit((max - min + 1).toDouble)).cast("long")
+
+  /** Interleave the low `bits` of two grid indices into a Z-value
+    * (Morton code): bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1. Sorting by this single long clusters rows so that ranges on
+    * EITHER dimension map to contiguous-ish runs — the property that
+    * turns parquet row-group min/max stats into row-group PRUNING for
+    * two-dimensional predicates. Pure long arithmetic, codegen'd —
+    * 2·bits shift/mask terms OR-folded. */
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Write `df` Z-ordered on two numeric dimensions — the multi-column
+    * answer where [[writeBucketed]]'s single-key sort stops: a file
+    * sorted only by `a` prunes row groups for predicates on `a` and
+    * reads EVERYTHING for predicates on `b`; Z-ordering gives both
+    * dimensions locality, so min/max stats skip row groups for ranges
+    * on either (the OPTIMIZE-ZORDER idea, expressed as a plain sorted
+    * parquet write). `repartitionByRange` on the Z-value keeps the
+    * curve contiguous ACROSS files too — file-level pruning first,
+    * row-group pruning inside. `blockSize` bounds the row-group size
+    * (the pruning granule): smaller groups prune finer but carry more
+    * footer overhead — at 100 TB leave the 128 MB default; tests
+    * shrink it to get many groups from small fixtures. */
+  def writeZOrdered(df: DataFrame, path: String,
+      a: (String, Long, Long), b: (String, Long, Long), bits: Int = 16,
+      blockSize: Option[Long] = None): Unit = {
+    val z = zValue(
+      rangeBucket(df.col(a._1), a._2, a._3, bits),
+      rangeBucket(df.col(b._1), b._2, b._3, bits), bits)
+    val w = df.withColumn("_z", z)
+      .repartitionByRange(col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite)
+    blockSize.fold(w)(s => w.option("parquet.block.size", s)).parquet(path)
+  }
 
   /** The partition filters the scan of `df` actually prunes with —
     * empty means every predicate arrives too late (post-scan) and the
