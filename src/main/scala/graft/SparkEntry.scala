@@ -135,6 +135,10 @@ object SparkEntry {
     // per-stratum sample + unbiased subset-sum estimator, division-only
     // priorities (IEEE-exact across engines, no libm dependence)
     "q74_priority_sample" -> (Pipeline.q74PrioritySample _),
+    // hashed-feature linear classifier (fastText-shaped quality gate):
+    // the model is a plan-literal weight array over 4096 hash buckets —
+    // vocabulary-independent, one map-side scan, integer-exact scores
+    "q75_classifier_filter" -> (Pipeline.q75ClassifierFilter _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1844,6 +1844,70 @@ object Pipeline {
       .orderBy(col("lang"), col("rk"))
   }
 
+  // --------------------------------------------- q75: hashed-LM classifier
+
+  /** Feature-space size of q75's hashing-trick classifier: 2^12 buckets.
+    * Collisions between rare features are the trick's accepted loss
+    * (Weinberger et al., "Feature Hashing for Large Scale Multitask
+    * Learning", ICML'09): the model stays O(buckets) regardless of
+    * vocabulary, so it rides the plan as one literal array instead of a
+    * vocabulary-sized dimension join. */
+  private val ClassifierBuckets = 4096
+
+  /** q75's weight vector — the stand-in for a trained fastText-style
+    * quality model: weight(b) = (h60("w:" + b) mod 201) − 100 ∈
+    * [−100, 100], derived from md5 so the DuckDB twin recomputes the
+    * IDENTICAL model inline (same derivation [[TextFunctions.portableHash]]
+    * uses in-plan). Integer weights keep every document score an exact
+    * int64 — sums are order-independent, so no float-summation
+    * discipline is needed anywhere in the query. */
+  private[operators] val classifierWeights: Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until ClassifierBuckets).map { b =>
+      val hex = md.digest(s"w:$b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 201 - 100
+    }
+  }
+
+  /** Pipeline — model-based quality filtering with the hashing trick:
+    * the fastText-shaped classifier gate real curation pipelines (CCNet,
+    * DCLM) run after the heuristic filters. Every unigram AND bigram
+    * hashes into one of [[ClassifierBuckets]] feature buckets; a
+    * document's score is the sum of its buckets' weights
+    * ([[classifierWeights]]); score < 0 drops the document. The report
+    * rolls up keep counts and score mass per language.
+    *
+    * Scale posture (100 TB): the model is a PLAN LITERAL — O(buckets)
+    * and vocabulary-independent, which is the hashing trick's whole
+    * point — so scoring is one map-side array fold per row (`transform`
+    * + `element_at` + `aggregate`, all codegen'd; no explode, no join,
+    * no per-token shuffle). The only exchange is the ≤|lang|-row
+    * rollup: the classifier costs exactly one corpus scan at any size.
+    * Swapping in genuinely trained weights changes the literal, not the
+    * plan. */
+  def q75ClassifierFilter(spark: SparkSession, dir: String): DataFrame = {
+    val w = typedlit(classifierWeights)
+    val toks = split(col("text"), " ")
+    // two-step select: bind the feature array once (lateral-alias guard,
+    // see q68) — unigrams ++ bigrams in one array column
+    val withFeats = docs(spark, dir).select(col("lang"),
+      concat(toks, wordShingleMultiset(toks, 2)).as("feats"))
+    val bucket = (t: Column) =>
+      pmod(portableHash(concat(lit("f:"), t)), lit(ClassifierBuckets.toLong))
+    val scored = withFeats.select(col("lang"),
+      size(col("feats")).cast("long").as("n_feats"),
+      aggregate(transform(col("feats"),
+          t => element_at(w, bucket(t).cast("int") + 1)),
+        lit(0L), (a, v) => a + v).as("score"))
+    scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("score")).as("sum_score"),
+        round(sum(col("score")).cast("double") / sum(col("n_feats")), 6)
+          .as("avg_feat_score"))
+      .orderBy(col("lang"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   /** DuckDB twins. Fragments mirror [[graft.functions.TextFunctions]]
@@ -2582,6 +2646,30 @@ object Pipeline {
          |FROM r JOIN t ON r.lang = t.lang WHERE rk <= 5
          |ORDER BY r.lang, rk""".stripMargin
 
+    /** q75 — the classifier twin recomputes the weight vector INLINE
+      * (weight(b) = h60("w:"||b) % 201 − 100): what Spark carries as a
+      * plan-literal array, SQL derives per feature — same md5, same
+      * model, and the integer score sums are order-independent so the
+      * hash match needs no float discipline. */
+    val q75 =
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         |ft AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_concat(t, list_transform(generate_series(1, len(t) - 1),
+         |      i -> array_to_string(t[i:i+1], ' ')))) AS f
+         |  FROM tk),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    sum((${ph(s"'w:' || CAST(${ph("'f:' || f")} % 4096 AS VARCHAR)")} % 201) - 100) AS score,
+         |    count(*) AS n_feats
+         |  FROM ft GROUP BY doc_id, lang)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(score) AS BIGINT) AS sum_score,
+         |  round(sum(score)::DOUBLE / sum(n_feats), 6) AS avg_feat_score
+         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+
     val all: Map[String, String] = Map(
       "q23_exact_dedup" -> q23,
       "q24_near_dup_minhash" -> q24,
@@ -2618,6 +2706,7 @@ object Pipeline {
       "q72_cdc_passage_dedup" -> q72,
       "q73_cms_frequency" -> q73,
       "q74_priority_sample" -> q74,
+      "q75_classifier_filter" -> q75,
     )
   }
 }

@@ -885,6 +885,43 @@ class PipelineSpec extends SparkSpec {
       s"mean estimate $mean vs truth $truth: priority-sampling unbiasedness violated")
   }
 
+  test("q75 classifier: plan-literal model agrees with an independent local re-derivation") {
+    val rows = Pipeline.q75ClassifierFilter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // score every document in plain Scala (MessageDigest directly — no
+    // Spark expressions, no shared helper code paths)
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val corpus = Tables.documents(spark, sfDir)
+      .select("lang", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = corpus.groupBy(_._1).map { case (lang, ds) =>
+      val perDoc = ds.map { case (_, text) =>
+        val t = text.split(" ", -1).toSeq
+        val feats = t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+        val score = feats.map(f =>
+          Pipeline.classifierWeights((h60("f:" + f) % 4096).toInt)).sum
+        (score, feats.size.toLong)
+      }
+      lang -> ((perDoc.length.toLong, perDoc.count(_._1 >= 0).toLong,
+        perDoc.map(_._1).sum, perDoc.map(_._2).sum))
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (nDocs, nKept, sumScore, nFeats) = expected(r.getString(0))
+      assert(r.getLong(1) == nDocs, s"${r.getString(0)} n_docs")
+      assert(r.getLong(2) == nKept, s"${r.getString(0)} n_kept")
+      assert(r.getLong(3) == sumScore, s"${r.getString(0)} sum_score")
+      assert(math.abs(r.getDouble(4) - sumScore.toDouble / nFeats) < 1e-6)
+    }
+    // the gate must actually cut: at weight range [-100,100] roughly
+    // half the corpus scores negative — all-kept/none-kept would mean
+    // the scorer is degenerate
+    val (tot, kept) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    assert(kept > 0 && kept < tot, s"degenerate gate: $kept of $tot kept")
+  }
+
   test("r11 late-newcomer exchange accounting: q73/q74 shuffle exactly their designed counts") {
     val budgets = Map(
       // q73: three test-layout spreads (sketch corpus pass, recount
