@@ -1861,12 +1861,35 @@ object Pipeline {
     * uses in-plan). Integer weights keep every document score an exact
     * int64 — sums are order-independent, so no float-summation
     * discipline is needed anywhere in the query. */
-  private[operators] val classifierWeights: Seq[Long] = {
+  private[graft] val classifierWeights: Seq[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until ClassifierBuckets).map { b =>
       val hex = md.digest(s"w:$b".getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.take(15), 16) % 201 - 100
     }
+  }
+
+  /** The classifier's feature derivation — unigrams ++ bigrams in one
+    * array column. Shared by q75 and the streaming gate
+    * ([[graft.streaming.Curation.withClassifierScore]]): ONE feature
+    * definition, two execution modes. Bind the result in its own
+    * select/withColumn before scoring (the lateral-alias guard, see
+    * q68). */
+  def classifierFeatures(toks: Column): Column =
+    concat(toks, wordShingleMultiset(toks, 2))
+
+  /** Score a bound feature array against [[classifierWeights]]: each
+    * feature hashes into its bucket, the document score is the exact
+    * int64 sum of the bucket weights. Map-side, codegen'd
+    * (`transform` + `element_at` + `aggregate`) — no explode, no join,
+    * no per-token shuffle; null features score null. */
+  def classifierScore(featsCol: Column): Column = {
+    val w = typedlit(classifierWeights)
+    val bucket = (t: Column) =>
+      pmod(portableHash(concat(lit("f:"), t)), lit(ClassifierBuckets.toLong))
+    aggregate(transform(featsCol,
+        t => element_at(w, bucket(t).cast("int") + 1)),
+      lit(0L), (a, v) => a + v)
   }
 
   /** Pipeline — model-based quality filtering with the hashing trick:
@@ -1886,19 +1909,13 @@ object Pipeline {
     * Swapping in genuinely trained weights changes the literal, not the
     * plan. */
   def q75ClassifierFilter(spark: SparkSession, dir: String): DataFrame = {
-    val w = typedlit(classifierWeights)
-    val toks = split(col("text"), " ")
     // two-step select: bind the feature array once (lateral-alias guard,
-    // see q68) — unigrams ++ bigrams in one array column
+    // see q68)
     val withFeats = docs(spark, dir).select(col("lang"),
-      concat(toks, wordShingleMultiset(toks, 2)).as("feats"))
-    val bucket = (t: Column) =>
-      pmod(portableHash(concat(lit("f:"), t)), lit(ClassifierBuckets.toLong))
+      classifierFeatures(split(col("text"), " ")).as("feats"))
     val scored = withFeats.select(col("lang"),
       size(col("feats")).cast("long").as("n_feats"),
-      aggregate(transform(col("feats"),
-          t => element_at(w, bucket(t).cast("int") + 1)),
-        lit(0L), (a, v) => a + v).as("score"))
+      classifierScore(col("feats")).as("score"))
     scored.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_kept"),

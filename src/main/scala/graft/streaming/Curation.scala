@@ -156,6 +156,27 @@ object Curation {
       .agg(graft.functions.TopK.topK(k + 1, col(idCol), col("pri")).as("topk"))
   }
 
+  /** Model-based quality score per document — the streaming face of
+    * q75's hashed-feature classifier, from the ONE shared definition
+    * ([[Pipeline.classifierFeatures]]/[[Pipeline.classifierScore]]):
+    * adds `clf_score` (exact int64 sum of the document's feature-bucket
+    * weights; null for null text) and `clf_kept` (`score >= threshold`,
+    * false for null). The model is a plan literal — O(buckets),
+    * vocabulary-independent — so the stream pays one map-side array
+    * fold per row: stateless, shuffle-free, composes BEFORE the
+    * stateful dedup stages like [[qualityGate]] and
+    * [[withRepetitionVerdict]]. Batch/stream row-for-row agreement
+    * asserted in DedupSpec. */
+  def withClassifierScore(docs: DataFrame, textCol: String,
+      threshold: Long = 0L): DataFrame =
+    docs
+      .withColumn("feats",
+        Pipeline.classifierFeatures(split(col(textCol), " ")))
+      .withColumn("clf_score", Pipeline.classifierScore(col("feats")))
+      .withColumn("clf_kept",
+        coalesce(col("clf_score") >= threshold, lit(false)))
+      .drop("feats")
+
   /** Repetition verdict per document — the streaming face of q68's
     * Gopher duplicated-3-gram rule, from the ONE shared definition
     * ([[Pipeline.repetitionColumns]]): adds `rep_frac` (duplicated

@@ -360,6 +360,49 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming classifier score agrees with batch row-for-row (q75's shared model)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one"),                        // single token: unigram only, no bigrams
+      (4L, null.asInstanceOf[String]))    // null: score null, kept false
+    val batch = Curation.withClassifierScore(rows.toDF("doc_id", "text"), "text")
+      .select("doc_id", "clf_score", "clf_kept").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getBoolean(2))).toMap
+    val in = MemoryStream[(Long, String)]
+    val query = Curation.withClassifierScore(
+        in.toDF().toDF("doc_id", "text"), "text")
+      .select("doc_id", "clf_score", "clf_kept")
+      .writeStream.format("memory").queryName("clf_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("clf_mem").collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getBoolean(2))).toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+      // the model is real: a known doc's score re-derives locally from
+      // the plan-literal weights (the q75 spec's derivation, one row)
+      def h60(s: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+      }
+      val t = rows.head._2.split(" ").toSeq
+      val feats = t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val want = feats.map(f =>
+        graft.operators.Pipeline.classifierWeights((h60("f:" + f) % 4096).toInt)).sum
+      assert(got(1L)._1.contains(want), s"doc 1 score ${got(1L)._1} vs local $want")
+      assert(got(4L)._1.isEmpty && !got(4L)._2, "null text: null score, not kept")
+      // stateless: composes before any stateful stage
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
   test("trending terms: per-window Misra-Gries candidates, heavy tokens survive, windows finalize") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String, Long)]
