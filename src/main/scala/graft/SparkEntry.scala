@@ -139,6 +139,10 @@ object SparkEntry {
     // the model is a plan-literal weight array over 4096 hash buckets —
     // vocabulary-independent, one map-side scan, integer-exact scores
     "q75_classifier_filter" -> (Pipeline.q75ClassifierFilter _),
+    // substring-level duplicate-span dedup: corpus-wide repeated
+    // 8-gram positions → per-document interval union — the distributed
+    // analog of suffix-array substring dedup, no all-pairs
+    "q76_duplicate_spans" -> (Pipeline.q76DuplicateSpans _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

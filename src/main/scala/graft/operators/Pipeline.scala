@@ -1925,6 +1925,116 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  // ------------------------------------------- q76: duplicate-span dedup
+
+  /** q76's boilerplate sentence (12 tokens — wider than the 8-token
+    * gram, so it contains gram-internal repeats) appended to every
+    * fifth document: the deterministic stand-in for the shared web
+    * boilerplate (footers, license blocks, navigation chrome)
+    * substring-level dedup exists to find. */
+  private val BoilerSpan =
+    "all rights reserved see our terms of service and privacy policy today"
+
+  /** Pipeline — substring-level duplicate-span measurement: finds the
+    * maximal token spans that occur more than once ACROSS the corpus
+    * and reports per-language coverage (the operator behind "remove
+    * repeated substrings" curation à la Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" — their suffix array
+    * is a single-machine structure; the distributed analog is
+    * gram-position marking + per-document interval union). Every
+    * 8-token gram carries its document position; grams whose digest
+    * occurs ≥ 2 times corpus-wide mark their [pos, pos+8) interval,
+    * and the union of a document's marked intervals (gaps-and-islands
+    * over the sorted positions: a running max of interval ends
+    * measures each gram's NOVEL token contribution) gives its
+    * duplicated-span count and token coverage. Whole-document copies
+    * (doc_id % 13, re-inserted) surface as one span covering the
+    * document; boilerplate tails (doc_id % 5, [[BoilerSpan]]) as one
+    * 12-token span.
+    *
+    * Scale posture (100 TB): no all-pairs, no suffix array — two
+    * corpus-volume hash exchanges (the gram-digest count partition and
+    * the AQE-reusable join of positions against the >1 digests) plus
+    * the per-document island sort, each streaming through
+    * hash-partitioned groups. The gram relation is persisted NARROW
+    * (three longs + lang per gram) so the count branch and the mark
+    * branch pay the shingle+md5 map stage once. Positions never leave
+    * their document partition after the mark join, and every rollup
+    * above doc level is ≤ |lang| rows. Unlike q49's decontamination
+    * there is no small side to Bloom — self-dedup is inherently
+    * corpus × corpus — so the honest plan bounds bytes (digests, not
+    * grams) rather than rows. */
+  def q76DuplicateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val (out, release) = duplicateSpansReport(spark, dir)
+    // ≤ |lang| rows: snapshot into a local relation and release the
+    // narrow gram cache before returning (q60's bounded-collect
+    // discipline — no persisted relation outlives the query)
+    val materialized = out.collect()
+    release()
+    spark.createDataFrame(
+      java.util.Arrays.asList(materialized: _*), out.schema)
+  }
+
+  /** The live q76 plan plus its cache release — split out so the spec
+    * can count the plan's exchanges before the snapshot collapses it
+    * to a local relation (the [[corpusScaledClustersWithRelease]]
+    * shape). */
+  private[graft] def duplicateSpansReport(
+      spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
+    val k = 8
+    val base = docs(spark, dir).select(col("doc_id"), col("lang"),
+      when(col("doc_id") % 5 === 0, concat_ws(" ", col("text"), lit(BoilerSpan)))
+        .otherwise(col("text")).as("text"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+    val positions = corpus
+      .select(col("doc_id"), col("lang"),
+        posexplode(wordShingleMultiset(split(col("text"), " "), k))
+          .as(Seq("pos", "gram")))
+      // full 60-bit digest, NOT the 31-bit mod-P form: a false hash
+      // collision marks a span duplicated that isn't, and in a 2^31
+      // space the birthday bound makes that routine from ~50k distinct
+      // corpus grams (the streaming-dedup lesson); at 60 bits the
+      // spurious-mark rate stays ~1e-6 per gram even at 10^13 grams
+      .select(col("doc_id"), col("lang"), col("pos").cast("long").as("pos"),
+        portableHash(col("gram")).as("h"))
+      .persist(NarrowCacheLevel)
+    val dupGrams = positions.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val marked = positions.join(dupGrams, Seq("h"))
+      .withColumn("prev_max", max(col("pos") + k)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+    val perDoc = marked
+      // novel tokens this gram adds to the union of marked intervals;
+      // ends are pos+k with pos strictly increasing, so prev_max <
+      // pos+k always and the contribution is ≥ 1
+      .select(col("doc_id"), col("lang"),
+        (col("pos") + k - greatest(col("pos"),
+          coalesce(col("prev_max"), col("pos")))).as("novel"),
+        when(col("prev_max").isNull || col("prev_max") <= col("pos"), 1L)
+          .otherwise(0L).as("is_new_span"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("novel")).as("dup_tokens"), sum(col("is_new_span")).as("n_spans"))
+    val perLang = perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_dup_docs"),
+        sum(col("n_spans")).as("n_spans"), sum(col("dup_tokens")).as("dup_tokens"))
+    val totals = corpus.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val out = totals.join(perLang, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("n_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_token_pct"))
+      .orderBy(col("lang"))
+    (out, () => { positions.unpersist(blocking = false); () })
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   /** DuckDB twins. Fragments mirror [[graft.functions.TextFunctions]]
@@ -2687,6 +2797,57 @@ object Pipeline {
          |  round(sum(score)::DOUBLE / sum(n_feats), 6) AS avg_feat_score
          |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
 
+    /** q76 — the twin rebuilds the boilerplate/copy augmentation, the
+      * positioned 8-gram digests (1-based list slicing vs Spark's
+      * 0-based posexplode — the island arithmetic uses only position
+      * DIFFERENCES within a document, so the uniform shift cancels),
+      * the >1-count mark, and the same running-max interval union. */
+    val q76 =
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN text || ' all rights reserved see our terms of service and privacy policy today'
+         |      ELSE text END AS text
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, lang, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, lang, text FROM base WHERE doc_id % 13 = 0),
+         |tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM corpus),
+         |pos0 AS (
+         |  SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 7)) AS i
+         |  FROM tk WHERE len(t) >= 8),
+         |pos AS (
+         |  SELECT doc_id, lang, i,
+         |    ${ph("array_to_string(t[i:i+7], ' ')")} AS h
+         |  FROM pos0),
+         |dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) > 1),
+         |m AS (SELECT p.doc_id, p.lang, p.i FROM pos p JOIN dup USING (h)),
+         |isl AS (SELECT doc_id, lang, i,
+         |  max(i + 8) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |  FROM m),
+         |perdoc AS (
+         |  SELECT doc_id, lang,
+         |    sum(i + 8 - greatest(i, coalesce(prev_max, i))) AS dup_tokens,
+         |    sum(CASE WHEN prev_max IS NULL OR prev_max <= i THEN 1 ELSE 0 END) AS n_spans
+         |  FROM isl GROUP BY doc_id, lang),
+         |perlang AS (
+         |  SELECT lang, count(*) AS n_dup_docs,
+         |    sum(n_spans) AS n_spans, sum(dup_tokens) AS dup_tokens
+         |  FROM perdoc GROUP BY lang),
+         |tot AS (SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM corpus GROUP BY lang)
+         |SELECT t.lang, t.n_docs,
+         |  CAST(coalesce(p.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+         |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  t.n_tokens,
+         |  round(coalesce(p.dup_tokens, 0)::DOUBLE / t.n_tokens, 6) AS dup_token_pct
+         |FROM tot t LEFT JOIN perlang p ON t.lang = p.lang
+         |ORDER BY t.lang""".stripMargin
+
     val all: Map[String, String] = Map(
       "q23_exact_dedup" -> q23,
       "q24_near_dup_minhash" -> q24,
@@ -2724,6 +2885,7 @@ object Pipeline {
       "q73_cms_frequency" -> q73,
       "q74_priority_sample" -> q74,
       "q75_classifier_filter" -> q75,
+      "q76_duplicate_spans" -> q76,
     )
   }
 }

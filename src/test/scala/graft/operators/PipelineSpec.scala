@@ -922,6 +922,83 @@ class PipelineSpec extends SparkSpec {
     assert(kept > 0 && kept < tot, s"degenerate gate: $kept of $tot kept")
   }
 
+  test("q76 duplicate spans: interval union agrees with a brute-force local re-derivation") {
+    val rows = Pipeline.q76DuplicateSpans(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // brute force in plain Scala on gram STRINGS (no hashing at all —
+    // agreement also certifies the 60-bit digest introduced no
+    // spurious duplicate marks at this corpus size)
+    val k = 8
+    val boiler = "all rights reserved see our terms of service and privacy policy today"
+    val base = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .map { case (id, lang, t) =>
+        (id, lang, if (id % 5 == 0) s"$t $boiler" else t) }
+    val corpus = base ++ base.filter(_._1 % 13 == 0)
+      .map { case (id, lang, t) => (id + 2000000L, lang, t) }
+    def grams(t: Array[String]): Seq[(Int, String)] =
+      if (t.length < k) Seq.empty
+      else t.sliding(k).zipWithIndex.map { case (g, i) => (i, g.mkString(" ")) }.toSeq
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    val docGrams = corpus.map { case (id, lang, t) =>
+      val gs = grams(t.split(" ", -1))
+      gs.foreach { case (_, g) => counts(g) = counts.getOrElse(g, 0) + 1 }
+      (id, lang, t.split(" ", -1).length.toLong, gs)
+    }
+    val perDoc = docGrams.map { case (id, lang, nTok, gs) =>
+      val marked = gs.filter { case (_, g) => counts(g) > 1 }.map(_._1).sorted
+      var (covered, spans, end) = (0L, 0L, -1)
+      marked.foreach { p =>
+        if (p >= end) spans += 1
+        covered += (p + k) - math.max(p, end); end = p + k
+      }
+      (id, lang, nTok, covered, spans)
+    }
+    val expected = perDoc.groupBy(_._2).map { case (lang, ds) =>
+      val dup = ds.filter(_._4 > 0)
+      lang -> ((ds.length.toLong, dup.length.toLong, dup.map(_._5).sum,
+        dup.map(_._4).sum, ds.map(_._3).sum))
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (nDocs, nDupDocs, nSpans, dupTokens, nTokens) = expected(r.getString(0))
+      assert(r.getLong(1) == nDocs, s"${r.getString(0)} n_docs")
+      assert(r.getLong(2) == nDupDocs, s"${r.getString(0)} n_dup_docs")
+      assert(r.getLong(3) == nSpans, s"${r.getString(0)} n_spans")
+      assert(r.getLong(4) == dupTokens, s"${r.getString(0)} dup_tokens")
+      assert(r.getLong(5) == nTokens, s"${r.getString(0)} n_tokens")
+      assert(math.abs(r.getDouble(6) -
+        math.rint(dupTokens.toDouble / nTokens * 1e6) / 1e6) < 1e-9)
+    }
+    // the constructed duplication is really found: every fifth doc
+    // carries the boilerplate span, every thirteenth a whole-doc copy
+    val (tot, dup) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    assert(dup > tot / 5, s"only $dup of $tot docs carry a found span")
+  }
+
+  test("q76 exchange accounting: the live span plan shuffles exactly its designed count") {
+    // counted on the LIVE plan (duplicateSpansReport) — the public
+    // query snapshots ≤ |lang| rows into a local relation (q60's
+    // bounded-collect discipline), which would hide the real work
+    val (out, release) = Pipeline.duplicateSpansReport(spark, sfDir)
+    try {
+      out.count()
+      val got = countShuffles(out.queryExecution.executedPlan)
+      // POST-CACHE (the gram cache's fill, including its two spreads,
+      // is paid once by construction): the totals branch's two
+      // test-layout spreads (absent on a real cluster) + the
+      // gram-digest count partition + the per-document island sort +
+      // the ≤|lang| rollup pair (totals and perLang, behind the
+      // broadcast left join) + the result sort = 7. The mark join
+      // itself adds NOTHING here: AQE broadcasts the >1-digest side at
+      // this SF (at corpus scale it grows and the planner flips to a
+      // shuffled join on h — the positions side then re-uses the
+      // digest partitioning; either physical pick is the right one
+      // for its size, which is the point of leaving it to AQE)
+      assert(got == 7, s"q76 live plan: $got exchanges, design says 7")
+    } finally release()
+  }
+
   test("r11 late-newcomer exchange accounting: q73/q74 shuffle exactly their designed counts") {
     val budgets = Map(
       // q73: three test-layout spreads (sketch corpus pass, recount
