@@ -378,6 +378,44 @@ object Oracles {
         | round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
         | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // ordered funnel: each stage's min-timestamp is constrained by the
+    // previous stage's — the same shrinking CTE chain as the Spark
+    // aggregation tree (see Relational.q77Funnel)
+    "q77_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tsm FROM events),
+        |v AS (SELECT user_id, min(tsm) AS view_ms FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.tsm) AS click_ms, min(v.view_ms) AS view_ms
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.tsm >= v.view_ms GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.tsm) AS purchase_ms, min(c.click_ms) AS click_ms
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tsm >= c.click_ms GROUP BY e.user_id),
+        |hd AS (SELECT count(*) AS head_users FROM v),
+        |stages AS (
+        |  SELECT '1_view' AS stage, count(*) AS n_users, CAST(NULL AS DOUBLE) AS avg_ms_from_prev FROM v
+        |  UNION ALL
+        |  SELECT '2_click', count(*), round(avg(click_ms - view_ms), 2) FROM c
+        |  UNION ALL
+        |  SELECT '3_purchase', count(*), round(avg(purchase_ms - click_ms), 2) FROM p)
+        |SELECT stage, n_users,
+        |  round(n_users::DOUBLE / head_users, 6) AS conv_pct, avg_ms_from_prev
+        |FROM stages, hd ORDER BY stage""".stripMargin,
+
+    // cohort retention triangle on integer epoch weeks (tsm // week —
+    // exact int64 both engines, see Relational.q78CohortRetention)
+    "q78_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+        |a AS (SELECT e.user_id, f.cohort_week, e.week - f.cohort_week AS week_offset
+        |  FROM e JOIN f ON e.user_id = f.user_id),
+        |act AS (SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+        |  FROM a GROUP BY cohort_week, week_offset),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY cohort_week)
+        |SELECT act.cohort_week, act.week_offset, act.n_active, sz.cohort_size,
+        |  round(act.n_active::DOUBLE / sz.cohort_size, 6) AS retention_pct
+        |FROM act JOIN sz ON act.cohort_week = sz.cohort_week
+        |ORDER BY act.cohort_week, act.week_offset""".stripMargin,
   ) ++ graft.operators.Pipeline.Sql.all ++ Map(
     "q32_command_router" -> graft.operators.Router.oracleSql,
     "q33_multimodal_stats" -> graft.operators.Multimodal.oracleSql,

@@ -143,6 +143,11 @@ object SparkEntry {
     // 8-gram positions → per-document interval union — the distributed
     // analog of suffix-array substring dedup, no all-pairs
     "q76_duplicate_spans" -> (Pipeline.q76DuplicateSpans _),
+    // ordered event-sequence funnel: view→click→purchase with strict
+    // temporal order, every keyed op on ONE user_id partitioning
+    "q77_funnel" -> (Relational.q77Funnel _),
+    // cohort retention triangle on exact integer epoch weeks
+    "q78_cohort_retention" -> (Relational.q78CohortRetention _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -392,6 +392,93 @@ object Relational {
         round(max(col("value")), 2).as("max_value"))
       .orderBy(col("measure"))
 
+  /** Ordered event-sequence funnel — view → click → purchase with
+    * strict temporal order per user (a click only counts AFTER the
+    * user's first view, a purchase only after that click): the
+    * conversion analysis every event warehouse runs, and a sequence
+    * constraint plain per-type counts cannot express. Each stage is a
+    * min-timestamp aggregation of the previous stage's survivors, so
+    * the per-stage relations shrink monotonically; the report is one
+    * row per stage with users reached, conversion vs the funnel head,
+    * and mean dwell from the previous stage.
+    *
+    * Scale posture (100 TB): every keyed operation — the three stage
+    * aggregations and the two stage joins — hashes on `user_id`, so
+    * one partitioning serves the whole funnel (no window, no event
+    * sort; min-timestamps partial-aggregate map-side). The stage
+    * joins pair a corpus-scale event filter against an already-reduced
+    * one-row-per-user relation, and each stage's output is ≤ the user
+    * dimension. The final 3-row union rides a broadcast of the 1-row
+    * head count. */
+  def q77Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("tsm"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tsm")).as("view_ms"))
+    val clicks = e.filter(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .filter(col("tsm") >= col("view_ms"))
+      .groupBy(col("user_id"))
+      .agg(min(col("tsm")).as("click_ms"), min(col("view_ms")).as("view_ms"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("tsm") >= col("click_ms"))
+      .groupBy(col("user_id"))
+      .agg(min(col("tsm")).as("purchase_ms"), min(col("click_ms")).as("click_ms"))
+    val s1 = views.agg(count(lit(1)).as("n_users"),
+      lit(null).cast("double").as("avg_ms_from_prev"))
+      .select(lit("1_view").as("stage"), col("n_users"), col("avg_ms_from_prev"))
+    val s2 = clicks.agg(count(lit(1)).as("n_users"),
+      round(avg(col("click_ms") - col("view_ms")), 2).as("avg_ms_from_prev"))
+      .select(lit("2_click").as("stage"), col("n_users"), col("avg_ms_from_prev"))
+    val s3 = purchases.agg(count(lit(1)).as("n_users"),
+      round(avg(col("purchase_ms") - col("click_ms")), 2).as("avg_ms_from_prev"))
+      .select(lit("3_purchase").as("stage"), col("n_users"), col("avg_ms_from_prev"))
+    val head = views.agg(count(lit(1)).as("head_users"))
+    s1.unionByName(s2).unionByName(s3)
+      .crossJoin(broadcast(head))
+      .select(col("stage"), col("n_users"),
+        round(col("n_users").cast("double") / col("head_users"), 6)
+          .as("conv_pct"),
+        col("avg_ms_from_prev"))
+      .orderBy(col("stage"))
+  }
+
+  /** Cohort retention — users grouped by the epoch-week of their FIRST
+    * event, tracked by how many return in each subsequent week: the
+    * standard retention triangle. Weeks are integer epoch-week indices
+    * (`tsm div 604800000` — exact int64 arithmetic, no calendar or
+    * timezone dependence between engines).
+    *
+    * Scale posture (100 TB): the first-event aggregation and the
+    * cohort join-back both hash on `user_id` (one partitioning, the
+    * q77 discipline); the distinct-user count per (cohort, offset)
+    * then exchanges on the triangle key. Output is |weeks|² / 2 rows —
+    * bounded by the time span, not the data. */
+  def q78CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekMs = 604800000L
+    // integer `div`, not `/`: long `/` is double division in Spark and
+    // a last-ulp rounding at an exact week boundary would shift the
+    // cohort index vs DuckDB's integer `//`
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("tsm"))
+      .select(col("user_id"), expr(s"tsm div $weekMs").as("week"))
+    val first = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val active = e.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val sizes = first.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    active.join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention_pct"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Time-range window frame: 30-day trailing spend per customer —
     * `rangeBetween` over the order timestamp (in seconds), a frame the
     * row-count family (q08) can't express. Partitioned by customer, so

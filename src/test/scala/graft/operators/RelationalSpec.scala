@@ -124,6 +124,62 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q77 funnel: stage counts and dwell agree with a per-user local replay") {
+    val rows = Relational.q77Funnel(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1_view", "2_click", "3_purchase"))
+    // local replay: per user, first view, first click at/after it,
+    // first purchase at/after that
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("tsm"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = events.groupBy(_._1)
+    val funnels = byUser.values.flatMap { es =>
+      val v = es.filter(_._2 == "view").map(_._3).minOption
+      v.map { vm =>
+        val c = es.filter(e => e._2 == "click" && e._3 >= vm).map(_._3).minOption
+        val p = c.flatMap(cm =>
+          es.filter(e => e._2 == "purchase" && e._3 >= cm).map(_._3).minOption)
+        (vm, c, p)
+      }
+    }.toSeq
+    val (nV, nC, nP) =
+      (funnels.size.toLong, funnels.count(_._2.isDefined).toLong,
+        funnels.count(_._3.isDefined).toLong)
+    assert(rows(0).getLong(1) == nV && rows(1).getLong(1) == nC &&
+      rows(2).getLong(1) == nP,
+      s"stage users ${rows.map(_.getLong(1)).toSeq} vs local ($nV, $nC, $nP)")
+    // strict order makes the funnel monotone
+    assert(nV >= nC && nC >= nP && nP > 0)
+    assert(rows(0).isNullAt(3), "stage 1 has no previous stage")
+    val dwell = funnels.flatMap { case (vm, c, _) => c.map(_ - vm) }
+    val wantAvg = math.rint(dwell.sum.toDouble / dwell.size * 100) / 100
+    assert(math.abs(rows(1).getDouble(3) - wantAvg) < 1e-9,
+      s"click dwell ${rows(1).getDouble(3)} vs local $wantAvg")
+    assert(math.abs(rows(0).getDouble(2) - 1.0) < 1e-9, "head converts to itself")
+  }
+
+  test("q78 cohort retention: offset zero is total, triangle agrees with a local replay") {
+    val rows = Relational.q78CohortRetention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("tsm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 604800000L))
+    val cohort = events.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val triangle = events.map { case (u, w) => (cohort(u), w - cohort(u), u) }
+      .distinct.groupBy(t => (t._1, t._2)).view.mapValues(_.length.toLong).toMap
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.length == triangle.size)
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == triangle(key), s"$key n_active")
+      assert(r.getLong(3) == sizes(r.getLong(0)), s"$key cohort_size")
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+    // every user is active in their own cohort week by construction
+    rows.filter(_.getLong(1) == 0L).foreach(r =>
+      assert(math.abs(r.getDouble(4) - 1.0) < 1e-9, s"cohort ${r.getLong(0)} offset 0"))
+  }
+
   test("q43 trailing window: spend includes the current order and only looks back") {
     val rows = Relational.q43RollingWindow(spark, sfDir).collect()
     assert(rows.nonEmpty)
