@@ -402,45 +402,53 @@ object Relational {
     * row per stage with users reached, conversion vs the funnel head,
     * and mean dwell from the previous stage.
     *
-    * Scale posture (100 TB): every keyed operation — the three stage
-    * aggregations and the two stage joins — hashes on `user_id`, so
-    * one partitioning serves the whole funnel (no window, no event
-    * sort; min-timestamps partial-aggregate map-side). The stage
-    * joins pair a corpus-scale event filter against an already-reduced
-    * one-row-per-user relation, and each stage's output is ≤ the user
-    * dimension. The final 3-row union rides a broadcast of the 1-row
-    * head count. */
+    * Scale posture (100 TB): ONE events scan, ONE `user_id`
+    * partitioning. The naive form — a filtered aggregate per stage
+    * with join-backs — scans the corpus three times and re-exchanges
+    * each stage (measured: 10 exchanges); instead the three stage
+    * timestamps resolve as cascaded whole-partition window minima over
+    * the single user partition (each stage's predicate reads the
+    * previous stage's column — no ORDER BY, no event sort, and the
+    * per-user buffering is the accepted q21/q43 bound: a user's own
+    * activity, not the corpus). One groupBy on the same partitioning
+    * (zero extra exchange) reduces to a user row, one global rollup
+    * derives every stage count and dwell in a single pass, and the
+    * 3-row report explodes from that one row — 3 exchanges total. */
   def q77Funnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id"))
+    val staged = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("tsm"))
-    val views = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("tsm")).as("view_ms"))
-    val clicks = e.filter(col("event_type") === "click")
-      .join(views, Seq("user_id"))
-      .filter(col("tsm") >= col("view_ms"))
-      .groupBy(col("user_id"))
-      .agg(min(col("tsm")).as("click_ms"), min(col("view_ms")).as("view_ms"))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .join(clicks, Seq("user_id"))
-      .filter(col("tsm") >= col("click_ms"))
-      .groupBy(col("user_id"))
-      .agg(min(col("tsm")).as("purchase_ms"), min(col("click_ms")).as("click_ms"))
-    val s1 = views.agg(count(lit(1)).as("n_users"),
-      lit(null).cast("double").as("avg_ms_from_prev"))
-      .select(lit("1_view").as("stage"), col("n_users"), col("avg_ms_from_prev"))
-    val s2 = clicks.agg(count(lit(1)).as("n_users"),
-      round(avg(col("click_ms") - col("view_ms")), 2).as("avg_ms_from_prev"))
-      .select(lit("2_click").as("stage"), col("n_users"), col("avg_ms_from_prev"))
-    val s3 = purchases.agg(count(lit(1)).as("n_users"),
-      round(avg(col("purchase_ms") - col("click_ms")), 2).as("avg_ms_from_prev"))
-      .select(lit("3_purchase").as("stage"), col("n_users"), col("avg_ms_from_prev"))
-    val head = views.agg(count(lit(1)).as("head_users"))
-    s1.unionByName(s2).unionByName(s3)
-      .crossJoin(broadcast(head))
-      .select(col("stage"), col("n_users"),
-        round(col("n_users").cast("double") / col("head_users"), 6)
+      .withColumn("view_ms", min(when(col("event_type") === "view",
+        col("tsm"))).over(byUser))
+      .withColumn("click_ms", min(when(col("event_type") === "click" &&
+        col("tsm") >= col("view_ms"), col("tsm"))).over(byUser))
+      .withColumn("purchase_ms", min(when(col("event_type") === "purchase" &&
+        col("tsm") >= col("click_ms"), col("tsm"))).over(byUser))
+    val perUser = staged.groupBy(col("user_id"))
+      .agg(min(col("view_ms")).as("view_ms"),
+        min(col("click_ms")).as("click_ms"),
+        min(col("purchase_ms")).as("purchase_ms"))
+    // one row: every stage count and dwell (count/avg skip nulls, so
+    // each column naturally ranges over that stage's survivors)
+    val rollup = perUser.agg(
+      count(col("view_ms")).as("n_view"),
+      count(col("click_ms")).as("n_click"),
+      count(col("purchase_ms")).as("n_purchase"),
+      round(avg(col("click_ms") - col("view_ms")), 2).as("click_dwell"),
+      round(avg(col("purchase_ms") - col("click_ms")), 2).as("purchase_dwell"))
+    rollup
+      .select(explode(array(
+        struct(lit("1_view").as("stage"), col("n_view").as("n_users"),
+          lit(null).cast("double").as("avg_ms_from_prev")),
+        struct(lit("2_click").as("stage"), col("n_click").as("n_users"),
+          col("click_dwell").as("avg_ms_from_prev")),
+        struct(lit("3_purchase").as("stage"), col("n_purchase").as("n_users"),
+          col("purchase_dwell").as("avg_ms_from_prev")))).as("s"),
+        col("n_view").as("head_users"))
+      .select(col("s.stage").as("stage"), col("s.n_users").as("n_users"),
+        round(col("s.n_users").cast("double") / col("head_users"), 6)
           .as("conv_pct"),
-        col("avg_ms_from_prev"))
+        col("s.avg_ms_from_prev").as("avg_ms_from_prev"))
       .orderBy(col("stage"))
   }
 
@@ -450,11 +458,16 @@ object Relational {
     * (`tsm div 604800000` — exact int64 arithmetic, no calendar or
     * timezone dependence between engines).
     *
-    * Scale posture (100 TB): the first-event aggregation and the
-    * cohort join-back both hash on `user_id` (one partitioning, the
-    * q77 discipline); the distinct-user count per (cohort, offset)
-    * then exchanges on the triangle key. Output is |weeks|² / 2 rows —
-    * bounded by the time span, not the data. */
+    * Scale posture (100 TB): ONE events scan. The cohort assignment
+    * resolves as a whole-partition window min over the single
+    * `user_id` partitioning (the q77 discipline — a join-back against
+    * a separately-aggregated first-event relation would scan the
+    * corpus twice); the distinct-user count per (cohort, offset) then
+    * exchanges on the triangle key. Cohort sizes come from the
+    * triangle itself — every user is active in their own first week,
+    * so the offset-0 row IS the cohort size, read back by a window
+    * over the ≤ |weeks|²/2-row result (bounded by the time span, not
+    * the data) instead of a second corpus aggregation. */
   def q78CohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val weekMs = 604800000L
     // integer `div`, not `/`: long `/` is double division in Spark and
@@ -463,15 +476,16 @@ object Relational {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), unix_millis(col("ts")).as("tsm"))
       .select(col("user_id"), expr(s"tsm div $weekMs").as("week"))
-    val first = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
-    val active = e.join(first, Seq("user_id"))
+    val triangle = e
+      .withColumn("cohort_week",
+        min(col("week")).over(Window.partitionBy(col("user_id"))))
       .select(col("user_id"), col("cohort_week"),
         (col("week") - col("cohort_week")).as("week_offset"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_active"))
-    val sizes = first.groupBy(col("cohort_week"))
-      .agg(count(lit(1)).as("cohort_size"))
-    active.join(broadcast(sizes), Seq("cohort_week"))
+    triangle
+      .withColumn("cohort_size", max(when(col("week_offset") === 0,
+        col("n_active"))).over(Window.partitionBy(col("cohort_week"))))
       .select(col("cohort_week"), col("week_offset"), col("n_active"),
         col("cohort_size"),
         round(col("n_active").cast("double") / col("cohort_size"), 6)

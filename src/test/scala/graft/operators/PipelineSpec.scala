@@ -1020,7 +1020,17 @@ class PipelineSpec extends SparkSpec {
       // q75: the test-layout spread + the ≤|lang|-row rollup exchange
       // + the result sort — the model rides the plan as a literal, so
       // scoring adds NO exchange (the q26/q46/q68 single-scan shape)
-      "q75_classifier_filter" -> 3)
+      "q75_classifier_filter" -> 3,
+      // q77: ONE events scan — the user_id window partition + the
+      // 1-row global rollup; the 3-row explode/sort adds nothing.
+      // (The naive per-stage filter-aggregate-join form measured 10:
+      // three corpus scans and re-exchanges per stage)
+      "q77_funnel" -> 2,
+      // q78: ONE events scan — the user_id window partition + the
+      // (cohort, offset, user) distinct spread + the (cohort, offset)
+      // count + the result range sort; cohort sizes read back from
+      // the triangle's own offset-0 rows, NOT a second corpus pass
+      "q78_cohort_retention" -> 4)
     val got = budgets.keys.toSeq.sorted.map(name =>
       name -> executedShuffles(graft.SparkEntry.queries(name)(spark, sfDir)))
     val bad = got.filter { case (n, g) => g != budgets(n) }
