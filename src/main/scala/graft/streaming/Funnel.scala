@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** One event in the streaming funnel: the (user, type, event-time-ms)
+  * triple batch q77 reads from the events table. */
+case class FunnelEvent(userId: Long, eventType: String, tsm: Long)
+
+/** Per-user funnel progress: the first view, the first click at or
+  * after it, the first purchase at or after that — `None` until the
+  * stage is reached. Exactly three longs of state per user at any
+  * stream length. */
+case class FunnelProgress(userId: Long, viewMs: Option[Long],
+    clickMs: Option[Long], purchaseMs: Option[Long])
+
+/** Streaming face of q77's ordered conversion funnel
+  * ([[graft.operators.Relational.q77Funnel]]): a per-user state
+  * machine over `mapGroupsWithState` that tracks view → click →
+  * purchase with the SAME strict temporal-order semantics — a click
+  * counts only at/after the user's first view, a purchase only
+  * at/after that click.
+  *
+  * State is O(1) by design: three optional timestamps per user — no
+  * event buffering, no retraction. That bound comes with the
+  * in-order-per-user delivery contract: each user's events must
+  * arrive in event-time order ACROSS micro-batches (the per-device /
+  * per-shard ordering real event logs have; [[ShardStream]] delivers
+  * it per shard). WITHIN a micro-batch the group's events are sorted
+  * by event time before folding, so intra-trigger jumbling — the
+  * common kind — costs nothing. A stream that violates the contract
+  * across batches (a user's first view delivered triggers after their
+  * clicks) degrades exactly like the batch query would degrade if fed
+  * the same truncated history: stages resolve later, never wrongly
+  * earlier. Update output mode: one upsert per user per trigger it
+  * appears in; the latest row per user IS the funnel answer, the
+  * [[Similarity.nearestQuery]] contract.
+  *
+  * Scale posture: state per key is three longs (RocksDB-ready), the
+  * only exchange per micro-batch is the `groupByKey(userId)` hash —
+  * the same single user partitioning as batch q77. */
+object Funnel {
+
+  private def fold(userId: Long, events: Iterator[FunnelEvent],
+      state: GroupState[FunnelProgress]): FunnelProgress = {
+    var cur = state.getOption
+      .getOrElse(FunnelProgress(userId, None, None, None))
+    // intra-batch sort: bounded by one trigger's per-user volume
+    events.toSeq.sortBy(_.tsm).foreach { e =>
+      cur = e.eventType match {
+        case "view" if cur.viewMs.isEmpty =>
+          cur.copy(viewMs = Some(e.tsm))
+        case "click" if cur.clickMs.isEmpty &&
+            cur.viewMs.exists(_ <= e.tsm) =>
+          cur.copy(clickMs = Some(e.tsm))
+        case "purchase" if cur.purchaseMs.isEmpty &&
+            cur.clickMs.exists(_ <= e.tsm) =>
+          cur.copy(purchaseMs = Some(e.tsm))
+        case _ => cur
+      }
+    }
+    state.update(cur)
+    cur
+  }
+
+  /** Continuously maintained per-user stage times (update mode). */
+  def stageTimes(events: Dataset[FunnelEvent]): Dataset[FunnelProgress] = {
+    implicit val enc = Encoders.product[FunnelProgress]
+    events.groupByKey(_.userId)(Encoders.scalaLong)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold)
+  }
+}

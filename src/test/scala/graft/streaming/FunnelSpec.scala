@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class FunnelSpec extends SparkSpec {
+
+  test("streaming funnel agrees with batch q77's per-user stage times on the events table") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // the real events table, replayed per-user-in-order (the delivery
+    // contract) across two installments split mid-history
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("tsm"))
+      .collect().map(r => FunnelEvent(r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(e => (e.userId, e.tsm))
+    // batch truth: the q77 cascade replayed locally per user
+    val expected = events.groupBy(_.userId).map { case (u, es) =>
+      val v = es.filter(_.eventType == "view").map(_.tsm).minOption
+      val c = v.flatMap(vm => es.filter(e =>
+        e.eventType == "click" && e.tsm >= vm).map(_.tsm).minOption)
+      val p = c.flatMap(cm => es.filter(e =>
+        e.eventType == "purchase" && e.tsm >= cm).map(_.tsm).minOption)
+      u -> FunnelProgress(u, v, c, p)
+    }
+    val in = MemoryStream[FunnelEvent]
+    val query = Funnel.stageTimes(in.toDS())
+      .writeStream.format("memory").queryName("funnel_mem")
+      .outputMode("update").start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      in.addData(first.toSeq)
+      query.processAllAvailable()
+      in.addData(second.toSeq)
+      query.processAllAvailable()
+      // update mode: the LAST upsert per user is the answer
+      val got = spark.table("funnel_mem").collect()
+        .map(r => FunnelProgress(r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .groupBy(_.userId).map { case (u, rows) => u -> rows.last }
+      assert(got.keySet == expected.keySet)
+      expected.foreach { case (u, want) =>
+        assert(got(u) == want, s"user $u: stream ${got(u)} vs batch $want")
+      }
+      // stage counts line up with the q77 report itself
+      val report = graft.operators.Relational.q77Funnel(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(report("1_view") == expected.values.count(_.viewMs.isDefined))
+      assert(report("2_click") == expected.values.count(_.clickMs.isDefined))
+      assert(report("3_purchase") == expected.values.count(_.purchaseMs.isDefined))
+      // the state machine is genuinely stateful
+      assert(query.lastProgress.stateOperators.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("streaming funnel order semantics: pre-view clicks never count, intra-batch jumble is sorted") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[FunnelEvent]
+    val query = Funnel.stageTimes(in.toDS())
+      .writeStream.format("memory").queryName("funnel_order_mem")
+      .outputMode("update").start()
+    try {
+      // one batch, deliberately jumbled within the trigger: the
+      // intra-batch event-time sort must recover view(10) before
+      // click(20) before purchase(30); the click at 5 precedes the
+      // first view in EVENT time and must never count
+      in.addData(
+        FunnelEvent(1L, "purchase", 30L), FunnelEvent(1L, "click", 5L),
+        FunnelEvent(1L, "click", 20L), FunnelEvent(1L, "view", 10L),
+        // user 2: click with no view ever — stays at stage 0
+        FunnelEvent(2L, "click", 7L))
+      query.processAllAvailable()
+      val got = spark.table("funnel_order_mem").collect()
+        .map(r => r.getLong(0) -> ((
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+      assert(got(1L) == ((Some(10L), Some(20L), Some(30L))), s"user 1: ${got(1L)}")
+      assert(got(2L) == ((None, None, None)), s"user 2: ${got(2L)}")
+    } finally query.stop()
+  }
+}
