@@ -148,6 +148,9 @@ object SparkEntry {
     "q77_funnel" -> (Relational.q77Funnel _),
     // cohort retention triangle on exact integer epoch weeks
     "q78_cohort_retention" -> (Relational.q78CohortRetention _),
+    // per-source quota cap: k best docs per domain by the q75
+    // classifier score, selected by the bounded TopK aggregator
+    "q79_source_quota" -> (Pipeline.q79SourceQuota _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

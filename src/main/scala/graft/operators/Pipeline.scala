@@ -1925,6 +1925,40 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  // ------------------------------------------- q79: per-source quota cap
+
+  /** Pipeline — per-source quota sampling: cap every source (domain)
+    * at the k highest-quality documents, the anti-domination step
+    * web-scale curation runs so no single domain floods the training
+    * mix (RefinedWeb/C4 cap pages per domain; this is that cap with a
+    * model-based keep order). Quality order is q75's hashed-feature
+    * classifier score ([[classifierScore]] — one shared model across
+    * the gate, the stream, and the cap), ties broken by doc_id.
+    *
+    * Scale posture (100 TB): scoring is the q75 map-side fold (plan-
+    * literal model, no join), and the per-source selection is the
+    * bounded [[graft.functions.TopK]] aggregator — each partition
+    * reduces to a k-element buffer map-side, so the source exchange
+    * carries ≤ partitions × k rows per source and NO WindowExec ever
+    * sorts a source's full document list (the q31/q55 discipline).
+    * Output is |source| × k rows — bounded by the domain count. */
+  def q79SourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val withFeats = docs(spark, dir).select(col("source"), col("doc_id"),
+      classifierFeatures(split(col("text"), " ")).as("feats"))
+    val scored = withFeats.select(col("source"), col("doc_id"),
+      classifierScore(col("feats")).as("score"))
+    scored.groupBy(col("source"))
+      .agg(graft.functions.TopK.topK(k, col("doc_id"),
+        col("score").cast("double")).as("topk"))
+      .select(col("source"), posexplode(col("topk")).as(Seq("i", "s")))
+      .select(col("source"), (col("i") + 1).cast("long").as("rk"),
+        col("s.id").as("doc_id"),
+        // integer-exact round trip: scores are |·| ≤ feats·100 ≪ 2^53
+        col("s.score").cast("long").as("score"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   // ------------------------------------------- q76: duplicate-span dedup
 
   /** q76's boilerplate sentence (12 tokens — wider than the 8-token
@@ -2848,6 +2882,30 @@ object Pipeline {
          |FROM tot t LEFT JOIN perlang p ON t.lang = p.lang
          |ORDER BY t.lang""".stripMargin
 
+    /** q79 — the quota twin re-derives q75's inline model and ranks
+      * with `row_number` (score DESC, doc_id ASC) — the window form
+      * the bounded TopK aggregator is proven interchangeable with
+      * (TopKSpec). */
+    val q79 =
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         |ft AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_concat(t, list_transform(generate_series(1, len(t) - 1),
+         |      i -> array_to_string(t[i:i+1], ' ')))) AS f
+         |  FROM tk),
+         |sc AS (
+         |  SELECT doc_id, source,
+         |    sum((${ph(s"'w:' || CAST(${ph("'f:' || f")} % 4096 AS VARCHAR)")} % 201) - 100) AS score
+         |  FROM ft GROUP BY doc_id, source),
+         |r AS (
+         |  SELECT source, doc_id, score,
+         |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+         |  FROM sc)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id,
+         |  CAST(score AS BIGINT) AS score
+         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
     val all: Map[String, String] = Map(
       "q23_exact_dedup" -> q23,
       "q24_near_dup_minhash" -> q24,
@@ -2886,6 +2944,7 @@ object Pipeline {
       "q74_priority_sample" -> q74,
       "q75_classifier_filter" -> q75,
       "q76_duplicate_spans" -> q76,
+      "q79_source_quota" -> q79,
     )
   }
 }

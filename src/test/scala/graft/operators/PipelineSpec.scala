@@ -922,6 +922,33 @@ class PipelineSpec extends SparkSpec {
     assert(kept > 0 && kept < tot, s"degenerate gate: $kept of $tot kept")
   }
 
+  test("q79 source quota: per-source top-k matches a local sort, quota is enforced") {
+    val k = 5
+    val rows = Pipeline.q79SourceQuota(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val scoredDocs = Tables.documents(spark, sfDir)
+      .select("source", "doc_id", "text").collect().map { r =>
+        val t = r.getString(2).split(" ", -1).toSeq
+        val feats = t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+        (r.getString(0), r.getLong(1),
+          feats.map(f => Pipeline.classifierWeights((h60("f:" + f) % 4096).toInt)).sum)
+      }
+    val expected = scoredDocs.groupBy(_._1).view.mapValues(ds =>
+      ds.sortBy { case (_, id, s) => (-s, id) }.take(k)
+        .map { case (_, id, s) => (id, s) }.toSeq).toMap
+    val got = rows.groupBy(_.getString(0)).view.mapValues(rs =>
+      rs.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, want) =>
+      assert(got(src) == want, s"$src: ${got(src)} vs $want")
+      assert(got(src).size <= k)
+    }
+  }
+
   test("q76 duplicate spans: interval union agrees with a brute-force local re-derivation") {
     val rows = Pipeline.q76DuplicateSpans(spark, sfDir).collect()
     assert(rows.nonEmpty)
@@ -1030,7 +1057,11 @@ class PipelineSpec extends SparkSpec {
       // (cohort, offset, user) distinct spread + the (cohort, offset)
       // count + the result range sort; cohort sizes read back from
       // the triangle's own offset-0 rows, NOT a second corpus pass
-      "q78_cohort_retention" -> 4)
+      "q78_cohort_retention" -> 4,
+      // q79: the test-layout spread + the bounded-TopK source
+      // exchange (≤ partitions × k rows per source — no WindowExec)
+      // + the |source|·k-row result sort
+      "q79_source_quota" -> 3)
     val got = budgets.keys.toSeq.sorted.map(name =>
       name -> executedShuffles(graft.SparkEntry.queries(name)(spark, sfDir)))
     val bad = got.filter { case (n, g) => g != budgets(n) }
