@@ -151,6 +151,9 @@ object SparkEntry {
     // per-source quota cap: k best docs per domain by the q75
     // classifier score, selected by the bounded TopK aggregator
     "q79_source_quota" -> (Pipeline.q79SourceQuota _),
+    // JL random-projection dim reduction: plan-literal ±1 matrix,
+    // map-side codegen'd projection, per-label distortion certificate
+    "q80_random_projection" -> (Pipeline.q80RandomProjection _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1925,6 +1925,64 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  // --------------------------------------- q80: random-projection JL map
+
+  /** q80's projection matrix: 16 rows of 64 Rademacher signs (±1),
+    * derived from md5 (`sign(i,j) = +1 iff h60("rp:i:j") even`) so the
+    * DuckDB twin re-derives the IDENTICAL matrix inline — the same
+    * plan-literal-model discipline as [[classifierWeights]]. */
+  private[graft] val rpSigns: Seq[Seq[Double]] = {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    (0 until 16).map(j => (0 until 64).map(i =>
+      if (h60(s"rp:$i:$j") % 2 == 0) 1.0 else -1.0))
+  }
+
+  /** Pipeline — embedding dimensionality reduction by sparse random
+    * projection (Achlioptas'03 / Johnson–Lindenstrauss): 64-dim
+    * vectors map to 16 dims through a ±1 sign matrix scaled by 1/√16 —
+    * the cheap, data-independent reduction pipelines run before
+    * clustering/ANN when the embedding dim is larger than the task
+    * needs. The report certifies the JL property per label: the
+    * norm-distortion ratio ‖y‖²/‖x‖² has mean ≈ 1 (the projection is
+    * an expected isometry) with spread bounded by the in-band count.
+    *
+    * Engine-exactness: each projected coordinate is one [[vecDot]]
+    * against a literal sign row — the native expression's SEQUENTIAL
+    * accumulation is bit-identical to DuckDB's `list_sum ∘
+    * list_transform` (VectorExpressionsSpec's parity), the ±1 products
+    * and the 1/√16 = 0.25 scale are exact in doubles, so every
+    * per-ROW ratio matches bit-for-bit and the in-band counts are
+    * integer-exact; only the per-GROUP averages see merge-order ulps,
+    * absorbed by round-6 (the q65 convention).
+    *
+    * Scale posture (100 TB): the matrix is a plan literal (16×64
+    * doubles), projection is a map-side codegen'd fold per row — no
+    * join, no shuffle before the ≤|label|-row rollup; the q75
+    * single-scan shape on the embeddings table. */
+  def q80RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val R = typedlit(rpSigns)
+    val x = col("embedding")
+    val y = transform(sequence(lit(0), lit(15)),
+      j => vecDot(x, element_at(R, j + 1)) * lit(0.25))
+    val perVec = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("label"), vecDot(x, x).as("xn2"), y.as("y"))
+      .select(col("label"), col("xn2"), vecDot(col("y"), col("y")).as("yn2"))
+      .filter(col("xn2") > 0)
+      .select(col("label"), (col("yn2") / col("xn2")).as("ratio"))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("ratio")), 6).as("avg_distortion"),
+        round(min(col("ratio")), 6).as("min_distortion"),
+        round(max(col("ratio")), 6).as("max_distortion"),
+        sum(when(col("ratio").between(0.5, 1.5), 1L).otherwise(0L))
+          .as("n_in_band"))
+      .orderBy(col("label"))
+  }
+
   // ------------------------------------------- q79: per-source quota cap
 
   /** Pipeline — per-source quota sampling: cap every source (domain)
@@ -2906,6 +2964,32 @@ object Pipeline {
          |  CAST(score AS BIGINT) AS score
          |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
 
+    /** q80 — the twin re-derives the sign matrix inline and projects
+      * with nested list lambdas; `list_sum ∘ list_transform` matches
+      * [[graft.expressions]] `vecDot`'s sequential accumulation
+      * bit-for-bit, so per-row ratios and in-band counts are exact and
+      * only the group averages lean on round-6. */
+    val q80 =
+      s"""WITH per AS (
+         |  SELECT label,
+         |    list_sum(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE)) AS xn2,
+         |    list_transform(generate_series(0, 15), j ->
+         |      0.25 * list_sum(list_transform(generate_series(1, 64), i ->
+         |        embedding[i]::DOUBLE *
+         |        (CASE WHEN ${ph("'rp:' || (i - 1) || ':' || j")} % 2 = 0
+         |          THEN 1.0 ELSE -1.0 END)))) AS y
+         |  FROM embeddings),
+         |r AS (
+         |  SELECT label,
+         |    list_sum(list_transform(y, v -> v * v)) / xn2 AS ratio
+         |  FROM per WHERE xn2 > 0)
+         |SELECT label, count(*) AS n_vecs,
+         |  round(avg(ratio), 6) AS avg_distortion,
+         |  round(min(ratio), 6) AS min_distortion,
+         |  round(max(ratio), 6) AS max_distortion,
+         |  CAST(sum(CASE WHEN ratio BETWEEN 0.5 AND 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_band
+         |FROM r GROUP BY label ORDER BY label""".stripMargin
+
     val all: Map[String, String] = Map(
       "q23_exact_dedup" -> q23,
       "q24_near_dup_minhash" -> q24,
@@ -2945,6 +3029,7 @@ object Pipeline {
       "q75_classifier_filter" -> q75,
       "q76_duplicate_spans" -> q76,
       "q79_source_quota" -> q79,
+      "q80_random_projection" -> q80,
     )
   }
 }

@@ -949,6 +949,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q80 random projection: per-vector distortion matches a local projection, JL mean holds") {
+    val rows = Pipeline.q80RandomProjection(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // local re-projection in plain Scala over the raw vectors
+    val vecs = Tables.embeddings(spark, sfDir).select("label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val ratios = vecs.map { case (label, x) =>
+      val xd = x.map(_.toDouble)
+      val y = (0 until 16).map { j =>
+        0.25 * xd.indices.foldLeft(0.0)((acc, i) =>
+          acc + xd(i) * Pipeline.rpSigns(j)(i))
+      }
+      val xn2 = xd.foldLeft(0.0)((a, v) => a + v * v)
+      (label, y.foldLeft(0.0)((a, v) => a + v * v) / xn2)
+    }.filter(!_._2.isNaN)
+    val byLabel = ratios.groupBy(_._1)
+    assert(rows.length == byLabel.size)
+    rows.foreach { r =>
+      val rs = byLabel(r.getInt(0)).map(_._2)
+      assert(r.getLong(1) == rs.length, s"label ${r.getInt(0)} n_vecs")
+      assert(math.abs(r.getDouble(2) -
+        math.rint(rs.sum / rs.length * 1e6) / 1e6) < 1e-6)
+      assert(r.getDouble(3) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(4))
+      val inBand = rs.count(v => v >= 0.5 && v <= 1.5).toLong
+      assert(r.getLong(5) == inBand, s"label ${r.getInt(0)} in-band")
+    }
+    // the JL expected-isometry: corpus-wide mean distortion near 1
+    val mean = ratios.map(_._2).sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.1, s"mean distortion $mean far from 1")
+  }
+
   test("q76 duplicate spans: interval union agrees with a brute-force local re-derivation") {
     val rows = Pipeline.q76DuplicateSpans(spark, sfDir).collect()
     assert(rows.nonEmpty)
@@ -1061,7 +1092,11 @@ class PipelineSpec extends SparkSpec {
       // q79: the test-layout spread + the bounded-TopK source
       // exchange (≤ partitions × k rows per source — no WindowExec)
       // + the |source|·k-row result sort
-      "q79_source_quota" -> 3)
+      "q79_source_quota" -> 3,
+      // q80: the test-layout spread + the ≤|label|-row rollup + the
+      // result sort — the projection matrix is a plan literal, so
+      // the 16×64 map adds NO exchange (the q75 single-scan shape)
+      "q80_random_projection" -> 3)
     val got = budgets.keys.toSeq.sorted.map(name =>
       name -> executedShuffles(graft.SparkEntry.queries(name)(spark, sfDir)))
     val bad = got.filter { case (n, g) => g != budgets(n) }
