@@ -177,6 +177,27 @@ object Curation {
         coalesce(col("clf_score") >= threshold, lit(false)))
       .drop("feats")
 
+  /** Running per-source quota — the streaming face of q79's
+    * anti-domination cap: each source's k best documents by the SAME
+    * shared classifier score ([[Pipeline.classifierFeatures]]/
+    * [[Pipeline.classifierScore]] — gate, cap, and batch query share
+    * one model), continuously maintained through the bounded
+    * [[graft.functions.TopK]] aggregator in an update-mode
+    * aggregation. State per source is ONE k-item buffer at any stream
+    * length (the [[runningPrioritySample]] shape); emits `(source,
+    * topk)` upserts whose elements are (doc_id, score) ordered score
+    * desc / id asc — the latest row per source IS the current kept
+    * set, batch agreement asserted in DedupSpec. */
+  def runningSourceQuota(docs: DataFrame, textCol: String,
+      sourceCol: String, idCol: String, k: Int): DataFrame =
+    docs
+      .withColumn("feats",
+        Pipeline.classifierFeatures(split(col(textCol), " ")))
+      .withColumn("clf_score",
+        Pipeline.classifierScore(col("feats")).cast("double"))
+      .groupBy(col(sourceCol))
+      .agg(graft.functions.TopK.topK(k, col(idCol), col("clf_score")).as("topk"))
+
   /** Repetition verdict per document — the streaming face of q68's
     * Gopher duplicated-3-gram rule, from the ONE shared definition
     * ([[Pipeline.repetitionColumns]]): adds `rep_frac` (duplicated

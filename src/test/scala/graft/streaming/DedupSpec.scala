@@ -403,6 +403,42 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("running source quota parity: the stream's final kept set equals batch q79's") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.Row
+    // batch truth on the real documents table
+    val batch = graft.operators.Pipeline.q79SourceQuota(spark, sfDir).collect()
+      .groupBy(_.getString(0)).map { case (src, rs) =>
+        src -> rs.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq
+      }
+    val docRows = graft.Tables.documents(spark, sfDir)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val in = MemoryStream[(String, Long, String)]
+    val query = Curation.runningSourceQuota(
+        in.toDF().toDF("source", "doc_id", "text"),
+        "text", "source", "doc_id", k = 5)
+      .writeStream.format("memory").queryName("quota_mem")
+      .outputMode("update").start()
+    try {
+      // two installments split mid-corpus: the k-buffers must converge
+      // to the batch answer regardless of arrival grouping
+      val (a, b) = docRows.splitAt(docRows.length / 2)
+      in.addData(a.toSeq); query.processAllAvailable()
+      in.addData(b.toSeq); query.processAllAvailable()
+      val got = spark.table("quota_mem").collect()
+        .groupBy(_.getString(0)).map { case (src, rows) =>
+          src -> rows.last.getSeq[Row](1)
+            .map(s => (s.getLong(0), s.getDouble(1).toLong)).toSeq
+        }
+      assert(got.keySet == batch.keySet)
+      batch.foreach { case (src, want) =>
+        assert(got(src) == want, s"$src: stream ${got(src)} vs batch $want")
+      }
+      assert(query.lastProgress.stateOperators.nonEmpty)
+    } finally query.stop()
+  }
+
   test("trending terms: per-window Misra-Gries candidates, heavy tokens survive, windows finalize") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String, Long)]
