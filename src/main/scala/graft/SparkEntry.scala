@@ -154,6 +154,9 @@ object SparkEntry {
     // JL random-projection dim reduction: plan-literal ±1 matrix,
     // map-side codegen'd projection, per-label distortion certificate
     "q80_random_projection" -> (Pipeline.q80RandomProjection _),
+    // fixed-point PageRank over the customer-supplier order graph:
+    // integer-exact iterations, pre-partitioned persisted edges
+    "q81_pagerank" -> (Pipeline.q81PageRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

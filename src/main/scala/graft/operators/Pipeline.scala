@@ -1925,6 +1925,78 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  // ----------------------------------------- q81: fixed-point PageRank
+
+  /** Pipeline — PageRank centrality over the customer–supplier order
+    * graph: nodes are customers (even ids, `2·custkey`) and suppliers
+    * (odd, `2·suppkey + 1`), with a symmetric edge wherever a
+    * customer's order contains a supplier's line item — "which
+    * suppliers sit at the center of order flow" is the link-analysis
+    * question the connected-components family (q50) cannot answer.
+    *
+    * Arithmetic is FIXED-POINT INTEGER by design: ranks start at 10^6,
+    * each iteration is `r'(v) = 150000 + (85 · Σ_{u→v} (r(u) div
+    * deg(u))) div 100` — every operation an int64 division or sum, so
+    * all six iterations are bit-exact in any evaluation order and the
+    * DuckDB twin (six unrolled CTEs) hash-matches with no float
+    * tolerance. Floors leak a little probability mass (documented
+    * deviation from the textbook 1/N form); ordering — the thing
+    * PageRank is used for — is preserved and deterministic.
+    *
+    * Scale posture (100 TB): the degree-annotated edge relation is
+    * built once, persisted NARROW, and pre-partitioned on `src`, so
+    * each iteration pays exactly the two exchanges PageRank inherently
+    * needs — the rank relation re-keying onto `src` and the
+    * contribution aggregation onto `dst` (partial-aggregated
+    * map-side). No adjacency lists are ever collected; the final
+    * top-20 is TakeOrdered (k per partition, then a k-merge), never a
+    * global sort. */
+  def q81PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val (top, release) = pageRankReport(spark, dir)
+    // 20 rows: snapshot and release the edge cache (q60/q76 discipline)
+    val snapshot = top.collect()
+    release()
+    spark.createDataFrame(
+      java.util.Arrays.asList(snapshot: _*), top.schema)
+  }
+
+  /** The live q81 plan plus its cache release — split out so the spec
+    * can count the iteration exchanges (the [[duplicateSpansReport]]
+    * shape). */
+  private[graft] def pageRankReport(
+      spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
+    val iterations = 6
+    val pairs = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b")).distinct()
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val edges = sym.join(deg, Seq("src"))
+      .repartition(col("src"))
+      .persist(NarrowCacheLevel)
+    edges.count()
+    var ranks = edges.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      ranks = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("(85 * s) div 100")).as("r"))
+    }
+    val top = ranks
+      .orderBy(col("r").desc, col("node"))
+      .limit(20)
+      .withColumn("is_supplier", (col("node") % 2 === 1))
+      .select(col("node"), col("r"), col("is_supplier"))
+    (top, () => { edges.unpersist(blocking = false); () })
+  }
+
   // --------------------------------------- q80: random-projection JL map
 
   /** q80's projection matrix: 16 rows of 64 Rademacher signs (±1),
@@ -2990,6 +3062,30 @@ object Pipeline {
          |  CAST(sum(CASE WHEN ratio BETWEEN 0.5 AND 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_band
          |FROM r GROUP BY label ORDER BY label""".stripMargin
 
+    /** q81 — six unrolled fixed-point iterations; every operation is
+      * an int64 sum or floor-division, so the hash match needs no
+      * float tolerance across six rounds of accumulation. */
+    val q81 = {
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (SELECT ed.dst AS node,
+           |  150000 + (85 * sum($prev.r // ed.d)) // 100 AS r
+           |  FROM ed JOIN $prev ON ed.src = $prev.node GROUP BY ed.dst)"""
+          .stripMargin
+      val its = (1 to 6).map(i => iter(if (i == 1) "r0" else s"i${i - 1}", s"i$i"))
+        .mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, dg.d FROM edges e JOIN deg dg ON e.src = dg.src),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |$its
+         |SELECT node, CAST(r AS BIGINT) AS r, (node % 2 = 1) AS is_supplier
+         |FROM i6 ORDER BY r DESC, node LIMIT 20""".stripMargin
+    }
+
     val all: Map[String, String] = Map(
       "q23_exact_dedup" -> q23,
       "q24_near_dup_minhash" -> q24,
@@ -3030,6 +3126,7 @@ object Pipeline {
       "q76_duplicate_spans" -> q76,
       "q79_source_quota" -> q79,
       "q80_random_projection" -> q80,
+      "q81_pagerank" -> q81,
     )
   }
 }

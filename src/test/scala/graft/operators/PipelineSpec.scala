@@ -949,6 +949,51 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q81 pagerank: fixed-point iterations match an exact local replay, hubs rank first") {
+    val rows = Pipeline.q81PageRank(spark, sfDir).collect()
+    assert(rows.length == 20)
+    // exact integer replay in plain Scala
+    val pairs = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ab = li.flatMap { case (ok, sk) =>
+      pairs.get(ok).map(ck => (ck * 2, sk * 2 + 1)) }.distinct
+    val edges = ab ++ ab.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 6) {
+      val in = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (src, dst) =>
+        in(dst) = in.getOrElse(dst, 0L) + r(src) / deg(src) }
+      r = in.map { case (n, s) => n -> (150000L + 85L * s / 100L) }.toMap
+    }
+    val want = r.toSeq.sortBy { case (n, rk) => (-rk, n) }.take(20)
+    val got = rows.map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.toSeq == want, s"top-20 mismatch:\n got $got\n want $want")
+    rows.foreach(x => assert(x.getBoolean(2) == (x.getLong(0) % 2 == 1)))
+    // suppliers aggregate whole customer neighborhoods: the top of the
+    // ranking must actually contain supplier nodes (hub structure)
+    assert(rows.take(5).exists(_.getBoolean(2)), "no supplier in top 5")
+  }
+
+  test("q81 exchange accounting: each iteration pays exactly one exchange") {
+    val (top, release) = Pipeline.pageRankReport(spark, sfDir)
+    try {
+      top.count()
+      val got = countShuffles(top.queryExecution.executedPlan)
+      // POST-CACHE: exactly ONE exchange per iteration — the
+      // contribution aggregation onto dst. The join pays nothing: the
+      // edge cache holds its src hash-partitioning and the incoming
+      // rank relation arrives partitioned on node from the previous
+      // iteration's rollup, so both sides already satisfy the join
+      // clustering. Seed distinct rides the cache partitioning and
+      // the final top-20 is TakeOrdered (no exchange). A count above
+      // 6 means an iteration lost the persisted edges' partitioning
+      assert(got == 6, s"q81 live plan: $got exchanges, design says 6 (one per iteration)")
+    } finally release()
+  }
+
   test("q80 random projection: per-vector distortion matches a local projection, JL mean holds") {
     val rows = Pipeline.q80RandomProjection(spark, sfDir).collect()
     assert(rows.nonEmpty)
