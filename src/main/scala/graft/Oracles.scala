@@ -416,6 +416,18 @@ object Oracles {
         |  round(act.n_active::DOUBLE / sz.cohort_size, 6) AS retention_pct
         |FROM act JOIN sz ON act.cohort_week = sz.cohort_week
         |ORDER BY act.cohort_week, act.week_offset""".stripMargin,
+    // equi-width histogram on exact integer cents (the q42 cents
+    // convention): bucket = cents // width, no float boundary
+    "q82_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000 AS bucket
+        |  FROM lineitem),
+        |b AS (SELECT bucket, count(*) AS n_lines FROM c GROUP BY bucket),
+        |t AS (SELECT sum(n_lines) AS total FROM b)
+        |SELECT bucket, bucket * 10000 AS lo_dollars,
+        |  (bucket + 1) * 10000 AS hi_dollars, n_lines,
+        |  round(n_lines::DOUBLE / total, 6) AS pct
+        |FROM b, t ORDER BY bucket""".stripMargin,
   ) ++ graft.operators.Pipeline.Sql.all ++ Map(
     "q32_command_router" -> graft.operators.Router.oracleSql,
     "q33_multimodal_stats" -> graft.operators.Multimodal.oracleSql,

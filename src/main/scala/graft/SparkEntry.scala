@@ -157,6 +157,9 @@ object SparkEntry {
     // fixed-point PageRank over the customer-supplier order graph:
     // integer-exact iterations, pre-partitioned persisted edges
     "q81_pagerank" -> (Pipeline.q81PageRank _),
+    // equi-width price histogram: integer-cent buckets, map-side
+    // partials into a value-range-bounded key space
+    "q82_histogram" -> (Relational.q82Histogram _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -493,6 +493,37 @@ object Relational {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Equi-width histogram — numeric binning of extended price into
+    * $10,000 buckets with per-bucket share: the profiling/skew-
+    * diagnosis primitive (and the building block BI range filters
+    * compile to). Bucket assignment is integer-exact: prices carry two
+    * decimals, so `round(price·100)` is an exact integer of cents
+    * (the q42 convention) and the bucket is one int64 floor-division —
+    * no float boundary can flip a row between engines.
+    *
+    * Scale posture (100 TB): one scan, map-side partial counts into
+    * ≤ range/width buckets (the aggregate's key space is bounded by
+    * the VALUE RANGE, not the data — the histogram never grows);
+    * the share denominator comes from a global window over the
+    * ≤ dozen-row bucket relation (the q59/q78 bounded-relation
+    * acceptance), not a second scan. */
+  def q82Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val widthCents = 1000000L // $10,000 buckets
+    val buckets = Tables.lineitem(spark, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .select(expr(s"cents div $widthCents").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_lines"))
+    buckets
+      .withColumn("total", sum(col("n_lines")).over(
+        Window.partitionBy(lit(1))))
+      .select(col("bucket"),
+        (col("bucket") * 10000).as("lo_dollars"),
+        ((col("bucket") + 1) * 10000).as("hi_dollars"),
+        col("n_lines"),
+        round(col("n_lines").cast("double") / col("total"), 6).as("pct"))
+      .orderBy(col("bucket"))
+  }
+
   /** Time-range window frame: 30-day trailing spend per customer —
     * `rangeBetween` over the order timestamp (in seconds), a frame the
     * row-count family (q08) can't express. Partitioned by customer, so

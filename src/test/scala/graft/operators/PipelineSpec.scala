@@ -1141,7 +1141,11 @@ class PipelineSpec extends SparkSpec {
       // q80: the test-layout spread + the ≤|label|-row rollup + the
       // result sort — the projection matrix is a plan literal, so
       // the 16×64 map adds NO exchange (the q75 single-scan shape)
-      "q80_random_projection" -> 3)
+      "q80_random_projection" -> 3,
+      // q82: the value-range-bounded bucket rollup + the shared
+      // single-partition exchange serving the ≤ dozen-row global
+      // window and the result sort — the scan itself adds nothing
+      "q82_histogram" -> 2)
     val got = budgets.keys.toSeq.sorted.map(name =>
       name -> executedShuffles(graft.SparkEntry.queries(name)(spark, sfDir)))
     val bad = got.filter { case (n, g) => g != budgets(n) }

@@ -180,6 +180,26 @@ class RelationalSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - 1.0) < 1e-9, s"cohort ${r.getLong(0)} offset 0"))
   }
 
+  test("q82 histogram: buckets partition the data exactly, bounds are consistent") {
+    val rows = Relational.q82Histogram(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val prices = graft.Tables.lineitem(spark, sfDir)
+      .select("l_extendedprice").collect().map(_.getDouble(0))
+    // exact partition: bucket counts sum to the row count and match a
+    // local integer-cents binning
+    val local = prices.map(p => math.rint(p * 100).toLong / 1000000L)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_.getLong(3)).sum == prices.length.toLong)
+    assert(rows.length == local.size)
+    rows.foreach { r =>
+      assert(r.getLong(3) == local(r.getLong(0)), s"bucket ${r.getLong(0)}")
+      assert(r.getLong(1) == r.getLong(0) * 10000 &&
+        r.getLong(2) == r.getLong(1) + 10000)
+    }
+    // shares sum to ~1
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-3)
+  }
+
   test("q43 trailing window: spend includes the current order and only looks back") {
     val rows = Relational.q43RollingWindow(spark, sfDir).collect()
     assert(rows.nonEmpty)
