@@ -428,6 +428,16 @@ object Oracles {
         |  (bucket + 1) * 10000 AS hi_dollars, n_lines,
         |  round(n_lines::DOUBLE / total, 6) AS pct
         |FROM b, t ORDER BY bucket""".stripMargin,
+    // co-occurring supplier pairs per order: the oracle uses the
+    // relational self-join form the array expansion is equivalent to
+    // (distinct suppliers per order, s1 < s2, counted once per order)
+    "q83_cooccurrence" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |p AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |      FROM li a JOIN li b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)
+        |SELECT s1, s2, count(*) AS n_orders FROM p GROUP BY s1, s2
+        |ORDER BY n_orders DESC, s1, s2 LIMIT 20""".stripMargin,
   ) ++ graft.operators.Pipeline.Sql.all ++ Map(
     "q32_command_router" -> graft.operators.Router.oracleSql,
     "q33_multimodal_stats" -> graft.operators.Multimodal.oracleSql,

@@ -160,6 +160,9 @@ object SparkEntry {
     // equi-width price histogram: integer-cent buckets, map-side
     // partials into a value-range-bounded key space
     "q82_histogram" -> (Relational.q82Histogram _),
+    // market-basket co-occurrence: in-row pair expansion bounded by
+    // basket width — no self-join, two exchanges + TakeOrdered
+    "q83_cooccurrence" -> (Relational.q83CoOccurrence _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

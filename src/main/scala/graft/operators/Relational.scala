@@ -524,6 +524,36 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** Co-occurrence mining — the market-basket primitive: which
+    * supplier PAIRS appear together inside the same order, ranked by
+    * order count. The naive form is a self-join of line items on the
+    * order key — a row-blowup hazard with no bound; here each order
+    * reduces to its sorted distinct supplier set first (one exchange,
+    * map-side partial `collect_set`), and the pair expansion happens
+    * INSIDE the row as an array transform — bounded by the order's own
+    * width (≤ 7 line items in TPC-H-shaped data, ≤ k²/2 pairs), never
+    * by the corpus.
+    *
+    * Scale posture (100 TB): one exchange on the order key, one on the
+    * pair key (partial-aggregated counts), and a TakeOrdered top-20 —
+    * no join at all. A pathologically wide basket bounds its own cost
+    * (pairs grow with basket width squared, not with data volume), and
+    * the pair-count relation is capped by the supplier-pair universe,
+    * not the order count. */
+  def q83CoOccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+    val pairs = sets.select(explode(flatten(transform(col("ss"),
+      (x, i) => transform(slice(col("ss"), i + 2, size(col("ss"))),
+        y => struct(x.as("s1"), y.as("s2")))))).as("p"))
+    pairs.groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("s1"), col("s2"))
+      .limit(20)
+  }
+
   /** Time-range window frame: 30-day trailing spend per customer —
     * `rangeBetween` over the order timestamp (in seconds), a frame the
     * row-count family (q08) can't express. Partitioned by customer, so

@@ -177,6 +177,27 @@ object Curation {
         coalesce(col("clf_score") >= threshold, lit(false)))
       .drop("feats")
 
+  /** Windowed equi-width histogram — the streaming face of q82's
+    * numeric binning: values floor-divide into fixed-width integer
+    * buckets (the caller supplies the already-integer value column,
+    * q82's exact-cents convention) inside a watermarked tumbling
+    * window. State per window is bounded by the VALUE RANGE (≤
+    * range/width counter rows), not the stream — the
+    * [[windowedCmsSketch]] bounded-key-space argument applied to
+    * numeric profiling. Append mode: a window's histogram finalizes
+    * when the watermark passes its end; batch/stream bucket-for-bucket
+    * parity asserted in DedupSpec. */
+  def windowedHistogram(rows: DataFrame, valueCol: String,
+      eventTimeCol: String, windowLen: String, horizon: String,
+      width: Long): DataFrame =
+    rows
+      .select(col(eventTimeCol), expr(s"$valueCol div $width").as("bucket"))
+      .withWatermark(eventTimeCol, horizon)
+      .groupBy(window(col(eventTimeCol), windowLen), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("bucket"), col("n"))
+
   /** Running per-source quota — the streaming face of q79's
     * anti-domination cap: each source's k best documents by the SAME
     * shared classifier score ([[Pipeline.classifierFeatures]]/

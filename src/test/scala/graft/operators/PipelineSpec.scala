@@ -1145,7 +1145,10 @@ class PipelineSpec extends SparkSpec {
       // q82: the value-range-bounded bucket rollup + the shared
       // single-partition exchange serving the ≤ dozen-row global
       // window and the result sort — the scan itself adds nothing
-      "q82_histogram" -> 2)
+      "q82_histogram" -> 2,
+      // q83: the order-key basket rollup + the pair-count exchange
+      // (in-row pair expansion adds nothing; top-20 is TakeOrdered)
+      "q83_cooccurrence" -> 2)
     val got = budgets.keys.toSeq.sorted.map(name =>
       name -> executedShuffles(graft.SparkEntry.queries(name)(spark, sfDir)))
     val bad = got.filter { case (n, g) => g != budgets(n) }

@@ -200,6 +200,25 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-3)
   }
 
+  test("q83 co-occurrence: in-row pair expansion equals a local self-join, counts once per order") {
+    val rows = Relational.q83CoOccurrence(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val counts = li.groupBy(_._1).values.flatMap { ls =>
+      val ss = ls.map(_._2).sorted
+      for (i <- ss.indices; j <- i + 1 until ss.length) yield (ss(i), ss(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = counts.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+      .map { case ((a, b), n) => (a, b, n) }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // pairs are canonical (s1 < s2) and counted per order, not per line
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+
   test("q43 trailing window: spend includes the current order and only looks back") {
     val rows = Relational.q43RollingWindow(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -439,6 +439,40 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed histogram parity: finalized buckets equal a batch binning of the same window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // (cents, epoch-sec): two windows of values + a late straggler
+    val rows = Seq(
+      (1234500L, 1L), (2234500L, 3L), (1239900L, 5L),   // window [0,10)
+      (50000L, 12L), (1500000L, 14L), (1600000L, 15L),  // window [10,20)
+      (9990000L, 31L))                                  // advances watermark
+    val in = MemoryStream[(Long, Long)]
+    val data = in.toDF().toDF("cents", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val query = Curation.windowedHistogram(data, "cents", "ts",
+        windowLen = "10 seconds", horizon = "5 seconds", width = 1000000L)
+      .writeStream.format("memory").queryName("hist_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      query.processAllAvailable()
+      in.addData((1L, 60L)) // push the watermark past both windows
+      query.processAllAvailable()
+      val got = spark.table("hist_mem").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch truth: bucket = cents div width per window
+      val want = rows.groupBy(_._2 / 10).flatMap { case (w, vs) =>
+        vs.map(_._1 / 1000000L).groupBy(identity)
+          .map { case (b, xs) => (w * 10, b, xs.size.toLong) }
+      }.filter(_._1 < 30).toSet // only watermark-finalized windows
+      assert(got.intersect(want) == want, s"missing: ${want.diff(got)}; got $got")
+      // bounded state: bucket cardinality per window ≤ value range/width
+      assert(got.forall(_._2 <= 10L))
+    } finally query.stop()
+  }
+
   test("trending terms: per-window Misra-Gries candidates, heavy tokens survive, windows finalize") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String, Long)]
