@@ -428,6 +428,37 @@ object Oracles {
         |  (bucket + 1) * 10000 AS hi_dollars, n_lines,
         |  round(n_lines::DOUBLE / total, 6) AS pct
         |FROM b, t ORDER BY bucket""".stripMargin,
+    // first-order resample: the same union-spine + two window fills,
+    // with the lerp as the identical expression tree (int64 time
+    // deltas cast to double, one correctly-rounded division)
+    "q84_lerp_resample" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tsm, value FROM events),
+        |b AS (SELECT user_id, min(tsm) AS lo, max(tsm) AS hi FROM e GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(
+        |    ((lo + 21599999) // 21600000) * 21600000,
+        |    (hi // 21600000) * 21600000, 21600000)) AS t FROM b),
+        |u AS (
+        |  SELECT user_id, tsm AS ord_ts, 0 AS is_grid, event_id AS ord_id,
+        |    tsm AS ev_ts, value AS ev_v, NULL::BIGINT AS t FROM e
+        |  UNION ALL
+        |  SELECT user_id, t, 1, NULL, NULL, NULL, t FROM grid),
+        |w AS (SELECT *,
+        |  last_value(ev_ts IGNORE NULLS) OVER wb AS t0,
+        |  last_value(ev_v IGNORE NULLS) OVER wb AS v0,
+        |  first_value(ev_ts IGNORE NULLS) OVER wf AS t1,
+        |  first_value(ev_v IGNORE NULLS) OVER wf AS v1
+        |  FROM u WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY ord_ts, is_grid, ord_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY ord_ts, is_grid, ord_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, t AS grid_ms,
+        |  round(v0 + (v1 - v0) *
+        |    (CAST(t - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)), 6) AS value
+        |FROM w
+        |WHERE is_grid = 1 AND t0 IS NOT NULL AND t1 IS NOT NULL
+        |ORDER BY user_id, grid_ms""".stripMargin,
+
     // co-occurring supplier pairs per order: the oracle uses the
     // relational self-join form the array expansion is equivalent to
     // (distinct suppliers per order, s1 < s2, counted once per order)

@@ -163,6 +163,9 @@ object SparkEntry {
     // market-basket co-occurrence: in-row pair expansion bounded by
     // basket width — no self-join, two exchanges + TakeOrdered
     "q83_cooccurrence" -> (Relational.q83CoOccurrence _),
+    // first-order (lerp) resample: q19's spine machinery with a
+    // forward fill added — one user-partition exchange, no grid join
+    "q84_lerp_resample" -> (Reference.q84LerpResample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

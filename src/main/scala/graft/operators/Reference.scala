@@ -174,6 +174,63 @@ object Reference {
       .orderBy(col("target_id"), col("hour_ms"))
   }
 
+  /** T2 (first-order variant) — linear-interpolation resample: q19
+    * holds the last sample (zero-order hold, the reference's
+    * semantics); this is the other resample mode a telemetry consumer
+    * asks for — each user's value series evaluated at a regular
+    * 6-hour grid by interpolating between the surrounding events.
+    * Grid points lie strictly inside the user's span, `prev` = latest
+    * event at-or-before the grid instant (ties by event id, the q19
+    * ordKey convention), `next` = earliest event strictly after.
+    *
+    * Engine-exactness: the lerp `v0 + (v1−v0)·(t−t0)/(t1−t0)` is ONE
+    * shared expression tree over exact int64 time differences — the
+    * q42 discipline — so both engines produce bit-equal doubles before
+    * the final round-6.
+    *
+    * Scale posture (100 TB): the spine is the EVENT rows unioned with
+    * the per-user grid rows (grid size bounded by span/cell, not data
+    * volume); both fills are single-pass window frames over the same
+    * per-user ordering, so the whole resample is one user-partition
+    * exchange — no per-grid-point join, no cross join against a
+    * global calendar. */
+  def q84LerpResample(spark: SparkSession, dir: String): DataFrame = {
+    val cell = 21600000L // 6 h
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("tsm"), col("value"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("tsm")).as("lo"), max(col("tsm")).as("hi"))
+      .select(col("user_id"), explode(sequence(
+        expr(s"((lo + ${cell - 1}) div $cell) * $cell"),
+        expr(s"(hi div $cell) * $cell"),
+        lit(cell))).as("t"))
+    val spine = e.select(col("user_id"), col("tsm").as("ord_ts"),
+        lit(0).as("is_grid"), col("event_id").as("ord_id"),
+        col("tsm").as("ev_ts"), col("value").as("ev_v"),
+        lit(null).cast("long").as("t"))
+      .unionByName(grid.select(col("user_id"), col("t").as("ord_ts"),
+        lit(1).as("is_grid"), lit(null).cast("long").as("ord_id"),
+        lit(null).cast("long").as("ev_ts"),
+        lit(null).cast("double").as("ev_v"), col("t")))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ord_ts"), col("is_grid"), col("ord_id"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(1, Window.unboundedFollowing)
+    val filled = spine
+      .withColumn("t0", last(col("ev_ts"), ignoreNulls = true).over(back))
+      .withColumn("v0", last(col("ev_v"), ignoreNulls = true).over(back))
+      .withColumn("t1", first(col("ev_ts"), ignoreNulls = true).over(fwd))
+      .withColumn("v1", first(col("ev_v"), ignoreNulls = true).over(fwd))
+    filled
+      .filter(col("is_grid") === 1 && col("t0").isNotNull && col("t1").isNotNull)
+      .select(col("user_id"), col("t").as("grid_ms"),
+        round(col("v0") + (col("v1") - col("v0")) *
+          ((col("t") - col("t0")).cast("double") /
+            (col("t1") - col("t0")).cast("double")), 6).as("value"))
+      .orderBy(col("user_id"), col("grid_ms"))
+  }
+
   /** A2/A3 — last-value-per-key state: per user, the newest event (hold
     * register, `src/receiver/main.cpp:36`) plus ack-tracking aggregates
     * (`src/transmitter/main.cpp:55-75`): last send status and last

@@ -76,4 +76,41 @@ class ReferenceSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).toSeq == (1 to 8).map(i => s"Drone_$i"))
     assert(rows.forall(_.getString(2).matches("([0-9A-F]{2}:){5}[0-9A-F]{2}")))
   }
+
+  test("q84 lerp resample: grid values match a local interpolation, bounded by neighbors") {
+    val rows = Reference.q84LerpResample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cell = 21600000L
+    val events = graft.Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.unix_millis(
+          org.apache.spark.sql.functions.col("ts")).as("tsm"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = events.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val (lo, hi) = (sorted.map(_._3).min, sorted.map(_._3).max)
+      val start = (lo + cell - 1) / cell * cell
+      val stop = hi / cell * cell
+      (start to stop by cell).flatMap { t =>
+        val prev = sorted.filter(_._3 <= t).lastOption
+        val next = sorted.find(_._3 > t)
+        (prev, next) match {
+          case (Some(p), Some(n)) =>
+            val v = p._4 + (n._4 - p._4) *
+              ((t - p._3).toDouble / (n._3 - p._3).toDouble)
+            Some((u, t) -> math.rint(v * 1e6) / 1e6)
+          case _ => None
+        }
+      }
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val want = expected((r.getLong(0), r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - want) < 1e-9,
+        s"user ${r.getLong(0)} t ${r.getLong(1)}: ${r.getDouble(2)} vs $want")
+    }
+  }
 }
