@@ -199,12 +199,17 @@ object Reference {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
         unix_millis(col("ts")).as("tsm"), col("value"))
+    // A span that contains no grid point (single event, or lo..hi inside
+    // one cell) makes start > stop, where Spark's `sequence` throws while
+    // the oracle's generate_series returns empty — guard to an empty
+    // array (explode drops it) so such users simply emit no grid rows.
+    val gridStart = expr(s"((lo + ${cell - 1}) div $cell) * $cell")
+    val gridStop = expr(s"(hi div $cell) * $cell")
     val grid = e.groupBy(col("user_id"))
       .agg(min(col("tsm")).as("lo"), max(col("tsm")).as("hi"))
-      .select(col("user_id"), explode(sequence(
-        expr(s"((lo + ${cell - 1}) div $cell) * $cell"),
-        expr(s"(hi div $cell) * $cell"),
-        lit(cell))).as("t"))
+      .select(col("user_id"), explode(
+        when(gridStart <= gridStop, sequence(gridStart, gridStop, lit(cell)))
+          .otherwise(array().cast("array<long>"))).as("t"))
     val spine = e.select(col("user_id"), col("tsm").as("ord_ts"),
         lit(0).as("is_grid"), col("event_id").as("ord_id"),
         col("tsm").as("ev_ts"), col("value").as("ev_v"),

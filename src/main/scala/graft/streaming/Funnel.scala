@@ -41,12 +41,25 @@ case class FunnelProgress(userId: Long, viewMs: Option[Long],
   * the same single user partitioning as batch q77. */
 object Funnel {
 
+  /** Funnel-stage order for same-timestamp folding; unknown types sort
+    * last (they never advance the state machine anyway). */
+  private[streaming] def stageRank(eventType: String): Int = eventType match {
+    case "view" => 0
+    case "click" => 1
+    case "purchase" => 2
+    case _ => 3
+  }
+
   private def fold(userId: Long, events: Iterator[FunnelEvent],
       state: GroupState[FunnelProgress]): FunnelProgress = {
     var cur = state.getOption
       .getOrElse(FunnelProgress(userId, None, None, None))
-    // intra-batch sort: bounded by one trigger's per-user volume
-    events.toSeq.sortBy(_.tsm).foreach { e =>
+    // intra-batch sort: bounded by one trigger's per-user volume.
+    // Secondary key = stage rank (view < click < purchase) so a click
+    // sharing its timestamp with the user's first view folds AFTER the
+    // view and counts, matching batch q77's `tsm >= view_ms` semantics
+    // on ties regardless of arrival order.
+    events.toSeq.sortBy(e => (e.tsm, Funnel.stageRank(e.eventType))).foreach { e =>
       cur = e.eventType match {
         case "view" if cur.viewMs.isEmpty =>
           cur.copy(viewMs = Some(e.tsm))
