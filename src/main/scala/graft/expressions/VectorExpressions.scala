@@ -128,6 +128,135 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment against a DRIVER-CONSTANT centroid
+  * matrix as one native expression: for each input vector `e`, return
+  * the label maximizing `round(cos(e, c), 6) · 1e12 + label` — the
+  * exact argmax key of `Pipeline.assignToCentroids` (the key embeds
+  * the label, so ties on the rounded cosine resolve to the larger
+  * label, like `max_by`'s tie-break column; keys are unique because
+  * labels are).
+  *
+  * Why an expression and not a literal-array `array_max`: k centroids
+  * as an `array(struct(...))` literal inline k dot-product loops plus
+  * k struct writers into the generated projection — at k = 64 the
+  * method blows past the JIT's compilable size and the whole stage
+  * falls back to uncompiled bytecode (measured 3× on q61). Here the
+  * matrix rides along as reference objects (flattened row-major, plus
+  * per-centroid norms precomputed once on the driver with the same
+  * sequential accumulation as `vecNorm`) and the generated code is two
+  * nested Java loops of constant size, independent of k.
+  *
+  * Float semantics are bit-identical to the Column form
+  * `max_by(label, round(vecCosine(e, cvec), 6) * 1e12 + label)`:
+  * sequential dot accumulation, `dot / (norm_e · norm_c)`
+  * parenthesization, and Spark `round`'s exact HALF_UP decimal
+  * rounding (`BigDecimal.valueOf(d).setScale(6, HALF_UP)` — the same
+  * shortest-representation path Spark's `Round` takes for doubles).
+  * Parity is asserted in VectorExpressionsSpec against the crossJoin +
+  * max_by derivation on random vectors.
+  *
+  * A vector whose length differs from the centroid dimensionality
+  * yields NULL (surfaced, not mis-scored). */
+case class CentroidArgmax(child: Expression,
+    labels: Array[Long], cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(labels.length == cents.length && labels.nonEmpty,
+    "labels and centroids must be equal-length and non-empty")
+  require(labels.distinct.length == labels.length,
+    "centroid labels must be distinct (the argmax key embeds the label)")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true // null on dimension mismatch
+  override def prettyName: String = "centroid_argmax"
+
+  private lazy val dims = cents(0).length
+  // row-major flattening: one reference object instead of k
+  private lazy val flat: Array[Double] = {
+    require(cents.forall(_.length == dims), "ragged centroid matrix")
+    val out = new Array[Double](cents.length * dims)
+    var c = 0
+    while (c < cents.length) {
+      System.arraycopy(cents(c), 0, out, c * dims, dims); c += 1
+    }
+    out
+  }
+  // per-centroid norms, sequential accumulation (vecNorm parity)
+  private lazy val norms: Array[Double] = cents.map { v =>
+    var acc = 0.0; var i = 0
+    while (i < v.length) { acc += v(i) * v(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Spark `Round(..., 6)` for doubles, exactly. */
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def nullSafeEval(a: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    if (e.numElements() != dims) null
+    else {
+      var ne = 0.0
+      var i = 0
+      while (i < dims) { val v = e.getDouble(i); ne += v * v; i += 1 }
+      val normE = math.sqrt(ne)
+      var best = Double.NegativeInfinity
+      var bestLabel = 0L
+      var c = 0
+      while (c < labels.length) {
+        var dot = 0.0
+        var j = 0
+        while (j < dims) { dot += e.getDouble(j) * flat(c * dims + j); j += 1 }
+        val key = round6(dot / (normE * norms(c))) * 1000000000000.0 + labels(c)
+        if (key > best) { best = key; bestLabel = labels(c) }
+        c += 1
+      }
+      bestLabel
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("centFlat", flat, "double[]")
+    val labelsRef = ctx.addReferenceObj("centLabels", labels, "long[]")
+    val normsRef = ctx.addReferenceObj("centNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, e => {
+      val ne = ctx.freshName("ne"); val normE = ctx.freshName("normE")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val dot = ctx.freshName("dot")
+      val key = ctx.freshName("key"); val best = ctx.freshName("best")
+      val bestLabel = ctx.freshName("bestLabel")
+      val v = ctx.freshName("v")
+      s"""
+         |if ($e.numElements() != $dims) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $ne = 0.0;
+         |  for (int $i = 0; $i < $dims; $i++) {
+         |    double $v = $e.getDouble($i); $ne += $v * $v;
+         |  }
+         |  double $normE = java.lang.Math.sqrt($ne);
+         |  double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |  long $bestLabel = 0L;
+         |  for (int $c = 0; $c < ${labels.length}; $c++) {
+         |    double $dot = 0.0;
+         |    for (int $j = 0; $j < $dims; $j++) {
+         |      $dot += $e.getDouble($j) * $flatRef[$c * $dims + $j];
+         |    }
+         |    double $key = java.math.BigDecimal.valueOf($dot / ($normE * $normsRef[$c]))
+         |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+         |      * 1000000000000.0 + $labelsRef[$c];
+         |    if ($key > $best) { $best = $key; $bestLabel = $labelsRef[$c]; }
+         |  }
+         |  ${ev.value} = $bestLabel;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidArgmax =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the native vector expressions. */
 object VectorFunctions {
 
@@ -145,6 +274,14 @@ object VectorFunctions {
   /** Cosine similarity via the native dot product. */
   def vecCosine(a: Column, b: Column): Column =
     vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+
+  /** Codegen'd nearest-centroid label (see [[CentroidArgmax]]):
+    * argmax over `(label, centroid)` pairs of the
+    * `round(cos, 6)·1e12 + label` assignment key. */
+  def centroidArgmax(e: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    SqlBridge.column(CentroidArgmax(
+      SqlBridge.expression(asDouble(e)),
+      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
 
   /** Codegen'd |a ∩ b| for ascending-sorted duplicate-free
     * `array<long>` (see [[SortedIntersectSize]]). */

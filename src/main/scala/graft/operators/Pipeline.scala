@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.expressions.VectorFunctions.{vecCosine, vecDot, vecNorm}
+import graft.expressions.VectorFunctions.{centroidArgmax, vecCosine, vecDot, vecNorm}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -504,6 +504,70 @@ object Pipeline {
           srpSignature(col("e")).bitwiseAND(col("mask"))).as("cluster"),
         col("mask"))
     (fine, () => { asg.unpersist(blocking = false); () })
+  }
+
+  /** [[corpusScaledClusters]] as PURE MAP STAGES over `base` — zero
+    * joins, zero exchanges, nothing resident. `base` is scanned twice
+    * (the occupancy pass here, plus the caller materializing the
+    * result); callers that read the returned membership repeatedly
+    * persist IT, the one copy worth keeping (q51/q61).
+    * The centroid relation is collected (a bounded
+    * snapshot: k is corpus-scaled but capped at 64 — the same
+    * bounded-by-construction discipline as q60's 3-row sketch) into
+    * the [[graft.expressions.CentroidArgmax]] native expression, so
+    * the coarse argmax runs per-row as two codegen'd Java loops; the
+    * per-coarse occupancy (≤ 64 rows, one partial-aggregated pass over
+    * `base`) re-enters the plan as a map literal for the per-cluster
+    * sub-bucket mask.
+    *
+    * Why this exists (VERDICT r11 §next-1): q51/q61 used to persist
+    * the fine membership AS WELL AS the base embeddings — two resident
+    * wide copies that evicted each other under the driver bench's heap
+    * pressure (q61 samples 6.96/8.47/11.29 s on identical code, flat
+    * GC). The join-based assignment forced that double residency: its
+    * crossJoin + argmax aggregate + corpus join-back re-ran the whole
+    * pipeline on every read unless both stages were cached. As two map
+    * stages the membership derivation costs ~100 codegen'd dot
+    * products per row on top of a parquet scan, so only the RESULT is
+    * worth keeping resident — at 100 TB the difference between caching
+    * the corpus once and caching it twice.
+    *
+    * Semantics are IDENTICAL to [[corpusScaledClusters]]: same
+    * cos6·1e12+label argmax key (the key embeds the label, so ties
+    * resolve to the larger label exactly like max_by's tie-break
+    * column — parity asserted in VectorExpressionsSpec), same
+    * occupancy-derived bit counts, same composite cluster id; the
+    * DuckDB twins are untouched. */
+  private[operators] def mapSideFineClusters(base: DataFrame, cent: DataFrame,
+      targetOcc: Int): DataFrame = {
+    val cents = cent
+      .select(col("label").cast("long").as("label"),
+        col("cvec").cast("array<double>").as("cvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    require(cents.nonEmpty, "empty centroid relation")
+    // the argmax is ONE native expression (two nested Java loops over
+    // reference objects), not a k-literal array_max — at k = 64 the
+    // literal form blew the JIT method limit and ran uncompiled
+    val coarse = centroidArgmax(col("e"), cents)
+    // one bounded aggregate pass over (the caller's cached) base: the
+    // coarse occupancy that sizes each cluster's sub-bucket bit count
+    val occ = base.select(coarse.as("coarse"))
+      .groupBy(col("coarse")).agg(count(lit(1)).as("n_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side twin of [[occBitsCol]](n, 0, targetOcc): smallest b
+    // with targetOcc·2^b ≥ n_c — identical double comparison, so the
+    // literal masks match the in-plan derivation bit for bit
+    def occBits(n: Long): Int =
+      (0 to MaxHyperplanes).find(b =>
+        targetOcc.toDouble * math.pow(2.0, b) >= n.toDouble)
+        .getOrElse(MaxHyperplanes)
+    val masks: Map[Long, Long] =
+      occ.map { case (c, n) => (c, (1L << occBits(n)) - 1L) }.toMap
+    val maskCol = element_at(typedlit(masks), coarse)
+    base.select(col("vec_id"), col("e"),
+      (coarse * lit(4294967296L) +
+        srpSignature(col("e")).bitwiseAND(maskCol)).as("cluster"),
+      maskCol.as("mask"))
   }
 
   /** Hamming-1 MULTI-PROBE expansion of a fine-cluster relation: each
@@ -1551,6 +1615,8 @@ object Pipeline {
     * asserted in PipelineSpec). Returns `(label, cvec)` with label =
     * the seed's vec_id. */
   def kMeansCentroids(e: DataFrame, iters: Int = 1): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val nRel = e.agg(count(lit(1)).as("n"))
     val hashed = e.withColumn("sh",
       pmod(portableHash(concat(lit("seed:"), col("vec_id").cast("string"))),
@@ -1561,18 +1627,31 @@ object Pipeline {
     // return empty. The vector holding the global MINIMUM hash always
     // seeds (a broadcast one-row aggregate, deterministic both engines).
     val minRel = hashed.agg(min(col("sh")).as("sh_min"))
-    var cent = hashed.crossJoin(broadcast(nRel)).crossJoin(broadcast(minRel))
+    // the seed set is BOUNDED by construction (≤ 64 + the floor row) —
+    // collected so Lloyd refinement runs as the native map-side argmax
+    // ([[graft.expressions.CentroidArgmax]]) over one corpus scan per
+    // iteration, instead of a centroid crossJoin + max_by aggregate +
+    // corpus join-back (two corpus-wide exchanges per iteration that
+    // existed only to carry the assignment back to the vectors)
+    var cents: Seq[(Long, Seq[Double])] = hashed
+      .crossJoin(broadcast(nRel)).crossJoin(broadcast(minRel))
       .withColumn("thr", expr("least(64, (n + 31) div 32) * 1000000 div n"))
       .filter(col("sh") < col("thr") || col("sh") === col("sh_min"))
-      .select(col("vec_id").as("label"), col("e").as("cvec"))
+      .select(col("vec_id").cast("long").as("label"),
+        col("e").cast("array<double>").as("cvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     for (_ <- 1 to iters)
-      cent = e.join(assignToCentroids(e, cent), "vec_id")
-        .select(col("cluster").as("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      // per-dimension partial-aggregated mean, rounded to 6 decimals so
+      // both engines carry identical centroids (the Lloyd step); the
+      // ≤ 64·dims aggregate result is bounded, so the collect is too
+      cents = e.select(centroidArgmax(col("e"), cents).as("label"),
+          posexplode(col("e").cast("array<double>")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos")).agg(round(avg(col("v")), 6).as("cavg"))
         .groupBy(col("label")).agg(collect_list(struct(col("pos"), col("cavg"))).as("tmp"))
         .select(col("label"),
           transform(array_sort(col("tmp")), s => s.getField("cavg")).as("cvec"))
-    cent
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    cents.toDF("label", "cvec")
   }
 
   /** L2/L3 — corpus-derived k-means clustering report: the
@@ -1636,33 +1715,50 @@ object Pipeline {
     * dominance test is a cluster-bucketed self-join (one hash
     * shuffle), and the verdict aggregation is map-side partial. */
   def q51SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: members feeds both sides of the dominance self-join
-    // and the final rollup (q31's persisted-index rationale)
-    val (fine, release) = corpusScaledClustersWithRelease(
-      dupEmbeddings(spark, dir), labelCentroids(spark, dir),
-      ClusterTargetOccupancy)
-    val members = fine
+    // ONE resident relation (r11 brief #1a, adjudicated by measurement
+    // in PLANS.md §single-persist): the fine MEMBERSHIP is the copy
+    // worth keeping — it feeds all three dominance-report reads — and
+    // the base embeddings are never persisted at all: with the
+    // assignment now pure map stages ([[mapSideFineClusters]]), base
+    // is scanned a bounded number of times at construction (occupancy
+    // + fill here; + seed/Lloyd in q61) and each scan is a plain
+    // parquet read, cheaper than a second resident wide copy evicting
+    // this one under suite heap pressure (the r11 driver ramp).
+    val members = mapSideFineClusters(dupEmbeddings(spark, dir),
+      labelCentroids(spark, dir), ClusterTargetOccupancy)
       .persist(CacheLevel)
-    // eager materialization so the internal assignment cache is
-    // released before the query returns (q31's discipline);
-    // count() = internal-row path, no per-row deserialization
     members.count()
-    release()
-    // the dominating side is MULTI-PROBED ([[hammingProbes]]): a dup
-    // pair split by one hyperplane still meets in the flipped bucket,
-    // so recall no longer decays with the (corpus-scaled) bit count
+    dominanceReport(members)
+  }
+
+  /** The SemDeDup dominance step + per-cluster rollup shared by q51
+    * (given centroids) and q61 (derived centroids): mark every vector
+    * dominated by a smaller-id cluster-mate with cosine ≥ 0.99, report
+    * (cluster, n_docs, n_removed, n_kept).
+    *
+    * The dominating side is MULTI-PROBED ([[hammingProbes]]): a dup
+    * pair split by one hyperplane still meets in the flipped bucket,
+    * so recall doesn't decay with the (corpus-scaled) bit count.
+    *
+    * The rollup is AGGREGATE-THEN-JOIN, not join-back: cluster is
+    * functionally dependent on vec_id, so the removed set keeps its
+    * cluster from the dominance join and both report inputs reduce to
+    * ≤ |clusters| rows BEFORE they meet — the old form joined the
+    * full membership against the removed set on vec_id, one more
+    * corpus-wide exchange for the same answer. */
+  private def dominanceReport(members: DataFrame): DataFrame = {
     val smaller = hammingProbes(members).select(col("cluster"),
       col("vec_id").as("smaller_id"), col("e").as("se"))
     val removed = members.join(smaller, "cluster")
       .filter(col("smaller_id") < col("vec_id") &&
         round(vecCosine(col("e"), col("se")), 4) >= CosineDupThreshold)
-      .select(col("vec_id")).distinct()
-      .withColumn("hit", lit(1))
-    members.join(removed, Seq("vec_id"), "left")
-      .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_docs"),
-        count(col("hit")).as("n_removed"),
-        (count(lit(1)) - count(col("hit"))).as("n_kept"))
+      .select(col("cluster"), col("vec_id")).distinct()
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_removed"))
+    members.groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
+      .join(removed, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_docs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_docs") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
       .orderBy(col("cluster"))
   }
 
@@ -1683,30 +1779,19 @@ object Pipeline {
     * protects recall, and the base relation is persisted once (it
     * feeds seeding, two assignment passes, and the dominance join). */
   def q61DerivedSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    // ONE resident relation — the fine membership (q51's rationale).
+    // Construction scans the unpersisted base four times (seeding,
+    // one Lloyd pass, occupancy, membership fill), each a plain
+    // parquet scan + map-side math: with [[kMeansCentroids]] and
+    // [[mapSideFineClusters]] both driver-iterated over the native
+    // argmax, no corpus-wide exchange exists anywhere before the
+    // dominance join itself.
     val base = dupEmbeddings(spark, dir)
+    val members = mapSideFineClusters(base,
+      kMeansCentroids(base), ClusterTargetOccupancy)
       .persist(CacheLevel)
-    val (fine, release) = corpusScaledClustersWithRelease(
-      base, kMeansCentroids(base), ClusterTargetOccupancy)
-    val members = fine
-      .persist(CacheLevel)
-    // eager internal-row materialization, then release the internal
-    // caches before the query returns (q31/q51's discipline)
     members.count()
-    release()
-    base.unpersist(blocking = false)
-    val smaller = hammingProbes(members).select(col("cluster"),
-      col("vec_id").as("smaller_id"), col("e").as("se"))
-    val removed = members.join(smaller, "cluster")
-      .filter(col("smaller_id") < col("vec_id") &&
-        round(vecCosine(col("e"), col("se")), 4) >= CosineDupThreshold)
-      .select(col("vec_id")).distinct()
-      .withColumn("hit", lit(1))
-    members.join(removed, Seq("vec_id"), "left")
-      .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_docs"),
-        count(col("hit")).as("n_removed"),
-        (count(lit(1)) - count(col("hit"))).as("n_kept"))
-      .orderBy(col("cluster"))
+    dominanceReport(members)
   }
 
   /** Count-Min sketch geometry: depth 4 hash rows × width 1024

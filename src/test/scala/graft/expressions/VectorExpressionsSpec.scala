@@ -86,6 +86,48 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("centroid_argmax matches the crossJoin + max_by derivation on random vectors") {
+    // the Column form whose DuckDB parity carries the q51/q61 oracle:
+    // max_by(label, round(cos, 6)*1e12 + label) over a broadcast
+    // centroid relation — the native expression must agree row-for-row
+    val rnd = new scala.util.Random(20260813L)
+    val cents = (0 until 64).map(k =>
+      ((k * 37 + 5).toLong, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val vecs = (0 until 500).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    // include exact centroid copies so some cosines hit 1.0 exactly
+    val rows = vecs ++ cents.take(8).zipWithIndex.map { case ((_, v), i) =>
+      (1000L + i, v)
+    }
+    val e = rows.toDF("vec_id", "e")
+    val c = cents.toDF("label", "cvec")
+    val viaJoin = e.crossJoin(broadcast(c))
+      .withColumn("cos6", round(vecCosine(col("e"), col("cvec")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("label"),
+        col("cos6") * 1000000000000.0 + col("label")).as("cluster"))
+    val viaNative = e.select(col("vec_id"),
+      centroidArgmax(col("e"), cents).as("cluster"))
+    val j = viaJoin.withColumnRenamed("cluster", "jc")
+      .join(viaNative, "vec_id").collect()
+    assert(j.length == rows.length)
+    j.foreach(r => assert(r.getAs[Long]("jc") == r.getAs[Long]("cluster"),
+      s"vec ${r.getAs[Long]("vec_id")}: join says ${r.getAs[Long]("jc")}, " +
+        s"native says ${r.getAs[Long]("cluster")}"))
+  }
+
+  test("centroid_argmax: dimension mismatch is NULL, interpreted path agrees") {
+    val cents = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+    val df = Seq((Seq(3.0, 1.0), Seq(1.0, 2.0, 3.0))).toDF("ok", "bad")
+    assert(df.select(centroidArgmax(col("ok"), cents)).head().getLong(0) == 1L)
+    assert(df.select(centroidArgmax(col("bad"), cents)).head().isNullAt(0))
+    // inside a HOF lambda → interpreted eval path
+    val hof = Seq(Seq(Seq(3.0, 1.0), Seq(1.0, 4.0))).toDF("vs")
+      .select(transform(col("vs"), v => centroidArgmax(v, cents)).as("c"))
+      .head().getSeq[Long](0)
+    assert(hof == Seq(1L, 2L))
+  }
+
   test("the native expression participates in whole-stage codegen") {
     // spark.range input: a literal table would be constant-folded into
     // a LocalTableScan before any codegen could be observed

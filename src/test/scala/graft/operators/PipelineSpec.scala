@@ -655,18 +655,24 @@ class PipelineSpec extends SparkSpec {
       // members ⋈ broadcast(q) → TopK agg pair collapses to ONE
       // exchange + the 50-row result orderBy
       "q31" -> (Pipeline.q31IvfAnn(spark, sfDir), 2),
-      // dominance join on cached cluster keys (no exchange: both sides
-      // read the persisted membership) + removed-set distinct + rollup
-      // agg + result orderBy, with AQE folding the distinct into the
-      // join-back
-      "q51" -> (Pipeline.q51SemanticDedup(spark, sfDir), 3),
+      // single-persist design (r11 brief #1a): the mapSideFineClusters
+      // membership is the ONE resident relation (cached on the scan
+      // partitioning, so both dominance sides exchange on cluster: 2)
+      // + the n_docs rollup aggregate (1) + result orderBy (1). The
+      // removed set's distinct/groupBy reuse the join's cluster
+      // partitioning (no exchange), and the ≤|clusters|-row report
+      // join broadcasts. One more small exchange than the old
+      // double-persist shape, but the corpus-wide join-back on vec_id
+      // is GONE and base is never resident at all
+      "q51" -> (Pipeline.q51SemanticDedup(spark, sfDir), 4),
       // quantized shortlist TopK agg + shortlist join-back + exact
       // re-rank TopK agg + result orderBy
       "q55" -> (Pipeline.q55QuantizedAnn(spark, sfDir), 4),
-      // q51's exact shape over derived centroids — same dominance plan,
-      // same three exchanges (the k-means stages hide behind the
-      // persisted membership, paid once at index build)
-      "q61" -> (Pipeline.q61DerivedSemanticDedup(spark, sfDir), 3))
+      // q51's exact shape over derived centroids — same dominance
+      // plan, same four exchanges (the driver-iterated seed/Lloyd/
+      // occupancy passes are plain scans with bounded collects and run
+      // at build time, before this executed plan)
+      "q61" -> (Pipeline.q61DerivedSemanticDedup(spark, sfDir), 4))
     budgets.foreach { case (name, (df, expected)) =>
       val got = executedShuffles(df)
       assert(got == expected, s"$name: $got exchanges, design says $expected — " +
