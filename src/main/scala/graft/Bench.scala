@@ -14,6 +14,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // 1-min load average BEFORE Spark spins up its own threads — the
+    // "was the machine already busy" part of the env fingerprint
+    val loadAvgStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core: the driver only contracts SPARK_GRAFT_SF_DIR,
     // and an unset override must not quietly run the bench on local[4]
@@ -100,13 +104,50 @@ object Bench {
     def resetHeapPeaks(): Unit =
       heapPools.forEach(p =>
         if (p.getType == java.lang.management.MemoryType.HEAP) p.resetPeakUsage())
-    case class Sample(sec: Double, gcMs: Long, heapMb: Long)
+    // Per-sample STORAGE attribution (VERDICT r11 §next-1c): the r11
+    // driver ramps (q61 6.96/8.47/11.29 s, flat GC) could only be
+    // argued to be cache eviction → recompute — the artifact had no
+    // storage fields. Two listener counters, RDD blocks only, read as
+    // deltas around the timed region (the untimed clearCache between
+    // samples drops blocks by design and must not pollute them):
+    //   evict = storage blocks REMOVED mid-run (an eviction, or an
+    //           unpersist racing the run — either way a resident
+    //           relation lost mid-query, the recompute trigger);
+    //   disk  = storage blocks WRITTEN TO DISK mid-run (the graceful
+    //           MEMORY_AND_DISK degradation: slower, but no recompute).
+    val evictBlocks = new java.util.concurrent.atomic.AtomicLong
+    val diskBlocks = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onBlockUpdated(
+            e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit =
+          if (e.blockUpdatedInfo.blockId.isRDD) {
+            val lvl = e.blockUpdatedInfo.storageLevel
+            if (!lvl.isValid) evictBlocks.incrementAndGet()
+            else if (lvl.useDisk && e.blockUpdatedInfo.diskSize > 0)
+              diskBlocks.incrementAndGet()
+          }
+      })
+    // storage-memory occupancy after a run: how much resident cache
+    // the sample ENDED with (the other half of eviction attribution —
+    // a near-full pool plus mid-run drops is pressure; drops with an
+    // empty pool is a lifecycle bug)
+    def storageUsedMb(): Long = {
+      var used = 0L
+      spark.sparkContext.getExecutorMemoryStatus.values.foreach {
+        case (max, remaining) => used += (max - remaining)
+      }
+      used >> 20
+    }
+    case class Sample(sec: Double, gcMs: Long, heapMb: Long,
+        evict: Long, disk: Long, storMb: Long)
     case class QueryResult(name: String, median: Sample, samples: Seq[Sample])
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results: Seq[QueryResult] = names.map { name =>
       val samples = (1 to repeat).map { _ =>
         resetHeapPeaks()
         val gc0 = gcMillis()
+        val ev0 = evictBlocks.get(); val dk0 = diskBlocks.get()
         val t0 = System.nanoTime()
         try run(name)
         catch { case e: Throwable =>
@@ -114,7 +155,8 @@ object Bench {
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        val s = Sample(elapsed, gcMillis() - gc0, heapPeakMb())
+        val s = Sample(elapsed, gcMillis() - gc0, heapPeakMb(),
+          evictBlocks.get() - ev0, diskBlocks.get() - dk0, storageUsedMb())
         // Between runs (untimed): drop any relations the previous run
         // persisted (q24/q31 materialize reused stages) and let the
         // cleaner reclaim shuffle/broadcast blocks, so each measurement
@@ -144,10 +186,41 @@ object Bench {
         if (samples.size % 2 == 1) samples(mid)
         else Sample((samples(mid - 1).sec + samples(mid).sec) / 2.0,
           (samples(mid - 1).gcMs + samples(mid).gcMs) / 2,
-          (samples(mid - 1).heapMb max samples(mid).heapMb))
+          (samples(mid - 1).heapMb max samples(mid).heapMb),
+          (samples(mid - 1).evict max samples(mid).evict),
+          (samples(mid - 1).disk max samples(mid).disk),
+          (samples(mid - 1).storMb max samples(mid).storMb))
       QueryResult(name, median, samples)
     }
     val ok = results.filter(r => !errors.contains(r.name))
+    // Environment fingerprint (VERDICT r11 §next-4): three same-code
+    // totals spanned 48.5→100.4 s across boots/hosts in r11, each
+    // adjudicated by prose. These fields make the drift self-
+    // adjudicating from the artifact: same boot_id + similar load →
+    // comparable numbers; different boot or a loaded machine → the
+    // artifact says so itself.
+    def firstLine(p: String): String =
+      try {
+        val src = scala.io.Source.fromFile(p)
+        try src.getLines().nextOption().getOrElse("") finally src.close()
+      } catch { case _: Throwable => "" }
+    val cpuModel =
+      try {
+        val src = scala.io.Source.fromFile("/proc/cpuinfo")
+        try src.getLines().find(_.startsWith("model name"))
+          .map(_.dropWhile(_ != ':').drop(1).trim).getOrElse("unknown")
+        finally src.close()
+      } catch { case _: Throwable => "unknown" }
+    val bootId = firstLine("/proc/sys/kernel/random/boot_id").take(8)
+    val uptimeSec = firstLine("/proc/uptime").split(" ").headOption
+      .flatMap(_.toDoubleOption).getOrElse(-1.0)
+    val heapMaxMb = Runtime.getRuntime.maxMemory >> 20
+    def jstr(s: String): String =
+      "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(48) + "\""
+    def envJson: String =
+      s"""{"cpu":${jstr(cpuModel)},"load1m":${fmt(loadAvgStart)},""" +
+        s""""boot":${jstr(bootId)},"up_s":${fmt(uptimeSec, 0)},""" +
+        s""""heap_max_mb":$heapMaxMb,"master":"local[$cpus]"}"""
     // The driver captures only the last ~2000 chars of process output;
     // at 59 queries the full-precision line (~2030 chars + sbt's
     // success footer) overflowed that window and truncated the head
@@ -161,7 +234,14 @@ object Bench {
     def fmt(v: Double, scale: Int = 2): String =
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
-    val qs = ok.map(r => "\"" + r.name + "\":" + fmt(r.median.sec))
+    // SHORT query keys (q61, not q61_derived_semantic_dedup) in the
+    // tail line: at 84 queries the full-name map alone is ~2100 chars
+    // and the r11 line's HEAD was truncated out of the driver's
+    // ~2000-char capture window (BENCH_r11.json opens mid-key). Short
+    // keys bring the whole line back inside the window; full names
+    // live in BENCH_DETAILS.json.
+    val qs = ok.map(r =>
+      "\"" + r.name.takeWhile(_ != '_') + "\":" + fmt(r.median.sec))
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -181,12 +261,16 @@ object Bench {
     detail.append("{\n")
     detail.append(s""" "sf":"$sfDir","repeat":$repeat,"cpus":$cpus,""")
     detail.append(s""""total_sec":${fmt(total, 3)},"gc_total_ms":$gcTotal,"heap_peak_mb":$heapPeak,"n_failed":${errors.size},""")
+    detail.append(s"""\n "env":$envJson,""")
     detail.append("\n \"queries\":{\n")
     detail.append(results.map { r =>
       val ss = r.samples.map(s => fmt(s.sec, 3)).mkString("[", ",", "]")
       val gs = r.samples.map(_.gcMs).mkString("[", ",", "]")
       val hs = r.samples.map(_.heapMb).mkString("[", ",", "]")
-      s"""  "${r.name}":{"sec":${fmt(r.median.sec, 3)},"gc_ms":${r.median.gcMs},"heap_mb":${r.median.heapMb},"samples_sec":$ss,"samples_gc_ms":$gs,"samples_heap_mb":$hs}"""
+      val es = r.samples.map(_.evict).mkString("[", ",", "]")
+      val ds = r.samples.map(_.disk).mkString("[", ",", "]")
+      val ms = r.samples.map(_.storMb).mkString("[", ",", "]")
+      s"""  "${r.name}":{"sec":${fmt(r.median.sec, 3)},"gc_ms":${r.median.gcMs},"heap_mb":${r.median.heapMb},"samples_sec":$ss,"samples_gc_ms":$gs,"samples_heap_mb":$hs,"samples_evicted_blocks":$es,"samples_disk_blocks":$ds,"samples_storage_mb":$ms}"""
     }.mkString("", ",\n", "\n"))
     detail.append(" },\n")
     detail.append(s""" "errors":$errJson\n}\n""")
@@ -200,6 +284,9 @@ object Bench {
     // itself logs must flush BEFORE the JSON line — the driver captures
     // the output tail, and a log line after the JSON breaks its parse
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"gc_ms":$gcTotal,"gc_top":$gcTop,"heap_mb":$heapPeak,"errors":$errJson,"n_failed":${errors.size},"repeat":$repeat,"sf":"$sfDir"}""")
+    // evictions across all timed samples: nonzero here + a slow
+    // trailing sample = residency pressure, attributed by the artifact
+    val evictTotal = results.flatMap(_.samples).map(_.evict).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"gc_ms":$gcTotal,"gc_top":$gcTop,"heap_mb":$heapPeak,"evicted_blocks":$evictTotal,"env":$envJson,"errors":$errJson,"n_failed":${errors.size},"repeat":$repeat,"sf":"$sfDir"}""")
   }
 }

@@ -687,8 +687,17 @@ object Pipeline {
         transform(col("ord"), s => s.getField("h")).as("hs"))
       .withColumn("hs_sorted", array_sort(col("hs")))
       // referenced three times (prefix explode + both verification
-      // sides) — same materialization rationale as q24's shingles
-      .persist(CacheLevel)
+      // sides) — same materialization rationale as q24's shingles,
+      // but as an EAGER lineage-truncating localCheckpoint rather
+      // than a lazy persist: a persisted block that falls out of
+      // storage silently degrades to recomputing the whole
+      // gram→df→sort pipeline ONCE PER READ (the r11 driver's
+      // 13.7 s trailing sample on this exact relation, 3.7× its
+      // median); checkpoint blocks at MEMORY_AND_DISK_SER spill to
+      // disk instead of degrading, so the three reads pay at most a
+      // local disk read under any heap pressure (VERDICT r12 brief
+      // #1b)
+      .localCheckpoint(true, CacheLevel)
     // prefix size p = |S| - ceil(t·|S|) + 1 with t = 0.8, in INTEGER
     // arithmetic (ceil(0.8s) = (4s+4) div 5): float ceil(0.8*s) rounds
     // up on ulp noise and silently shrinks the prefix — a recall bug,
@@ -1001,10 +1010,23 @@ object Pipeline {
     * (bit = pow(2, pos&31): exponent ≤ 31, exact in doubles) — no UDF.
     * Size `bits` to the SMALL side's cardinality; the small side of
     * this asymmetry (eval sets, daily crawl batches) does not grow
-    * with the corpus, so neither does the filter. */
+    * with the corpus, so neither does the filter.
+    *
+    * The width is capped at 2^24 bits (a 2 MB long-array literal):
+    * the filter rides the PLAN as one literal array, serialized into
+    * every task binary — at 2^24 that is 2 MB (fine, the broadcast-
+    * threshold class); at the old 2^30 cap it would be a 256 MB
+    * literal in every serialized task, three orders of magnitude past
+    * where the plan-literal technique is sane. A small side needing
+    * more than ~16M distinct bits has stopped being the small side of
+    * the asymmetry — use a real broadcast-hash semi-join instead
+    * (VERDICT r11 §wrong-2). */
   private[operators] def bloomMightContain(keys: DataFrame,
       bloomBits: Int): Column => Column = {
-    require(bloomBits >= 5 && bloomBits <= 30, "bloomBits in [5, 30]")
+    require(bloomBits >= 5 && bloomBits <= 24,
+      "bloomBits in [5, 24]: the filter is a plan-literal array " +
+        "(2^bits/8 bytes in every task binary); past 2 MB use a " +
+        "broadcast join, not a wider literal")
     val m = 1L << bloomBits
     val keyCol = col(keys.columns.head)
     val pos = pmod(keyCol, lit(m))
@@ -1027,7 +1049,7 @@ object Pipeline {
     * prove false positives cannot change the answer. */
   private[operators] def contaminationReport(spark: SparkSession, dir: String,
       bloomBits: Int): DataFrame = {
-    require(bloomBits >= 5 && bloomBits <= 30, "bloomBits in [5, 30]")
+    require(bloomBits >= 5 && bloomBits <= 24, "bloomBits in [5, 24]")
     val bucket = pmod(portableHash(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
     // Persisted: the explode + md5 stage feeds both the train-gram set
     // and the test relation; one serialized copy replaces a second

@@ -554,11 +554,16 @@ class PipelineSpec extends SparkSpec {
     import spark.implicits._
     val keys = (0 until 2000).map(i =>
       math.abs((i * 2654435761L + 97) % 2147483647L))
-    for (bits <- Seq(5, 12, 30)) {
+    for (bits <- Seq(5, 12, 24)) {
       val pred = Pipeline.bloomMightContain(keys.toDF("k"), bits)
       val admitted = keys.toDF("k")
         .filter(pred(org.apache.spark.sql.functions.col("k"))).count()
       assert(admitted == keys.length.toLong, s"bits=$bits dropped a member")
+    }
+    // widths past 2^24 are a plan-literal footgun (a 2^30 filter is a
+    // 256 MB array in every serialized task) — rejected at the door
+    intercept[IllegalArgumentException] {
+      Pipeline.bloomMightContain(keys.toDF("k"), 25)
     }
   }
 
