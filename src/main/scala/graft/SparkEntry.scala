@@ -166,6 +166,9 @@ object SparkEntry {
     // first-order (lerp) resample: q19's spine machinery with a
     // forward fill added — one user-partition exchange, no grid join
     "q84_lerp_resample" -> (Reference.q84LerpResample _),
+    // ANN from the PERSISTED cluster-bucketed IVF index (index at
+    // rest): build-if-absent at ingest, serve with zero re-clustering
+    "q85_indexed_ann" -> (Pipeline.q85IndexedAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -28,6 +28,47 @@ object Layout {
   def hasShuffle(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
 
+  /** Persist an IVF index AT REST (VERDICT r11 §next-2): the
+    * fine-cluster MEMBERSHIP `(vec_id, e, cluster, mask)` as a table
+    * bucketed AND sorted on `cluster`, plus the bounded ROUTING
+    * relation `(label, cvec, mask)` — one row per coarse centroid —
+    * as `<name>_routing`. Real IVF systems persist the index once and
+    * serve every query from it; the in-session `.persist` the ANN
+    * queries use is only the single-session analog. Bucketing is the
+    * point: every serve-time join or aggregation on `cluster` reads
+    * co-located, pre-sorted buckets with ZERO exchange (proven in
+    * LayoutSpec), and at 100 TB the nprobe cluster lookup touches
+    * only the matching buckets' files instead of shuffling the corpus.
+    *
+    * Routing is tiny by construction (≤ 64 coarse centroids — the
+    * same corpus-scaled cap as the build) and is what serve-time needs
+    * to assign an EXTERNAL query vector: nearest centroid by the
+    * argmax key + the centroid's sub-bucket mask. */
+  def writeIvfIndex(members: DataFrame, routing: DataFrame, name: String,
+      numBuckets: Int): Unit = {
+    dropManagedTable(members.sparkSession, name)
+    dropManagedTable(members.sparkSession, name + "_routing")
+    writeBucketed(members, name, "cluster", numBuckets)
+    routing.write.mode(SaveMode.Overwrite).saveAsTable(name + "_routing")
+  }
+
+  /** The two relations of a persisted IVF index: (members, routing). */
+  def readIvfIndex(spark: SparkSession, name: String): (DataFrame, DataFrame) =
+    (spark.table(name), spark.table(name + "_routing"))
+
+  /** Drop `name` AND scrub its warehouse directory: the default
+    * in-memory catalog forgets table METADATA at session end but the
+    * warehouse directory survives, and `saveAsTable` onto a non-empty
+    * location it doesn't own throws — a fresh session rebuilding the
+    * index must not trip over the previous session's files. */
+  private def dropManagedTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+  }
+
   /** Write `df` hive-partitioned by `partitionCols`: predicates on
     * those columns become PARTITION PRUNING — whole directories never
     * enter the scan, the coarse-grained skip that makes "one day out

@@ -90,6 +90,11 @@ object Pipeline {
     * [[corpusScaledClusters]] — the knob that bounds the per-cluster
     * quadratic work in q51 and the per-query candidate list in q31. */
   private val ClusterTargetOccupancy = 32
+  /** Bucket count of the index-at-rest membership table (q85): matches
+    * the session's shuffle parallelism so a bucketed scan feeds every
+    * core; at a real deployment size to cluster-count / file-size
+    * targets, not to cores. */
+  private val IvfIndexBuckets = 32
 
   /** Occupancy-driven bit derivation, the library's one scale knob
     * shape: the smallest `b` in [minBits, MaxHyperplanes] with
@@ -539,7 +544,18 @@ object Pipeline {
     * occupancy-derived bit counts, same composite cluster id; the
     * DuckDB twins are untouched. */
   private[operators] def mapSideFineClusters(base: DataFrame, cent: DataFrame,
-      targetOcc: Int): DataFrame = {
+      targetOcc: Int): DataFrame =
+    mapSideFineClustersWithRouting(base, cent, targetOcc)._1
+
+  /** As [[mapSideFineClusters]], also returning the bounded ROUTING
+    * relation `(label, cvec, mask)` — one row per coarse centroid with
+    * its sub-bucket mask — which is exactly what a persisted index
+    * needs to assign EXTERNAL query vectors at serve time
+    * ([[graft.operators.Layout.writeIvfIndex]]). */
+  private[operators] def mapSideFineClustersWithRouting(base: DataFrame,
+      cent: DataFrame, targetOcc: Int): (DataFrame, DataFrame) = {
+    val spark = base.sparkSession
+    import spark.implicits._
     val cents = cent
       .select(col("label").cast("long").as("label"),
         col("cvec").cast("array<double>").as("cvec"))
@@ -564,10 +580,16 @@ object Pipeline {
     val masks: Map[Long, Long] =
       occ.map { case (c, n) => (c, (1L << occBits(n)) - 1L) }.toMap
     val maskCol = element_at(typedlit(masks), coarse)
-    base.select(col("vec_id"), col("e"),
+    val members = base.select(col("vec_id"), col("e"),
       (coarse * lit(4294967296L) +
         srpSignature(col("e")).bitwiseAND(maskCol)).as("cluster"),
       maskCol.as("mask"))
+    // a centroid that attracted no member subdivides nothing: mask 0
+    // (= occBits(0)), same as the in-plan derivation would produce
+    val routing = cents
+      .map { case (l, v) => (l, v, masks.getOrElse(l, 0L)) }
+      .toDF("label", "cvec", "mask")
+    (members, routing)
   }
 
   /** Hamming-1 MULTI-PROBE expansion of a fine-cluster relation: each
@@ -615,19 +637,25 @@ object Pipeline {
     // The fine-cluster membership is the IVF index: it feeds both the
     // query-set lookup and the member lists. Real IVF systems persist
     // the index by construction; one cached copy is its in-session
-    // analog (the coarse assignment stage persists its own narrow
-    // pairs inside corpusScaledClusters).
-    val (fine, release) = corpusScaledClustersWithRelease(e,
+    // analog — the cross-session form is q85's [[Layout.writeIvfIndex]].
+    // Built by pure map stages (the q51/q61 single-persist shape): the
+    // ONE resident relation is the membership itself.
+    val members = mapSideFineClusters(e,
       labelCentroids(spark, dir), ClusterTargetOccupancy)
-    val members = fine
       .persist(CacheLevel)
-    // materialize the index eagerly so the internal (vec_id, coarse)
-    // assignment cache can be released HERE — the query must not leak
-    // a persisted relation it no longer needs into the session.
-    // count() stays on the internal-row path; foreach would deserialize
-    // every row to an external Row inside the timed region (ADVICE r7)
+    // eager internal-row materialization (count, not foreach: foreach
+    // would deserialize every row to an external Row — ADVICE r7)
     members.count()
-    release()
+    annServe(members)
+  }
+
+  /** The IVF serve path shared by q31 (in-session index) and q85
+    * (index at rest): nprobe=1 candidate lists via the corpus-query
+    * cluster join, ranked by the bounded [[graft.functions.TopK]]
+    * Aggregator — one query_id exchange over O(1)-per-query candidate
+    * rows plus the ≤ queries·k result sort, regardless of corpus
+    * size. */
+  private def annServe(members: DataFrame): DataFrame = {
     val q = members.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("cluster"))
     val scored = members.join(broadcast(q), Seq("cluster"))
@@ -636,6 +664,75 @@ object Pipeline {
       .select(col("query_id"), col("vec_id"), col("cosine"))
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopK.topK(TopK, col("vec_id"), col("cosine")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("s.id").as("vec_id"), col("s.score").as("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Session-stable table name for the persisted IVF index of one
+    * data directory (the sf dirs produce distinct names, so a test at
+    * sf0.001 can never serve a stale sf0.01 index). */
+  private[operators] def ivfIndexTable(dir: String): String =
+    "graft_ivf_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+
+  /** L3 — ANN served from the index AT REST (VERDICT r11 §next-2):
+    * build-if-absent, then serve every query from the persisted
+    * cluster-bucketed membership with ZERO re-clustering — no centroid
+    * pass, no assignment pass, no persist; the serve plan's members
+    * side is a plain bucketed scan, exchange-free on `cluster`
+    * (LayoutSpec proves the property on the read path). Result is
+    * row-identical to q31 (same build pipeline, same serve) — the
+    * oracle twin IS q31's.
+    *
+    * The production split this encodes: index construction is INGEST
+    * work, paid once per corpus version by `Layout.writeIvfIndex`;
+    * queries pay only lookup + rank. Within one session the build runs
+    * at most once (`tableExists`); across sessions the files persist
+    * but the default in-memory catalog forgets them, so a fresh
+    * session rebuilds — on a real deployment the metastore carries the
+    * metadata and the rebuild disappears entirely. */
+  def q85IndexedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndexTable(dir)
+    if (!spark.catalog.tableExists(idx)) {
+      val e = Tables.spread(Tables.embeddings(spark, dir))
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      val (members, routing) = mapSideFineClustersWithRouting(e,
+        labelCentroids(spark, dir), ClusterTargetOccupancy)
+      Layout.writeIvfIndex(members, routing, idx, IvfIndexBuckets)
+    }
+    annServe(spark.table(idx))
+  }
+
+  /** Serve EXTERNAL query vectors `(query_id, qe)` from a persisted
+    * IVF index — the production similarity-search entry point. Query
+    * routing reuses the index's own stored decisions: nearest coarse
+    * centroid by the exact build-time argmax key (the collected
+    * routing relation is ≤ 64 rows by construction), then that
+    * centroid's stored sub-bucket mask over the query's SRP bits. The
+    * members side stays a bucketed scan joined to a BROADCAST of the
+    * routed queries — no corpus exchange at any query-set size that
+    * broadcasts. */
+  def indexLookup(members: DataFrame, routing: DataFrame,
+      queries: DataFrame, k: Int = TopK): DataFrame = {
+    val route = routing
+      .select(col("label").cast("long"), col("cvec").cast("array<double>"),
+        col("mask").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+    require(route.nonEmpty, "empty routing relation")
+    val coarse = centroidArgmax(col("qe"),
+      route.map { case (l, v, _) => (l, v) }.toSeq)
+    val maskCol = element_at(
+      typedlit(route.map { case (l, _, m) => (l, m) }.toMap), coarse)
+    val routed = queries.select(col("query_id"), col("qe"),
+      (coarse * lit(4294967296L) +
+        srpSignature(col("qe")).bitwiseAND(maskCol)).as("cluster"))
+    val scored = members.join(broadcast(routed), Seq("cluster"))
+      .withColumn("cosine", round(vecCosine(col("qe"), col("e")), 4))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topK(k, col("vec_id"), col("cosine")).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
         col("s.id").as("vec_id"), col("s.score").as("cosine"))
@@ -3203,6 +3300,10 @@ object Pipeline {
       "q29_fingerprint" -> q29,
       "q30_embedding_near_dup" -> q30,
       "q31_ivf_ann" -> q31,
+      // q85 serves from the PERSISTED index built by the identical
+      // pipeline — row-identical to q31, so the oracle is q31's: the
+      // hash match proves the index round-trip loses nothing
+      "q85_indexed_ann" -> q31,
       "q40_ngram_jaccard" -> q40,
       "q41_stratified_split" -> q41,
       "q46_quality_filter" -> q46,

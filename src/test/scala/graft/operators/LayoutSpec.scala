@@ -133,4 +133,49 @@ class LayoutSpec extends SparkSpec {
     info(s"partkey-range scan: linear layout $linearRows rows, Z-order $zRows rows " +
       s"($expected matching)")
   }
+
+  test("persisted IVF index: q85 serves q31's exact rows, reads exchange-free on cluster") {
+    // build-if-absent through the public query, then compare against
+    // the in-session form row for row — the index round-trip (write
+    // bucketed → catalog → bucketed scan) must lose nothing
+    val atRest = Pipeline.q85IndexedAnn(spark, sfDir).collect().toSeq
+    val inSession = Pipeline.q31IvfAnn(spark, sfDir).collect().toSeq
+    assert(atRest == inSession, "index round-trip changed the ANN answer")
+    val members = spark.table(Pipeline.ivfIndexTable(sfDir))
+    // the property the bucketed write bought, on the READ path: both
+    // an aggregation and a self-join on the cluster key plan with
+    // zero shuffle exchanges — at 100 TB the serve path never moves
+    // the corpus again
+    assert(!Layout.hasShuffle(members.groupBy(col("cluster")).count()),
+      "cluster aggregation over the index must not shuffle")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try
+      assert(!Layout.hasShuffle(
+        members.select(col("cluster"), col("vec_id"))
+          .join(members.select(col("cluster"), col("vec_id").as("b")),
+            "cluster")),
+        "cluster self-join over the index must not shuffle")
+    finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("indexLookup routes external query vectors to their build-time clusters") {
+    val idx = Pipeline.ivfIndexTable(sfDir)
+    if (!spark.catalog.tableExists(idx))
+      Pipeline.q85IndexedAnn(spark, sfDir).collect()
+    val (members, routing) = Layout.readIvfIndex(spark, idx)
+    // external queries = corpus vectors re-presented as fresh
+    // vectors: each one's top-1 must be ITSELF at cosine 1.0 — which
+    // can only happen when serve-time routing (stored centroids +
+    // stored masks over the query's SRP bits) reproduces the exact
+    // cluster the build assigned the vector to
+    val queries = members.filter(col("vec_id") % 97 === 3).limit(5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val got = Pipeline.indexLookup(members, routing, queries, k = 1).collect()
+    assert(got.length == queries.count(), "a query missed its own cluster")
+    got.foreach { r =>
+      assert(r.getAs[Long]("vec_id") == r.getAs[Long]("query_id"),
+        s"query ${r.getAs[Long]("query_id")} did not find itself")
+      assert(r.getAs[Double]("cosine") == 1.0)
+    }
+  }
 }

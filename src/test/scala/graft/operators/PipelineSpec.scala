@@ -660,6 +660,11 @@ class PipelineSpec extends SparkSpec {
       // members ⋈ broadcast(q) → TopK agg pair collapses to ONE
       // exchange + the 50-row result orderBy
       "q31" -> (Pipeline.q31IvfAnn(spark, sfDir), 2),
+      // the index-at-rest serve: the members side is a BUCKETED scan
+      // (no exchange by layout), so the budget is identical — the
+      // TopK agg exchange + the result orderBy; the build, when it
+      // runs, is ingest work outside this executed plan
+      "q85" -> (Pipeline.q85IndexedAnn(spark, sfDir), 2),
       // single-persist design (r11 brief #1a): the mapSideFineClusters
       // membership is the ONE resident relation (cached on the scan
       // partitioning, so both dominance sides exchange on cluster: 2)
