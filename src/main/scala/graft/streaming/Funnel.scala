@@ -83,3 +83,76 @@ object Funnel {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold)
   }
 }
+
+/** Per-user cohort state: the first-seen week (the cohort, fixed
+  * forever at first contact) and a 64-bit mask of week OFFSETS the
+  * user has already been counted active in — exactly two longs of
+  * state per user at any stream length, the [[FunnelProgress]]
+  * discipline. */
+case class CohortState(cohortWeek: Long, seenMask: Long)
+
+/** One retention increment: `userId` was active in
+  * `cohortWeek + weekOffset` for the FIRST time. Each (user, offset)
+  * pair emits at most once over the whole stream, so a downstream
+  * `count(*)` per (cohort_week, week_offset) equals batch q78's
+  * `countDistinct(user_id)` cell for cell. */
+case class CohortIncrement(cohortWeek: Long, weekOffset: Long, userId: Long)
+
+/** Streaming face of q78's cohort retention
+  * ([[graft.operators.Relational.q78CohortRetention]], VERDICT r11
+  * §next-3): per-user first-seen-week state emitting (cohort-week,
+  * offset-week) increments as users become active in new weeks. The
+  * triangle itself lives in the downstream store — the emitted
+  * increments are idempotent-by-construction +1s (at most one per
+  * (user, offset) ever), so any counts service, or a plain
+  * `groupBy(cohort, offset).count` over the collected output, holds
+  * batch q78's `n_active` exactly (parity asserted in FunnelSpec).
+  * Emitting increments rather than maintaining the aggregate here
+  * keeps the query a SINGLE stateful operator — chaining a second
+  * stateful aggregation behind flatMapGroupsWithState is the one
+  * composition Structured Streaming restricts.
+  *
+  * Same in-order-per-user delivery contract as [[Funnel.stageTimes]]
+  * (per-device/per-shard ordering): under it the first event seen IS
+  * the min-week event, so the streamed cohort equals batch q78's
+  * `min(week) OVER (PARTITION BY user)`. Intra-batch jumble is sorted
+  * away before folding. The 64-offset mask covers 15 months of
+  * per-user lifetime; events past the horizon are DROPPED (never
+  * double-counted) — the deterministic failure mode a retention
+  * dashboard (which reads ≤ 52 offsets) prefers over an unbounded
+  * per-user week set. */
+object Cohort {
+
+  /** Week width shared with batch q78 — integer milliseconds. */
+  val WeekMs: Long = 604800000L
+
+  private def fold(userId: Long, events: Iterator[FunnelEvent],
+      state: GroupState[CohortState]): Iterator[CohortIncrement] = {
+    val sorted = events.toSeq.sortBy(_.tsm)
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      var st = state.getOption.getOrElse(
+        CohortState(Math.floorDiv(sorted.head.tsm, WeekMs), 0L))
+      val out = Seq.newBuilder[CohortIncrement]
+      sorted.foreach { e =>
+        val off = Math.floorDiv(e.tsm, WeekMs) - st.cohortWeek
+        if (off >= 0 && off < 64 && (st.seenMask & (1L << off)) == 0L) {
+          st = st.copy(seenMask = st.seenMask | (1L << off))
+          out += CohortIncrement(st.cohortWeek, off, userId)
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** The stream of first-activity increments (update mode). */
+  def retentionIncrements(events: Dataset[FunnelEvent]): Dataset[CohortIncrement] = {
+    implicit val stEnc = Encoders.product[CohortState]
+    implicit val enc = Encoders.product[CohortIncrement]
+    events.groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(fold)
+  }
+}

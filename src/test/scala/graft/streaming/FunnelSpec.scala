@@ -83,4 +83,45 @@ class FunnelSpec extends SparkSpec {
       assert(got(2L) == ((None, None, None)), s"user 2: ${got(2L)}")
     } finally query.stop()
   }
+
+  test("streaming cohort increments aggregate to batch q78's retention triangle") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // the real events table, replayed per-user-in-order across two
+    // installments split mid-history (the stageTimes pattern) — the
+    // second installment re-activates users the first already counted,
+    // so at-most-once increment emission is actually exercised
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("tsm"))
+      .collect().map(r => FunnelEvent(r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(e => (e.userId, e.tsm))
+    val in = MemoryStream[FunnelEvent]
+    val query = Cohort.retentionIncrements(in.toDS())
+      .writeStream.format("memory").queryName("cohort_mem")
+      .outputMode("update").start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      in.addData(first.toSeq)
+      query.processAllAvailable()
+      in.addData(second.toSeq)
+      query.processAllAvailable()
+      val incs = spark.table("cohort_mem").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // at-most-once per (user, offset): the contract that makes a
+      // plain count() a countDistinct
+      assert(incs.distinct.length == incs.length,
+        "an increment was emitted twice")
+      val streamed = incs.groupBy(i => (i._1, i._2))
+        .view.mapValues(_.length.toLong).toMap
+      // batch truth: the q78 triangle's (cohort_week, week_offset,
+      // n_active) cells — row-identical, cell for cell
+      val batch = graft.operators.Relational.q78CohortRetention(spark, sfDir)
+        .select(col("cohort_week"), col("week_offset"), col("n_active"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"triangle mismatch: stream-only ${streamed.toSet.diff(batch.toSet).take(3)}, " +
+          s"batch-only ${batch.toSet.diff(streamed.toSet).take(3)}")
+      assert(query.lastProgress.stateOperators.nonEmpty)
+    } finally query.stop()
+  }
 }
