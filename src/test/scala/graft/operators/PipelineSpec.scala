@@ -156,6 +156,28 @@ class PipelineSpec extends SparkSpec {
     assert(max2 <= 4 * 8, s"max occupancy far above target: $max2")
   }
 
+  test("mapSideFineClusters matches the join-based corpusScaledClusters row for row") {
+    // the q51/q61/q85 single-persist build vs the join-based reference
+    // form: identical membership — same composite cluster id, same
+    // occupancy-derived mask, for every vector. This is the claim that
+    // lets the map-side form inherit the join form's DuckDB twins.
+    val e = graft.Tables.spread(graft.Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val cent = Pipeline.kMeansCentroids(e)
+    val viaMap = Pipeline.mapSideFineClusters(e, cent, 8)
+      .select("vec_id", "cluster", "mask").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (fine, release) = Pipeline.corpusScaledClustersWithRelease(e, cent, 8)
+    val viaJoin =
+      try fine.select("vec_id", "cluster", "mask").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      finally release()
+    assert(viaMap.keySet == viaJoin.keySet)
+    viaMap.foreach { case (id, got) =>
+      assert(got == viaJoin(id), s"vec $id: map-side $got vs join ${viaJoin(id)}")
+    }
+  }
+
   test("q53 k-means: k scales with the corpus, assignment total, composition with subdivision") {
     val rows = Pipeline.q53KmeansClusters(spark, sfDir).collect()
     val n = graft.Tables.embeddings(spark, sfDir).count()
