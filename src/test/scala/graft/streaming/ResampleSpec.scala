@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class ResampleSpec extends SparkSpec {
+
+  test("streaming lerp emissions match batch q84 on every determined grid instant") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // the real events table, replayed per-user-in-order across two
+    // installments split mid-history
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("tsm"), col("value"))
+      .collect()
+      .map(r => ResampleEvent(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(e => (e.userId, e.tsm, e.eventId))
+    val in = MemoryStream[ResampleEvent]
+    val query = Resample.gridEmissions(in.toDS())
+      .writeStream.format("memory").queryName("resample_mem")
+      .outputMode("update").start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      in.addData(first.toSeq)
+      query.processAllAvailable()
+      in.addData(second.toSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("resample_mem").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val batch = graft.operators.Reference.q84LerpResample(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // the one documented divergence: a grid instant exactly on a
+      // user's final (= newest) timestamp is undetermined until the
+      // history advances, so the stream holds it back
+      val maxTs = events.groupBy(_.userId).view.mapValues(_.map(_.tsm).max).toMap
+      val (deferred, determined) =
+        batch.partition { case ((u, t), _) => t == maxTs(u) }
+      assert(streamed.keySet == determined.keySet,
+        s"determined-instant mismatch: stream-only ${streamed.keySet.diff(determined.keySet).take(3)}, " +
+          s"batch-only ${determined.keySet.diff(streamed.keySet).take(3)}")
+      // bit-identical values — same double arithmetic, same HALF_UP
+      // round-6 on both sides
+      determined.foreach { case (k, v) =>
+        assert(streamed(k) == v, s"grid $k: stream ${streamed(k)} vs batch $v")
+      }
+      // the carve-out is exactly the aligned-final-instant rows
+      deferred.keys.foreach { case (u, t) =>
+        assert(t % Resample.CellMs == 0 && t == maxTs(u))
+      }
+      assert(query.lastProgress.stateOperators.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("lerp tie semantics: grid on an event instant takes the LAST value there, interpolation targets the FIRST") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val c = Resample.CellMs
+    val in = MemoryStream[ResampleEvent]
+    val query = Resample.gridEmissions(in.toDS())
+      .writeStream.format("memory").queryName("resample_tie_mem")
+      .outputMode("update").start()
+    try {
+      // two events at t=0 (ids 1, 2), two at t=2c (ids 3, 4), and a
+      // closer at t=3c so every earlier instant is determined:
+      //   grid 0   -> last value at 0    = 20 (id 2)
+      //   grid c   -> lerp 20 -> 30 (id 3 FIRST at 2c) at frac 1/2 = 25
+      //   grid 2c  -> last value at 2c   = 40 (id 4)
+      in.addData(
+        ResampleEvent(9L, 1L, 0L, 10.0), ResampleEvent(9L, 2L, 0L, 20.0),
+        ResampleEvent(9L, 3L, 2 * c, 30.0), ResampleEvent(9L, 4L, 2 * c, 40.0),
+        ResampleEvent(9L, 5L, 3 * c, 99.0))
+      query.processAllAvailable()
+      val got = spark.table("resample_tie_mem").collect()
+        .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      assert(got == Map(0L -> 20.0, c -> 25.0, 2 * c -> 40.0), s"got $got")
+    } finally query.stop()
+  }
+}
