@@ -42,32 +42,59 @@ case class PairIncrement(s1: Long, s2: Long, orderKey: Long)
   * increments per order are ≤ C(width, 2), the in-row expansion bound. */
 object Baskets {
 
-  private def fold(orderKey: Long, items: Iterator[BasketItem],
+  private def fold(idleTimeout: Option[String])(orderKey: Long,
+      items: Iterator[BasketItem],
       state: GroupState[BasketState]): Iterator[PairIncrement] = {
-    var seen = state.getOption.getOrElse(BasketState(Seq.empty)).suppliers
-    val out = Seq.newBuilder[PairIncrement]
-    // intra-batch determinism only (ascending suppliers); correctness
-    // holds under any order, see the object doc
-    items.map(_.supplier).toSeq.distinct.sorted.foreach { s =>
-      if (!seen.contains(s)) {
-        seen.foreach { t =>
-          out += (if (s < t) PairIncrement(s, t, orderKey)
-                  else PairIncrement(t, s, orderKey))
+    if (state.hasTimedOut) {
+      // the order went idle past the horizon: it is complete — drop
+      // its state (the key-count bound; see pairIncrements)
+      state.remove()
+      Iterator.empty
+    } else {
+      var seen = state.getOption.getOrElse(BasketState(Seq.empty)).suppliers
+      val out = Seq.newBuilder[PairIncrement]
+      // intra-batch determinism only (ascending suppliers); correctness
+      // holds under any order, see the object doc
+      items.map(_.supplier).toSeq.distinct.sorted.foreach { s =>
+        if (!seen.contains(s)) {
+          seen.foreach { t =>
+            out += (if (s < t) PairIncrement(s, t, orderKey)
+                    else PairIncrement(t, s, orderKey))
+          }
+          seen = (seen :+ s).sorted
         }
-        seen = (seen :+ s).sorted
       }
+      state.update(BasketState(seen))
+      idleTimeout.foreach(state.setTimeoutDuration)
+      out.result().iterator
     }
-    state.update(BasketState(seen))
-    out.result().iterator
   }
 
-  /** The stream of first-co-occurrence increments (update mode). */
-  def pairIncrements(items: Dataset[BasketItem]): Dataset[PairIncrement] = {
+  /** The stream of first-co-occurrence increments (update mode).
+    *
+    * Per-order VALUE state is basket-width-bounded, but the KEY count
+    * grows with the stream — unlike the per-user twins (population-
+    * bounded keys), completed orders accumulate forever. `idleTimeout`
+    * is the bound: an order idle past the horizon is complete and its
+    * state drops (the `Dedup` watermark-horizon discipline). The
+    * horizon is also the exactness boundary — items of an order that
+    * straddle an eviction re-open empty state, so cross-eviction pairs
+    * are missed and pairs wholly within the late remnant can re-emit;
+    * pick the horizon above the order-completion SLA exactly as the
+    * dedup horizon sits above the re-crawl window. `None` (the test /
+    * bounded-replay setting) keeps every order's state for the life of
+    * the query. With a horizon set the query runs timeout-check
+    * batches continuously — normal for ProcessingTimeTimeout, but
+    * `processAllAvailable` never settles under it (poll the sink in
+    * tests; production queries use a trigger interval). */
+  def pairIncrements(items: Dataset[BasketItem],
+      idleTimeout: Option[String] = None): Dataset[PairIncrement] = {
     implicit val stEnc = Encoders.product[BasketState]
     implicit val enc = Encoders.product[PairIncrement]
     items.groupByKey(_.orderKey)(Encoders.scalaLong)
       .flatMapGroupsWithState(
         org.apache.spark.sql.streaming.OutputMode.Update(),
-        GroupStateTimeout.NoTimeout)(fold)
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fold(idleTimeout))
   }
 }

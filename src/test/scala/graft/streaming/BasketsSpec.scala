@@ -17,6 +17,9 @@ class BasketsSpec extends SparkSpec {
       .collect().map(r => BasketItem(r.getLong(0), r.getLong(1)))
       .sortBy(i => (i.supplier, i.orderKey))
     val in = MemoryStream[BasketItem]
+    // knob OFF here: processAllAvailable cannot settle under
+    // ProcessingTimeTimeout's continuous timeout-check batches — the
+    // eviction path has its own polling test below
     val query = Baskets.pairIncrements(in.toDS())
       .writeStream.format("memory").queryName("baskets_mem")
       .outputMode("update").start()
@@ -51,6 +54,39 @@ class BasketsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(top == q83, "top-20 ranking diverged from batch q83")
       assert(query.lastProgress.stateOperators.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("idle timeout evicts completed orders: post-eviction items pair with nothing") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[BasketItem]
+    // a 1-millisecond horizon so the order is evicted between installments;
+    // NOTE processAllAvailable hangs under ProcessingTimeTimeout
+    // (timeout-check batches run continuously), so this test polls the
+    // sink instead
+    val query = Baskets.pairIncrements(in.toDS(), idleTimeout = Some("1 millisecond"))
+      .writeStream.format("memory").queryName("baskets_evict_mem")
+      .outputMode("update").start()
+    def rowsIn(table: String): Long = spark.table(table).count()
+    def pollUntil(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(cond, "condition not reached within 30 s")
+    }
+    try {
+      in.addData(BasketItem(1L, 10L), BasketItem(1L, 20L))
+      pollUntil(rowsIn("baskets_evict_mem") == 1L) // the (10, 20) pair
+      // let the horizon pass and the timeout batch drop the state
+      Thread.sleep(2000)
+      in.addData(BasketItem(1L, 30L))
+      // wait until that item is processed (input rows reach 3 total)
+      pollUntil(query.recentProgress.map(_.numInputRows).sum >= 3L)
+      Thread.sleep(500)
+      // evicted state = empty basket: supplier 30 pairs with NOTHING;
+      // without eviction this would be 3 rows ((10,30), (20,30) added)
+      assert(rowsIn("baskets_evict_mem") == 1L,
+        "post-eviction item must not pair with pre-eviction state")
     } finally query.stop()
   }
 }
