@@ -96,9 +96,14 @@ class FunnelSpec extends SparkSpec {
       .collect().map(r => FunnelEvent(r.getLong(0), r.getString(1), r.getLong(2)))
       .sortBy(e => (e.userId, e.tsm))
     val in = MemoryStream[FunnelEvent]
-    val query = Cohort.retentionIncrements(in.toDS())
-      .writeStream.format("memory").queryName("cohort_mem")
-      .outputMode("update").start()
+    // RocksDB-backed: the per-user cohort state is exactly the
+    // working set that outgrows heap at the 100 TB user population —
+    // parity must hold through the disk-backed provider too
+    val query = StateStores.withRocksDB(spark) {
+      Cohort.retentionIncrements(in.toDS())
+        .writeStream.format("memory").queryName("cohort_mem")
+        .outputMode("update").start()
+    }
     try {
       val (first, second) = events.splitAt(events.length / 2)
       in.addData(first.toSeq)
