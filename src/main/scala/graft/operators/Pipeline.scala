@@ -716,18 +716,8 @@ object Pipeline {
     * broadcasts. */
   def indexLookup(members: DataFrame, routing: DataFrame,
       queries: DataFrame, k: Int = TopK): DataFrame = {
-    val route = routing
-      .select(col("label").cast("long"), col("cvec").cast("array<double>"),
-        col("mask").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
-    require(route.nonEmpty, "empty routing relation")
-    val coarse = centroidArgmax(col("qe"),
-      route.map { case (l, v, _) => (l, v) }.toSeq)
-    val maskCol = element_at(
-      typedlit(route.map { case (l, _, m) => (l, m) }.toMap), coarse)
-    val routed = queries.select(col("query_id"), col("qe"),
-      (coarse * lit(4294967296L) +
-        srpSignature(col("qe")).bitwiseAND(maskCol)).as("cluster"))
+    val routed = routeThroughIndex(routing,
+      queries.select(col("query_id"), col("qe")), "qe").drop("mask")
     val scored = members.join(broadcast(routed), Seq("cluster"))
       .withColumn("cosine", round(vecCosine(col("qe"), col("e")), 4))
       .select(col("query_id"), col("vec_id"), col("cosine"))
@@ -738,6 +728,52 @@ object Pipeline {
         col("s.id").as("vec_id"), col("s.score").as("cosine"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** Assign rows a `cluster` by the index's STORED routing decisions:
+    * nearest stored centroid via the exact build-time argmax key, that
+    * centroid's stored mask over the row's SRP bits. The shared
+    * assignment of [[indexLookup]] (queries) and [[indexAppend]] (new
+    * corpus vectors) — both must land where the build would have
+    * landed them. */
+  private def routeThroughIndex(routing: DataFrame, rows: DataFrame,
+      vecCol: String): DataFrame = {
+    val route = routing
+      .select(col("label").cast("long"), col("cvec").cast("array<double>"),
+        col("mask").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+    require(route.nonEmpty, "empty routing relation")
+    val coarse = centroidArgmax(col(vecCol),
+      route.map { case (l, v, _) => (l, v) }.toSeq)
+    val maskCol = element_at(
+      typedlit(route.map { case (l, _, m) => (l, m) }.toMap), coarse)
+    rows.withColumn("cluster",
+        coarse * lit(4294967296L) +
+          srpSignature(col(vecCol)).bitwiseAND(maskCol))
+      .withColumn("mask", maskCol)
+  }
+
+  /** Incremental index maintenance: append NEW vectors `(vec_id, e)`
+    * to a persisted IVF index with ZERO re-clustering — each vector is
+    * routed through the stored centroids/masks (exactly where the
+    * original build would have put it) and bucket-appended, so serve
+    * queries find old and new vectors in the same bucketed scan.
+    *
+    * The trade this encodes: centroids and masks are FROZEN at build
+    * time, so appended data drifts cluster occupancy upward and never
+    * reshapes the partition — the classic IVF maintenance posture
+    * (append cheaply between rebuilds; rebuild when occupancy drift
+    * erodes the per-query candidate bound). Spark validates the bucket
+    * spec on append, so the layout invariant the serve path relies on
+    * cannot silently degrade. */
+  def indexAppend(spark: SparkSession, name: String,
+      vectors: DataFrame): Unit =
+    routeThroughIndex(spark.table(name + "_routing"),
+        vectors.select(col("vec_id"),
+          col("e").cast("array<double>").as("e")), "e")
+      .select(col("vec_id"), col("e"), col("cluster"), col("mask"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(IvfIndexBuckets, "cluster").sortBy("cluster")
+      .saveAsTable(name)
 
   /** L2 — n-gram Jaccard near-duplicate detection via PREFIX FILTERING
     * (the PPJoin-family blocking): under a global total order on gram

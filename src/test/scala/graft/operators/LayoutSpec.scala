@@ -230,6 +230,54 @@ class LayoutSpec extends SparkSpec {
     finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("indexAppend: new vectors land in their routed buckets, serve finds them, layout invariant holds") {
+    import spark.implicits._
+    val shared = Pipeline.ivfIndexTable(sfDir)
+    if (!spark.catalog.tableExists(shared))
+      Pipeline.q85IndexedAnn(spark, sfDir).collect()
+    // append mutates — work on a private copy so the shared per-SF
+    // index other tests serve from stays pristine
+    val idx = shared + "_apdx"
+    Layout.writeIvfIndex(spark.table(shared),
+      spark.table(shared + "_routing"), idx, 32)
+    val before = spark.table(idx).count()
+    // appended vectors = exact copies of existing corpus vectors under
+    // fresh ids: routing MUST put each copy in its source's cluster,
+    // so a lookup of the source finds the copy at cosine 1.0
+    val sources = spark.table(idx).filter(col("vec_id") % 101 === 7).limit(3)
+      .select(col("vec_id"), col("e"), col("cluster")).collect()
+    assert(sources.nonEmpty)
+    val fresh = sources.toSeq.map(r =>
+      (9000000L + r.getLong(0), r.getSeq[Double](1)))
+    Pipeline.indexAppend(spark, idx, fresh.toDF("vec_id", "e"))
+    val after = spark.table(idx)
+    assert(after.count() == before + fresh.size)
+    // routed exactly where the build put the source vector
+    sources.foreach { r =>
+      val got = after.filter(col("vec_id") === 9000000L + r.getLong(0))
+        .select(col("cluster")).head().getLong(0)
+      assert(got == r.getLong(2),
+        s"copy of ${r.getLong(0)} routed to $got, build had ${r.getLong(2)}")
+    }
+    // serve path: each source's lookup now surfaces its appended twin
+    // at cosine 1.0
+    val queries = sources.toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toDF("query_id", "qe")
+    val hits = Pipeline.indexLookup(after,
+        spark.table(idx + "_routing"), queries, k = 3)
+      .collect().groupBy(_.getLong(0))
+    sources.foreach { r =>
+      val twins = hits(r.getLong(0)).filter(h =>
+        h.getLong(2) == 9000000L + r.getLong(0))
+      assert(twins.length == 1 && twins.head.getDouble(3) == 1.0,
+        s"lookup of ${r.getLong(0)} missed its appended twin")
+    }
+    // the append preserved the bucketed layout the serve path relies on
+    assert(!Layout.hasShuffle(after.groupBy(col("cluster")).count()),
+      "cluster aggregation must stay exchange-free after append")
+  }
+
   test("indexLookup routes external query vectors to their build-time clusters") {
     val idx = Pipeline.ivfIndexTable(sfDir)
     if (!spark.catalog.tableExists(idx))
