@@ -198,6 +198,31 @@ object Curation {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("bucket"), col("n"))
 
+  /** Windowed approximate-distinct — the streaming face of q36's HLL
+    * (distinct users per event type): per (event-time window, group)
+    * `approx_count_distinct`, append mode, a window's estimate
+    * finalizing when the watermark passes its end. State per (window,
+    * group) is ONE HLL sketch of 2^p registers fixed by `rsd` — never
+    * the key set — which is the entire point at a 100 TB user
+    * population: exact windowed distinct holds every key in state,
+    * this holds ~kilobytes per group at any cardinality.
+    *
+    * HLL registers are max-merged, so the estimate is a DETERMINISTIC
+    * function of the window's value SET — delivery order, batching,
+    * and partial-merge shape cannot move it. DedupSpec pins the
+    * streamed estimate to the batch `approx_count_distinct` estimate
+    * on identical rows EXACTLY (not within-tolerance), alongside
+    * q36's 5%-of-exact accuracy contract. */
+  def windowedApproxDistinct(rows: DataFrame, keyCol: String,
+      groupCol: String, eventTimeCol: String, windowLen: String,
+      horizon: String, rsd: Double = 0.02): DataFrame =
+    rows
+      .withWatermark(eventTimeCol, horizon)
+      .groupBy(window(col(eventTimeCol), windowLen), col(groupCol))
+      .agg(approx_count_distinct(col(keyCol), rsd).as("n_approx"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(groupCol), col("n_approx"))
+
   /** Running per-source quota — the streaming face of q79's
     * anti-domination cap: each source's k best documents by the SAME
     * shared classifier score ([[Pipeline.classifierFeatures]]/

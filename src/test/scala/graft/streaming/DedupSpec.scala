@@ -473,6 +473,61 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed approx-distinct: streamed HLL estimate equals the batch estimate exactly, q36 contract holds") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // the real events table, replayed in two arbitrary installments —
+    // HLL registers are max-merged, so batching cannot move the
+    // estimate; one tumbling window per day of event time
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("tsm"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val in = MemoryStream[(Long, String, Long)]
+    val data = in.toDF().toDF("user_id", "event_type", "tsm")
+      .withColumn("ts", (col("tsm") / 1000).cast("timestamp"))
+    val query = Curation.windowedApproxDistinct(data, "user_id", "event_type",
+        "ts", windowLen = "1 day", horizon = "1 hour")
+      .writeStream.format("memory").queryName("hll_mem")
+      .outputMode("append").start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      in.addData(first.toSeq)
+      query.processAllAvailable()
+      in.addData(second.toSeq)
+      query.processAllAvailable()
+      // a far-future closer finalizes every data window
+      in.addData((1L, "closer", events.map(_._3).max + 200L * 86400000L))
+      query.processAllAvailable()
+      val got = spark.table("hll_mem").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(2)) -> r.getLong(3))
+        .toMap
+      // batch truth on identical rows: the same HLL estimate per
+      // (window, group) — EXACT equality, plus q36's 5% accuracy
+      // contract vs the exact distinct count
+      val batch = events.toSeq.toDF("user_id", "event_type", "tsm")
+        .withColumn("ts", (col("tsm") / 1000).cast("timestamp"))
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_approx"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .collect()
+        .map(r => (r.getStruct(0).getTimestamp(0).getTime, r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3))))
+        .toMap
+      // every batch window that the watermark finalized must match
+      val finalized = got.keySet
+      assert(finalized.nonEmpty && finalized.subsetOf(batch.keySet))
+      assert(finalized == batch.keySet,
+        s"unfinalized windows: ${batch.keySet.diff(finalized)}")
+      finalized.foreach { k =>
+        val (bApprox, bExact) = batch(k)
+        assert(got(k) == bApprox,
+          s"window $k: streamed HLL ${got(k)} vs batch HLL $bApprox")
+        assert(math.abs(got(k) - bExact) <= bExact * 0.05,
+          s"window $k: estimate ${got(k)} outside 5% of exact $bExact")
+      }
+    } finally query.stop()
+  }
+
   test("trending terms: per-window Misra-Gries candidates, heavy tokens survive, windows finalize") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String, Long)]
