@@ -775,6 +775,30 @@ object Pipeline {
       .bucketBy(IvfIndexBuckets, "cluster").sortBy("cluster")
       .saveAsTable(name)
 
+  /** Occupancy-drift report for a persisted IVF index — the REBUILD
+    * trigger [[indexAppend]]'s frozen routing makes necessary: per
+    * coarse centroid, member count, sub-cluster count (mask + 1), and
+    * average fine-cluster occupancy vs the build target. Appends land
+    * in a partition shaped for the BUILD-time corpus, so average
+    * occupancy — and with it the per-query candidate list — drifts up
+    * as data arrives; `needs_rebuild` flags a centroid whose average
+    * crossed 2× the target, the point where re-running
+    * [[Layout.writeIvfIndex]] restores the serve bound. One bounded
+    * aggregate over the bucketed scan (≤ 64 result rows); the narrow
+    * projection reads only the two key columns. */
+  def indexOccupancyReport(spark: SparkSession, name: String,
+      targetOcc: Int = ClusterTargetOccupancy): DataFrame =
+    spark.table(name)
+      .groupBy(expr("cluster div 4294967296").as("label"), col("mask"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("label"), col("n_members"),
+        (col("mask") + 1).as("n_subclusters"),
+        round(col("n_members").cast("double") / (col("mask") + 1), 2)
+          .as("avg_occupancy"),
+        (col("n_members").cast("double") / (col("mask") + 1) >
+          targetOcc * 2.0).as("needs_rebuild"))
+      .orderBy(col("label"))
+
   /** L2 — n-gram Jaccard near-duplicate detection via PREFIX FILTERING
     * (the PPJoin-family blocking): under a global total order on gram
     * hashes, two sets with `Jaccard >= t` must share at least one of

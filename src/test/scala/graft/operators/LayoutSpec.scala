@@ -276,6 +276,35 @@ class LayoutSpec extends SparkSpec {
     // the append preserved the bucketed layout the serve path relies on
     assert(!Layout.hasShuffle(after.groupBy(col("cluster")).count()),
       "cluster aggregation must stay exchange-free after append")
+    // the rebuild-trigger metric: the report's arithmetic reconciles
+    // with the table, and flooding one coarse cluster's buckets via
+    // repeated appends drives its average occupancy up monotonically
+    def report() = Pipeline.indexOccupancyReport(spark, idx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    val r0 = report()
+    assert(r0.values.map(_._1).sum == after.count(), "member counts must reconcile")
+    r0.values.foreach { case (n, sub, avg, _) =>
+      assert(math.abs(avg - n.toDouble / sub) < 0.006,
+        s"avg occupancy arithmetic: $n / $sub != $avg")
+    }
+    // append every member of one coarse cluster again, twice
+    // (materialized FIRST — a lazy filter over the table would re-scan
+    // post-append and double-count)
+    val label0 = r0.keys.min
+    val floodRows = spark.table(idx)
+      .filter(expr("cluster div 4294967296") === label0)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    Pipeline.indexAppend(spark, idx,
+      floodRows.map { case (id, e) => (id + 20000000L, e) }.toDF("vec_id", "e"))
+    Pipeline.indexAppend(spark, idx,
+      floodRows.map { case (id, e) => (id + 40000000L, e) }.toDF("vec_id", "e"))
+    val r1 = report()
+    assert(r1(label0)._1 == r0(label0)._1 * 3,
+      s"flooded cluster count: ${r1(label0)._1} vs 3x ${r0(label0)._1}")
+    assert(r1(label0)._3 > r0(label0)._3 * 2.9,
+      "flooded cluster's average occupancy must triple")
   }
 
   test("indexLookup routes external query vectors to their build-time clusters") {
