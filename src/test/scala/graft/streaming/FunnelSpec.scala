@@ -4,6 +4,13 @@ import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+object FunnelSpec {
+  /** Cross-restart sink for the cohort checkpoint-recovery test —
+    * static so both query incarnations land in one collection. */
+  val cohortRestartSink =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]
+}
+
 class FunnelSpec extends SparkSpec {
 
   test("streaming funnel agrees with batch q77's per-user stage times on the events table") {
@@ -128,5 +135,64 @@ class FunnelSpec extends SparkSpec {
           s"batch-only ${batch.toSet.diff(streamed.toSet).take(3)}")
       assert(query.lastProgress.stateOperators.nonEmpty)
     } finally query.stop()
+  }
+
+  test("cohort increments survive a checkpoint restart without re-emitting") {
+    // THE property the increment pattern stands on: a downstream
+    // counts store adds every emitted row, so a restart that re-emits
+    // (state lost) or replays (offsets lost) DOUBLE-COUNTS. Two query
+    // incarnations over one checkpoint + RocksDB state.
+    import scala.jdk.CollectionConverters._
+    val w = Cohort.WeekMs
+    val root = java.nio.file.Files.createTempDirectory("graft-cohort-restart")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val ckpt = root.resolve("ckpt").toString
+    def addFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(inDir.resolve(name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def startQuery() = StateStores.withRocksDB(spark) {
+      val parts = split(col("value"), "\\|")
+      val events = spark.readStream.text(inDir.toString)
+        .select(parts.getItem(0).cast("long").as("userId"),
+          parts.getItem(1).as("eventType"),
+          parts.getItem(2).cast("long").as("tsm"))
+        .as[FunnelEvent](org.apache.spark.sql.Encoders.product[FunnelEvent])
+      Cohort.retentionIncrements(events)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[CohortIncrement], _: Long) =>
+          batch.collect().foreach(i => FunnelSpec.cohortRestartSink
+            .add((i.cohortWeek, i.weekOffset, i.userId)))
+        }
+        .start()
+    }
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what " +
+        s"(sink: ${FunnelSpec.cohortRestartSink.asScala.toSeq})")
+    }
+    FunnelSpec.cohortRestartSink.clear()
+    // phase 1: user 1 active in weeks 10 and 11 → offsets 0, 1
+    val q1 = startQuery()
+    try {
+      addFile("f1.txt", Seq(s"1|view|${10 * w + 100}", s"1|click|${11 * w + 5}"))
+      await(FunnelSpec.cohortRestartSink.size() == 2, "phase-1 increments")
+    } finally q1.stop()
+    // phase 2: restart — week 11 again (already counted: recovered
+    // state must suppress), week 12 (new offset), and a new user
+    val q2 = startQuery()
+    try {
+      addFile("f2.txt", Seq(s"1|view|${11 * w + 900}",
+        s"1|view|${12 * w + 1}", s"2|view|${12 * w + 2}"))
+      await(FunnelSpec.cohortRestartSink.size() >= 4, "phase-2 increments")
+      Thread.sleep(500)
+      val got = FunnelSpec.cohortRestartSink.asScala.toSeq
+      assert(got.size == got.distinct.size,
+        s"an increment was emitted twice across the restart: $got")
+      assert(got.toSet == Set((10L, 0L, 1L), (10L, 1L, 1L),
+        (10L, 2L, 1L), (12L, 0L, 2L)), s"got $got")
+    } finally q2.stop()
   }
 }
