@@ -4,6 +4,12 @@ import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+object BasketsSpec {
+  /** Cross-restart sink for the checkpoint-recovery test. */
+  val restartSink =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]
+}
+
 class BasketsSpec extends SparkSpec {
 
   test("streaming co-occurrence increments aggregate to batch q83's pair counts under scattered delivery") {
@@ -88,5 +94,60 @@ class BasketsSpec extends SparkSpec {
       assert(rowsIn("baskets_evict_mem") == 1L,
         "post-eviction item must not pair with pre-eviction state")
     } finally query.stop()
+  }
+
+  test("pair increments survive a checkpoint restart without re-emitting") {
+    // same counts-critical property as the cohort restart proof, for
+    // the order-keyed shape: recovered state must suppress pairs the
+    // first incarnation already emitted
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft-baskets-restart")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val ckpt = root.resolve("ckpt").toString
+    def addFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(inDir.resolve(name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def startQuery() = StateStores.withRocksDB(spark) {
+      val parts = split(col("value"), "\\|")
+      val items = spark.readStream.text(inDir.toString)
+        .select(parts.getItem(0).cast("long").as("orderKey"),
+          parts.getItem(1).cast("long").as("supplier"))
+        .as[BasketItem](org.apache.spark.sql.Encoders.product[BasketItem])
+      Baskets.pairIncrements(items)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[PairIncrement], _: Long) =>
+          batch.collect().foreach(i => BasketsSpec.restartSink
+            .add((i.s1, i.s2, i.orderKey)))
+        }
+        .start()
+    }
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what " +
+        s"(sink: ${BasketsSpec.restartSink.asScala.toSeq})")
+    }
+    BasketsSpec.restartSink.clear()
+    // phase 1: order 7 holds suppliers 10, 20 → pair (10, 20)
+    val q1 = startQuery()
+    try {
+      addFile("f1.txt", Seq("7|10", "7|20"))
+      await(BasketsSpec.restartSink.size() == 1, "phase-1 pair")
+    } finally q1.stop()
+    // phase 2: restart — supplier 20 again (in recovered state: no
+    // re-emission), supplier 30 (pairs with BOTH recovered members)
+    val q2 = startQuery()
+    try {
+      addFile("f2.txt", Seq("7|20", "7|30"))
+      await(BasketsSpec.restartSink.size() >= 3, "phase-2 pairs")
+      Thread.sleep(500)
+      val got = BasketsSpec.restartSink.asScala.toSeq
+      assert(got.size == got.distinct.size,
+        s"a pair re-emitted across the restart: $got")
+      assert(got.toSet == Set((10L, 20L, 7L), (10L, 30L, 7L), (20L, 30L, 7L)),
+        s"got $got")
+    } finally q2.stop()
   }
 }
