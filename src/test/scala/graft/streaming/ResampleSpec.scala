@@ -4,6 +4,12 @@ import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+object ResampleSpec {
+  /** Cross-restart sink for the checkpoint-recovery test. */
+  val restartSink =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]
+}
+
 class ResampleSpec extends SparkSpec {
 
   test("streaming lerp emissions match batch q84 on every determined grid instant") {
@@ -76,5 +82,65 @@ class ResampleSpec extends SparkSpec {
         .map(r => r.getLong(1) -> r.getDouble(2)).toMap
       assert(got == Map(0L -> 20.0, c -> 25.0, 2 * c -> 40.0), s"got $got")
     } finally query.stop()
+  }
+
+  test("grid emissions survive a checkpoint restart without re-emitting") {
+    // the increment-trio's third restart proof (cohort, baskets,
+    // resample): a restarted query must lerp from the RECOVERED last
+    // event, and never re-emit instants the first incarnation covered
+    import scala.jdk.CollectionConverters._
+    val c = Resample.CellMs
+    val root = java.nio.file.Files.createTempDirectory("graft-resample-restart")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val ckpt = root.resolve("ckpt").toString
+    def addFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(inDir.resolve(name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def startQuery() = StateStores.withRocksDB(spark) {
+      val parts = split(col("value"), "\\|")
+      val events = spark.readStream.text(inDir.toString)
+        .select(parts.getItem(0).cast("long").as("userId"),
+          parts.getItem(1).cast("long").as("eventId"),
+          parts.getItem(2).cast("long").as("tsm"),
+          parts.getItem(3).cast("double").as("value"))
+        .as[ResampleEvent](org.apache.spark.sql.Encoders.product[ResampleEvent])
+      Resample.gridEmissions(events)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[GridPoint], _: Long) =>
+          batch.collect().foreach(g => ResampleSpec.restartSink
+            .add((g.userId, g.gridMs, g.value)))
+        }
+        .start()
+    }
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what " +
+        s"(sink: ${ResampleSpec.restartSink.asScala.toSeq})")
+    }
+    ResampleSpec.restartSink.clear()
+    // phase 1: events at 0 (v=10) and 2c (v=30) → grid 0 (10.0) and
+    // grid c (lerp midpoint = 20.0); grid 2c stays undetermined
+    val q1 = startQuery()
+    try {
+      addFile("f1.txt", Seq("5|1|0|10.0", s"5|2|${2 * c}|30.0"))
+      await(ResampleSpec.restartSink.size() == 2, "phase-1 grid points")
+    } finally q1.stop()
+    // phase 2: restart — an event at 4c (v=50) must lerp FROM THE
+    // RECOVERED (2c, 30) state: grid 2c emits its held value 30, grid
+    // 3c lerps 30→50 midpoint = 40; nothing before 2c re-emits
+    val q2 = startQuery()
+    try {
+      addFile("f2.txt", Seq(s"5|3|${4 * c}|50.0"))
+      await(ResampleSpec.restartSink.size() >= 4, "phase-2 grid points")
+      Thread.sleep(500)
+      val got = ResampleSpec.restartSink.asScala.toSeq
+      assert(got.size == got.distinct.size,
+        s"a grid point re-emitted across the restart: $got")
+      assert(got.toSet == Set((5L, 0L, 10.0), (5L, c, 20.0),
+        (5L, 2 * c, 30.0), (5L, 3 * c, 40.0)), s"got $got")
+    } finally q2.stop()
   }
 }
