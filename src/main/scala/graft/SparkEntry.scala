@@ -169,6 +169,9 @@ object SparkEntry {
     // ANN from the PERSISTED cluster-bucketed IVF index (index at
     // rest): build-if-absent at ingest, serve with zero re-clustering
     "q85_indexed_ann" -> (Pipeline.q85IndexedAnn _),
+    // BM25 from the PERSISTED term-bucketed inverted index (q85's
+    // index-at-rest posture applied to text retrieval)
+    "q86_indexed_bm25" -> (Pipeline.q86IndexedBm25 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -56,6 +56,25 @@ object Layout {
   def readIvfIndex(spark: SparkSession, name: String): (DataFrame, DataFrame) =
     (spark.table(name), spark.table(name + "_routing"))
 
+  /** Persist an INVERTED (postings) index AT REST — [[writeIvfIndex]]'s
+    * posture applied to text retrieval: the postings relation
+    * `(t, doc_id, dl, tf)` as a table bucketed AND sorted on the term
+    * `t`, plus the one-row corpus-statistics relation `(nn, avgdl)` as
+    * `<name>_stats`. Tokenization and term counting are INGEST work,
+    * paid once per corpus version; serve-time ranked retrieval reads
+    * only the query terms' postings — the sorted bucketed column turns
+    * the term predicate into row-group pruning, and any per-term
+    * aggregation (document frequency) runs with ZERO exchange on the
+    * bucketed key. At 100 TB the difference is re-tokenizing the
+    * corpus per query vs reading a few thousand postings rows. */
+  def writeInvertedIndex(postings: DataFrame, stats: DataFrame,
+      name: String, numBuckets: Int): Unit = {
+    dropManagedTable(postings.sparkSession, name)
+    dropManagedTable(postings.sparkSession, name + "_stats")
+    writeBucketed(postings, name, "t", numBuckets)
+    stats.write.mode(SaveMode.Overwrite).saveAsTable(name + "_stats")
+  }
+
   /** Drop `name` AND scrub its warehouse directory: the default
     * in-memory catalog forgets table METADATA at session end but the
     * warehouse directory survives, and `saveAsTable` onto a non-empty

@@ -1538,7 +1538,6 @@ object Pipeline {
     * ranking uses the ROUNDED score (ties by doc_id) so both engines
     * cut the identical list. */
   def q57Bm25(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("spark", "join", "window")
     val d = docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
@@ -1548,10 +1547,24 @@ object Pipeline {
     // the document-frequency aggregate and the scoring join; without it
     // the full-corpus explode+filter runs once per consumer
     val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
-      .filter(col("t").isin(terms: _*))
+      .filter(col("t").isin(Bm25Terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("t"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .persist(NarrowCacheLevel)
+    bm25Rank(tf, stats)
+  }
+
+  /** The BM25 query terms shared by q57 and q86. */
+  private val Bm25Terms = Seq("spark", "join", "window")
+
+  /** The BM25 scoring + top-10 shared by q57 (in-session tokenize) and
+    * q86 (postings read from the index at rest): `tf` carries one row
+    * per (matching doc, query term) with the doc length, `stats` is
+    * the one-row (corpus size, average doc length) relation. Document
+    * frequency derives from `tf` itself; both callers therefore score
+    * with the IDENTICAL expressions and cut the identical rounded-score
+    * top-10 — the property that lets q86 reuse q57's oracle. */
+  private def bm25Rank(tf: DataFrame, stats: DataFrame): DataFrame = {
     val df_ = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
     val scored = tf.join(broadcast(df_), "t").crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) + (col("nn") - col("df") + 0.5) / (col("df") + 0.5)))
@@ -1564,6 +1577,45 @@ object Pipeline {
       .select((col("pos") + 1).cast("int").as("rk"),
         col("s.id").as("doc_id"), col("s.score").as("score"))
       .orderBy(col("rk"))
+  }
+
+  /** Session-stable table name for the persisted inverted index of one
+    * data directory (distinct per sf dir, like [[ivfIndexTable]]). */
+  private[operators] def invIndexTable(dir: String): String =
+    "graft_inv_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+
+  /** L4 — BM25 served from the inverted index AT REST: q85's
+    * index-at-rest posture applied to text retrieval. Build-if-absent
+    * writes the FULL postings relation `(t, doc_id, dl, tf)` bucketed
+    * and sorted on the term plus the one-row corpus stats
+    * ([[Layout.writeInvertedIndex]]); serve filters the postings to
+    * the query terms — a pushed-down predicate on the sorted bucketed
+    * column, so row groups without the terms never leave disk — and
+    * ranks with the same [[bm25Rank]] as q57. No tokenization, no
+    * corpus scan, no full-width exchange at serve time: document
+    * frequency aggregates per term with ZERO exchange (bucketed key,
+    * proven in LayoutSpec) and the only shuffles left are the
+    * matching-docs accumulation and the 10-row result sort. Result is
+    * row-identical to q57, so the oracle twin IS q57's — the hash
+    * match proves the postings round-trip loses nothing. */
+  def q86IndexedBm25(spark: SparkSession, dir: String): DataFrame = {
+    val idx = invIndexTable(dir)
+    if (!spark.catalog.tableExists(idx)) {
+      val d = docs(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      val stats = d.agg(count(lit(1)).cast("double").as("nn"),
+        avg(col("dl")).as("avgdl"))
+      val postings = d
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+        .groupBy(col("doc_id"), col("dl"), col("t"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      Layout.writeInvertedIndex(postings, stats, idx, IvfIndexBuckets)
+    }
+    val tf = spark.table(idx).filter(col("t").isin(Bm25Terms: _*))
+      .select(col("doc_id"), col("dl"), col("t"), col("tf"))
+    bm25Rank(tf, spark.table(idx + "_stats"))
   }
 
   /** L4 — unigram-LM quality scoring (the CCNet/Gopher perplexity-proxy
@@ -3377,6 +3429,11 @@ object Pipeline {
       "q55_quantized_ann" -> q55,
       "q56_passage_dedup" -> q56,
       "q57_bm25" -> q57,
+      // q86 serves from the PERSISTED inverted index built by the
+      // identical tokenize+count pipeline — row-identical to q57, so
+      // the oracle is q57's: the hash match proves the postings
+      // round-trip loses nothing
+      "q86_indexed_bm25" -> q57,
       "q58_unigram_quality" -> q58,
       "q59_sequence_packing" -> q59,
       "q61_derived_semantic_dedup" -> q61,

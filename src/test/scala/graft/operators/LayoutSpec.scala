@@ -327,4 +327,30 @@ class LayoutSpec extends SparkSpec {
       assert(r.getAs[Double]("cosine") == 1.0)
     }
   }
+
+  test("persisted inverted index: q86 serves q57's exact rows, term agg exchange-free, no corpus scan") {
+    // build-if-absent through the public query, then compare against
+    // the in-session tokenize+score form row for row — the postings
+    // round-trip (write bucketed → catalog → bucketed scan) must lose
+    // nothing
+    val atRest = Pipeline.q86IndexedBm25(spark, sfDir).collect().toSeq
+    val inSession = Pipeline.q57Bm25(spark, sfDir).collect().toSeq
+    assert(atRest == inSession, "index round-trip changed the BM25 answer")
+    val postings = spark.table(Pipeline.invIndexTable(sfDir))
+    // the property the term-bucketed write bought on the READ path:
+    // per-term aggregation (document frequency) plans with zero
+    // shuffle exchanges
+    assert(!Layout.hasShuffle(postings.groupBy(col("t")).count()),
+      "term aggregation over the postings must not shuffle")
+    // serve time never touches the documents table: tokenization is
+    // ingest work, and the serve plan reads ONLY the index relations
+    val servePlan = Pipeline.q86IndexedBm25(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!servePlan.contains("documents"),
+      "serve plan must not re-scan the corpus")
+    // and the term predicate reaches the postings scan (row-group
+    // pruning on the sorted bucketed column at 100 TB)
+    assert(servePlan.contains("PushedFilters: [In(t, ["),
+      "term filter must push down to the postings scan")
+  }
 }
