@@ -21,11 +21,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read nanos as long and convert to a µs timestamp with exact
-    * integer arithmetic (`div`, no doubles — ns values exceed 2^53).
-    * DuckDB truncates ns→ms the same way, so `unix_millis` stays
-    * oracle-exact.
+  /** `events.ts` normalized to session-zoned TIMESTAMP regardless of the
+    * physical parquet type — the driver has shipped this column as
+    * TIMESTAMP(NANOS) (which Spark 4 reads only as long, via the
+    * `nanosAsLong` flag) and as TIMESTAMP(MICROS) without timezone
+    * (which arrives as TIMESTAMP_NTZ). Downstream code keys everything
+    * off `unix_millis(ts)`, so each physical shape converts with exact
+    * integer arithmetic: nanos-as-long divides by 1000 (`div`, no
+    * doubles — ns values exceed 2^53); NTZ casts under the session's
+    * UTC zone, the same instant DuckDB's `epoch_ms` computes.
     *
     * The `nanosAsLong` flag is session-wide and deliberately set here (a
     * documented side effect): the driver calls `SparkEntry.entry` with a
@@ -33,10 +37,17 @@ object Tables {
     * to run before the read. The flag only affects TIMESTAMP(NANOS)
     * columns, which exist in no other testdata table. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw nanos
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (micros, no zone): same instant under UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
