@@ -469,6 +469,85 @@ object Oracles {
         |      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)
         |SELECT s1, s2, count(*) AS n_orders FROM p GROUP BY s1, s2
         |ORDER BY n_orders DESC, s1, s2 LIMIT 20""".stripMargin,
+
+    // strong-tie triangles: the oracle enumerates each triangle once
+    // by id order (a < b < c); the engine's degree-oriented
+    // enumeration finds the same set, so participation counts match
+    "q88_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |p AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS n
+        |      FROM li a JOIN li b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |      GROUP BY 1, 2),
+        |t AS (SELECT round(avg(n) + 2 * stddev_samp(n), 6) AS thr FROM p),
+        |e AS (SELECT s1, s2 FROM p, t WHERE n > thr),
+        |tri AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+        |        FROM e e1 JOIN e e2 ON e1.s2 = e2.s1
+        |        JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+        |m AS (SELECT a AS s FROM tri UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |SELECT s AS s_suppkey, count(*) AS n_triangles
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // robust outliers: medians via the SHARED explicit interpolation
+    // tree (the q42 discipline — see Relational.q89RobustOutliers);
+    // 4.4478 is one decimal literal in both engines
+    "q89_robust_outliers" -> {
+      def med(vs: String, n: String) = {
+        val h = s"(CAST($n - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE))"
+        s"""($vs[CAST(floor($h) AS INT) + 1]
+           |  + ($vs[least(CAST(floor($h) AS INT) + 2, CAST($n AS INT))]
+           |     - $vs[CAST(floor($h) AS INT) + 1]) * ($h - floor($h)))"""
+          .stripMargin.replaceAll("\n\\s*", " ")
+      }
+      s"""WITH e AS (SELECT event_type, value FROM events),
+         |g AS (SELECT event_type, count(*) AS n, list_sort(list(value)) AS vs
+         |      FROM e GROUP BY 1),
+         |m AS (SELECT event_type, n, ${med("vs", "n")} AS med FROM g),
+         |d AS (SELECT e.event_type, e.value, m.med, m.n
+         |      FROM e JOIN m USING (event_type)),
+         |g2 AS (SELECT event_type, count(*) AS n2,
+         |       list_sort(list(abs(value - med))) AS vs FROM d GROUP BY 1),
+         |s AS (SELECT event_type, ${med("vs", "n2")} AS mad FROM g2)
+         |SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n_events,
+         |  round(max(d.med), 6) AS med, round(max(s.mad), 6) AS mad,
+         |  CAST(sum(CASE WHEN round(abs(d.value - d.med), 6) >
+         |    round(CAST(4.4478 AS DOUBLE) * s.mad, 6) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers
+         |FROM d JOIN s USING (event_type)
+         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+    },
+
+    // Markov transitions: lag over (tsm, event_id) — the unique event
+    // id breaks timestamp ties identically in both engines
+    "q90_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_ms(ts) AS tsm FROM events),
+        |pairs AS (SELECT event_type AS dst,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tsm, event_id) AS src
+        |  FROM e),
+        |c AS (SELECT src, dst, count(*) AS n FROM pairs
+        |      WHERE src IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+        |FROM c ORDER BY src, dst""".stripMargin,
+
+    // TWAP: trapezoid between lag pairs / observed span; single-event
+    // users and zero spans carry no interval and are excluded
+    "q92_twap" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |             epoch_ms(ts) AS tsm FROM events),
+        |l AS (SELECT user_id, value, tsm,
+        |    lag(value) OVER w AS pv, lag(tsm) OVER w AS pt
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)),
+        |g AS (SELECT user_id, count(*) AS n_events,
+        |    sum(CASE WHEN pt IS NOT NULL
+        |        THEN (value + pv) / 2 * (tsm - pt) ELSE 0 END) AS area,
+        |    max(tsm) - min(tsm) AS span
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, n_events, round(area / span, 6) AS twap
+        |FROM g WHERE span > 0 ORDER BY user_id""".stripMargin,
   ) ++ graft.operators.Pipeline.Sql.all ++ Map(
     "q32_command_router" -> graft.operators.Router.oracleSql,
     "q33_multimodal_stats" -> graft.operators.Multimodal.oracleSql,

@@ -172,6 +172,24 @@ object SparkEntry {
     // BM25 from the PERSISTED term-bucketed inverted index (q85's
     // index-at-rest posture applied to text retrieval)
     "q86_indexed_bm25" -> (Pipeline.q86IndexedBm25 _),
+    // blocked fuzzy join by edit distance: broadcast vocabulary dim,
+    // codegen'd map-side levenshtein, blocking exact by construction
+    "q87_fuzzy_join" -> (Pipeline.q87FuzzyJoin _),
+    // strong-tie triangle participation: degree-oriented wedge join
+    // (compact-forward O(m^1.5) bound), corpus-derived support cut
+    "q88_triangles" -> (Graph.q88Triangles _),
+    // median/MAD robust outliers: two-pass exact medians via the
+    // engine-shared interpolation tree, broadcast per-type stats
+    "q89_robust_outliers" -> (Relational.q89RobustOutliers _),
+    // Markov event-type transitions: one per-user window exchange
+    // into a ≤|types|²-key count relation
+    "q90_transition_matrix" -> (Relational.q90TransitionMatrix _),
+    // canonicalize-then-dedup: digest groupBy over the normalized
+    // text, formatting variants collapse on top of byte-exact dedup
+    "q91_normalized_dedup" -> (Pipeline.q91NormalizedDedup _),
+    // time-weighted average: trapezoid over lag pairs, window and
+    // aggregate share one user-key exchange
+    "q92_twap" -> (Relational.q92Twap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components for duplicate-cluster assignment
@@ -183,5 +183,86 @@ object Graph {
       scope.detach(keep)
       labels
     } finally scope.releaseAll()
+  }
+
+  /** Triangle participation over the STRONG-TIE co-order supplier
+    * graph: supplier pairs whose co-order support exceeds the
+    * corpus-derived mean + 2σ threshold (no tuned constant — the same
+    * derived-bound discipline as q58's outlier cut; the raw co-order
+    * graph is near-complete and its triangles degenerate to the
+    * supplier-triple count). Each triangle credits all three vertices;
+    * output is every supplier in ≥1 strong triangle with its count.
+    *
+    * Scale posture (100 TB): the classic compact-forward bound — edges
+    * ORIENT from the (degree, id)-smaller endpoint to the larger, so
+    * every triangle is enumerated exactly once from its lowest-degree
+    * apex and the wedge join generates O(Σ deg_out²) ≤ O(m^1.5)
+    * candidate rows instead of the unbounded Σ deg² of an unoriented
+    * self-join (on a star graph: m wedges instead of m²). The edge
+    * relation is persisted once (it feeds the degree aggregate, both
+    * wedge sides, and the closing semi-join); support counting is the
+    * q83 in-row pair expansion — bounded by basket width, never a
+    * lineitem self-join. The closing check is a broadcast-free
+    * shuffle semi-join on the canonical pair key. */
+  def q88Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val sets = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+    val support = sets.select(explode(flatten(transform(col("ss"),
+      (x, i) => transform(slice(col("ss"), i + 2, size(col("ss"))),
+        y => struct(x.as("s1"), y.as("s2")))))).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("n"))
+    // the SUPPORT relation is what's worth keeping resident: it costs
+    // two lineitem-wide aggregates and feeds the threshold subquery
+    // AND every edge read below (≤|supplier-pair| fixed-width rows —
+    // the Pipeline narrow-cache rationale), session-scoped like q31's
+    // index (the bench's clearCache reclaims it). Edges re-derive from
+    // it as a map-side broadcast-threshold filter — no second pass.
+    val supportC = support
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    supportC.count() // eager internal-row materialization (the q31 idiom)
+    // ONE-row bounded snapshot (the Relational.scala sketch-collect
+    // acceptance): the threshold is a single double over the resident
+    // support cache; inlining it as a literal makes every edge
+    // re-derivation below a pure map over the cache — a broadcast
+    // subquery here would replay its one-row aggregate once per edge
+    // consumer (five in this plan) for no information gain
+    val thr = supportC.agg(
+      round(avg(col("n")) + lit(2.0) * stddev_samp(col("n")), 6))
+      .head.getDouble(0)
+    val edges = supportC.filter(col("n") > thr)
+      .select(col("s1"), col("s2"))
+    val deg = edges.select(explode(array(col("s1"), col("s2"))).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      // orient by (degree, id): lower endpoint -> higher endpoint.
+      // Degrees BROADCAST: ≤ one row per strong-graph node, orders of
+      // magnitude below the edge relation (at extreme node counts the
+      // same plan degrades gracefully to a shuffle join — drop the
+      // hint, nothing else changes)
+      val oriented = edges
+        .join(broadcast(deg.select(col("s").as("s1"), col("deg").as("d1"))), "s1")
+        .join(broadcast(deg.select(col("s").as("s2"), col("deg").as("d2"))), "s2")
+        .select(
+          when(struct(col("d1"), col("s1")) < struct(col("d2"), col("s2")),
+            struct(col("s1").as("lo"), col("s2").as("hi")))
+            .otherwise(struct(col("s2").as("lo"), col("s1").as("hi")))
+            .as("e"))
+        .select(col("e.lo").as("u"), col("e.hi").as("v"))
+      // wedges from each apex u; canonical (a < b) closing pair
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.u") === col("e2.u"))
+        .filter(col("e1.v") < col("e2.v"))
+        .select(col("e1.v").as("a"), col("e2.v").as("b"),
+          col("e1.u").as("apex"))
+      val closed = wedges.join(
+        edges.select(col("s1").as("a"), col("s2").as("b")),
+        Seq("a", "b"), "left_semi")
+      closed.select(explode(array(col("a"), col("b"), col("apex")))
+          .as("s_suppkey"))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("s_suppkey"))
   }
 }

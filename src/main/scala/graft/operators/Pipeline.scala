@@ -1618,6 +1618,101 @@ object Pipeline {
     bm25Rank(tf, spark.table(idx + "_stats"))
   }
 
+  /** L2 — blocked FUZZY JOIN by edit distance (entity resolution, the
+    * record-linkage primitive none of the set-similarity family covers:
+    * MinHash/SimHash/PPJoin see token sets, Levenshtein sees character
+    * edits — "large widge" matches nothing as a shingle set but is one
+    * edit from its source). A dirty feed derived deterministically from
+    * `part` (one third drop their last character, one third gain a
+    * trailing 'x', one third pass through clean — the q71
+    * derived-corruption idiom) is matched against the DISTINCT clean
+    * name vocabulary within edit distance 1.
+    *
+    * Scale posture (100 TB): the match dimension is the distinct-name
+    * VOCABULARY — bounded by the name universe, not the row count — and
+    * broadcasts; `levenshtein` is a codegen'd built-in evaluated
+    * map-side, so the only exchange in the plan is the final
+    * ≤|vocabulary|·2-row aggregate.
+    *
+    * Blocking is DUAL-TOKEN and exact for d ≤ 1 (single-key blocking
+    * is not: one edit in the first token — "cold rod" → "old rod" —
+    * escapes a first-token block, PipelineSpec proved the loss): both
+    * sides emit under their first AND second token, and one character
+    * edit can change at most one token, so every qualifying pair
+    * shares at least one block. A pair sharing BOTH blocks has equal
+    * tokens pairwise — i.e. d = 0 — so the double emission is removed
+    * map-side by keeping only the first-token copy of d = 0 matches:
+    * exactness with zero dedup exchange. */
+  def q87FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    def tok(c: Column, i: Int) = split(c, " ").getItem(i)
+    val clean = Tables.part(spark, dir)
+      .select(col("p_name")).distinct()
+      .select(col("p_name").as("cand"),
+        explode(array_distinct(array(tok(col("p_name"), 0),
+          tok(col("p_name"), 1)))).as("block"))
+    val dirty = Tables.part(spark, dir)
+      .select(
+        when(col("p_partkey") % 3 === 0,
+          expr("substring(p_name, 1, length(p_name) - 1)"))
+          .when(col("p_partkey") % 3 === 1, concat(col("p_name"), lit("x")))
+          .otherwise(col("p_name")).as("dirty"))
+      .select(col("dirty"), tok(col("dirty"), 0).as("b1"),
+        tok(col("dirty"), 1).as("b2"))
+    val dx = dirty.select(col("dirty"), col("b1"), col("b1").as("block"))
+      .unionByName(dirty.filter(col("b2") =!= col("b1"))
+        .select(col("dirty"), col("b1"), col("b2").as("block")))
+    dx.join(broadcast(clean), "block")
+      .select(col("cand"), levenshtein(col("dirty"), col("cand")).as("d"),
+        (col("block") === col("b1")).as("is_b1"))
+      .filter(col("d") <= 1 && (col("d") > 0 || col("is_b1")))
+      .groupBy(col("cand"), col("d"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("cand"), col("d"))
+  }
+
+  /** L1 — canonicalize-then-dedup (the normalization pass that runs
+    * BEFORE every exact-dedup stage in a real corpus pipeline: case,
+    * punctuation, and whitespace variants of the same content must
+    * collapse to one digest or the digest groupBy can't see them):
+    * lowercase → non-alphanumerics to spaces → runs of spaces to one →
+    * trim, then the q23 digest-groupBy discipline on the CANONICAL
+    * text. Reported per language: documents in, distinct canonical
+    * forms, and how many documents the canonicalization collapsed ON
+    * TOP of byte-exact dedup (raw-distinct minus canonical-distinct —
+    * the pass's own contribution, not exact-dup recount).
+    *
+    * Scale shape: identical to q23 — the canonical form reduces to a
+    * 16-byte md5 before the exchange, so the groupBy shuffles digests,
+    * never document text; both distinct counts partial-aggregate
+    * map-side in one pass (count_distinct over two digest columns).
+    *
+    * The corpus is [[dupDocs]] (byte-exact copies, which
+    * canonicalization must NOT count as its own) plus a derived
+    * formatting-variant feed (doc_id % 13 == 0 → the same content
+    * upper-cased with doubled spaces and trailing punctuation under
+    * doc_id + 2000000 — invisible to byte-exact dedup, collapsed by
+    * the canonical digest). */
+  def q91NormalizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = dupDocs(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+    val variants = docs(spark, dir)
+      .filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+        concat(regexp_replace(upper(col("text")), " ", "  "), lit(" !!"))
+          .as("text"))
+    base.unionByName(variants)
+      .select(col("lang"),
+        md5(col("text").cast("binary")).as("raw_h"),
+        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")).cast("binary")).as("canon_h"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("raw_h")).as("n_raw_distinct"),
+        count_distinct(col("canon_h")).as("n_canonical"),
+        (count_distinct(col("raw_h")) - count_distinct(col("canon_h")))
+          .as("n_collapsed_by_norm"))
+      .orderBy(col("lang"))
+  }
+
   /** L4 — unigram-LM quality scoring (the CCNet/Gopher perplexity-proxy
     * signal with the LM DERIVED IN-PLAN): token unigram probabilities
     * come from the corpus's own counts, every document is scored by its
@@ -2544,6 +2639,56 @@ object Pipeline {
         |  CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dups_removed
         |FROM per_hash GROUP BY lang ORDER BY lang""".stripMargin
 
+    // q87 — the CASE derivation and dual-token blocking mirror
+    // q87FuzzyJoin exactly (incl. the d=0 keep-first-token-copy dedup
+    // rule); DuckDB's levenshtein is the same classic unit-cost edit
+    // distance as Spark's
+    val q87 =
+      """WITH names AS (SELECT DISTINCT p_name AS cand FROM part),
+        |cb AS (
+        |  SELECT cand, split_part(cand, ' ', 1) AS block FROM names
+        |  UNION
+        |  SELECT cand, split_part(cand, ' ', 2) AS block FROM names),
+        |dirty AS (
+        |  SELECT CASE WHEN p_partkey % 3 = 0
+        |           THEN substring(p_name, 1, length(p_name) - 1)
+        |         WHEN p_partkey % 3 = 1 THEN p_name || 'x'
+        |         ELSE p_name END AS dirty
+        |  FROM part),
+        |db AS (SELECT dirty, split_part(dirty, ' ', 1) AS b1,
+        |         split_part(dirty, ' ', 2) AS b2 FROM dirty),
+        |dx AS (
+        |  SELECT dirty, b1, b1 AS block FROM db
+        |  UNION ALL
+        |  SELECT dirty, b1, b2 AS block FROM db WHERE b2 <> b1),
+        |j AS (
+        |  SELECT cb.cand, levenshtein(dx.dirty, cb.cand) AS d,
+        |    dx.block = dx.b1 AS is_b1
+        |  FROM dx JOIN cb ON dx.block = cb.block)
+        |SELECT cand, CAST(d AS INT) AS d, count(*) AS n_pairs
+        |FROM j WHERE d <= 1 AND (d > 0 OR is_b1)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+    // q91 — corpus = dupDocs ∪ the formatting-variant feed; canonical
+    // digest lower-cases first, so the upper-cased variant collapses
+    val q91 =
+      """WITH corpus AS (
+        |  SELECT lang, text FROM documents
+        |  UNION ALL
+        |  SELECT lang, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT lang, regexp_replace(upper(text), ' ', '  ', 'g') || ' !!'
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |h AS (SELECT lang, md5(text) AS raw_h,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS canon_h
+        |  FROM corpus)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT raw_h) AS n_raw_distinct,
+        |  count(DISTINCT canon_h) AS n_canonical,
+        |  count(DISTINCT raw_h) - count(DISTINCT canon_h) AS n_collapsed_by_norm
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin
+
     val q24 =
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
@@ -3404,6 +3549,8 @@ object Pipeline {
 
     val all: Map[String, String] = Map(
       "q23_exact_dedup" -> q23,
+      "q87_fuzzy_join" -> q87,
+      "q91_normalized_dedup" -> q91,
       "q24_near_dup_minhash" -> q24,
       "q25_similarity_topk" -> q25,
       "q26_text_stats" -> q26,

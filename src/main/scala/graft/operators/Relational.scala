@@ -573,4 +573,127 @@ object Relational {
         count(lit(1)).over(w).as("n_orders_30d"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
+
+  /** Robust outlier detection — median/MAD z-scores per event type
+    * (the Iglewicz–Hoaglin robust alternative to mean/stddev flagging,
+    * which a single extreme value corrupts): a value is an outlier when
+    * |x − median| exceeds 3·1.4826·MAD (1.4826 scales MAD to σ under
+    * normality). Median and MAD are EXACT interpolated medians,
+    * inherently two-pass: the per-type median must exist before
+    * deviations can be ranked — no single-aggregate form computes
+    * both.
+    *
+    * Scale shape: two aggregates over the events scan plus one final
+    * count — three passes, each a map-side-partial hash aggregate into
+    * a ≤|event_type| key space; the per-type medians and MADs travel as
+    * BROADCAST one-row-per-type relations, so no pass shuffles event
+    * rows by anything but the scan's own partitioning. The cut
+    * compares 6-decimal-rounded deviation against 6-decimal-rounded
+    * threshold so both engines flag the identical rows. */
+  def q89RobustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    // median via the q42 discipline: EXPLICIT engine-shared
+    // interpolation (a + (b−a)·(h−⌊h⌋) over the sorted list) — the
+    // built-in `percentile` and DuckDB's `quantile_cont` differ by an
+    // ulp on even-count groups and a 6-decimal rounding boundary can
+    // then flip a flag. Exact medians inherently hold the group's
+    // multiset (q42's acceptance); approx_percentile is the 100 TB
+    // sketch path, already bound-tested for q60.
+    def medianOfSorted(vs: Column, n: Column): Column = {
+      val h = (n - 1).cast("double") * 0.5
+      val lo = floor(h)
+      val a = element_at(vs, lo.cast("int") + 1)
+      val b = element_at(vs, least(lo.cast("int") + 2, n.cast("int")))
+      a + (b - a) * (h - lo)
+    }
+    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(col("value"))).as("vs"))
+      .select(col("event_type"), col("n_events"),
+        medianOfSorted(col("vs"), col("n_events")).as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+    val mad = dev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_mad"),
+        sort_array(collect_list(abs(col("value") - col("med")))).as("vs"))
+      .select(col("event_type"),
+        medianOfSorted(col("vs"), col("n_mad")).as("mad"))
+    // 4.4478 = 3 · 1.4826 written as ONE decimal literal: both engines
+    // parse it to the identical double, where 3.0 * 1.4826 evaluated in
+    // DuckDB's decimal arithmetic could differ from Scala's binary
+    // product by an ulp (the q42 cast-the-fraction lesson)
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("n_events")).as("n_events"),
+        round(first(col("med")), 6).as("med"),
+        round(first(col("mad")), 6).as("mad"),
+        sum(when(round(abs(col("value") - col("med")), 6) >
+          round(lit(4.4478) * col("mad"), 6), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the sequence-mining primitive behind session-flow and
+    * next-action models: every consecutive (src → dst) event-type pair
+    * in a user's timeline is counted, and each source row is
+    * normalized to a transition probability.
+    *
+    * Scale shape: ONE exchange (the per-user window sort, partitioned
+    * by user so parallelism grows with the user population), one
+    * map-side-partial count into the ≤|types|² key space, and a window
+    * over that bounded relation for the normalizer (the q82
+    * bounded-relation acceptance). Ties in a user's timeline order by
+    * the unique event id, so both engines fold the identical
+    * sequence. */
+  def q90TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsm"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("tsm"))
+      .select(col("event_type").as("dst"),
+        lag(col("event_type"), 1).over(w).as("src"))
+      .filter(col("src").isNotNull)
+    val counts = pairs.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("src"))), 6))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** Time-weighted average (TWAP) per user — the irregular-series
+    * aggregate where plain `avg` is wrong by construction: events
+    * arrive unevenly, so each value must be weighted by how long it
+    * held. Trapezoidal integration between consecutive events
+    * (the continuous counterpart of q84's lerp: the integral of the
+    * piecewise-linear interpolant), divided by the user's observed
+    * span. Users with a single event (or an all-ties span of zero)
+    * carry no interval and are excluded — stated, not defaulted.
+    *
+    * Scale shape: one per-user window exchange for the lag pair, then
+    * a per-user aggregate on the SAME key — Catalyst reuses the
+    * partitioning, so the plan pays one shuffle total. Zero-width
+    * intervals (timestamp ties) contribute zero area and are ordered
+    * deterministically by event id. */
+  def q92Twap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsm"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_millis(col("ts")).as("tsm"))
+      .select(col("user_id"), col("value"), col("tsm"),
+        lag(col("value"), 1).over(w).as("pv"),
+        lag(col("tsm"), 1).over(w).as("pt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("pt").isNotNull,
+          (col("value") + col("pv")) / 2.0 * (col("tsm") - col("pt")))
+          .otherwise(0.0)).as("area"),
+        (max(col("tsm")) - min(col("tsm"))).as("span"))
+      .filter(col("span") > 0L)
+      .select(col("user_id"), col("n_events"),
+        round(col("area") / col("span"), 6).as("twap"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -58,4 +58,44 @@ class GraphSpec extends SparkSpec {
     val got = labelsOf(edges)
     assert(got.values.toSet == Set(100L))
   }
+
+  test("q88 triangles: participation matches a brute-force enumeration of the strong graph") {
+    // sf0.01: the smallest scale whose strong-tie graph has triangles
+    // (at sf0.001 the mean+2σ cut leaves zero edges — an empty result
+    // would vacuously pass)
+    val dir = "/root/testdata/sf0.01"
+    val rows = Graph.q88Triangles(spark, dir).collect()
+    assert(rows.nonEmpty, "strong graph unexpectedly triangle-free")
+    // strong edges replayed locally: distinct (order, supplier) pairs,
+    // support per canonical pair, mean+2σ cut — the query's own
+    // derivation, independently in driver-side Scala
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val support = li.groupBy(_._1).values.flatMap { g =>
+      val ss = g.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- i + 1 until ss.size) yield (ss(i), ss(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ns = support.values.map(_.toDouble).toSeq
+    val mean = ns.sum / ns.size
+    val sd = math.sqrt(ns.map(x => (x - mean) * (x - mean)).sum / (ns.size - 1))
+    val thr = BigDecimal(mean + 2 * sd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // NOTE: Map#collect over tuple results rebuilds a MAP (collapsing
+    // by first element) — filter + keySet keeps the pair set intact
+    val strong = support.filter(_._2 > thr).keySet
+    // brute-force triangles by id order over the strong edge set
+    val nodes = strong.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val part = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      if strong((nodes(i), nodes(j)))
+      k <- j + 1 until nodes.size
+      if strong((nodes(j), nodes(k))) && strong((nodes(i), nodes(k)))
+    } Seq(nodes(i), nodes(j), nodes(k)).foreach(n => part(n) += 1)
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == part.toMap, s"engine $got\nlocal ${part.toMap}")
+    // every participant really is a supplier from the edge set
+    assert(got.keySet.subsetOf(nodes.toSet))
+  }
 }

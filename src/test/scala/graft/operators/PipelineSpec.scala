@@ -1186,12 +1186,104 @@ class PipelineSpec extends SparkSpec {
       "q82_histogram" -> 2,
       // q83: the order-key basket rollup + the pair-count exchange
       // (in-row pair expansion adds nothing; top-20 is TakeOrdered)
-      "q83_cooccurrence" -> 2)
+      "q83_cooccurrence" -> 2,
+      // q87: the clean-vocabulary distinct + the ≤|vocab|·2-row
+      // result aggregate + its sort — the dirty side and the
+      // levenshtein verify are entirely map-side against the
+      // broadcast vocabulary
+      "q87_fuzzy_join" -> 3,
+      // q88 (post-cache, support resident; threshold inlined as a
+      // one-row snapshot so edge re-derivations add NOTHING): the
+      // degree rollup under each broadcast branch, the wedge-join
+      // pair, the participation aggregate and the result sort
+      "q88_triangles" -> 6,
+      // q89: two median aggregates + the outlier-count aggregate +
+      // the result sort + the broadcast subquery stage — event rows
+      // only ever shuffle by the scan's own partitioning
+      "q89_robust_outliers" -> 5,
+      // q90: the per-user window sort, the ≤|types|²-key count, the
+      // bounded-relation normalizer window, the result sort
+      "q90_transition_matrix" -> 4,
+      // q91: the two-distinct expand aggregation pair over digests +
+      // the result sort (document text never shuffles — digests do)
+      "q91_normalized_dedup" -> 6,
+      // q92: ONE user-key exchange shared by window and aggregate
+      // (the co-partitioning design point) + the result sort
+      "q92_twap" -> 2)
     val got = budgets.keys.toSeq.sorted.map(name =>
       name -> executedShuffles(graft.SparkEntry.queries(name)(spark, sfDir)))
     val bad = got.filter { case (n, g) => g != budgets(n) }
     assert(bad.isEmpty, bad.map { case (n, g) =>
       s"$n: $g exchanges, design says ${budgets(n)}" }.mkString("; "))
     got.foreach { case (n, g) => info(s"$n executes $g exchanges") }
+  }
+
+  /** Unit-cost Levenshtein, the classic DP — the spec's independent
+    * referee for q87 (both engines ship their own native form). */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("q87 fuzzy join: first-token blocking loses no pair vs brute-force all-pairs") {
+    val rows = Pipeline.q87FuzzyJoin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val names = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val clean = names.map(_._2).distinct
+    def corrupt(k: Long, n: String): String = (k % 3) match {
+      case 0 => n.dropRight(1)
+      case 1 => n + "x"
+      case _ => n
+    }
+    // brute force: EVERY (dirty, clean) pair, no blocking at all —
+    // the engine's dual-token blocking must lose nothing against it
+    val brute = for {
+      (k, n) <- names.toSeq
+      dirty = corrupt(k, n)
+      cand <- clean
+      d = lev(dirty, cand) if d <= 1
+    } yield (cand, d)
+    val local = brute.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = rows.map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == local, s"engine $got\nlocal $local")
+    // the feed really contains corrupted rows (d=1 matches exist),
+    // including CROSS-FIRST-TOKEN matches that single-key blocking
+    // would have lost (cold rod -> old rod)
+    assert(rows.exists(_.getInt(1) == 1))
+  }
+
+  /** q91's canonicalization, replayed in plain Scala. */
+  private def canonical(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+
+  test("q91 normalized dedup: counts match a local canonicalization replay, variants collapse") {
+    val rows = Pipeline.q91NormalizedDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val corpus = base.map { case (_, l, t) => (l, t) } ++
+      base.collect { case (id, l, t) if id % 7 == 0 => (l, t) } ++
+      base.collect { case (id, l, t) if id % 13 == 0 =>
+        (l, t.toUpperCase.replace(" ", "  ") + " !!")
+      }
+    val byLang = corpus.groupBy(_._1)
+    rows.foreach { r =>
+      val docs = byLang(r.getString(0)).map(_._2)
+      assert(r.getLong(1) == docs.size)
+      assert(r.getLong(2) == docs.distinct.size)
+      assert(r.getLong(3) == docs.map(canonical).distinct.size)
+      assert(r.getLong(4) == docs.distinct.size - docs.map(canonical).distinct.size)
+    }
+    // the variant feed is present and the canonical digest collapses it:
+    // normalization must find MORE than byte-exact dedup somewhere
+    assert(rows.map(_.getLong(4)).sum > 0,
+      "canonicalization collapsed nothing — the variant feed is dead")
   }
 }

@@ -231,4 +231,86 @@ class RelationalSpec extends SparkSpec {
     val counts = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
     rows.foreach(r => assert(r.getLong(4) <= counts(r.getLong(0))))
   }
+
+  /** The engines' shared interpolated median, replayed locally. */
+  private def localMedian(xs: Seq[Double]): Double = {
+    val v = xs.sorted
+    val h = (v.size - 1).toDouble * 0.5
+    val lo = math.floor(h).toInt
+    val a = v(lo)
+    val b = v(math.min(lo + 1, v.size - 1))
+    a + (b - a) * (h - lo)
+  }
+
+  private def round6(x: Double): BigDecimal =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  test("q89 robust outliers: flags match a local median/MAD replay") {
+    val rows = Relational.q89RobustOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byType = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(rows.map(_.getString(0)).toSet == byType.keySet)
+    rows.foreach { r =>
+      val xs = byType(r.getString(0))
+      val m = localMedian(xs)
+      val devs = xs.map(x => math.abs(x - m))
+      val ma = localMedian(devs)
+      assert(r.getLong(1) == xs.size)
+      assert(math.abs(r.getDouble(2) - m) < 1e-6)
+      assert(math.abs(r.getDouble(3) - ma) < 1e-6)
+      val thr = round6(4.4478 * ma)
+      val n = devs.count(d => round6(d) > thr)
+      assert(r.getLong(4) == n,
+        s"${r.getString(0)}: engine ${r.getLong(4)} outliers vs local $n")
+    }
+  }
+
+  test("q90 transition matrix: counts match a per-user sequence replay, rows normalize") {
+    val rows = Relational.q90TransitionMatrix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val seqs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("tsm")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._4, e._2)).map(_._3).toSeq).toMap
+    val local = seqs.values.flatMap(s => s.zip(s.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == local, s"engine $got\nlocal $local")
+    // each source row's probabilities sum to 1 (within rounding slack)
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val s = g.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"p-sum $s")
+    }
+  }
+
+  test("q92 twap: per-user trapezoid replay agrees, excluded users have no span") {
+    val rows = Relational.q92Twap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byUser = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_millis(col("ts")).as("tsm")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._4, e._2)).toSeq).toMap
+    val got = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    byUser.foreach { case (u, es) =>
+      val span = es.last._4 - es.head._4
+      if (span == 0L) assert(!got.contains(u), s"user $u with zero span emitted")
+      else {
+        val area = es.zip(es.drop(1)).map { case (a, b) =>
+          (a._3 + b._3) / 2.0 * (b._4 - a._4)
+        }.sum
+        val (n, twap) = got(u)
+        assert(n == es.size)
+        assert(math.abs(twap - area / span) < 1e-6,
+          s"user $u: engine $twap vs local ${area / span}")
+      }
+    }
+    assert(got.keySet.subsetOf(byUser.keySet))
+  }
 }

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class TransitionsSpec extends SparkSpec {
+
+  test("streaming transitions aggregate to batch q90's counts on the events table") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // the real events table, per-user-in-order (the delivery contract)
+    // across two installments split mid-history; WITHIN each
+    // installment the rows are jumbled — the intra-batch sort must
+    // recover batch q90's (tsm, event_id) order
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("tsm"))
+      .collect().map(r =>
+        TransitionEvent(r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(e => (e.userId, e.tsm, e.eventId))
+    val cut = events.map(_.tsm).sorted.apply(events.length / 2)
+    val (first, second) = events.partition(e => e.tsm < cut ||
+      (e.tsm == cut && e.eventId % 2 == 0))
+    val rnd = new scala.util.Random(7)
+    val in = MemoryStream[TransitionEvent]
+    val query = Transitions.transitionIncrements(in.toDS())
+      .writeStream.format("memory").queryName("transitions_mem")
+      .outputMode("update").start()
+    try {
+      in.addData(rnd.shuffle(first.toSeq))
+      query.processAllAvailable()
+      in.addData(rnd.shuffle(second.toSeq))
+      query.processAllAvailable()
+      val emitted = spark.table("transitions_mem").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // (userId, dstEventId) is the advertised idempotency key — the
+      // stream must not emit it twice
+      val keys = emitted.map(e => (e._3, e._4))
+      assert(keys.length == keys.distinct.length, "duplicate increment keys")
+      // aggregated increments == batch q90's n per (src, dst)
+      val got = emitted.groupBy(e => (e._1, e._2)).view
+        .mapValues(_.length.toLong).toMap
+      val want = graft.operators.Relational.q90TransitionMatrix(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got == want, s"stream $got\nbatch $want")
+      assert(query.lastProgress.stateOperators.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("transition state holds exactly the tail: a later installment pairs with it, not with history") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[TransitionEvent]
+    val query = Transitions.transitionIncrements(in.toDS())
+      .writeStream.format("memory").queryName("transitions_tail_mem")
+      .outputMode("update").start()
+    try {
+      in.addData(TransitionEvent(1L, 10L, "view", 100L),
+        TransitionEvent(1L, 11L, "click", 200L))
+      query.processAllAvailable()
+      // the cross-batch pair must be click(200) -> purchase(300):
+      // exactly one increment, sourced at the held tail
+      in.addData(TransitionEvent(1L, 12L, "purchase", 300L))
+      query.processAllAvailable()
+      val got = spark.table("transitions_tail_mem").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSet
+      assert(got == Set(("view", "click", 11L), ("click", "purchase", 12L)))
+    } finally query.stop()
+  }
+}
