@@ -470,6 +470,26 @@ object Oracles {
         |SELECT s1, s2, count(*) AS n_orders FROM p GROUP BY s1, s2
         |ORDER BY n_orders DESC, s1, s2 LIMIT 20""".stripMargin,
 
+    // association rules: all three count relations from the one
+    // distinct (order, supplier) CTE; rank and cut on ROUNDED lift
+    "q93_association_rules" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |t AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+        |      FROM os),
+        |singles AS (SELECT l_suppkey, count(*) AS c FROM os GROUP BY 1),
+        |p AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS n
+        |      FROM os a JOIN os b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |      GROUP BY 1, 2)
+        |SELECT p.s1, p.s2, p.n AS n_joint,
+        |  round(p.n / t.n_orders, 6) AS support,
+        |  round(CAST(p.n AS DOUBLE) / c1.c, 6) AS conf_s1_s2,
+        |  round(CAST(p.n AS DOUBLE) / c2.c, 6) AS conf_s2_s1,
+        |  round(p.n * t.n_orders / (c1.c * c2.c), 6) AS lift
+        |FROM p JOIN singles c1 ON p.s1 = c1.l_suppkey
+        |  JOIN singles c2 ON p.s2 = c2.l_suppkey, t
+        |ORDER BY lift DESC, p.s1, p.s2 LIMIT 20""".stripMargin,
+
     // strong-tie triangles: the oracle enumerates each triangle once
     // by id order (a < b < c); the engine's degree-oriented
     // enumeration finds the same set, so participation counts match

@@ -190,6 +190,9 @@ object SparkEntry {
     // time-weighted average: trapezoid over lag pairs, window and
     // aggregate share one user-key exchange
     "q92_twap" -> (Relational.q92Twap _),
+    // association rules on the q83 baskets: support/confidence/lift,
+    // broadcast single-item counts, TakeOrdered top-20 by lift
+    "q93_association_rules" -> (Relational.q93AssociationRules _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

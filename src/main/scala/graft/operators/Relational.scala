@@ -554,6 +554,49 @@ object Relational {
       .limit(20)
   }
 
+  /** Association-rule mining over the q83 baskets — the step after
+    * co-occurrence counting in the market-basket family: each supplier
+    * pair is scored with support (joint order share), directional
+    * confidence (P(s2|s1), P(s1|s2)) and lift (observed joint vs
+    * independence), and the top 20 rules by lift survive. Lift needs
+    * three count relations (pairs, singles, the order total); all
+    * three derive from ONE pass over the distinct (order, supplier)
+    * relation.
+    *
+    * Scale posture (100 TB): the pair relation is the q83 in-row
+    * expansion (bounded by basket width, never a self-join); the
+    * single-item counts are ≤|supplier| rows and BROADCAST into the
+    * pair relation twice; the order total is a broadcast one-row
+    * relation. No exchange in the plan carries more than the
+    * supplier-pair universe, and the top-20 is TakeOrdered — no
+    * global sort. Scores are 6-decimal-rounded so both engines rank
+    * and cut identically (lift ties break on the pair key). */
+  def q93AssociationRules(spark: SparkSession, dir: String): DataFrame = {
+    val os = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val total = os.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).cast("double").as("n_orders"))
+    val singles = os.groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+    val sets = os.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+    val pairs = sets.select(explode(flatten(transform(col("ss"),
+      (x, i) => transform(slice(col("ss"), i + 2, size(col("ss"))),
+        y => struct(x.as("s1"), y.as("s2")))))).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(singles.select(col("l_suppkey").as("s1"), col("c").as("c1"))), "s1")
+      .join(broadcast(singles.select(col("l_suppkey").as("s2"), col("c").as("c2"))), "s2")
+      .crossJoin(broadcast(total))
+      .select(col("s1"), col("s2"), col("n").as("n_joint"),
+        round(col("n") / col("n_orders"), 6).as("support"),
+        round(col("n") / col("c1"), 6).as("conf_s1_s2"),
+        round(col("n") / col("c2"), 6).as("conf_s2_s1"),
+        round(col("n") * col("n_orders") / (col("c1") * col("c2")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("s1"), col("s2"))
+      .limit(20)
+  }
+
   /** Time-range window frame: 30-day trailing spend per customer —
     * `rangeBetween` over the order timestamp (in seconds), a frame the
     * row-count family (q08) can't express. Partitioned by customer, so

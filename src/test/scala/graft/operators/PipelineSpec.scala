@@ -1209,7 +1209,15 @@ class PipelineSpec extends SparkSpec {
       "q91_normalized_dedup" -> 6,
       // q92: ONE user-key exchange shared by window and aggregate
       // (the co-partitioning design point) + the result sort
-      "q92_twap" -> 2)
+      "q92_twap" -> 2,
+      // q93: the distinct (order, supplier) relation re-derives for
+      // each of its three consumers (3 exchanges — it is
+      // lineitem-sized, so rescanning beats caching at scale, the
+      // q58 instance-relation rationale) + order-total distinct and
+      // its one-row aggregate + singles/basket/pair rollups; the
+      // rule scoring joins are all broadcast and top-20 is
+      // TakeOrdered — neither adds an exchange
+      "q93_association_rules" -> 8)
     val got = budgets.keys.toSeq.sorted.map(name =>
       name -> executedShuffles(graft.SparkEntry.queries(name)(spark, sfDir)))
     val bad = got.filter { case (n, g) => g != budgets(n) }

@@ -232,6 +232,40 @@ class RelationalSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(4) <= counts(r.getLong(0))))
   }
 
+  test("q93 association rules: scores match a local replay, identities hold") {
+    val rows = Relational.q93AssociationRules(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val os = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = os.map(_._1).distinct.length.toDouble
+    val singles = os.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCounts = os.groupBy(_._1).values.flatMap { g =>
+      val ss = g.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- i + 1 until ss.size) yield (ss(i), ss(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val (s1, s2, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(pairCounts((s1, s2)) == n)
+      assert(math.abs(r.getDouble(3) - n / nOrders) < 1e-6)
+      assert(math.abs(r.getDouble(4) - n.toDouble / singles(s1)) < 1e-6)
+      assert(math.abs(r.getDouble(5) - n.toDouble / singles(s2)) < 1e-6)
+      assert(math.abs(r.getDouble(6) -
+        n * nOrders / (singles(s1).toDouble * singles(s2))) < 1e-6)
+      // structural identities: confidence and support bounded, lift
+      // consistent with the independence baseline
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1)
+      assert(r.getDouble(4) <= 1 && r.getDouble(5) <= 1)
+    }
+    // the cut really is the top 20 by rounded lift over ALL pairs
+    val allLifts = pairCounts.map { case ((a, b), n) =>
+      BigDecimal(n * nOrders / (singles(a).toDouble * singles(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toSeq.sorted(Ordering[Double].reverse)
+    val floor = allLifts.take(20).last
+    rows.foreach(r => assert(r.getDouble(6) >= floor))
+  }
+
   /** The engines' shared interpolated median, replayed locally. */
   private def localMedian(xs: Seq[Double]): Double = {
     val v = xs.sorted
