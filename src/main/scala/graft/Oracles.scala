@@ -470,6 +470,31 @@ object Oracles {
         |SELECT s1, s2, count(*) AS n_orders FROM p GROUP BY s1, s2
         |ORDER BY n_orders DESC, s1, s2 LIMIT 20""".stripMargin,
 
+    // single-scan profile: one row per column; numeric min/max as
+    // doubles, non-numeric NULL (formatting-independent)
+    "q94_profile" -> {
+      def row(c: String, numeric: Boolean) = {
+        val mm =
+          if (numeric) s"CAST(min($c) AS DOUBLE) AS min_num, " +
+            s"CAST(max($c) AS DOUBLE) AS max_num"
+          else "NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num"
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct, $mm
+           |FROM e""".stripMargin
+      }
+      val rows = Seq("event_id" -> true, "user_id" -> true,
+        "event_type" -> false, "value" -> true, "tsm" -> true,
+        "props" -> false)
+        .map { case (c, n) => row(c, n) }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+         |  epoch_ms(ts) AS tsm, props FROM events)
+         |SELECT col_name, n_rows, n_nulls, n_distinct,
+         |  min_num AS min_num, max_num AS max_num FROM (
+         |$rows
+         |) ORDER BY col_name""".stripMargin
+    },
+
     // association rules: all three count relations from the one
     // distinct (order, supplier) CTE; rank and cut on ROUNDED lift
     "q93_association_rules" ->

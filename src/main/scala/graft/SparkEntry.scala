@@ -193,6 +193,9 @@ object SparkEntry {
     // association rules on the q83 baskets: support/confidence/lift,
     // broadcast single-item counts, TakeOrdered top-20 by lift
     "q93_association_rules" -> (Relational.q93AssociationRules _),
+    // single-scan data profiling: per-column nulls/distincts/ranges
+    // from ONE pass (expand-planned multi-distinct), stack-unpivoted
+    "q94_profile" -> (Relational.q94Profile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -554,6 +554,46 @@ object Relational {
       .limit(20)
   }
 
+  /** Single-scan data profiling — the validation pass every ingest
+    * runs before trusting 100 TB of new data (the deequ/data-quality
+    * primitive): per column, null count, exact distinct count, and
+    * numeric min/max, ALL from one pass over the table. The metrics
+    * compute in one aggregate (Catalyst plans the multi-distinct via
+    * one expand — the scan is read once, the expansion is in-memory
+    * row replication, never extra I/O) and unpivot to one row per
+    * column via `stack`. Non-numeric columns carry NULL min/max
+    * (lexicographic string extremes are formatting-dependent across
+    * engines and profile consumers read them as ranges, not
+    * orderings); integral columns surface exactly as doubles (< 2^53).
+    *
+    * Scale shape: the expand multiplies rows ×|columns| between scan
+    * and partial aggregation — map-side, bounded by the column count —
+    * and the exchanges carry only partial-aggregate states. */
+  def q94Profile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_millis(col("ts")).as("tsm"), col("props"))
+    def m(c: String, numeric: Boolean) = Seq(
+      count(col(c)).as(s"nn_$c"),
+      count_distinct(col(c)).as(s"nd_$c")) ++ (
+      if (numeric) Seq(min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"))
+      else Seq(lit(null).cast("double").as(s"min_$c"),
+        lit(null).cast("double").as(s"max_$c")))
+    val cols = Seq("event_id" -> true, "user_id" -> true,
+      "event_type" -> false, "value" -> true, "tsm" -> true,
+      "props" -> false)
+    val metrics = count(lit(1)).as("n") +:
+      cols.flatMap { case (c, num) => m(c, num) }
+    val a = e.agg(metrics.head, metrics.tail: _*)
+    val stackArgs = cols.map { case (c, _) =>
+      s"'$c', n, n - nn_$c, nd_$c, min_$c, max_$c"
+    }.mkString(", ")
+    a.select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num)"))
+      .orderBy(col("col_name"))
+  }
+
   /** Association-rule mining over the q83 baskets — the step after
     * co-occurrence counting in the market-basket family: each supplier
     * pair is scored with support (joint order share), directional

@@ -1217,7 +1217,13 @@ class PipelineSpec extends SparkSpec {
       // its one-row aggregate + singles/basket/pair rollups; the
       // rule scoring joins are all broadcast and top-20 is
       // TakeOrdered — neither adds an exchange
-      "q93_association_rules" -> 8)
+      "q93_association_rules" -> 8,
+      // q94: the expand-planned multi-distinct aggregate pair (one
+      // SCAN, expansion is in-memory row replication) — the
+      // six-column profile costs two exchanges of partial states
+      // and nothing else; stack and the ≤6-row sort ride the final
+      // aggregate's single partition
+      "q94_profile" -> 2)
     val got = budgets.keys.toSeq.sorted.map(name =>
       name -> executedShuffles(graft.SparkEntry.queries(name)(spark, sfDir)))
     val bad = got.filter { case (n, g) => g != budgets(n) }

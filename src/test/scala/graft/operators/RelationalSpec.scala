@@ -232,6 +232,36 @@ class RelationalSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(4) <= counts(r.getLong(0))))
   }
 
+  test("q94 profile: per-column metrics match a local replay, one row per column") {
+    val rows = Relational.q94Profile(spark, sfDir).collect()
+    val e = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_millis(col("ts")).as("tsm"), col("props"))
+      .collect()
+    val n = e.length.toLong
+    def colVals(i: Int): Seq[Any] =
+      e.toSeq.map(r => if (r.isNullAt(i)) null else r.get(i))
+    val idx = Map("event_id" -> 0, "user_id" -> 1, "event_type" -> 2,
+      "value" -> 3, "tsm" -> 4, "props" -> 5)
+    assert(rows.map(_.getString(0)).toSeq == idx.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val vs = colVals(idx(r.getString(0)))
+      val nonNull = vs.filter(_ != null)
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == vs.count(_ == null))
+      assert(r.getLong(3) == nonNull.distinct.size,
+        s"${r.getString(0)}: distinct")
+      if (!r.isNullAt(4)) {
+        val nums = nonNull.map {
+          case d: Double => d
+          case l: Long => l.toDouble
+          case i: Int => i.toDouble
+        }
+        assert(r.getDouble(4) == nums.min && r.getDouble(5) == nums.max)
+      }
+    }
+  }
+
   test("q93 association rules: scores match a local replay, identities hold") {
     val rows = Relational.q93AssociationRules(spark, sfDir).collect()
     assert(rows.nonEmpty)
