@@ -75,6 +75,19 @@ object Layout {
     stats.write.mode(SaveMode.Overwrite).saveAsTable(name + "_stats")
   }
 
+  /** Replace a one-row stats sidecar table in place (the incremental
+    * stats update of [[graft.operators.Pipeline.invIndexAppend]]). */
+  def replaceStats(stats: DataFrame, name: String): Unit = {
+    // materialize BEFORE dropping: the new row is derived FROM the
+    // table being replaced (read-modify-write), and saveAsTable plans
+    // lazily — dropping first would have the write read a dead table
+    val rows = stats.collect().toSeq
+    val fresh = stats.sparkSession.createDataFrame(
+      stats.sparkSession.sparkContext.parallelize(rows, 1), stats.schema)
+    dropManagedTable(stats.sparkSession, name)
+    fresh.write.mode(SaveMode.Overwrite).saveAsTable(name)
+  }
+
   /** Drop `name` AND scrub its warehouse directory: the default
     * in-memory catalog forgets table METADATA at session end but the
     * warehouse directory survives, and `saveAsTable` onto a non-empty

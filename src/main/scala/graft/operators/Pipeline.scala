@@ -1601,21 +1601,76 @@ object Pipeline {
     * match proves the postings round-trip loses nothing. */
   def q86IndexedBm25(spark: SparkSession, dir: String): DataFrame = {
     val idx = invIndexTable(dir)
-    if (!spark.catalog.tableExists(idx)) {
-      val d = docs(spark, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
-      val stats = d.agg(count(lit(1)).cast("double").as("nn"),
-        avg(col("dl")).as("avgdl"))
-      val postings = d
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
-        .groupBy(col("doc_id"), col("dl"), col("t"))
-        .agg(count(lit(1)).cast("double").as("tf"))
-      Layout.writeInvertedIndex(postings, stats, idx, IvfIndexBuckets)
-    }
-    val tf = spark.table(idx).filter(col("t").isin(Bm25Terms: _*))
+    if (!spark.catalog.tableExists(idx))
+      buildInvIndex(spark, idx, docs(spark, dir))
+    invIndexBm25(spark, idx)
+  }
+
+  /** Build the inverted index at rest over `corpus` (doc_id, text). */
+  def buildInvIndex(spark: SparkSession, name: String,
+      corpus: DataFrame): Unit = {
+    val d = tokenizedDocs(corpus)
+    Layout.writeInvertedIndex(bm25Postings(d), bm25Stats(d), name,
+      IvfIndexBuckets)
+  }
+
+  /** Serve the standing BM25 query set from a persisted inverted
+    * index — build-free: postings filter on the sorted bucketed term
+    * key (row groups without the terms never leave disk), stats ride
+    * the one-row sidecar. */
+  def invIndexBm25(spark: SparkSession, name: String): DataFrame = {
+    val tf = spark.table(name).filter(col("t").isin(Bm25Terms: _*))
       .select(col("doc_id"), col("dl"), col("t"), col("tf"))
-    bm25Rank(tf, spark.table(idx + "_stats"))
+    bm25Rank(tf, spark.table(name + "_stats"))
+  }
+
+  /** The ONE tokenization all inverted-index writers share — build and
+    * append must produce identical postings for identical text or the
+    * appended index diverges from a rebuild. */
+  private def tokenizedDocs(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+
+  private def bm25Postings(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+    .groupBy(col("doc_id"), col("dl"), col("t"))
+    .agg(count(lit(1)).cast("double").as("tf"))
+
+  private def bm25Stats(d: DataFrame): DataFrame =
+    d.agg(count(lit(1)).cast("double").as("nn"), avg(col("dl")).as("avgdl"))
+
+  /** Incremental postings maintenance — [[indexAppend]]'s posture
+    * applied to the text index: NEW documents tokenize through the
+    * build's exact pipeline ([[tokenizedDocs]]) and bucket-append on
+    * the term key (Spark validates the bucket spec, so the serve
+    * path's pushdown invariant cannot silently degrade), and the
+    * one-row corpus stats update INCREMENTALLY from the stored values
+    * plus the batch's own aggregate — the existing corpus is never
+    * re-read, let alone re-tokenized.
+    *
+    * Unlike the IVF index there is NO frozen-routing drift: document
+    * frequency and corpus stats are derived at serve time from the
+    * postings and stats relations themselves, so a serve over the
+    * appended index is EXACTLY a serve over a full rebuild
+    * (spec-proven: build on half the corpus, append the rest, scores
+    * equal q57's full-corpus ranking row for row). The rebuild trigger
+    * the IVF index needs has no text-index analog. */
+  def invIndexAppend(spark: SparkSession, name: String,
+      newDocs: DataFrame): Unit = {
+    val d = tokenizedDocs(newDocs)
+    bm25Postings(d)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(IvfIndexBuckets, "t").sortBy("t")
+      .saveAsTable(name)
+    val old = spark.table(name + "_stats")
+      .collect().headOption.map(r => (r.getDouble(0), r.getDouble(1)))
+      .getOrElse((0.0, 0.0))
+    val batch = bm25Stats(d).collect().head
+    val (n2, avg2) = (batch.getDouble(0), batch.getDouble(1))
+    val nn = old._1 + n2
+    val merged = Seq((nn, (old._1 * old._2 + n2 * avg2) / nn))
+    import spark.implicits._
+    Layout.replaceStats(merged.toDF("nn", "avgdl"), name + "_stats")
   }
 
   /** L2 — blocked FUZZY JOIN by edit distance (entity resolution, the

@@ -353,4 +353,29 @@ class LayoutSpec extends SparkSpec {
     assert(servePlan.contains("PushedFilters: [In(t, ["),
       "term filter must push down to the postings scan")
   }
+
+  test("inverted-index append: build on half the corpus, append the rest, serve equals the full ranking") {
+    val name = "graft_inv_append_spec"
+    val d = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    Pipeline.buildInvIndex(spark, name, d.filter(col("doc_id") % 2 === 0))
+    Pipeline.invIndexAppend(spark, name, d.filter(col("doc_id") % 2 === 1))
+    // stats merged incrementally == stats over the full corpus
+    val st = spark.table(name + "_stats").collect().head
+    val full = d.select(size(split(col("text"), " ")).as("dl"))
+      .agg(count(lit(1)).cast("double"), avg(col("dl"))).collect().head
+    assert(st.getDouble(0) == full.getDouble(0), "corpus count drifted")
+    assert(math.abs(st.getDouble(1) - full.getDouble(1)) < 1e-9,
+      "avgdl drifted past float merge tolerance")
+    // the appended index serves the same ranking as the full-corpus
+    // in-session form — no frozen-routing drift exists for text
+    val appended = Pipeline.invIndexBm25(spark, name).collect().toSeq
+    val inSession = Pipeline.q57Bm25(spark, sfDir).collect().toSeq
+    assert(appended == inSession,
+      s"appended-index serve diverged:\n$appended\nvs\n$inSession")
+    // append respected the bucket layout: term aggregation over the
+    // grown index still plans with zero shuffle exchanges
+    assert(!Layout.hasShuffle(spark.table(name).groupBy(col("t")).count()),
+      "append must preserve the term-bucketed layout")
+  }
 }
