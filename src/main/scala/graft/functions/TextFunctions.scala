@@ -19,6 +19,17 @@ object TextFunctions {
     * overflow anywhere in the hash pipeline. */
   val P: Long = 2147483647L
 
+  /** Canonical text form for normalization-aware dedup: lowercase →
+    * non-alphanumerics to spaces → runs of spaces to one → trim. THE
+    * one derivation shared by batch q91 and the streaming
+    * normalized-dedup gate (the `cdcChunkExplode` discipline: a batch
+    * job and the stream it hands off to must collapse the identical
+    * variants). DuckDB twin: the same three-step regexp chain with the
+    * 'g' flag (Spark's regexp_replace is global by default). */
+  def canonicalText(s: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", " "),
+      " +", " "))
+
   /** 60-bit engine-portable string hash: the first 15 hex digits of md5,
     * parsed as a positive long. */
   def portableHash(s: Column): Column =

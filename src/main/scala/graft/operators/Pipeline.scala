@@ -1757,8 +1757,8 @@ object Pipeline {
     base.unionByName(variants)
       .select(col("lang"),
         md5(col("text").cast("binary")).as("raw_h"),
-        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
-          "[^a-z0-9 ]", " "), " +", " ")).cast("binary")).as("canon_h"))
+        md5(graft.functions.TextFunctions.canonicalText(col("text"))
+          .cast("binary")).as("canon_h"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         count_distinct(col("raw_h")).as("n_raw_distinct"),

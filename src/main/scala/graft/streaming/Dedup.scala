@@ -46,6 +46,25 @@ object Dedup {
     * q28): token-level near-copies collapse onto the same signature
     * without any pairwise comparison, the only shape that works on an
     * unbounded stream. */
+  /** Normalization-aware streaming dedup — q91's canonicalize-then-
+    * dedup as an ingest gate: keep the first document per CANONICAL
+    * digest, so case/punctuation/whitespace variants of already-seen
+    * content are dropped at arrival, before they cost downstream
+    * compute. The canonical form is THE shared
+    * [[graft.functions.TextFunctions.canonicalText]] derivation — a
+    * batch q91 run and this gate collapse the identical variants
+    * (parity asserted in DedupSpec). Same watermark-bounded RocksDB
+    * state discipline as [[dedupExact]]: one 16-byte digest per kept
+    * document inside the horizon. */
+  def dedupNormalized(docs: DataFrame, textCol: String,
+      eventTimeCol: String, horizon: String): DataFrame =
+    docs.withColumn("digest",
+        md5(graft.functions.TextFunctions.canonicalText(col(textCol))
+          .cast("binary")))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("digest")
+      .drop("digest")
+
   def dedupSimhash(docs: DataFrame, textCol: String, eventTimeCol: String,
       horizon: String): DataFrame =
     docs.withColumn("hs",

@@ -49,6 +49,37 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("normalized dedup: formatting variants collapse at the gate, batch q91 canonical agreement") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val query = Dedup.dedupNormalized(docs, "text", "ts", "1 hour")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("dedup_norm_mem")
+      .outputMode("append").start()
+    try {
+      // the q91 variant shape: upper-case, doubled spaces, trailing
+      // punctuation — byte-distinct, canonically identical
+      in.addData((1L, "alpha beta gamma", 1L),
+        (2L, "ALPHA  BETA  GAMMA !!", 2L),
+        (3L, "alpha, beta. gamma", 3L),
+        (4L, "a genuinely different document", 4L))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_norm_mem").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 4L), s"got $ids")
+      // batch agreement: the gate's canonical digest IS q91's — the
+      // set of survivors equals one doc per batch-canonical form
+      val canon = graft.functions.TextFunctions.canonicalText(col("text"))
+      val batchForms = Seq((1L, "alpha beta gamma"),
+        (2L, "ALPHA  BETA  GAMMA !!"), (3L, "alpha, beta. gamma"),
+        (4L, "a genuinely different document"))
+        .toDF("doc_id", "text").select(md5(canon.cast("binary")))
+        .distinct().count()
+      assert(batchForms == ids.length.toLong)
+    } finally query.stop()
+  }
+
   test("simhash near-dup dedup: token-level near-copies collapse, distinct docs pass") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String, Long)]
