@@ -135,6 +135,7 @@ class BasketsSpec extends SparkSpec {
     try {
       addFile("f1.txt", Seq("7|10", "7|20"))
       await(BasketsSpec.restartSink.size() == 1, "phase-1 pair")
+      awaitCheckpointQuiesced(ckpt)
     } finally q1.stop()
     // phase 2: restart — supplier 20 again (in recovered state: no
     // re-emission), supplier 30 (pairs with BOTH recovered members)

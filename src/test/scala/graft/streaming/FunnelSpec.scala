@@ -179,6 +179,7 @@ class FunnelSpec extends SparkSpec {
     try {
       addFile("f1.txt", Seq(s"1|view|${10 * w + 100}", s"1|click|${11 * w + 5}"))
       await(FunnelSpec.cohortRestartSink.size() == 2, "phase-1 increments")
+      awaitCheckpointQuiesced(ckpt)
     } finally q1.stop()
     // phase 2: restart — week 11 again (already counted: recovered
     // state must suppress), week 12 (new offset), and a new user

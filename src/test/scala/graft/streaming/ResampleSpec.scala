@@ -127,6 +127,7 @@ class ResampleSpec extends SparkSpec {
     try {
       addFile("f1.txt", Seq("5|1|0|10.0", s"5|2|${2 * c}|30.0"))
       await(ResampleSpec.restartSink.size() == 2, "phase-1 grid points")
+      awaitCheckpointQuiesced(ckpt)
     } finally q1.stop()
     // phase 2: restart — an event at 4c (v=50) must lerp FROM THE
     // RECOVERED (2c, 30) state: grid 2c emits its held value 30, grid
