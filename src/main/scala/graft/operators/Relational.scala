@@ -569,10 +569,30 @@ object Relational {
     * Scale shape: the expand multiplies rows ×|columns| between scan
     * and partial aggregation — map-side, bounded by the column count —
     * and the exchanges carry only partial-aggregate states. */
-  def q94Profile(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  def q94Profile(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), unix_millis(col("ts")).as("tsm"), col("props"))
+        col("value"), unix_millis(col("ts")).as("tsm"), col("props")))
+
+  /** The general profiling API behind q94: profile ANY relation in one
+    * scan. Numeric columns (integral within 2^53, floating) surface
+    * exact min/max as doubles; everything else carries NULL extremes.
+    * One multi-distinct aggregate → stack unpivot; see [[q94Profile]]
+    * for the plan shape. */
+  def profile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    // metric aliases and the stack() expression embed column names —
+    // fail loudly on names that would need quoting rather than emit a
+    // broken expression
+    df.schema.fieldNames.foreach(n => require(
+      n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"profile: column name '$n' needs quoting — rename before profiling"))
+    val cols = df.schema.fields.map { f =>
+      f.name -> (f.dataType match {
+        case _: NumericType => true
+        case _ => false
+      })
+    }.toSeq
     def m(c: String, numeric: Boolean) = Seq(
       count(col(c)).as(s"nn_$c"),
       count_distinct(col(c)).as(s"nd_$c")) ++ (
@@ -580,12 +600,9 @@ object Relational {
         max(col(c)).cast("double").as(s"max_$c"))
       else Seq(lit(null).cast("double").as(s"min_$c"),
         lit(null).cast("double").as(s"max_$c")))
-    val cols = Seq("event_id" -> true, "user_id" -> true,
-      "event_type" -> false, "value" -> true, "tsm" -> true,
-      "props" -> false)
     val metrics = count(lit(1)).as("n") +:
       cols.flatMap { case (c, num) => m(c, num) }
-    val a = e.agg(metrics.head, metrics.tail: _*)
+    val a = df.agg(metrics.head, metrics.tail: _*)
     val stackArgs = cols.map { case (c, _) =>
       s"'$c', n, n - nn_$c, nd_$c, min_$c, max_$c"
     }.mkString(", ")

@@ -262,6 +262,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("profile() generalizes to any relation: part table, schema-driven numeric detection") {
+    val rows = Relational.profile(graft.Tables.part(spark, sfDir)).collect()
+    val part = graft.Tables.part(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      graft.Tables.part(spark, sfDir).schema.fieldNames.sorted.toSeq)
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    // numeric column: exact extremes
+    val keys = part.map(_.getLong(0))
+    assert(byName("p_partkey").getDouble(4) == keys.min.toDouble)
+    assert(byName("p_partkey").getDouble(5) == keys.max.toDouble)
+    // string column: NULL extremes, exact distinct count
+    assert(byName("p_name").isNullAt(4))
+    assert(byName("p_name").getLong(3) ==
+      part.map(_.getString(1)).distinct.length)
+    rows.foreach(r => assert(r.getLong(1) == part.length))
+  }
+
   test("q93 association rules: scores match a local replay, identities hold") {
     val rows = Relational.q93AssociationRules(spark, sfDir).collect()
     assert(rows.nonEmpty)
