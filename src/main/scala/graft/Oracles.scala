@@ -470,6 +470,18 @@ object Oracles {
         |SELECT s1, s2, count(*) AS n_orders FROM p GROUP BY s1, s2
         |ORDER BY n_orders DESC, s1, s2 LIMIT 20""".stripMargin,
 
+    // EWMA: the same left fold over the same ordered doubles — the
+    // α literals MUST cast to DOUBLE (bare 0.25/0.75 are DECIMAL in
+    // DuckDB and the fold then truncates scale)
+    "q95_ewma" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |             epoch_ms(ts) AS tsm FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(list_reduce(list(CAST(value AS DOUBLE) ORDER BY tsm, event_id),
+        |    (a, b) -> CAST(0.25 AS DOUBLE) * b + CAST(0.75 AS DOUBLE) * a),
+        |    6) AS ewma
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // single-scan profile: one row per column; numeric min/max as
     // doubles, non-numeric NULL (formatting-independent)
     "q94_profile" -> {

@@ -196,6 +196,9 @@ object SparkEntry {
     // single-scan data profiling: per-column nulls/distincts/ranges
     // from ONE pass (expand-planned multi-distinct), stack-unpivoted
     "q94_profile" -> (Relational.q94Profile _),
+    // per-user EWMA: sequential left fold in-row over time-ordered
+    // values — one user exchange, engine-shared arithmetic
+    "q95_ewma" -> (Relational.q95Ewma _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -611,6 +611,41 @@ object Relational {
       .orderBy(col("col_name"))
   }
 
+  /** Exponentially weighted moving average per user — the time-series
+    * smoothing primitive with genuinely SEQUENTIAL semantics: s_i =
+    * α·v_i + (1−α)·s_{i−1} is a left fold over the ordered series,
+    * which no plain window aggregate expresses (the closed-form
+    * power-weight rewrite is numerically explosive on long series).
+    * Implemented as an in-row `aggregate` fold over each user's
+    * time-ordered values, seeded with the first observation.
+    *
+    * Scale shape: one user-key exchange into a per-user array — the
+    * q42 per-group multiset acceptance: a user's own history bounds
+    * the row, parallelism grows with the user population, and the
+    * fold is an in-row scan, not a second exchange. Both engines fold
+    * the IDENTICAL ordered doubles with the identical α expression
+    * (α = 0.25 exactly representable; DuckDB's bare decimal literals
+    * must cast to DOUBLE — the q42/q89 lesson — or the fold runs in
+    * truncating decimal arithmetic), so every intermediate is
+    * bit-equal and the 6-decimal rounding agrees by construction. */
+  def q95Ewma(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.25
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_millis(col("ts")).as("tsm"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(
+          struct(col("tsm"), col("event_id"), col("value")))).as("es"))
+      .select(col("user_id"), col("n_events"),
+        round(aggregate(
+          expr("slice(es, 2, size(es) - 1)"),
+          col("es").getItem(0).getField("value"),
+          (acc, e) => lit(alpha) * e.getField("value") +
+            lit(1 - alpha) * acc), 6).as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
   /** Association-rule mining over the q83 baskets — the step after
     * co-occurrence counting in the market-basket family: each supplier
     * pair is scored with support (joint order share), directional

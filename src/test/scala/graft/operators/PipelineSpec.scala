@@ -1223,7 +1223,11 @@ class PipelineSpec extends SparkSpec {
       // six-column profile costs two exchanges of partial states
       // and nothing else; stack and the ≤6-row sort ride the final
       // aggregate's single partition
-      "q94_profile" -> 2)
+      "q94_profile" -> 2,
+      // q95: the user-key collect exchange + the result sort — the
+      // EWMA fold itself is an in-row scan over each user's own
+      // history, never a shuffle
+      "q95_ewma" -> 2)
     val got = budgets.keys.toSeq.sorted.map(name =>
       name -> executedShuffles(graft.SparkEntry.queries(name)(spark, sfDir)))
     val bad = got.filter { case (n, g) => g != budgets(n) }

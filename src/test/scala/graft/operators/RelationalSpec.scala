@@ -313,6 +313,28 @@ class RelationalSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(6) >= floor))
   }
 
+  test("q95 ewma: the fold matches a local sequential replay exactly") {
+    val rows = Relational.q95Ewma(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byUser = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_millis(col("ts")).as("tsm")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._4, e._2)).map(_._3).toSeq).toMap
+    assert(rows.map(_.getLong(0)).toSet == byUser.keySet)
+    rows.foreach { r =>
+      val vs = byUser(r.getLong(0))
+      assert(r.getLong(1) == vs.size)
+      // the identical left fold, identical doubles — exact through
+      // rounding (not a tolerance comparison)
+      val local = vs.tail.foldLeft(vs.head)((acc, v) => 0.25 * v + 0.75 * acc)
+      assert(r.getDouble(2) == BigDecimal(local)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"user ${r.getLong(0)}: engine ${r.getDouble(2)} vs local $local")
+    }
+  }
+
   /** The engines' shared interpolated median, replayed locally. */
   private def localMedian(xs: Seq[Double]): Double = {
     val v = xs.sorted
