@@ -1699,30 +1699,44 @@ object Pipeline {
     * map-side by keeping only the first-token copy of d = 0 matches:
     * exactness with zero dedup exchange. */
   def q87FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
-    def tok(c: Column, i: Int) = split(c, " ").getItem(i)
-    val clean = Tables.part(spark, dir)
-      .select(col("p_name")).distinct()
-      .select(col("p_name").as("cand"),
-        explode(array_distinct(array(tok(col("p_name"), 0),
-          tok(col("p_name"), 1)))).as("block"))
     val dirty = Tables.part(spark, dir)
       .select(
         when(col("p_partkey") % 3 === 0,
           expr("substring(p_name, 1, length(p_name) - 1)"))
           .when(col("p_partkey") % 3 === 1, concat(col("p_name"), lit("x")))
           .otherwise(col("p_name")).as("dirty"))
-      .select(col("dirty"), tok(col("dirty"), 0).as("b1"),
-        tok(col("dirty"), 1).as("b2"))
-    val dx = dirty.select(col("dirty"), col("b1"), col("b1").as("block"))
-      .unionByName(dirty.filter(col("b2") =!= col("b1"))
-        .select(col("dirty"), col("b1"), col("b2").as("block")))
-    dx.join(broadcast(clean), "block")
-      .select(col("cand"), levenshtein(col("dirty"), col("cand")).as("d"),
-        (col("block") === col("b1")).as("is_b1"))
-      .filter(col("d") <= 1 && (col("d") > 0 || col("is_b1")))
+    fuzzyMatchDual(dirty, "dirty", Tables.part(spark, dir), "p_name")
       .groupBy(col("cand"), col("d"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("cand"), col("d"))
+  }
+
+  /** THE dual-token-blocked edit-distance matcher behind q87 and the
+    * streaming resolution gate ([[graft.streaming.Resolve]]) — one
+    * derivation, two faces (the `cdcChunkExplode` discipline). Returns
+    * `records`' rows joined to every vocabulary entry within edit
+    * distance 1 of `recordCol`, as (records.*, cand, d). Exactness and
+    * the d=0 single-emission rule are as documented on [[q87FuzzyJoin]];
+    * the vocabulary side is DISTINCT names exploded under both tokens
+    * and broadcast, so the matcher is map-side against any record
+    * volume — batch or per-micro-batch. */
+  private[graft] def fuzzyMatchDual(records: DataFrame, recordCol: String,
+      vocab: DataFrame, vocabCol: String): DataFrame = {
+    def tok(c: Column, i: Int) = split(c, " ").getItem(i)
+    val cb = vocab.select(col(vocabCol).as("cand")).distinct()
+      .select(col("cand"),
+        explode(array_distinct(array(tok(col("cand"), 0),
+          tok(col("cand"), 1)))).as("__block"))
+    val d1 = records.withColumn("__b1", tok(col(recordCol), 0))
+      .withColumn("__b2", tok(col(recordCol), 1))
+    val dx = d1.withColumn("__block", col("__b1"))
+      .unionByName(d1.filter(col("__b2") =!= col("__b1"))
+        .withColumn("__block", col("__b2")))
+    dx.join(broadcast(cb), "__block")
+      .withColumn("d", levenshtein(col(recordCol), col("cand")))
+      .filter(col("d") <= 1 &&
+        (col("d") > 0 || col("__block") === col("__b1")))
+      .drop("__block", "__b1", "__b2")
   }
 
   /** L1 — canonicalize-then-dedup (the normalization pass that runs
