@@ -470,6 +470,17 @@ object Oracles {
         |SELECT s1, s2, count(*) AS n_orders FROM p GROUP BY s1, s2
         |ORDER BY n_orders DESC, s1, s2 LIMIT 20""".stripMargin,
 
+    // rank distribution: the (value, event_id) tie order makes every
+    // ntile boundary deterministic in both engines
+    "q96_rank_distribution" ->
+      """SELECT event_id, event_type, value,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdf,
+        |  CAST(ntile(10) OVER w AS INT) AS decile
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, value, event_id""".stripMargin,
+
     // EWMA: the same left fold over the same ordered doubles — the
     // α literals MUST cast to DOUBLE (bare 0.25/0.75 are DECIMAL in
     // DuckDB and the fold then truncates scale)

@@ -199,6 +199,9 @@ object SparkEntry {
     // per-user EWMA: sequential left fold in-row over time-ordered
     // values — one user exchange, engine-shared arithmetic
     "q95_ewma" -> (Relational.q95Ewma _),
+    // rank-distribution windows: percent_rank/cume_dist/ntile share
+    // one per-type sort, deterministic tie order
+    "q96_rank_distribution" -> (Relational.q96RankDistribution _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -611,6 +611,29 @@ object Relational {
       .orderBy(col("col_name"))
   }
 
+  /** Rank-distribution window functions — the family q07/q08/q43's
+    * rank/rows/range frames don't cover: every event positioned within
+    * its type's value distribution by `percent_rank` (rank share),
+    * `cume_dist` (CDF), and `ntile(10)` (decile by row order). The
+    * window orders by `(value, event_id)` so tie placement — and with
+    * it every ntile boundary — is deterministic and engine-identical.
+    *
+    * Scale shape: ONE exchange (the per-type window partitioning —
+    * parallelism grows with the type cardinality; within a partition
+    * the three functions share one sort) + the result sort. Rank
+    * shares round to 6 decimals so both engines cut identically. */
+  def q96RankDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdf"),
+        ntile(10).over(w).as("decile"))
+      .orderBy(col("event_type"), col("value"), col("event_id"))
+  }
+
   /** Exponentially weighted moving average per user — the time-series
     * smoothing primitive with genuinely SEQUENTIAL semantics: s_i =
     * α·v_i + (1−α)·s_{i−1} is a left fold over the ordered series,

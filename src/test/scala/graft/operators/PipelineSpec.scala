@@ -1227,7 +1227,10 @@ class PipelineSpec extends SparkSpec {
       // q95: the user-key collect exchange + the result sort — the
       // EWMA fold itself is an in-row scan over each user's own
       // history, never a shuffle
-      "q95_ewma" -> 2)
+      "q95_ewma" -> 2,
+      // q96: the per-type window partitioning (all three rank
+      // functions share its one sort) + the result sort
+      "q96_rank_distribution" -> 2)
     val got = budgets.keys.toSeq.sorted.map(name =>
       name -> executedShuffles(graft.SparkEntry.queries(name)(spark, sfDir)))
     val bad = got.filter { case (n, g) => g != budgets(n) }

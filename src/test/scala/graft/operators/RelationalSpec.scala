@@ -313,6 +313,29 @@ class RelationalSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(6) >= floor))
   }
 
+  test("q96 rank distribution: percent_rank/cdf/ntile match a local replay on the unique tie order") {
+    val rows = Relational.q96RankDistribution(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(1))
+    byType.foreach { case (_, g) =>
+      val n = g.length
+      // rows arrive ordered by (value, event_id) — the window's own
+      // total order, so position i is the unique rank
+      g.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getDouble(3) == (if (n == 1) 0.0
+          else BigDecimal(i.toDouble / (n - 1))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        assert(r.getDouble(4) == BigDecimal((i + 1).toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        // ntile: first n%10 buckets hold one extra row
+        val base = n / 10; val rem = n % 10
+        val want = if (i < rem * (base + 1)) i / (base + 1) + 1
+          else rem + (i - rem * (base + 1)) / base + 1
+        assert(r.getInt(5) == want, s"row $i of $n: ntile")
+      }
+    }
+  }
+
   test("q95 ewma: the fold matches a local sequential replay exactly") {
     val rows = Relational.q95Ewma(spark, sfDir).collect()
     assert(rows.nonEmpty)
