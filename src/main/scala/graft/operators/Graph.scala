@@ -229,9 +229,14 @@ object Graph {
     // re-derivation below a pure map over the cache — a broadcast
     // subquery here would replay its one-row aggregate once per edge
     // consumer (five in this plan) for no information gain
-    val thr = supportC.agg(
+    // empty/singleton support makes avg/stddev_samp NULL — an absent
+    // threshold means no edge can be "anomalously strong", so the
+    // strong graph (and the whole report) is empty rather than an NPE
+    val thrRow = supportC.agg(
       round(avg(col("n")) + lit(2.0) * stddev_samp(col("n")), 6))
-      .head.getDouble(0)
+      .head
+    val thr =
+      if (thrRow.isNullAt(0)) Double.PositiveInfinity else thrRow.getDouble(0)
     val edges = supportC.filter(col("n") > thr)
       .select(col("s1"), col("s2"))
     val deg = edges.select(explode(array(col("s1"), col("s2"))).as("s"))

@@ -1658,6 +1658,12 @@ object Pipeline {
   def invIndexAppend(spark: SparkSession, name: String,
       newDocs: DataFrame): Unit = {
     val d = tokenizedDocs(newDocs)
+    // stats BEFORE postings, and short-circuit an empty batch: count=0
+    // makes avgdl NULL (getDouble would NPE) and would merge a 0/0 NaN
+    // into the stored average — an empty append must be a no-op.
+    val batch = bm25Stats(d).collect().head
+    if (batch.getDouble(0) == 0.0) return
+    val (n2, avg2) = (batch.getDouble(0), batch.getDouble(1))
     bm25Postings(d)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(IvfIndexBuckets, "t").sortBy("t")
@@ -1665,8 +1671,6 @@ object Pipeline {
     val old = spark.table(name + "_stats")
       .collect().headOption.map(r => (r.getDouble(0), r.getDouble(1)))
       .getOrElse((0.0, 0.0))
-    val batch = bm25Stats(d).collect().head
-    val (n2, avg2) = (batch.getDouble(0), batch.getDouble(1))
     val nn = old._1 + n2
     val merged = Seq((nn, (old._1 * old._2 + n2 * avg2) / nn))
     import spark.implicits._
@@ -1689,15 +1693,21 @@ object Pipeline {
     * map-side, so the only exchange in the plan is the final
     * ≤|vocabulary|·2-row aggregate.
     *
-    * Blocking is DUAL-TOKEN and exact for d ≤ 1 (single-key blocking
-    * is not: one edit in the first token — "cold rod" → "old rod" —
-    * escapes a first-token block, PipelineSpec proved the loss): both
-    * sides emit under their first AND second token, and one character
-    * edit can change at most one token, so every qualifying pair
-    * shares at least one block. A pair sharing BOTH blocks has equal
-    * tokens pairwise — i.e. d = 0 — so the double emission is removed
-    * map-side by keeping only the first-token copy of d = 0 matches:
-    * exactness with zero dedup exchange. */
+    * Blocking is TRIPLE-KEY and exact for every d ≤ 1 edit except a
+    * substitution BETWEEN a space and a non-space character (single-key
+    * blocking is not even token-exact: one edit in the first token —
+    * "cold rod" → "old rod" — escapes a first-token block, PipelineSpec
+    * proved the loss): both sides emit under their first token, second
+    * token, AND space-stripped whole string. An edit inside a token
+    * changes at most that token (the other token block survives); a
+    * space insert/delete (token merge/split — "cold rod" → "coldrod")
+    * preserves the stripped string, so that block survives. The one
+    * residual: "cold rod" → "coldxrod" (space SUBSTITUTED by a letter)
+    * changes the token structure and the stripped string at once — no
+    * equality block can bridge it, and the limitation is documented
+    * here rather than papered over. Pairs sharing several blocks are
+    * emitted once via a row-wise block-priority rule (see
+    * [[fuzzyMatchDual]]): exactness with zero dedup exchange. */
   def q87FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
     val dirty = Tables.part(spark, dir)
       .select(
@@ -1722,21 +1732,51 @@ object Pipeline {
     * volume — batch or per-micro-batch. */
   private[graft] def fuzzyMatchDual(records: DataFrame, recordCol: String,
       vocab: DataFrame, vocabCol: String): DataFrame = {
-    def tok(c: Column, i: Int) = split(c, " ").getItem(i)
+    // get(), not getItem(): a single-token string has no second token,
+    // and under ANSI semantics getItem(1) on a 1-element array THROWS —
+    // get() yields the NULL the blocking logic expects
+    def tok(c: Column, i: Int) = get(split(c, " "), lit(i))
+    def strip(c: Column) = regexp_replace(c, " ", "")
+    // each side emits under THREE block keys: first token, second
+    // token, and the space-stripped whole string (the third covers
+    // token merge/split edits — "cold rod" -> "coldrod" is d = 1 but
+    // shares no token; both strip to "coldrod"). The vocabulary rows
+    // carry their full block set so the matcher can pick ONE canonical
+    // shared block per pair map-side (see the keep rule below).
     val cb = vocab.select(col(vocabCol).as("cand")).distinct()
-      .select(col("cand"),
-        explode(array_distinct(array(tok(col("cand"), 0),
-          tok(col("cand"), 1)))).as("__block"))
+      // array_compact: a single-token candidate has a NULL second
+      // token, and array_contains over an array holding NULL returns
+      // NULL (not false) for absent values — which would null out the
+      // keep rule below and silently drop matches
+      .withColumn("__cblocks", array_compact(array_distinct(
+        array(tok(col("cand"), 0), tok(col("cand"), 1),
+          strip(col("cand"))))))
+      .select(col("cand"), col("__cblocks"),
+        explode(col("__cblocks")).as("__block"))
     val d1 = records.withColumn("__b1", tok(col(recordCol), 0))
       .withColumn("__b2", tok(col(recordCol), 1))
+      .withColumn("__b3", strip(col(recordCol)))
     val dx = d1.withColumn("__block", col("__b1"))
       .unionByName(d1.filter(col("__b2") =!= col("__b1"))
         .withColumn("__block", col("__b2")))
+      .unionByName(d1.filter(col("__b3") =!= col("__b1") &&
+          (col("__b2").isNull || col("__b3") =!= col("__b2")))
+        .withColumn("__block", col("__b3")))
+    // exactly-once emission for EVERY pair (not just d = 0): a pair
+    // may now share several blocks (both tokens, or a token plus the
+    // stripped string), so keep only the copy joined under the
+    // record's highest-priority block (b1 > b2 > stripped) that the
+    // candidate also emits — computable row-wise from __cblocks, so
+    // dedup costs no exchange.
+    def cHas(b: Column) = array_contains(col("__cblocks"), b)
     dx.join(broadcast(cb), "__block")
       .withColumn("d", levenshtein(col(recordCol), col("cand")))
-      .filter(col("d") <= 1 &&
-        (col("d") > 0 || col("__block") === col("__b1")))
-      .drop("__block", "__b1", "__b2")
+      .filter(col("d") <= 1 && (
+        (col("__block") === col("__b1")) ||
+        (col("__block") === col("__b2") && !cHas(col("__b1"))) ||
+        (col("__block") === col("__b3") && !cHas(col("__b1")) &&
+          (col("__b2").isNull || !cHas(col("__b2"))))))
+      .drop("__block", "__cblocks", "__b1", "__b2", "__b3")
   }
 
   /** L1 — canonicalize-then-dedup (the normalization pass that runs

@@ -577,8 +577,13 @@ object Relational {
   /** The general profiling API behind q94: profile ANY relation in one
     * scan. Numeric columns (integral within 2^53, floating) surface
     * exact min/max as doubles; everything else carries NULL extremes.
-    * One multi-distinct aggregate → stack unpivot; see [[q94Profile]]
-    * for the plan shape. */
+    * Columns whose type supports no equality comparison (maps, and
+    * anything nested containing one) carry a NULL distinct count —
+    * `count_distinct` over a MapType fails at ANALYSIS time, so the
+    * capability is decided from the schema up front instead of letting
+    * the whole profile throw on one column. One multi-distinct
+    * aggregate → stack unpivot; see [[q94Profile]] for the plan
+    * shape. */
   def profile(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     // metric aliases and the stack() expression embed column names —
@@ -587,23 +592,29 @@ object Relational {
     df.schema.fieldNames.foreach(n => require(
       n.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"profile: column name '$n' needs quoting — rename before profiling"))
+    def distinctable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case ArrayType(et, _) => distinctable(et)
+      case StructType(fs) => fs.forall(f => distinctable(f.dataType))
+      case _ => true
+    }
     val cols = df.schema.fields.map { f =>
-      f.name -> (f.dataType match {
-        case _: NumericType => true
-        case _ => false
-      })
+      (f.name,
+        f.dataType match { case _: NumericType => true; case _ => false },
+        distinctable(f.dataType))
     }.toSeq
-    def m(c: String, numeric: Boolean) = Seq(
+    def m(c: String, numeric: Boolean, dist: Boolean) = Seq(
       count(col(c)).as(s"nn_$c"),
-      count_distinct(col(c)).as(s"nd_$c")) ++ (
+      (if (dist) count_distinct(col(c))
+       else lit(null).cast("long")).as(s"nd_$c")) ++ (
       if (numeric) Seq(min(col(c)).cast("double").as(s"min_$c"),
         max(col(c)).cast("double").as(s"max_$c"))
       else Seq(lit(null).cast("double").as(s"min_$c"),
         lit(null).cast("double").as(s"max_$c")))
     val metrics = count(lit(1)).as("n") +:
-      cols.flatMap { case (c, num) => m(c, num) }
+      cols.flatMap { case (c, num, dist) => m(c, num, dist) }
     val a = df.agg(metrics.head, metrics.tail: _*)
-    val stackArgs = cols.map { case (c, _) =>
+    val stackArgs = cols.map { case (c, _, _) =>
       s"'$c', n, n - nn_$c, nd_$c, min_$c, max_$c"
     }.mkString(", ")
     a.select(expr(s"stack(${cols.size}, $stackArgs) AS " +

@@ -98,4 +98,18 @@ class GraphSpec extends SparkSpec {
     // every participant really is a supplier from the edge set
     assert(got.keySet.subsetOf(nodes.toSet))
   }
+
+  test("q88 triangles: a support relation too small for a threshold yields empty, not an NPE") {
+    // one order with one supplier -> zero co-occurrence pairs, so
+    // avg/stddev_samp are NULL: the absent threshold must read as "no
+    // edge is anomalously strong" (empty report), not a head/getDouble
+    // crash (ADVICE r12)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q88_empty")
+      .toString
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val one = li.select(col("l_orderkey"), col("l_suppkey")).limit(1)
+    li.join(one, Seq("l_orderkey", "l_suppkey"), "left_semi")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    assert(Graph.q88Triangles(spark, tmp).collect().isEmpty)
+  }
 }

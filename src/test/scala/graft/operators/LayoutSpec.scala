@@ -377,5 +377,14 @@ class LayoutSpec extends SparkSpec {
     // grown index still plans with zero shuffle exchanges
     assert(!Layout.hasShuffle(spark.table(name).groupBy(col("t")).count()),
       "append must preserve the term-bucketed layout")
+    // an EMPTY batch is a no-op: count=0 yields a NULL avgdl, which
+    // must short-circuit before the stats merge (ADVICE r12: getDouble
+    // NPE, then a 0/0 NaN poisoning the stored average forever)
+    val before = (spark.table(name).count(),
+      spark.table(name + "_stats").collect().head.toSeq)
+    Pipeline.invIndexAppend(spark, name, d.filter(lit(false)))
+    assert((spark.table(name).count(),
+      spark.table(name + "_stats").collect().head.toSeq) == before,
+      "empty append must change neither postings nor stats")
   }
 }

@@ -1279,6 +1279,31 @@ class PipelineSpec extends SparkSpec {
     assert(rows.exists(_.getInt(1) == 1))
   }
 
+  test("fuzzyMatchDual: space merge/split edits match, multi-shared-block pairs emit exactly once") {
+    import spark.implicits._
+    // "coldrod" <-> "cold rod" are d = 1 via a space insert/delete:
+    // they share NO token, only the space-stripped block (the ADVICE
+    // r12 miss). "cold rod x" vs "cold rod y" share BOTH tokens at
+    // d = 1 — the pair every block emits, which the priority rule must
+    // collapse to exactly one output row (multiset compare catches
+    // double emission, not just loss).
+    val vocab = Seq("cold rod", "coldrod", "cold rod y", "cold rod x",
+      "alpha beta").toDF("name")
+    val recs = Seq("cold rod", "coldrod", "cold rod x", "cold  rod", "zzz")
+    val got = Pipeline.fuzzyMatchDual(recs.toDF("r"), "r", vocab, "name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val brute = (for {
+      r <- recs
+      c <- Seq("cold rod", "coldrod", "cold rod y", "cold rod x", "alpha beta")
+      d = lev(r, c) if d <= 1
+    } yield (r, c, d)).groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == brute, s"engine $got\nbrute $brute")
+    // the new recall really fired: the token-merge pair is present
+    assert(got.contains(("coldrod", "cold rod", 1)))
+    assert(got.contains(("cold rod", "coldrod", 1)))
+  }
+
   /** q91's canonicalization, replayed in plain Scala. */
   private def canonical(s: String): String =
     s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim

@@ -279,6 +279,23 @@ class RelationalSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) == part.length))
   }
 
+  test("profile() on a map column: null distinct count instead of an analysis error") {
+    // count_distinct over MapType fails at ANALYSIS time (maps have no
+    // equality) — ADVICE r12: 'profile ANY relation' must degrade that
+    // one metric, not throw on the whole relation
+    import spark.implicits._
+    val df = Seq((1L, Map("a" -> 1), "x"), (2L, Map("b" -> 2), "x"),
+      (3L, Map.empty[String, Int], null.asInstanceOf[String]))
+      .toDF("id", "m", "s")
+    val rows = Relational.profile(df).collect()
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("m").getLong(1) == 3 && byName("m").getLong(2) == 0)
+    assert(byName("m").isNullAt(3), "map distinct count must be NULL")
+    // orderable columns keep their exact metrics alongside
+    assert(byName("id").getLong(3) == 3 && byName("id").getDouble(4) == 1.0)
+    assert(byName("s").getLong(3) == 1 && byName("s").getLong(2) == 1)
+  }
+
   test("q93 association rules: scores match a local replay, identities hold") {
     val rows = Relational.q93AssociationRules(spark, sfDir).collect()
     assert(rows.nonEmpty)

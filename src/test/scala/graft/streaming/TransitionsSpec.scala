@@ -20,8 +20,14 @@ class TransitionsSpec extends SparkSpec {
         TransitionEvent(r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
       .sortBy(e => (e.userId, e.tsm, e.eventId))
     val cut = events.map(_.tsm).sorted.apply(events.length / 2)
+    // ties at tsm == cut route as a WHOLE per user (even users first
+    // installment, odd users second) so each user's delivered sequence
+    // stays a (tsm, eventId)-ordered prefix — splitting ties by
+    // eventId parity could deliver a later-ordered even id before an
+    // earlier odd one, violating the per-user in-order contract the
+    // fold assumes
     val (first, second) = events.partition(e => e.tsm < cut ||
-      (e.tsm == cut && e.eventId % 2 == 0))
+      (e.tsm == cut && e.userId % 2 == 0))
     val rnd = new scala.util.Random(7)
     val in = MemoryStream[TransitionEvent]
     val query = Transitions.transitionIncrements(in.toDS())
