@@ -661,6 +661,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  /** The cached physical plans feeding a relation's in-memory scans —
+    * how the spec reaches an eagerly-materialized segment's own
+    * exchanges (its outer plan is just the cache read). */
+  private def findCachedPlans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    p match {
+      case a: AdaptiveSparkPlanExec => findCachedPlans(a.executedPlan)
+      case s: QueryStageExec => findCachedPlans(s.plan)
+      case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+      case other => other.children.flatMap(findCachedPlans) ++
+        other.subqueries.flatMap(findCachedPlans)
+    }
+  }
+
   /** Execute `df` (so the adaptive final plan forms) and count its
     * exchanges. */
   private def executedShuffles(df: org.apache.spark.sql.DataFrame): Int = {
@@ -1015,20 +1031,38 @@ class PipelineSpec extends SparkSpec {
     assert(rows.take(5).exists(_.getBoolean(2)), "no supplier in top 5")
   }
 
-  test("q81 exchange accounting: each iteration pays exactly one exchange") {
-    val (top, release) = Pipeline.pageRankReport(spark, sfDir)
+  test("q81 exchange accounting: each iteration pays exactly one exchange, lineage bounded") {
+    val (top, mids, release) = Pipeline.pageRankReport(spark, sfDir)
     try {
       top.count()
-      val got = countShuffles(top.queryExecution.executedPlan)
       // POST-CACHE: exactly ONE exchange per iteration — the
       // contribution aggregation onto dst. The join pays nothing: the
       // edge cache holds its src hash-partitioning and the incoming
       // rank relation arrives partitioned on node from the previous
-      // iteration's rollup, so both sides already satisfy the join
+      // iteration's rollup (or its cached cut, which preserves that
+      // partitioning), so both sides already satisfy the join
       // clustering. Seed distinct rides the cache partitioning and
-      // the final top-20 is TakeOrdered (no exchange). A count above
-      // 6 means an iteration lost the persisted edges' partitioning
-      assert(got == 6, s"q81 live plan: $got exchanges, design says 6 (one per iteration)")
+      // the final top-20 is TakeOrdered (no exchange). The six
+      // iterations now execute as bounded SEGMENTS (VERDICT r12
+      // §next-1a): each mid-loop materialization plus the final plan
+      // must pay exactly its own iterations' exchanges — more means a
+      // segment lost a cached partitioning, fewer means a segment
+      // secretly re-reads an unbounded tree.
+      val per = Pipeline.PageRankMaterializeEvery
+      assert(mids.size == (6 - 1) / per,
+        s"expected ${(6 - 1) / per} mid-loop cuts, got ${mids.size}")
+      // a mid's own executedPlan reads from its cache — the executed
+      // segment lives inside the InMemoryRelation's cachedPlan
+      mids.foreach { m =>
+        val seg = findCachedPlans(m.queryExecution.executedPlan)
+        assert(seg.nonEmpty, "mid-loop cut is not reading from cache")
+        val got = seg.map(countShuffles).sum
+        assert(got == per, s"mid segment: $got exchanges, design says $per")
+      }
+      val got = countShuffles(top.queryExecution.executedPlan)
+      val tail = 6 - per * mids.size
+      assert(got == tail,
+        s"q81 final segment: $got exchanges, design says $tail (one per post-cut iteration)")
     } finally release()
   }
 
