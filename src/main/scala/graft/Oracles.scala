@@ -622,6 +622,7 @@ object Oracles {
     "q62_audio_stats" -> graft.operators.Multimodal.audioOracleSql,
     "q63_video_stats" -> graft.operators.Multimodal.videoOracleSql,
     "q69_video_thumbnails" -> graft.operators.Multimodal.videoThumbsOracleSql,
+    "q97_image_dedup" -> graft.operators.Multimodal.imageDedupOracleSql,
     "q37_asof_join" -> graft.operators.Joins.q37Sql,
     "q38_range_join" -> graft.operators.Joins.q38Sql,
     "q39_cube" ->

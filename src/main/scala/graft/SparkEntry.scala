@@ -202,6 +202,10 @@ object SparkEntry {
     // rank-distribution windows: percent_rank/cume_dist/ntile share
     // one per-type sort, deterministic tie order
     "q96_rank_distribution" -> (Relational.q96RankDistribution _),
+    // image dedup, exact + perceptual: real-PNG corpus, digest groupBy,
+    // aHash/dHash from decoded pixels, banded dHash join (pigeonhole-
+    // exact at Hamming <= 3) — never all-pairs
+    "q97_image_dedup" -> (Multimodal.q97ImageDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

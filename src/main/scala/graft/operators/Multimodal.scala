@@ -573,6 +573,264 @@ object Multimodal {
       |  CAST(sum(lum_sum) AS BIGINT) AS total_thumb_lum
       |FROM v GROUP BY n_frames ORDER BY n_frames""".stripMargin
 
+  // ------------------------------------------------------- image dedup
+
+  /** Twin (byte-identical copy) and variant (one-pixel edit) media-id
+    * offsets in [[imageCorpus]] — the constructed dup structure the
+    * q97 oracle re-derives. */
+  private[graft] val TwinOffset = 3000000L
+  private[graft] val VariantOffset = 6000000L
+
+  /** Closed-form gray value of pixel `p` (= y·8 + x) of base image
+    * `id`: `(id+1) · (13p³ + 37p² + 101p + 7919) mod 65521 mod 256`.
+    * The CUBIC per-pixel coefficient is deliberate — dHash compares
+    * ADJACENT pixels, so any form whose p-differences are constant
+    * (linear in p, or any single multiply of `id·64+p`) collapses the
+    * whole corpus into a handful of gradient-sign patterns and drowns
+    * the near report in coincidental pairs (measured: 647 false d=3
+    * pairs at 500 docs for the Lehmer-linear form, 0 for this one at
+    * 5000). Intermediates stay < 2^35, exact in both engines' int64.
+    * The variant flips the high bit of ONE pixel (position derived
+    * from the id), which moves at most two dHash comparisons — the
+    * controlled near-duplicate. */
+  private[graft] def pixelValue(id: Long, p: Int, variant: Boolean): Int = {
+    val c = 13L * p * p * p + 37L * p * p + 101L * p + 7919L
+    val base = ((id + 1L) * c % 65521L % 256L).toInt
+    if (variant && p == (((id / 8) % 8) * 8 + id % 8).toInt) base ^ 128
+    else base
+  }
+
+  /** Encode base/variant image `id` as a REAL 8×8 grayscale PNG
+    * (r = g = b = the closed-form value, so the decoded gray is exact
+    * and engine-portable). Deterministic: identical pixels encode to
+    * identical bytes, which is what makes the twin face byte-exact. */
+  private[graft] def encodeGrayPng(id: Long, variant: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < 64) {
+      val v = pixelValue(id, p, variant)
+      img.setRGB(p % 8, p / 8, (v << 16) | (v << 8) | v)
+      p += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic image corpus over the documents table: one real PNG
+    * per document, plus a BYTE-IDENTICAL twin every 17th id (the exact
+    * face: invisible to any perceptual measure, caught only by the
+    * payload digest) and a ONE-PIXEL variant every 13th id (the
+    * near face: a different payload and digest, within dHash Hamming
+    * ≤ 2 of its base). */
+  def imageCorpus(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id").cast("long")).as[Long]
+      .flatMap { id =>
+        val payload = encodeGrayPng(id, variant = false)
+        val meta = MediaMeta(8, 8, 0, 1)
+        val base = MediaFile(id, "image", payload, meta)
+        val twin =
+          if (id % 17 == 0) Seq(MediaFile(id + TwinOffset, "image", payload, meta))
+          else Nil
+        val variant =
+          if (id % 13 == 0)
+            Seq(MediaFile(id + VariantOffset, "image",
+              encodeGrayPng(id, variant = true), meta))
+          else Nil
+        base +: (twin ++ variant)
+      }
+  }
+
+  /** The 64 gray values of a decoded 8×8 image, row-major (the red
+    * channel — r = g = b in this corpus, and PNG is lossless, so this
+    * IS the closed-form value). */
+  private[graft] def grayPixels(img: java.awt.image.BufferedImage): Array[Int] = {
+    val out = new Array[Int](64)
+    var p = 0
+    while (p < 64) {
+      out(p) = (img.getRGB(p % 8, p / 8) >> 16) & 0xFF
+      p += 1
+    }
+    out
+  }
+
+  /** 56-bit difference hash: bit q (= y·7 + x) set iff pixel (x+1, y)
+    * is brighter than (x, y) — the gradient-sign signature. A single
+    * pixel edit touches at most its left and right comparison, so a
+    * one-pixel variant is ALWAYS within Hamming 2: recall of the
+    * banded join below is structural, not probabilistic. */
+  private[graft] def dHash56(v: Array[Int]): Long = {
+    var h = 0L
+    var q = 0
+    while (q < 56) {
+      val (y, x) = (q / 7, q % 7)
+      if (v(y * 8 + x + 1) > v(y * 8 + x)) h |= 1L << q
+      q += 1
+    }
+    h
+  }
+
+  /** 64-bit average hash as two 32-bit halves (lo = bits 0..31, hi =
+    * 32..63): bit p set iff 64·v(p) ≥ Σv — integer cross-multiplied,
+    * so both engines cut the mean identically with no float. Halves
+    * keep every value positive: a bit-63 BIGINT is negative in two's
+    * complement and list_sum overflow-checks differ per engine. */
+  private[graft] def aHashHalves(v: Array[Int]): (Long, Long) = {
+    val s = v.foldLeft(0L)(_ + _)
+    var (hi, lo) = (0L, 0L)
+    var p = 0
+    while (p < 64) {
+      if (64L * v(p) >= s) {
+        if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+      }
+      p += 1
+    }
+    (hi, lo)
+  }
+
+  /** REAL-decode signature extraction: every payload decodes through
+    * `javax.imageio` (the q33/q62 partition-wise contract — payloads
+    * never shuffle, decoder configured once per partition), then the
+    * exact digest (md5 over the payload BYTES) and both perceptual
+    * hashes compute from the decoded raster. Undecodable payloads are
+    * dropped (`decoded=false` has no signature to dedup on); this
+    * corpus decodes fully. */
+  def imageSignatures(files: Dataset[MediaFile]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { f =>
+        tryDecode(f.payload).map { img =>
+          val v = grayPixels(img)
+          val (hi, lo) = aHashHalves(v)
+          md.reset()
+          val digest = md.digest(f.payload).map("%02x".format(_)).mkString
+          (f.mediaId, digest, hi, lo, dHash56(v))
+        }
+      }
+    }.toDF("media_id", "digest", "a_hi", "a_lo", "dhash")
+  }
+
+  /** MM/L1/L2 — image dedup, exact AND perceptual, over the real-PNG
+    * corpus: the multimodal face of the text engine's q23 (digest
+    * groupBy) and q28 (banded signature join) in one report.
+    *
+    * Stage `exact`: group by payload digest — one row per group SIZE
+    * (n groups, how many contain a constructed twin). Stage `ahash`:
+    * distinct aHash / dHash counts over the exact-dedup
+    * REPRESENTATIVES (min id per digest group — near-dup never sees a
+    * byte-duplicate twice). Stage `near`: candidate pairs from a
+    * 4-band × 14-bit dHash LSH join, verified at Hamming ≤ 3 — by
+    * pigeonhole a pair within distance 3 has at least one untouched
+    * band, so the banded join is EXACT, never all-pairs. One row per
+    * verified distance (n pairs, how many are a base with its own
+    * constructed variant).
+    *
+    * Scale posture (100 TB of images): signatures are 5 fixed-width
+    * columns — payloads never survive past the partition-wise decode;
+    * the exact face shuffles 16-byte digests; the near face shuffles
+    * 14-bit band keys and verifies with one codegen'd
+    * `bit_count(xor)` per candidate. The decoded signature relation
+    * is persisted once and feeds all three stages (the q88 resident-
+    * support acceptance: session-scoped, reclaimed by clearCache). */
+  def q97ImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = imageSignatures(imageCorpus(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count()
+    val groups = sig.groupBy(col("digest"))
+      .agg(min(col("media_id")).as("media_id"),
+        count(lit(1)).as("sz"),
+        max(when(col("media_id").between(TwinOffset, VariantOffset - 1), 1)
+          .otherwise(0)).as("has_twin"))
+    val exact = groups.groupBy(col("sz").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("has_twin")).cast("long").as("n_variant"))
+      .select(lit("exact").as("stage"), col("k"), col("n"), col("n_variant"))
+    val reps = sig.join(groups.select(col("media_id")), Seq("media_id"), "left_semi")
+    val ahash = reps.agg(
+      count_distinct(struct(col("a_hi"), col("a_lo"))).as("n"),
+      count_distinct(col("dhash")).as("n_variant"))
+      .select(lit("ahash").as("stage"), lit(0L).as("k"), col("n"),
+        col("n_variant"))
+    val bands = reps.select(col("media_id"), col("dhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"),
+            shiftright(col("dhash"), 14 * b).bitwiseAND(lit(0x3FFFL))
+              .as("bv"))): _*)).as("band"))
+      .select(col("media_id"), col("dhash"),
+        col("band.b").as("b"), col("band.bv").as("bv"))
+    val near = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id1"), col("y.media_id").as("id2"),
+        col("x.dhash").as("h1"), col("y.dhash").as("h2"))
+      .distinct() // a pair may share several bands — count it once
+      .withColumn("d", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("d") <= 3)
+      .groupBy(col("d").cast("long").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("id2") - col("id1") === VariantOffset, 1L)
+          .otherwise(0L)).as("n_variant"))
+      .select(lit("near").as("stage"), col("k"), col("n"), col("n_variant"))
+    exact.unionByName(ahash).unionByName(near)
+      .orderBy(col("stage"), col("k"))
+  }
+
+  /** DuckDB twin of [[q97ImageDedup]]: pixels, both hashes, the digest
+    * groups (pixel-vector equality — the engine's byte-digest equality,
+    * since identical pixels encode to identical PNGs and PNG is
+    * lossless), and an ALL-PAIRS near join (the oracle may brute-force
+    * what the engine must band). */
+  val imageDedupOracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id AS mid, doc_id AS pid, FALSE AS var FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, doc_id, FALSE FROM documents WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 6000000, doc_id, TRUE FROM documents WHERE doc_id % 13 = 0
+      |), pix AS (
+      |  SELECT mid,
+      |    list_transform(range(64), p ->
+      |      CASE WHEN var AND p = ((pid // 8) % 8) * 8 + (pid % 8)
+      |           THEN xor(CAST((pid + 1) * (13*p*p*p + 37*p*p + 101*p + 7919) % 65521 % 256 AS BIGINT), 128)
+      |           ELSE CAST((pid + 1) * (13*p*p*p + 37*p*p + 101*p + 7919) % 65521 % 256 AS BIGINT) END) AS v
+      |  FROM corpus
+      |), hashed AS (
+      |  SELECT mid, CAST(v AS VARCHAR) AS key,
+      |    CAST(list_sum(list_transform(range(56), q ->
+      |      CASE WHEN v[(q // 7) * 8 + (q % 7) + 2] > v[(q // 7) * 8 + (q % 7) + 1]
+      |           THEN CAST(1 AS BIGINT) << q ELSE 0 END)) AS BIGINT) AS dhash,
+      |    CAST(list_sum(list_transform(range(32), p ->
+      |      CASE WHEN 64 * v[p + 33] >= list_sum(v) THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS a_hi,
+      |    CAST(list_sum(list_transform(range(32), p ->
+      |      CASE WHEN 64 * v[p + 1] >= list_sum(v) THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS a_lo
+      |  FROM pix
+      |), groups AS (
+      |  SELECT key, min(mid) AS rep, count(*) AS sz,
+      |    max(CASE WHEN mid >= 3000000 AND mid < 6000000 THEN 1 ELSE 0 END) AS has_twin
+      |  FROM hashed GROUP BY key
+      |), reps AS (
+      |  SELECT h.mid, h.dhash, h.a_hi, h.a_lo
+      |  FROM hashed h JOIN groups g ON h.mid = g.rep
+      |), near AS (
+      |  SELECT bit_count(xor(r1.dhash, r2.dhash)) AS d,
+      |    CASE WHEN r2.mid - r1.mid = 6000000 THEN 1 ELSE 0 END AS is_var
+      |  FROM reps r1 JOIN reps r2 ON r1.mid < r2.mid
+      |  WHERE bit_count(xor(r1.dhash, r2.dhash)) <= 3
+      |)
+      |SELECT 'exact' AS stage, CAST(sz AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(has_twin) AS BIGINT) AS n_variant FROM groups GROUP BY sz
+      |UNION ALL
+      |SELECT 'ahash', 0, count(DISTINCT (a_hi, a_lo)), count(DISTINCT dhash) FROM reps
+      |UNION ALL
+      |SELECT 'near', CAST(d AS BIGINT), count(*), CAST(sum(is_var) AS BIGINT)
+      |FROM near GROUP BY d
+      |ORDER BY stage, k""".stripMargin
+
   /** DuckDB twin of [[q33MultimodalStats]]: the payload is the UTF-8
     * text bytes, so md5(payload) == md5(text) and octet_length matches
     * (the corpus is ASCII). */

