@@ -691,6 +691,32 @@ object Multimodal {
     (hi, lo)
   }
 
+  /** Normalize a decoded image to the 8×8 hash raster: identity for
+    * the q97 fixtures (already 8×8), bilinear resample otherwise — the
+    * same `Graphics2D` path as [[resizeImage]]. */
+  private[graft] def raster8(
+      img: java.awt.image.BufferedImage): java.awt.image.BufferedImage =
+    if (img.getWidth == 8 && img.getHeight == 8) img
+    else {
+      val out = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = out.createGraphics()
+      gfx.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      gfx.drawImage(img, 0, 0, 8, 8, null)
+      gfx.dispose()
+      out
+    }
+
+  /** THE shared perceptual derivation (batch q97 and the streaming
+    * ingest gate — the `canonicalText` one-derivation discipline):
+    * decode, normalize to the 8×8 raster, 56-bit dHash. None when no
+    * codec accepts the payload (the stream gate then degrades to
+    * byte-exact dedup for that row). */
+  private[graft] def perceptualDHash(payload: Array[Byte]): Option[Long] =
+    tryDecode(payload).map(img => dHash56(grayPixels(raster8(img))))
+
   /** REAL-decode signature extraction: every payload decodes through
     * `javax.imageio` (the q33/q62 partition-wise contract — payloads
     * never shuffle, decoder configured once per partition), then the
@@ -705,7 +731,7 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { f =>
         tryDecode(f.payload).map { img =>
-          val v = grayPixels(img)
+          val v = grayPixels(raster8(img))
           val (hi, lo) = aHashHalves(v)
           md.reset()
           val digest = md.digest(f.payload).map("%02x".format(_)).mkString

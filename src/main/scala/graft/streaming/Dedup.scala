@@ -157,4 +157,45 @@ object Dedup {
       .withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark("chunk_h")
       .drop("chunk_h")
+
+  /** EXACT image dedup at ingest — streaming q97's `exact` face: keep
+    * the first media row per payload byte digest within the horizon.
+    * No decode anywhere: the digest is pure column math over the
+    * binary payload (codegen'd md5), so the gate costs the same as
+    * [[dedupExact]] regardless of media size or codec. */
+  def dedupImageExact(files: DataFrame, payloadCol: String,
+      eventTimeCol: String, horizon: String): DataFrame =
+    files.withColumn("media_digest", md5(col(payloadCol)))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("media_digest")
+      .drop("media_digest")
+
+  /** PERCEPTUAL image dedup at ingest — streaming q97's `near` face as
+    * signature-collapse (the [[dedupSimhash]] acceptance: two
+    * perceptual copies share the full 56-bit dHash — q97's measured
+    * d = 0 mass — and collapse with no pairwise comparison, the only
+    * shape an unbounded stream admits; Hamming 1–3 recovery stays the
+    * batch operator's banded join). The signature is THE shared
+    * derivation ([[graft.operators.Multimodal.perceptualDHash]]:
+    * decode → 8×8 bilinear raster → dHash), so the gate and a batch
+    * q97 run agree hash-for-hash. Decode happens inside a UDF — not a
+    * Column expression, because no Catalyst builtin decodes an image;
+    * this is the streaming seam of the batch `mapPartitions` decode,
+    * one row in, one 8-byte signature out, payload never shuffled.
+    * Payloads no codec accepts degrade to byte-exact dedup (a `raw:`
+    * digest key) instead of all colliding on one null signature. */
+  def dedupImagePerceptual(files: DataFrame, payloadCol: String,
+      eventTimeCol: String, horizon: String): DataFrame = {
+    val sig = udf { (payload: Array[Byte]) =>
+      graft.operators.Multimodal.perceptualDHash(payload) match {
+        case Some(h) => "ph:" + h
+        case None => "raw:" + java.security.MessageDigest.getInstance("MD5")
+          .digest(payload).map("%02x".format(_)).mkString
+      }
+    }
+    files.withColumn("img_sig", sig(col(payloadCol)))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("img_sig")
+      .drop("img_sig")
+  }
 }

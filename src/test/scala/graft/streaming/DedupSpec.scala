@@ -10,6 +10,7 @@ object DedupSpec {
     * foreachBatch closure survives serialization (EngineSpec idiom). */
   val restartSink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
   val embRestartSink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  val imgRestartSink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
 }
 
 /** Streaming dedup through the state store: keep-first semantics,
@@ -193,6 +194,101 @@ class DedupSpec extends SparkSpec {
       addFile("f2.txt", Seq(s"4|${enc(v1.map(_ * 1.0001))}|5", s"5|${enc(v5)}|6"))
       await(DedupSpec.embRestartSink.asScala.toSet.contains(5L), "phase-2 row")
       val seen = DedupSpec.embRestartSink.asScala.toSet
+      assert(!seen.contains(4L),
+        s"duplicate re-emitted after restart — state lost: $seen")
+      assert(!seen.contains(2L), s"phase-1 duplicate resurfaced: $seen")
+    } finally q2.stop()
+  }
+
+  test("image dedup gates: batch q97 parity on the same corpus (exact groups, perceptual signatures)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the REAL batch corpus — twins, variants, genuine PNG bytes —
+    // streamed through both gates; survivor counts must equal what
+    // batch q97 reports over the identical files (one derivation,
+    // two modes)
+    val files = graft.operators.Multimodal
+      .imageCorpus(spark, sfDir).collect()
+      .map(f => (f.mediaId, f.payload, 1L + f.mediaId % 7))
+    val batch = graft.operators.Multimodal.q97ImageDedup(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nGroups = batch.filter(_._1 == "exact").map(_._3).sum
+    val nDhash = batch.filter(_._1 == "ahash").head._4
+    val in = MemoryStream[(Long, Array[Byte], Long)]
+    val docs = in.toDF().toDF("media_id", "payload", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val qe = Dedup.dedupImageExact(docs, "payload", "ts", "1 hour")
+      .select("media_id")
+      .writeStream.format("memory").queryName("img_exact_mem")
+      .outputMode("append").start()
+    val qp = Dedup.dedupImagePerceptual(docs, "payload", "ts", "1 hour")
+      .select("media_id")
+      .writeStream.format("memory").queryName("img_perc_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(files.toIndexedSeq)
+      qe.processAllAvailable(); qp.processAllAvailable()
+      val exactKept = spark.table("img_exact_mem").count()
+      val percKept = spark.table("img_perc_mem").count()
+      assert(exactKept == nGroups,
+        s"exact gate kept $exactKept, batch has $nGroups digest groups")
+      assert(percKept == nDhash,
+        s"perceptual gate kept $percKept, batch has $nDhash distinct dHashes")
+      // and the perceptual gate is strictly stronger on this corpus:
+      // every twin AND every d=0 variant collapses
+      assert(percKept <= exactKept)
+    } finally { qe.stop(); qp.stop() }
+  }
+
+  test("perceptual image dedup state survives a restart on RocksDB") {
+    val root = java.nio.file.Files.createTempDirectory("graft-imgdedup-restart")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val ckpt = root.resolve("ckpt").toString
+    def addFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(inDir.resolve(name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    // payloads derive in-plan from (base_id, variant) through the REAL
+    // PNG encoder, so the recovered state is exercised by genuine
+    // decode + hash work, not canned bytes
+    val png = udf { (base: Long, variant: Boolean) =>
+      graft.operators.Multimodal.encodeGrayPng(base, variant)
+    }
+    def startQuery() = StateStores.withRocksDB(spark) {
+      val parts = split(col("value"), "\\|")
+      val docs = spark.readStream.text(inDir.toString)
+        .select(parts.getItem(0).cast("long").as("media_id"),
+          png(parts.getItem(1).cast("long"),
+            parts.getItem(2).cast("boolean")).as("payload"),
+          parts.getItem(3).cast("long").cast("timestamp").as("ts"))
+      Dedup.dedupImagePerceptual(docs, "payload", "ts", "1 hour")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("media_id").collect()
+            .foreach(r => DedupSpec.imgRestartSink.add(r.getLong(0)))
+        }
+        .start()
+    }
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what " +
+        s"(sink: ${DedupSpec.imgRestartSink.asScala.toSeq})")
+    }
+    DedupSpec.imgRestartSink.clear()
+    // phase 1: base 1 passes, its byte-identical twin drops, base 3 passes
+    val q1 = startQuery()
+    try {
+      addFile("f1.txt", Seq("1|1|false|1", "2|1|false|2", "3|3|false|3"))
+      await(DedupSpec.imgRestartSink.asScala.toSet == Set(1L, 3L), "phase-1 rows")
+    } finally q1.stop()
+    // phase 2: restart — another copy of image 1 must STILL collapse
+    // (recovered RocksDB state), a fresh image passes
+    val q2 = startQuery()
+    try {
+      addFile("f2.txt", Seq("4|1|false|5", "5|5|false|6"))
+      await(DedupSpec.imgRestartSink.asScala.toSet.contains(5L), "phase-2 row")
+      val seen = DedupSpec.imgRestartSink.asScala.toSet
       assert(!seen.contains(4L),
         s"duplicate re-emitted after restart — state lost: $seen")
       assert(!seen.contains(2L), s"phase-1 duplicate resurfaced: $seen")
