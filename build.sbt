@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Persist failing test names/timestamps to target/test-failures.log so a
+// one-off flake under load is nameable from the artifact (see
+// graft.FailureLogReporter).
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-C", "graft.FailureLogReporter")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

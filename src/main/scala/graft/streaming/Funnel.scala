@@ -38,7 +38,19 @@ case class FunnelProgress(userId: Long, viewMs: Option[Long],
   *
   * Scale posture: state per key is three longs (RocksDB-ready), the
   * only exchange per micro-batch is the `groupByKey(userId)` hash —
-  * the same single user partitioning as batch q77. */
+  * the same single user partitioning as batch q77.
+  *
+  * Key population: deliberately UNBOUNDED — three longs per user who
+  * ever appeared, with no idle-horizon knob. A funnel is lifetime
+  * semantics: a user who converts after a year of silence must still
+  * count against their original view, so evicting an idle user's state
+  * would change the ANSWER (a late purchase re-seeds as a no-view
+  * non-conversion), not just miss an increment. Contrast
+  * [[Transitions.transitionIncrements]] / [[Resample.gridEmissions]],
+  * whose state only guards continuity and therefore takes the
+  * [[Baskets.pairIncrements]] idle-timeout knob. The honest bound here
+  * is the USER POPULATION itself — at 3 longs/user, 1 B users is
+  * ~24 GB of RocksDB state sharded across executors. */
 object Funnel {
 
   /** Funnel-stage order for same-timestamp folding; unknown types sort
@@ -120,7 +132,16 @@ case class CohortIncrement(cohortWeek: Long, weekOffset: Long, userId: Long)
   * per-user lifetime; events past the horizon are DROPPED (never
   * double-counted) — the deterministic failure mode a retention
   * dashboard (which reads ≤ 52 offsets) prefers over an unbounded
-  * per-user week set. */
+  * per-user week set.
+  *
+  * Key population: deliberately UNBOUNDED, same rationale as
+  * [[Funnel.stageTimes]] — retention is lifetime semantics (a user
+  * returning in week offset 51 must count against their original
+  * cohort, so evicting idle users would re-cohort them and corrupt the
+  * triangle), hence no idle-horizon knob; the per-user VALUE state is
+  * capped at exactly two longs by the 64-offset mask, so the honest
+  * bound is again the user population (~16 GB of RocksDB state per
+  * 1 B users, sharded across executors). */
 object Cohort {
 
   /** Week width shared with batch q78 — integer milliseconds. */

@@ -52,8 +52,14 @@ object Resample {
     java.math.BigDecimal.valueOf(d)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  private def fold(userId: Long, events: Iterator[ResampleEvent],
+  private def fold(idleTimeout: Option[String])(userId: Long,
+      events: Iterator[ResampleEvent],
       state: GroupState[ResampleState]): Iterator[GridPoint] = {
+    if (state.hasTimedOut) {
+      // idle past the horizon: drop the held endpoint (see gridEmissions)
+      state.remove()
+      return Iterator.empty
+    }
     val sorted = events.toSeq.sortBy(e => (e.tsm, e.eventId))
     var st = state.getOption
     val out = Seq.newBuilder[GridPoint]
@@ -80,17 +86,37 @@ object Resample {
           st = Some(ResampleState(e.tsm, e.value))
       }
     }
-    st.foreach(state.update)
+    st.foreach { s =>
+      state.update(s)
+      idleTimeout.foreach(state.setTimeoutDuration)
+    }
     out.result().iterator
   }
 
-  /** The stream of determined grid emissions (update mode). */
-  def gridEmissions(events: Dataset[ResampleEvent]): Dataset[GridPoint] = {
+  /** The stream of determined grid emissions (update mode).
+    *
+    * The held (timestamp, value) endpoint only guards gap CONTINUITY, so
+    * `idleTimeout` (the [[Baskets.pairIncrements]] knob) bounds the key
+    * population with a bounded, documented trade: a user idle past the
+    * horizon loses the endpoint, their first post-return event re-seeds
+    * it, and the grid instants inside that ONE straddling gap — at most
+    * ceil(gap / cell) points, including the emit-on-supersede point the
+    * evicted endpoint was holding — are never emitted; every gap after
+    * re-seeding interpolates normally. Pick the horizon above the
+    * longest gap a lerp should legitimately bridge (past it, a
+    * fabricated days-long interpolation is usually the wrong answer
+    * anyway — absence of data, not a line segment). `None` (the default
+    * and the parity-test setting) holds every user's endpoint for the
+    * life of the query. Same polling caveat as Baskets:
+    * `processAllAvailable` never settles under ProcessingTimeTimeout. */
+  def gridEmissions(events: Dataset[ResampleEvent],
+      idleTimeout: Option[String] = None): Dataset[GridPoint] = {
     implicit val stEnc = Encoders.product[ResampleState]
     implicit val enc = Encoders.product[GridPoint]
     events.groupByKey(_.userId)(Encoders.scalaLong)
       .flatMapGroupsWithState(
         org.apache.spark.sql.streaming.OutputMode.Update(),
-        GroupStateTimeout.NoTimeout)(fold)
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fold(idleTimeout))
   }
 }

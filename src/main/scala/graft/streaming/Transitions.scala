@@ -44,30 +44,52 @@ case class TransitionIncrement(src: String, dst: String,
   * the same single user partitioning as batch q90's window. */
 object Transitions {
 
-  private def fold(userId: Long, events: Iterator[TransitionEvent],
+  private def fold(idleTimeout: Option[String])(userId: Long,
+      events: Iterator[TransitionEvent],
       state: GroupState[TailEvent]): Iterator[TransitionIncrement] = {
-    val sorted = events.toSeq.sortBy(e => (e.tsm, e.eventId))
-    if (sorted.isEmpty) Iterator.empty
-    else {
-      var tail = state.getOption
-      val out = Seq.newBuilder[TransitionIncrement]
-      sorted.foreach { e =>
-        tail.foreach(t =>
-          out += TransitionIncrement(t.eventType, e.eventType, userId, e.eventId))
-        tail = Some(TailEvent(e.tsm, e.eventId, e.eventType))
+    if (state.hasTimedOut) {
+      // idle past the horizon: drop the tail (see transitionIncrements)
+      state.remove()
+      Iterator.empty
+    } else {
+      val sorted = events.toSeq.sortBy(e => (e.tsm, e.eventId))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var tail = state.getOption
+        val out = Seq.newBuilder[TransitionIncrement]
+        sorted.foreach { e =>
+          tail.foreach(t =>
+            out += TransitionIncrement(t.eventType, e.eventType, userId, e.eventId))
+          tail = Some(TailEvent(e.tsm, e.eventId, e.eventType))
+        }
+        state.update(tail.get)
+        idleTimeout.foreach(state.setTimeoutDuration)
+        out.result().iterator
       }
-      state.update(tail.get)
-      out.result().iterator
     }
   }
 
-  /** The stream of transition increments (update mode). */
-  def transitionIncrements(
-      events: Dataset[TransitionEvent]): Dataset[TransitionIncrement] = {
+  /** The stream of transition increments (update mode).
+    *
+    * The tail only guards recent-event CONTINUITY, so `idleTimeout` (the
+    * [[Baskets.pairIncrements]] knob) bounds the key population with a
+    * precisely at-most-one-missed-increment trade: a user idle past the
+    * horizon loses their tail, their first post-return event folds with
+    * no predecessor and its (prev → this) increment is skipped — every
+    * increment after that is unaffected, because the fold re-seeds on
+    * that same event. Pick the horizon above the longest inter-event gap
+    * that should still count as a transition (often the sessionization
+    * gap, where a cross-gap "transition" is semantically void anyway).
+    * `None` (the default and the parity-test setting) keeps every user's
+    * tail for the life of the query. Same polling caveat as Baskets:
+    * `processAllAvailable` never settles under ProcessingTimeTimeout. */
+  def transitionIncrements(events: Dataset[TransitionEvent],
+      idleTimeout: Option[String] = None): Dataset[TransitionIncrement] = {
     implicit val stEnc = Encoders.product[TailEvent]
     implicit val enc = Encoders.product[TransitionIncrement]
     events.groupByKey(_.userId)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Update(),
-        GroupStateTimeout.NoTimeout)(fold)
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fold(idleTimeout))
   }
 }

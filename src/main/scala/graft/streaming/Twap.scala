@@ -44,27 +44,57 @@ case class TwapRow(userId: Long, nEvents: Long, twap: Option[Double])
   * partitioning as batch q92's window. */
 object Twap {
 
-  private def fold(userId: Long, events: Iterator[TwapEvent],
-      state: GroupState[TwapState]): TwapRow = {
-    var st = state.getOption.orNull
-    events.toSeq.sortBy(e => (e.tsm, e.eventId)).foreach { e =>
-      st =
-        if (st == null) TwapState(e.tsm, e.tsm, e.value, 0.0, 1L)
-        else TwapState(st.firstTsm, e.tsm, e.value,
-          st.area + (st.lastValue + e.value) / 2.0 * (e.tsm - st.lastTsm),
-          st.nEvents + 1)
-    }
-    state.update(st)
+  private def asRow(userId: Long, st: TwapState): TwapRow = {
     val span = st.lastTsm - st.firstTsm
     TwapRow(userId, st.nEvents,
       if (span > 0L) Some(st.area / span) else None)
   }
 
-  /** Continuously maintained per-user TWAP (update mode). */
-  def running(events: Dataset[TwapEvent]): Dataset[TwapRow] = {
+  private def fold(idleTimeout: Option[String])(userId: Long,
+      events: Iterator[TwapEvent], state: GroupState[TwapState]): TwapRow = {
+    if (state.hasTimedOut) {
+      // idle past the horizon: re-emit the settled row (idempotent for
+      // the downstream per-user upsert) and drop the accumulator
+      val last = state.get
+      state.remove()
+      asRow(userId, last)
+    } else {
+      var st = state.getOption.orNull
+      events.toSeq.sortBy(e => (e.tsm, e.eventId)).foreach { e =>
+        st =
+          if (st == null) TwapState(e.tsm, e.tsm, e.value, 0.0, 1L)
+          else TwapState(st.firstTsm, e.tsm, e.value,
+            st.area + (st.lastValue + e.value) / 2.0 * (e.tsm - st.lastTsm),
+            st.nEvents + 1)
+      }
+      state.update(st)
+      idleTimeout.foreach(state.setTimeoutDuration)
+      asRow(userId, st)
+    }
+  }
+
+  /** Continuously maintained per-user TWAP (update mode).
+    *
+    * `idleTimeout` (the [[Baskets.pairIncrements]] knob) bounds the key
+    * population — with a STRONGER trade than the transitions tail, stated
+    * honestly: the state here is the user's whole lifetime integral, so
+    * eviction doesn't lose one increment, it RESTARTS the average — a user
+    * returning after the horizon begins a fresh span, turning lifetime
+    * TWAP into per-active-span TWAP (each span's settled row was emitted
+    * at eviction, so nothing is silently lost — the spans are all in the
+    * sink, they are just no longer merged). Use it only where an idle gap
+    * legitimately ends the averaging window (session VWAP, device uptime
+    * epochs); leave `None` (the default and the parity-test setting) for
+    * true lifetime semantics, accepting the unbounded key population.
+    * Same polling caveat as Baskets: `processAllAvailable` never settles
+    * under ProcessingTimeTimeout. */
+  def running(events: Dataset[TwapEvent],
+      idleTimeout: Option[String] = None): Dataset[TwapRow] = {
     implicit val stEnc = Encoders.product[TwapState]
     implicit val enc = Encoders.product[TwapRow]
     events.groupByKey(_.userId)(Encoders.scalaLong)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold)
+      .mapGroupsWithState(
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fold(idleTimeout))
   }
 }

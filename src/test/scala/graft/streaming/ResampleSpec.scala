@@ -144,4 +144,39 @@ class ResampleSpec extends SparkSpec {
         (5L, 2 * c, 30.0), (5L, 3 * c, 40.0)), s"got $got")
     } finally q2.stop()
   }
+
+  test("idle timeout evicts the endpoint: only the straddling gap\'s grid points are lost") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val c = Resample.CellMs
+    val in = MemoryStream[ResampleEvent]
+    // 1 ms horizon; polls the sink (processAllAvailable never settles
+    // under ProcessingTimeTimeout) — the BasketsSpec eviction shape
+    val query = Resample.gridEmissions(in.toDS(),
+        idleTimeout = Some("1 millisecond"))
+      .writeStream.format("memory").queryName("resample_evict_mem")
+      .outputMode("update").start()
+    def pollUntil(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(cond, "condition not reached within 30 s")
+    }
+    try {
+      in.addData(ResampleEvent(1L, 1L, 0L, 0.0))
+      pollUntil(query.recentProgress.map(_.numInputRows).sum >= 1L)
+      Thread.sleep(2000) // horizon passes; the held endpoint drops
+      // post-eviction the 2-cell event re-seeds (grid 0 and cell 1 from
+      // the straddling gap are the documented loss); the 3-cell event in
+      // the SAME batch supersedes it, so its own instant emits normally
+      in.addData(ResampleEvent(1L, 2L, 2 * c, 100.0),
+        ResampleEvent(1L, 3L, 3 * c, 200.0))
+      pollUntil(spark.table("resample_evict_mem").count() >= 1L)
+      Thread.sleep(500)
+      val pts = spark.table("resample_evict_mem").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // without eviction: (1, 0, 0.0) and (1, c, 50.0) would emit too
+      assert(pts.toSeq == Seq((1L, 2 * c, 100.0)), s"got ${pts.toSeq}")
+    } finally query.stop()
+  }
+
 }

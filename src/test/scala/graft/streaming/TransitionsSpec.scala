@@ -75,4 +75,40 @@ class TransitionsSpec extends SparkSpec {
       assert(got == Set(("view", "click", 11L), ("click", "purchase", 12L)))
     } finally query.stop()
   }
+
+  test("idle timeout evicts the tail: exactly the one straddling increment is missed") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[TransitionEvent]
+    // 1 ms horizon so the tail evicts between installments; NOTE
+    // processAllAvailable hangs under ProcessingTimeTimeout (continuous
+    // timeout-check batches), so this test polls the sink instead — the
+    // BasketsSpec eviction shape
+    val query = Transitions.transitionIncrements(in.toDS(),
+        idleTimeout = Some("1 millisecond"))
+      .writeStream.format("memory").queryName("transitions_evict_mem")
+      .outputMode("update").start()
+    def pollUntil(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(cond, "condition not reached within 30 s")
+    }
+    try {
+      in.addData(TransitionEvent(1L, 1L, "view", 1000L))
+      pollUntil(query.recentProgress.map(_.numInputRows).sum >= 1L)
+      Thread.sleep(2000) // horizon passes; a timeout batch drops the tail
+      // the click arrives post-eviction: its (view -> click) increment is
+      // the documented at-most-one loss; the purchase in the SAME batch
+      // pairs with the click normally — everything after re-seeding holds
+      in.addData(TransitionEvent(1L, 2L, "click", 2000L),
+        TransitionEvent(1L, 3L, "purchase", 3000L))
+      pollUntil(spark.table("transitions_evict_mem").count() >= 1L)
+      Thread.sleep(500)
+      val incs = spark.table("transitions_evict_mem").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // without eviction this would also hold ("view", "click", 1, 2)
+      assert(incs.toSeq == Seq(("click", "purchase", 1L, 3L)), s"got ${incs.toSeq}")
+    } finally query.stop()
+  }
+
 }

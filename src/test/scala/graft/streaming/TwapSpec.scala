@@ -79,4 +79,37 @@ class TwapSpec extends SparkSpec {
       assert(u2.isNullAt(2))
     } finally query.stop()
   }
+
+  test("idle timeout evicts the accumulator: a returning user restarts as a fresh span") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[TwapEvent]
+    // 1 ms horizon; polls the sink (processAllAvailable never settles
+    // under ProcessingTimeTimeout) — the BasketsSpec eviction shape
+    val query = Twap.running(in.toDS(), idleTimeout = Some("1 millisecond"))
+      .writeStream.format("memory").queryName("twap_evict_mem")
+      .outputMode("update").start()
+    def pollUntil(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(cond, "condition not reached within 30 s")
+    }
+    try {
+      in.addData(TwapEvent(1L, 1L, 10.0, 0L))
+      pollUntil(spark.table("twap_evict_mem").count() >= 1L)
+      Thread.sleep(2000) // horizon passes; the accumulator drops
+      in.addData(TwapEvent(1L, 2L, 20.0, 10000L))
+      pollUntil(query.recentProgress.map(_.numInputRows).sum >= 2L)
+      Thread.sleep(500)
+      val rows = spark.table("twap_evict_mem").collect()
+        .map(r => (r.getLong(0), r.getLong(1), !r.isNullAt(2)))
+      // the documented trade: the lifetime fold would now read
+      // (1, nEvents=2, twap=15.0); the evicted fold restarts — every
+      // emitted row (including the eviction re-emission) is a 1-event,
+      // zero-span row with twap still undetermined
+      assert(rows.nonEmpty && rows.forall(r => r._2 == 1L && !r._3),
+        s"got ${rows.toSeq}")
+    } finally query.stop()
+  }
+
 }
