@@ -623,6 +623,8 @@ object Oracles {
     "q63_video_stats" -> graft.operators.Multimodal.videoOracleSql,
     "q69_video_thumbnails" -> graft.operators.Multimodal.videoThumbsOracleSql,
     "q97_image_dedup" -> graft.operators.Multimodal.imageDedupOracleSql,
+    "q98_audio_dedup" -> graft.operators.Multimodal.audioDedupOracleSql,
+    "q99_video_dedup" -> graft.operators.Multimodal.videoDedupOracleSql,
     "q37_asof_join" -> graft.operators.Joins.q37Sql,
     "q38_range_join" -> graft.operators.Joins.q38Sql,
     "q39_cube" ->

@@ -206,6 +206,14 @@ object SparkEntry {
     // aHash/dHash from decoded pixels, banded dHash join (pigeonhole-
     // exact at Hamming <= 3) — never all-pairs
     "q97_image_dedup" -> (Multimodal.q97ImageDedup _),
+    // audio dedup, exact + gain-invariant: real-WAV corpus, digest
+    // groupBy, energy-profile fingerprint from decoded PCM (comparisons
+    // survive any positive gain) — pure groupBys, never all-pairs
+    "q98_audio_dedup" -> (Multimodal.q98AudioDedup _),
+    // video dedup, exact + trim-robust: real frame-packed corpus, every
+    // frame individually decoded; containment pairs blocked on the
+    // frame key (shared = min(n1, n2) — the re-cut-copy relation)
+    "q99_video_dedup" -> (Multimodal.q99VideoDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -358,22 +358,29 @@ object Multimodal {
       .select(col("doc_id").cast("long")).as[Long]
       .map { id =>
         val n = 2 + (id % 5).toInt
-        val frames = (0 until n).map { i =>
-          val r = ((id * 3 + i * 11) % 256).toInt
-          val g = ((id * 5 + i * 23) % 256).toInt
-          val b = ((id * 7 + i * 37) % 256).toInt
-          val img = new java.awt.image.BufferedImage(
-            8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val gfx = img.createGraphics()
-          gfx.setColor(new java.awt.Color(r, g, b))
-          gfx.fillRect(0, 0, 8, 6)
-          gfx.dispose()
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", baos)
-          baos.toByteArray
-        }
+        val frames = (0 until n).map(i => solidFramePng(id, i))
         MediaFile(id, "video", encodeFramePacked(frames), MediaMeta(8, 6, 0, n))
       }
+  }
+
+  /** Encode frame `i` of video `id`: an 8×6 solid PNG whose color has a
+    * closed form in (id, i) — shared by [[videoFiles]] and the q99
+    * dedup corpus so both decode to the same per-frame means.
+    * Deterministic (identical colors encode to identical bytes), which
+    * is what makes the q99 twin face byte-exact. */
+  private[graft] def solidFramePng(id: Long, i: Int): Array[Byte] = {
+    val r = ((id * 3 + i * 11) % 256).toInt
+    val g = ((id * 5 + i * 23) % 256).toInt
+    val b = ((id * 7 + i * 37) % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gfx = img.createGraphics()
+    gfx.setColor(new java.awt.Color(r, g, b))
+    gfx.fillRect(0, 0, 8, 6)
+    gfx.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
   }
 
   /** REAL video decode — walk the length-prefixed container, decode
@@ -855,6 +862,401 @@ object Multimodal {
       |UNION ALL
       |SELECT 'near', CAST(d AS BIGINT), count(*), CAST(sum(is_var) AS BIGINT)
       |FROM near GROUP BY d
+      |ORDER BY stage, k""".stripMargin
+
+  // ------------------------------------------------ audio dedup (q98)
+
+  /** Per-segment amplitude of dedup-corpus wave `id`, segment `s` (of
+    * 16): `500 + ((id+1)·(13s³+37s²+101s+7919) mod 65521 mod 32)·100` —
+    * the q97 cubic near-injectivity form, quantized to 32 amplitude
+    * levels so the energy PROFILE varies per id. The gain variant
+    * doubles every amplitude (max 2·3600 = 7200, well inside int16):
+    * every payload byte changes, but every energy COMPARISON survives —
+    * the constructed loudness-normalized duplicate a byte digest
+    * cannot see. */
+  private[graft] def segmentAmp(id: Long, s: Int, gain: Boolean): Int = {
+    val c = 13L * s * s * s + 37L * s * s + 101L * s + 7919L
+    val a = 500 + ((id + 1L) * c % 65521L % 32L).toInt * 100
+    if (gain) 2 * a else a
+  }
+
+  /** Encode dedup wave `id`: 512 samples = 16 segments × 32, each
+    * segment a ±A_s square wave (period 8) at the q62 rate derivation.
+    * Deterministic, so the q98 twin face is byte-exact. */
+  private[graft] def encodeDedupWav(id: Long, nChars: Long,
+      gain: Boolean): Array[Byte] = {
+    val rate = 8000 + (nChars % 3).toInt * 4000
+    val samples = Array.tabulate(512) { i =>
+      val a = segmentAmp(id, i / 32, gain)
+      (if ((i / 4) % 2 == 0) a else -a).toShort
+    }
+    encodeWavPcm16(samples, rate)
+  }
+
+  /** Deterministic audio-dedup corpus over the documents table: one
+    * amplitude-profiled square wave per document, plus a BYTE-IDENTICAL
+    * twin every 17th id (the exact face) and a 2× GAIN variant every
+    * 13th id (the robust face: different payload and digest, identical
+    * energy-profile fingerprint by construction). Same twin/variant
+    * id offsets as [[imageCorpus]]. */
+  def audioDedupCorpus(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .flatMap { case (id, nChars) =>
+        val rate = 8000 + (nChars % 3).toInt * 4000
+        val meta = MediaMeta(0, 0, rate, 512)
+        val payload = encodeDedupWav(id, nChars, gain = false)
+        val base = MediaFile(id, "audio", payload, meta)
+        val twin =
+          if (id % 17 == 0) Seq(MediaFile(id + TwinOffset, "audio", payload, meta))
+          else Nil
+        val variant =
+          if (id % 13 == 0)
+            Seq(MediaFile(id + VariantOffset, "audio",
+              encodeDedupWav(id, nChars, gain = true), meta))
+          else Nil
+        base +: (twin ++ variant)
+      }
+  }
+
+  /** 31-bit gain-invariant energy-profile fingerprint from DECODED
+    * samples: 16 segment |amplitude| sums (integer-exact for the square
+    * corpus); bits 0..14 = rising-energy signs between adjacent
+    * segments, bits 15..30 = segment-above-mean signs (16·sum_s > Σ,
+    * integer cross-multiplied — no division anywhere). Multiplying the
+    * signal by any positive gain scales every sum equally, so no
+    * comparison — and no bit — can move: collapse of a loudness-changed
+    * copy is STRUCTURAL, not probabilistic (the q97 dHash-recall
+    * discipline). */
+  private[graft] def energyFingerprint(samples: Array[Short]): Long = {
+    val seg = new Array[Long](16)
+    val n = math.min(samples.length, 512)
+    var i = 0
+    while (i < n) {
+      seg(i / 32) += math.abs(samples(i).toLong)
+      i += 1
+    }
+    val total = seg.sum
+    var f = 0L
+    var s = 0
+    while (s < 15) {
+      if (seg(s + 1) > seg(s)) f |= 1L << s
+      s += 1
+    }
+    s = 0
+    while (s < 16) {
+      if (16L * seg(s) > total) f |= 1L << (15 + s)
+      s += 1
+    }
+    f
+  }
+
+  /** REAL-decode audio signature extraction (the [[imageSignatures]]
+    * contract for sound): every payload decodes through
+    * `javax.sound.sampled` partition-wise, then the exact digest (md5
+    * over payload BYTES) and the energy fingerprint compute from the
+    * decoded PCM. Undecodable payloads are dropped. */
+  def audioSignatures(files: Dataset[MediaFile]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { f =>
+        tryDecodeAudio(f.payload).map { case (_, samples) =>
+          md.reset()
+          val digest = md.digest(f.payload).map("%02x".format(_)).mkString
+          (f.mediaId, digest, energyFingerprint(samples))
+        }
+      }
+    }.toDF("media_id", "digest", "fp")
+  }
+
+  /** MM/L1/L2 — audio dedup, exact AND gain-invariant, over the real-WAV
+    * corpus: the sound face of q97. Stage `exact`: payload-digest groups,
+    * one row per group SIZE (n groups, how many contain a constructed
+    * twin). Stage `gain`: energy-fingerprint groups over the exact-dedup
+    * REPRESENTATIVES (min id per digest — the robust face never sees a
+    * byte-duplicate twice), one row per group size (n groups, how many
+    * contain a constructed gain variant — every variant MUST land in its
+    * base's group, the structural-recall property MultimodalSpec
+    * asserts).
+    *
+    * Scale posture (100 TB of audio): signatures are 3 fixed-width
+    * columns — payloads never survive past the partition-wise decode;
+    * both faces are pure digest/fingerprint groupBys (map-side partials,
+    * no joins, never all-pairs). */
+  def q98AudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = audioSignatures(audioDedupCorpus(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count()
+    val groups = sig.groupBy(col("digest"))
+      .agg(min(col("media_id")).as("media_id"),
+        count(lit(1)).as("sz"),
+        max(when(col("media_id").between(TwinOffset, VariantOffset - 1), 1)
+          .otherwise(0)).as("has_twin"))
+    val exact = groups.groupBy(col("sz").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("has_twin")).cast("long").as("n_variant"))
+      .select(lit("exact").as("stage"), col("k"), col("n"), col("n_variant"))
+    val reps = sig.join(groups.select(col("media_id")), Seq("media_id"), "left_semi")
+    val gain = reps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("sz"),
+        max(when(col("media_id") >= VariantOffset, 1).otherwise(0)).as("has_var"))
+      .groupBy(col("sz").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("has_var")).cast("long").as("n_variant"))
+      .select(lit("gain").as("stage"), col("k"), col("n"), col("n_variant"))
+    exact.unionByName(gain).orderBy(col("stage"), col("k"))
+  }
+
+  /** DuckDB twin of [[q98AudioDedup]]: the amplitude profile, the
+    * payload-equality key ((rate, profile) determines every WAV byte),
+    * and the fingerprint comparisons all have closed forms in doc_id —
+    * the oracle compares per-segment amplitudes where the engine
+    * compares decoded 32-sample |amplitude| sums; positive scaling makes
+    * the comparisons identical. */
+  val audioDedupOracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id AS mid, doc_id AS pid, n_chars, FALSE AS gain FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, doc_id, n_chars, FALSE FROM documents WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 6000000, doc_id, n_chars, TRUE FROM documents WHERE doc_id % 13 = 0
+      |), amp AS (
+      |  SELECT mid,
+      |    CAST(8000 + (n_chars % 3) * 4000 AS BIGINT) AS rate,
+      |    list_transform(range(16), s ->
+      |      (500 + ((pid + 1) * (13*s*s*s + 37*s*s + 101*s + 7919) % 65521 % 32) * 100)
+      |      * CASE WHEN gain THEN 2 ELSE 1 END) AS a
+      |  FROM corpus
+      |), hashed AS (
+      |  SELECT mid, rate::VARCHAR || ':' || CAST(a AS VARCHAR) AS key,
+      |    CAST(list_sum(list_transform(range(15), s ->
+      |      CASE WHEN a[s + 2] > a[s + 1] THEN CAST(1 AS BIGINT) << s ELSE 0 END)) +
+      |    list_sum(list_transform(range(16), s ->
+      |      CASE WHEN 16 * a[s + 1] > list_sum(a) THEN CAST(1 AS BIGINT) << (15 + s) ELSE 0 END)) AS BIGINT) AS f
+      |  FROM amp
+      |), groups AS (
+      |  SELECT key, min(mid) AS rep, count(*) AS sz,
+      |    max(CASE WHEN mid >= 3000000 AND mid < 6000000 THEN 1 ELSE 0 END) AS has_twin
+      |  FROM hashed GROUP BY key
+      |), reps AS (
+      |  SELECT h.mid, h.f FROM hashed h JOIN groups g ON h.mid = g.rep
+      |), fpg AS (
+      |  SELECT f, count(*) AS sz,
+      |    max(CASE WHEN mid >= 6000000 THEN 1 ELSE 0 END) AS has_var
+      |  FROM reps GROUP BY f
+      |)
+      |SELECT 'exact' AS stage, CAST(sz AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(has_twin) AS BIGINT) AS n_variant FROM groups GROUP BY sz
+      |UNION ALL
+      |SELECT 'gain', CAST(sz AS BIGINT), count(*), CAST(sum(has_var) AS BIGINT)
+      |FROM fpg GROUP BY sz
+      |ORDER BY stage, k""".stripMargin
+
+  // ------------------------------------------------ video dedup (q99)
+
+  /** Closed-form channel values of dedup-corpus frame `i` of video
+    * `id`: the q97 cubic near-injectivity form with per-channel constant
+    * offsets — `((id+1)·(13i³+37i²+101i+7919+t) mod 65521) mod 256` for
+    * t = 0/131/257. The q63 colors (linear `id·3 + i·11 mod 256`) repeat
+    * with period 1280 in id, which would byte-collide unrelated videos
+    * at sf ≥ 0.01; the cubic form makes the frame SEQUENCE near-unique
+    * per id, so the exact face sees only the constructed twins. */
+  private[graft] def dedupFrameColor(id: Long, i: Int, t: Int): Int = {
+    val c = 13L * i * i * i + 37L * i * i + 101L * i + 7919L + t
+    ((id + 1L) * c % 65521L % 256L).toInt
+  }
+
+  /** Deterministic video-dedup corpus: solid-frame containers with the
+    * cubic per-frame colors, plus a BYTE-IDENTICAL twin every 17th id
+    * (the exact face) and a TRIMMED variant every 13th id — the same
+    * frames minus the FIRST (the re-cut/re-packaged copy: different
+    * container bytes and digest, every remaining frame identical). Same
+    * twin/variant id offsets as [[imageCorpus]]. */
+  def videoDedupCorpus(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id").cast("long")).as[Long]
+      .flatMap { id =>
+        val n = 2 + (id % 5).toInt
+        val frames = (0 until n).map { i =>
+          val img = new java.awt.image.BufferedImage(
+            8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val gfx = img.createGraphics()
+          gfx.setColor(new java.awt.Color(dedupFrameColor(id, i, 0),
+            dedupFrameColor(id, i, 131), dedupFrameColor(id, i, 257)))
+          gfx.fillRect(0, 0, 8, 6)
+          gfx.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          baos.toByteArray
+        }
+        val base = MediaFile(id, "video", encodeFramePacked(frames),
+          MediaMeta(8, 6, 0, n))
+        val twin =
+          if (id % 17 == 0)
+            Seq(MediaFile(id + TwinOffset, "video", base.payload,
+              MediaMeta(8, 6, 0, n)))
+          else Nil
+        val variant =
+          if (id % 13 == 0)
+            Seq(MediaFile(id + VariantOffset, "video",
+              encodeFramePacked(frames.drop(1)), MediaMeta(8, 6, 0, n - 1)))
+          else Nil
+        base +: (twin ++ variant)
+      }
+  }
+
+  /** REAL-decode per-frame signature extraction: walk the
+    * length-prefixed container, decode EVERY frame with `javax.imageio`
+    * (the q63 contract — a framing bug or skipped frame changes the
+    * keys), and emit one row per frame with the frame's mean-color key
+    * (r·65536 + g·256 + b over integer-exact solid-frame means), the
+    * video's payload digest, and its distinct-key count. Malformed
+    * containers are dropped whole (a partial key set would fabricate
+    * containment). */
+  def videoFrameSignatures(files: Dataset[MediaFile]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { f =>
+        try {
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(f.payload))
+          val keys = scala.collection.mutable.LinkedHashSet.empty[Long]
+          var ok = true
+          while (ok && in.available() >= 4) {
+            val len = in.readInt()
+            if (len <= 0 || len > in.available()) ok = false
+            else {
+              val bytes = new Array[Byte](len)
+              in.readFully(bytes)
+              tryDecode(bytes) match {
+                case None => ok = false
+                case Some(img) =>
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  var (r, g, b) = (0L, 0L, 0L)
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val p = img.getRGB(x, y)
+                      r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val area = (w * h).toLong
+                  keys += (r / area) * 65536L + (g / area) * 256L + b / area
+              }
+            }
+          }
+          if (ok && keys.nonEmpty && in.available() == 0) {
+            md.reset()
+            val digest = md.digest(f.payload).map("%02x".format(_)).mkString
+            keys.toSeq.map(k => (f.mediaId, digest, k, keys.size.toLong))
+          } else Nil
+        } catch { case _: Exception => Nil }
+      }
+    }.toDF("media_id", "digest", "frame_key", "n_keys")
+  }
+
+  /** MM/L1/L2 — video dedup, exact AND trim-robust, over the real
+    * frame-packed corpus. Stage `exact`: payload-digest groups, one row
+    * per group SIZE (n groups, how many contain a constructed twin).
+    * Stage `near`: CONTAINMENT pairs over the exact-dedup
+    * representatives — frame rows self-join on the frame KEY (the LSH
+    * block: only videos sharing a frame ever meet), pairs aggregate
+    * their shared-key count, and a pair qualifies when the smaller
+    * video's EVERY key appears in the larger (shared = min(n1, n2) —
+    * exactly how a trimmed re-cut relates to its source). One row per
+    * shared-count (n pairs, how many are a base with its own trimmed
+    * variant — structural recall: a variant shares ALL its n−1 keys
+    * with its base, so every variant pair must qualify).
+    *
+    * Scale posture (100 TB of video): payloads never survive past the
+    * partition-wise decode — the join carries (id, 24-bit key, count)
+    * rows only; blocking on the frame key is never all-pairs and the
+    * per-key group is bounded by how many videos genuinely share a
+    * frame (the same bound any inverted frame index serves). */
+  def q99VideoDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = videoFrameSignatures(videoDedupCorpus(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count()
+    val vids = sig.groupBy(col("digest"))
+      .agg(min(col("media_id")).as("media_id"),
+        count_distinct(col("media_id")).as("sz"),
+        max(when(col("media_id").between(TwinOffset, VariantOffset - 1), 1)
+          .otherwise(0)).as("has_twin"))
+    val exact = vids.groupBy(col("sz").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("has_twin")).cast("long").as("n_variant"))
+      .select(lit("exact").as("stage"), col("k"), col("n"), col("n_variant"))
+    val reps = sig.join(vids.select(col("media_id")), Seq("media_id"), "left_semi")
+    val near = reps.as("x").join(reps.as("y"),
+        col("x.frame_key") === col("y.frame_key") &&
+          col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id").as("id1"), col("y.media_id").as("id2"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("x.n_keys")).as("n1"), first(col("y.n_keys")).as("n2"))
+      .filter(col("shared") === least(col("n1"), col("n2")))
+      .groupBy(col("shared").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("id2") - col("id1") === VariantOffset, 1L).otherwise(0L))
+          .as("n_variant"))
+      .select(lit("near").as("stage"), col("k"), col("n"), col("n_variant"))
+    exact.unionByName(near).orderBy(col("stage"), col("k"))
+  }
+
+  /** DuckDB twin of [[q99VideoDedup]]: frame colors (so keys), the
+    * payload-equality key (the key LIST determines every container
+    * byte), and the containment join all have closed forms in doc_id —
+    * the oracle unnests lists where the engine walks and decodes real
+    * containers. */
+  val videoDedupOracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id AS mid, doc_id AS pid, 0 AS dropn FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, doc_id, 0 FROM documents WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 6000000, doc_id, 1 FROM documents WHERE doc_id % 13 = 0
+      |), vids AS (
+      |  SELECT mid,
+      |    list_distinct(list_transform(range(dropn, CAST(2 + pid % 5 AS INT)), i ->
+      |      ((pid + 1) * (13*i*i*i + 37*i*i + 101*i + 7919) % 65521 % 256) * 65536
+      |      + ((pid + 1) * (13*i*i*i + 37*i*i + 101*i + 7919 + 131) % 65521 % 256) * 256
+      |      + (pid + 1) * (13*i*i*i + 37*i*i + 101*i + 7919 + 257) % 65521 % 256)) AS keys,
+      |    list_transform(range(dropn, CAST(2 + pid % 5 AS INT)), i ->
+      |      ((pid + 1) * (13*i*i*i + 37*i*i + 101*i + 7919) % 65521 % 256) * 65536
+      |      + ((pid + 1) * (13*i*i*i + 37*i*i + 101*i + 7919 + 131) % 65521 % 256) * 256
+      |      + (pid + 1) * (13*i*i*i + 37*i*i + 101*i + 7919 + 257) % 65521 % 256) AS seq
+      |  FROM corpus
+      |), groups AS (
+      |  SELECT CAST(seq AS VARCHAR) AS key, min(mid) AS rep, count(*) AS sz,
+      |    max(CASE WHEN mid >= 3000000 AND mid < 6000000 THEN 1 ELSE 0 END) AS has_twin
+      |  FROM vids GROUP BY CAST(seq AS VARCHAR)
+      |), reps AS (
+      |  SELECT v.mid, v.keys FROM vids v JOIN groups g ON v.mid = g.rep
+      |), frames AS (
+      |  SELECT mid, unnest(keys) AS fkey, len(keys) AS nk FROM reps
+      |), pairs AS (
+      |  SELECT f1.mid AS id1, f2.mid AS id2, count(*) AS shared,
+      |    min(f1.nk) AS n1, min(f2.nk) AS n2
+      |  FROM frames f1 JOIN frames f2 ON f1.fkey = f2.fkey AND f1.mid < f2.mid
+      |  GROUP BY f1.mid, f2.mid
+      |), near AS (
+      |  SELECT shared,
+      |    CASE WHEN id2 - id1 = 6000000 THEN 1 ELSE 0 END AS is_var
+      |  FROM pairs WHERE shared = least(n1, n2)
+      |)
+      |SELECT 'exact' AS stage, CAST(sz AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(has_twin) AS BIGINT) AS n_variant FROM groups GROUP BY sz
+      |UNION ALL
+      |SELECT 'near', CAST(shared AS BIGINT), count(*), CAST(sum(is_var) AS BIGINT)
+      |FROM near GROUP BY shared
       |ORDER BY stage, k""".stripMargin
 
   /** DuckDB twin of [[q33MultimodalStats]]: the payload is the UTF-8

@@ -334,6 +334,92 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q98 audio signatures: the REAL decode path reproduces the closed form exactly") {
+    // the engine's fingerprint comes from decoded 32-sample |amplitude|
+    // sums; the replay derives it from per-segment amplitudes directly —
+    // equality proves the WAV round-trip is lossless AND that positive
+    // scaling (32× here, 2× for the gain variant) moves no bit
+    val got = Multimodal.audioSignatures(
+      Multimodal.audioDedupCorpus(spark, sfDir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def local(id: Long, gain: Boolean): Long = {
+      val a = Array.tabulate(16)(s => Multimodal.segmentAmp(id, s, gain).toLong)
+      val total = a.sum
+      (0 until 15).foldLeft(0L)((f, s) => if (a(s + 1) > a(s)) f | 1L << s else f) |
+        (0 until 16).foldLeft(0L)((f, s) =>
+          if (16L * a(s) > total) f | 1L << (15 + s) else f)
+    }
+    val want = ids.map(id => id -> local(id, gain = false)).toMap ++
+      ids.filter(_ % 17 == 0)
+        .map(id => (id + Multimodal.TwinOffset) -> local(id, gain = false)) ++
+      ids.filter(_ % 13 == 0)
+        .map(id => (id + Multimodal.VariantOffset) -> local(id, gain = true))
+    assert(got == want)
+  }
+
+  test("q98 recall: twins byte-collapse, every gain variant lands in its base's fingerprint group") {
+    val sig = Multimodal.audioSignatures(
+      Multimodal.audioDedupCorpus(spark, sfDir)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    // structural, per constructed pair — no reliance on group counts
+    ids.filter(_ % 17 == 0).foreach { id =>
+      assert(sig(id + Multimodal.TwinOffset)._1 == sig(id)._1,
+        s"twin of $id not byte-identical")
+    }
+    ids.filter(_ % 13 == 0).foreach { id =>
+      val (bd, bf) = sig(id); val (vd, vf) = sig(id + Multimodal.VariantOffset)
+      assert(vd != bd, s"gain variant of $id byte-collided")
+      assert(vf == bf, s"gain variant of $id moved a fingerprint bit")
+    }
+    // and the report's exact face sees exactly the twins as size-2 groups
+    val exact = Multimodal.q98AudioDedup(spark, sfDir).collect()
+      .filter(_.getString(0) == "exact")
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(exact.get(2L).map(_._2).contains(ids.count(_ % 17 == 0).toLong))
+  }
+
+  test("q99 frame signatures: real per-frame decode reproduces the closed-form keys") {
+    val got = Multimodal.videoFrameSignatures(
+      Multimodal.videoDedupCorpus(spark, sfDir)).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => r.getLong(2)).toSet).toMap
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def keys(id: Long, drop: Int): Set[Long] =
+      (drop until 2 + (id % 5).toInt).map(i =>
+        Multimodal.dedupFrameColor(id, i, 0).toLong * 65536L +
+          Multimodal.dedupFrameColor(id, i, 131).toLong * 256L +
+          Multimodal.dedupFrameColor(id, i, 257).toLong).toSet
+    val want = ids.map(id => id -> keys(id, 0)).toMap ++
+      ids.filter(_ % 17 == 0)
+        .map(id => (id + Multimodal.TwinOffset) -> keys(id, 0)) ++
+      ids.filter(_ % 13 == 0)
+        .map(id => (id + Multimodal.VariantOffset) -> keys(id, 1))
+    assert(got == want)
+  }
+
+  test("q99 recall: every trimmed variant surfaces as a containment pair") {
+    val rows = Multimodal.q99VideoDedup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    // exact face: one size-2 group per constructed twin (cubic colors
+    // make unrelated byte-collisions vanishingly unlikely at test SF)
+    val exact = rows.filter(_._1 == "exact")
+    assert(exact.find(_._2 == 2L).map(_._4)
+      .contains(ids.count(_ % 17 == 0).toLong))
+    // near face RECALL is structural: a trimmed variant shares ALL its
+    // n−1 keys with its base, so shared = min(n1, n2) must hold for
+    // every constructed pair — n_variant sums to the variant count
+    val near = rows.filter(_._1 == "near")
+    assert(near.map(_._4).sum == ids.count(_ % 13 == 0).toLong,
+      s"variant containment pairs lost: $near")
+  }
+
   test("q33 rollup covers all media types with plausible stats") {
     val rows = Multimodal.q33MultimodalStats(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
