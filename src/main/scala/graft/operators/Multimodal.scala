@@ -953,6 +953,13 @@ object Multimodal {
     f
   }
 
+  /** THE shared audio-fingerprint derivation (batch q98 and the
+    * streaming ingest gate — the [[perceptualDHash]] one-derivation
+    * discipline): decode, 16-segment energy profile, 31 comparison
+    * bits. None when no codec accepts the payload. */
+  private[graft] def audioFingerprint(payload: Array[Byte]): Option[Long] =
+    tryDecodeAudio(payload).map { case (_, samples) => energyFingerprint(samples) }
+
   /** REAL-decode audio signature extraction (the [[imageSignatures]]
     * contract for sound): every payload decodes through
     * `javax.sound.sampled` partition-wise, then the exact digest (md5
@@ -963,10 +970,10 @@ object Multimodal {
     files.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { f =>
-        tryDecodeAudio(f.payload).map { case (_, samples) =>
+        audioFingerprint(f.payload).map { fp =>
           md.reset()
           val digest = md.digest(f.payload).map("%02x".format(_)).mkString
-          (f.mediaId, digest, energyFingerprint(samples))
+          (f.mediaId, digest, fp)
         }
       }
     }.toDF("media_id", "digest", "fp")
@@ -1117,49 +1124,57 @@ object Multimodal {
     * video's payload digest, and its distinct-key count. Malformed
     * containers are dropped whole (a partial key set would fabricate
     * containment). */
+  /** THE shared frame-key derivation (batch q99 and the streaming
+    * ingest gate): walk the length-prefixed container, decode EVERY
+    * frame, emit the distinct mean-color keys in first-appearance
+    * order. None for malformed containers or undecodable frames — a
+    * partial key set would fabricate containment. */
+  private[graft] def frameKeys(payload: Array[Byte]): Option[Seq[Long]] =
+    try {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val keys = scala.collection.mutable.LinkedHashSet.empty[Long]
+      var ok = true
+      while (ok && in.available() >= 4) {
+        val len = in.readInt()
+        if (len <= 0 || len > in.available()) ok = false
+        else {
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          tryDecode(bytes) match {
+            case None => ok = false
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              var (r, g, b) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              val area = (w * h).toLong
+              keys += (r / area) * 65536L + (g / area) * 256L + b / area
+          }
+        }
+      }
+      if (ok && keys.nonEmpty && in.available() == 0) Some(keys.toSeq) else None
+    } catch { case _: Exception => None }
+
   def videoFrameSignatures(files: Dataset[MediaFile]): DataFrame = {
     import files.sparkSession.implicits._
     files.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { f =>
-        try {
-          val in = new java.io.DataInputStream(
-            new java.io.ByteArrayInputStream(f.payload))
-          val keys = scala.collection.mutable.LinkedHashSet.empty[Long]
-          var ok = true
-          while (ok && in.available() >= 4) {
-            val len = in.readInt()
-            if (len <= 0 || len > in.available()) ok = false
-            else {
-              val bytes = new Array[Byte](len)
-              in.readFully(bytes)
-              tryDecode(bytes) match {
-                case None => ok = false
-                case Some(img) =>
-                  val (w, h) = (img.getWidth, img.getHeight)
-                  var (r, g, b) = (0L, 0L, 0L)
-                  var y = 0
-                  while (y < h) {
-                    var x = 0
-                    while (x < w) {
-                      val p = img.getRGB(x, y)
-                      r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  val area = (w * h).toLong
-                  keys += (r / area) * 65536L + (g / area) * 256L + b / area
-              }
-            }
-          }
-          if (ok && keys.nonEmpty && in.available() == 0) {
-            md.reset()
-            val digest = md.digest(f.payload).map("%02x".format(_)).mkString
-            keys.toSeq.map(k => (f.mediaId, digest, k, keys.size.toLong))
-          } else Nil
-        } catch { case _: Exception => Nil }
+        frameKeys(f.payload).toSeq.flatMap { keys =>
+          md.reset()
+          val digest = md.digest(f.payload).map("%02x".format(_)).mkString
+          keys.map(k => (f.mediaId, digest, k, keys.size.toLong))
+        }
       }
     }.toDF("media_id", "digest", "frame_key", "n_keys")
   }

@@ -198,4 +198,54 @@ object Dedup {
       .dropDuplicatesWithinWatermark("img_sig")
       .drop("img_sig")
   }
+
+  /** GAIN-INVARIANT audio dedup at ingest — streaming q98's robust face
+    * as signature-collapse on THE shared derivation
+    * ([[graft.operators.Multimodal.audioFingerprint]]: decode →
+    * 16-segment energy profile → 31 comparison bits), so the gate and a
+    * batch q98 run agree bit-for-bit: a loudness-changed copy arriving
+    * within the horizon collapses structurally (positive gain moves no
+    * comparison). Same UDF seam and degrade contract as
+    * [[dedupImagePerceptual]]: payloads no codec accepts fall back to a
+    * byte-exact `raw:` digest key instead of colliding on one null. */
+  def dedupAudioGain(files: DataFrame, payloadCol: String,
+      eventTimeCol: String, horizon: String): DataFrame = {
+    val sig = udf { (payload: Array[Byte]) =>
+      graft.operators.Multimodal.audioFingerprint(payload) match {
+        case Some(f) => "af:" + f
+        case None => "raw:" + java.security.MessageDigest.getInstance("MD5")
+          .digest(payload).map("%02x".format(_)).mkString
+      }
+    }
+    files.withColumn("audio_sig", sig(col(payloadCol)))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("audio_sig")
+      .drop("audio_sig")
+  }
+
+  /** FRAME-SET video dedup at ingest — the streaming face of q99's
+    * signature relation: each container decodes through THE shared
+    * derivation ([[graft.operators.Multimodal.frameKeys]]) and
+    * collapses on its SORTED distinct frame-key set, so re-encoded,
+    * re-ordered, or duplicate-frame re-packagings of the same footage
+    * dedup with no pairwise comparison. TRIM containment (a strict
+    * subset of frames) is deliberately NOT a stream-gate shape — it
+    * needs the batch operator's key-blocked join (q99's `near` face);
+    * this gate is the exact/set face an unbounded stream admits (the
+    * [[dedupSimhash]] acceptance). Malformed containers degrade to the
+    * byte-exact `raw:` key. */
+  def dedupVideoFrameSet(files: DataFrame, payloadCol: String,
+      eventTimeCol: String, horizon: String): DataFrame = {
+    val sig = udf { (payload: Array[Byte]) =>
+      graft.operators.Multimodal.frameKeys(payload) match {
+        case Some(keys) => "vf:" + keys.sorted.mkString(",")
+        case None => "raw:" + java.security.MessageDigest.getInstance("MD5")
+          .digest(payload).map("%02x".format(_)).mkString
+      }
+    }
+    files.withColumn("video_sig", sig(col(payloadCol)))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("video_sig")
+      .drop("video_sig")
+  }
 }

@@ -864,4 +864,56 @@ class DedupSpec extends SparkSpec {
       assert(p.stateOperators.nonEmpty, "expected a stateful aggregation")
     } finally query.stop()
   }
+
+  test("audio/video dedup gates: batch parity on the q98/q99 corpora (shared derivations)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // AUDIO: survivors of the gain gate == distinct energy fingerprints
+    // over the corpus (byte twins share their base's fp, and batch
+    // q98's gain stage counts exactly the fp groups over reps)
+    val audio = graft.operators.Multimodal
+      .audioDedupCorpus(spark, sfDir).collect()
+      .map(f => (f.mediaId, f.payload, 1L + f.mediaId % 7))
+    val q98 = graft.operators.Multimodal.q98AudioDedup(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nFp = q98.filter(_._1 == "gain").map(_._3).sum
+    val inA = MemoryStream[(Long, Array[Byte], Long)]
+    val docsA = inA.toDF().toDF("media_id", "payload", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val qa = Dedup.dedupAudioGain(docsA, "payload", "ts", "1 hour")
+      .select("media_id")
+      .writeStream.format("memory").queryName("audio_gain_mem")
+      .outputMode("append").start()
+    try {
+      inA.addData(audio.toIndexedSeq)
+      qa.processAllAvailable()
+      val kept = spark.table("audio_gain_mem").count()
+      assert(kept == nFp,
+        s"audio gate kept $kept, batch q98 has $nFp fingerprint groups")
+    } finally qa.stop()
+    // VIDEO: survivors of the frame-set gate == distinct sorted key
+    // sets (twins collapse; trimmed variants keep their smaller set)
+    val video = graft.operators.Multimodal
+      .videoDedupCorpus(spark, sfDir).collect()
+      .map(f => (f.mediaId, f.payload, 1L + f.mediaId % 7))
+    val nSets = graft.operators.Multimodal
+      .videoFrameSignatures(graft.operators.Multimodal
+        .videoDedupCorpus(spark, sfDir)).collect()
+      .groupBy(_.getLong(0))
+      .values.map(_.map(_.getLong(2)).sorted.toSeq).toSet.size
+    val inV = MemoryStream[(Long, Array[Byte], Long)]
+    val docsV = inV.toDF().toDF("media_id", "payload", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val qv = Dedup.dedupVideoFrameSet(docsV, "payload", "ts", "1 hour")
+      .select("media_id")
+      .writeStream.format("memory").queryName("video_set_mem")
+      .outputMode("append").start()
+    try {
+      inV.addData(video.toIndexedSeq)
+      qv.processAllAvailable()
+      val kept = spark.table("video_set_mem").count()
+      assert(kept == nSets,
+        s"video gate kept $kept, corpus has $nSets distinct frame-key sets")
+    } finally qv.stop()
+  }
+
 }
