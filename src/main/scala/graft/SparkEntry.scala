@@ -214,6 +214,17 @@ object SparkEntry {
     // frame individually decoded; containment pairs blocked on the
     // frame key (shared = min(n1, n2) — the re-cut-copy relation)
     "q99_video_dedup" -> (Multimodal.q99VideoDedup _),
+    // BPE-style tokenizer merge learning: per-round corpus-wide pair
+    // count (map-side partial combine), 1-row argmax snapshot inlined
+    // as literals, greedy left-to-right merge fold — map-side rewrite
+    "q100_bpe_merges" -> (Pipeline.q100BpeMerges _),
+    // product-quantization ADC ANN: 4-byte codes (128x memory shrink),
+    // bounded codebook snapshot as plan literals, map-side encode,
+    // per-query 64-entry lookup table, integer micro-unit sums
+    "q101_pq_ann" -> (Pipeline.q101PqAnn _),
+    // cross-source near-dup contamination matrix: q24's LSH pair
+    // derivation verbatim, source-pair rollup, exact E4-integer mass
+    "q102_source_dup_matrix" -> (Pipeline.q102SourceDupMatrix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2752,6 +2752,275 @@ object Pipeline {
     (out, () => { positions.unpersist(blocking = false); () })
   }
 
+  // --------------------------------------- q100: BPE merge learning
+
+  /** Number of merge rounds [[q100BpeMerges]] learns. Three rounds keep
+    * the oracle's unrolled CTE chain readable; production tokenizers
+    * run thousands — see the scale note on [[q100BpeMerges]]. */
+  private[graft] val BpeMergeRounds = 3
+
+  /** One greedy left-to-right BPE merge pass over a token array: every
+    * non-overlapping adjacent occurrence of (`lhs`, `rhs`) collapses
+    * into the single token `lhs + " " + rhs`. Overlap resolution is the
+    * standard BPE rule — a token consumed by a merge cannot start
+    * another, so a run of k equal tokens under a self-pair merge yields
+    * floor(k/2) merges, left-aligned.
+    *
+    * Implemented as a single-level array fold (`aggregate` over
+    * one-element seeds) — map-side, no explode, no shuffle; the merged
+    * pair arrives as plan literals. The fold is sequential by
+    * construction, which is exactly what greedy left-to-right needs;
+    * DuckDB's `list_reduce` twin folds the identical order, so the two
+    * engines agree token-for-token with no tolerance. */
+  def bpeMergePass(toks: Column, lhs: String, rhs: String): Column = {
+    val merged = lhs + " " + rhs
+    when(size(toks) < 2, toks).otherwise(
+      aggregate(
+        slice(toks, lit(2), size(toks) - lit(1)),
+        slice(toks, 1, 1),
+        (acc, x) =>
+          when(element_at(acc, -1) === lit(lhs) && x === lit(rhs),
+            concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(merged))))
+            .otherwise(concat(acc, array(x)))))
+  }
+
+  /** The adjacent-pair relation of a tokenized corpus: one row per
+    * (left, right) neighbour occurrence. `arrays_zip` over two shifted
+    * slices — codegen'd, no HOF; the explode feeds straight into a
+    * hash aggregation that partial-combines map-side, so each
+    * partition ships at most its distinct pair set. */
+  private def adjacentPairs(toks: DataFrame): DataFrame =
+    toks.filter(size(col("toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - lit(1)),
+        slice(col("toks"), lit(2), size(col("toks")) - lit(1)))).as("p"))
+      .select(col("p").getField("0").as("lhs"), col("p").getField("1").as("rhs"))
+
+  /** Pipeline — BPE-style tokenizer merge learning: the vocabulary-
+    * induction step every LLM data pipeline runs before training.
+    * Starting from whitespace tokens, each round (a) counts all
+    * adjacent token pairs corpus-wide, (b) picks the most frequent
+    * (ties broken lexicographically on the pair — deterministic), and
+    * (c) rewrites every document with [[bpeMergePass]]'s greedy
+    * left-to-right merge. Output: one row per learned merge with its
+    * selection-time pair count and the corpus token total after
+    * applying it. Note `tokens_before − tokens_after` ≤ `pair_count`:
+    * overlapping occurrences ("a a a" counts two (a,a) pairs) merge
+    * only once — the standard BPE application rule, asserted in
+    * PipelineSpec.
+    *
+    * Scale posture (100 TB): pair counting is a hash aggregation with
+    * map-side partial combine (each partition ships its distinct pair
+    * set, not its token stream); the winning merge is a ONE-row
+    * bounded snapshot (the q81-threshold discipline) inlined as plan
+    * literals, so the rewrite is pure map-side with no join or
+    * broadcast; each round's rewrite persists (wide cache level) and
+    * releases its predecessor, so lineage stays one fold deep — the
+    * q81 bounded-lineage rule. m merges cost m corpus passes;
+    * production vocabularies (30k+ merges) batch the top-m pairwise-
+    * DISJOINT pairs per pass (merges whose tokens don't overlap
+    * commute, so a disjoint batch is order-equivalent to m sequential
+    * passes) — the documented scale path; the per-pass machinery here
+    * is unchanged by batching. */
+  def q100BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    var cur = base.persist(CacheLevel)
+    cur.count()
+    val rows = Seq.newBuilder[(Int, String, String, Long, Long)]
+    for (it <- 1 to BpeMergeRounds) {
+      // one-row snapshot: the argmax pair (count DESC, then pair ASC)
+      val top = adjacentPairs(cur)
+        .groupBy(col("lhs"), col("rhs")).agg(count(lit(1)).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()(0)
+      val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      val next = cur
+        .select(col("doc_id"), bpeMergePass(col("toks"), l, r).as("toks"))
+        .persist(CacheLevel)
+      val after = next.agg(sum(size(col("toks")).cast("long"))).collect()(0).getLong(0)
+      cur.unpersist(blocking = false)
+      cur = next
+      rows += ((it, l, r, n, after))
+    }
+    cur.unpersist(blocking = false)
+    import spark.implicits._
+    rows.result().toDF("it", "lhs", "rhs", "pair_count", "tokens_after")
+      .orderBy(col("it"))
+  }
+
+  // ------------------------------------ q101: product-quantized ANN
+
+  /** Subspace count for [[q101PqAnn]] (64 dims → 4 × 16-dim blocks). */
+  private[graft] val PqSubspaces = 4
+  private val PqSubDim = EmbDims / PqSubspaces
+
+  /** Rounded squared-L2 between two equal-length double arrays —
+    * sequential left fold (`zip_with` then `aggregate`), so DuckDB's
+    * `list_sum ∘ list_transform` twin accumulates bit-identically (the
+    * q80 discipline). */
+  private def l2sq6(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v), 6)
+
+  /** Pipeline — product-quantization ANN with asymmetric distance
+    * computation (ADC), the memory-compression serving path brute-force
+    * cosine (q25) and IVF (q31/q85) don't cover: each 64-dim vector is
+    * stored as [[PqSubspaces]] small codeword indexes (4 bytes vs 512
+    * bytes of raw doubles — a 128× shrink), and queries rank the whole
+    * corpus WITHOUT touching raw vectors — per query, a 64-entry
+    * lookup table of subspace distances is built once against the
+    * codebook, and every corpus vector's approximate distance is the
+    * sum of its 4 table entries (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search").
+    *
+    * Codebooks are hash-threshold seeded (the [[kMeansCentroids]]
+    * discipline, salt `pq:`, ≤16 codewords + the min-hash floor row):
+    * seed vec `l`'s dims `[16s, 16s+16)` are subspace `s`'s codeword
+    * for label `l`. Encoding picks per subspace the argmin of
+    * `round(L2², 6) · 10^12 + label` — the q53 score form, so the
+    * winner is engine-deterministic with no float tolerance. ADC sums
+    * are integer MICRO-units (`round(d6 · 10^6)` as int64), so the
+    * 4-term sums are exact in any order. Each reported neighbour
+    * carries `in_exact_top5` — whether the exact rounded-L2 top-5
+    * agrees — so recall is read off the result, not asserted blindly.
+    *
+    * Scale posture (100 TB): the codebook is a bounded collect (≤16
+    * rows, the centroid-snapshot discipline) inlined as plan literals;
+    * encoding is one map-side fold per row — no join, no shuffle, one
+    * corpus scan, and the emitted code column is 4 ints (the compressed
+    * index an executor would cache instead of 512-byte vectors).
+    * Serving cross-joins the BROADCAST query set (each query carrying
+    * its 64-long table) against codes and folds 4 `element_at` lookups
+    * per pair — no per-pair distance arithmetic, partial top-k per
+    * partition via the window's per-query partition, never a global
+    * sort. Production composes this with the IVF coarse stage
+    * (q31/q85): route to a cluster, then ADC-rank only its inverted
+    * list — IVF-PQ; the per-list machinery here is unchanged. */
+  def q101PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    // bounded codebook snapshot (≤16 + floor), the kMeansCentroids shape
+    val nRel = e.agg(count(lit(1)).as("n"))
+    val hashed = e.withColumn("sh",
+      pmod(portableHash(concat(lit("pq:"), col("vec_id").cast("string"))),
+        lit(1000000L)))
+    val minRel = hashed.agg(min(col("sh")).as("sh_min"))
+    val seeds: Seq[(Long, Seq[Double])] = hashed
+      .crossJoin(broadcast(nRel)).crossJoin(broadcast(minRel))
+      .withColumn("thr", expr("least(16, (n + 31) div 32) * 1000000 div n"))
+      .filter(col("sh") < col("thr") || col("sh") === col("sh_min"))
+      .select(col("vec_id").cast("long"), col("e"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val k = seeds.length
+    val labels = typedlit(seeds.map(_._1))
+    // codebook per subspace, codewords in ascending-label order
+    val cbs: Seq[Column] = (0 until PqSubspaces).map(s =>
+      typedlit(seeds.map(_._2.slice(s * PqSubDim, (s + 1) * PqSubDim))))
+    def subvec(v: Column, s: Int): Column =
+      slice(v, lit(s * PqSubDim + 1), lit(PqSubDim))
+    // encode: per subspace the 0-based index of the argmin codeword
+    // (score = d6·10^12 + label — unique, so argmin is the FIRST min)
+    def codeCol(s: Int): Column = {
+      val scores = transform(cbs(s), (c, i) =>
+        l2sq6(subvec(col("e"), s), c) * lit(1.0e12) +
+          element_at(labels, (i + lit(1)).cast("int")))
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }
+    val codes = e.select(col("vec_id"),
+      array((0 until PqSubspaces).map(codeCol): _*).as("codes"))
+    // queries carry their ADC lookup table: 4·k int64 micro-distances,
+    // s-major, codeword order = the codes' index order
+    val tq = concat((0 until PqSubspaces).map(s =>
+      transform(cbs(s), c =>
+        round(l2sq6(subvec(col("e"), s), c) * lit(1.0e6), 0).cast("long"))): _*)
+    val queries = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), tq.as("tq"))
+    val adc = codes.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (0 until PqSubspaces).map(s =>
+            element_at(col("tq"), col("codes")(s) + lit(s * k) + 1))
+          .reduce(_ + _).as("adc_micro"))
+    val byQ = Window.partitionBy(col("qid"))
+    val top = adc
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("adc_micro"), col("vec_id"))))
+      .filter(col("rk") <= TopK)
+    // exact rounded-L2 top-5 (the q25 brute-force shape) → recall flag
+    val exact = e.join(broadcast(queries.select(col("qid"), col("qe"))),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), l2sq6(col("e"), col("qe")).as("d6"))
+      .withColumn("xr", row_number().over(byQ.orderBy(col("d6"), col("vec_id"))))
+      .filter(col("xr") <= TopK)
+      .select(col("qid"), col("vec_id"), lit(true).as("in_exact_top5"))
+    top.join(exact, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("rk").cast("int").as("rk"), col("vec_id"),
+        col("adc_micro"),
+        coalesce(col("in_exact_top5"), lit(false)).as("in_exact_top5"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  // ------------------------------ q102: cross-source duplicate matrix
+
+  /** Pipeline — cross-source near-duplicate contamination matrix: how
+    * much each source pair shares, the question a corpus curator asks
+    * before weighting sources (a feed that mirrors another shouldn't
+    * count twice in the mix, and q54's mixing quotas assume sources
+    * are distinct populations). The corpus deterministically re-crawls
+    * `doc_id % 7 = 0` under the SAME source (the diagonal) and
+    * `doc_id % 19 = 0` under the NEXT source in rank order (the
+    * off-diagonal "mirrored feed"); the MinHash-LSH pair machinery is
+    * [[q24NearDupMinhash]]'s, verbatim — one derivation, then a
+    * source-pair rollup with the pair key ordered (least, greatest) so
+    * the matrix is upper-triangular.
+    *
+    * Jaccard mass per cell is accumulated in E4 INTEGER units
+    * (`round(jaccard·10^4)` as int64) so the sum is exact in any
+    * partition order; the cell average divides once at the end —
+    * engine-deterministic with no float tolerance.
+    *
+    * Scale posture (100 TB): everything q24 already holds (banded
+    * candidates only, sorted-hash-array verify, never all-pairs), plus
+    * a ≤|sources|-row broadcast for the rotation and a ≤|sources|²-row
+    * rollup; the doc→source side tables join the pair relation on its
+    * natural keys — broadcastable whenever the near-dup pair relation
+    * isn't tiny anyway. */
+  def q102SourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"), col("source"))
+    // bounded source-rotation relation (≤|sources| rows, broadcast)
+    val byName = Window.orderBy(col("source"))
+    val srcs = d.select(col("source")).distinct()
+      .withColumn("rk", row_number().over(byName) - 1)
+    val nRel = srcs.agg(count(lit(1)).as("ns"))
+    val rot = srcs.crossJoin(broadcast(nRel))
+      .withColumn("nrk", (col("rk") + 1) % col("ns"))
+      .join(srcs.select(col("source").as("next_source"), col("rk").as("nrk")), "nrk")
+      .select(col("source"), col("next_source"))
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(d.filter(col("doc_id") % 19 === 0)
+        .join(broadcast(rot), "source")
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+          col("next_source").as("source")))
+    val pairs = verifiedNearDupPairs(corpus.select(col("doc_id"), col("text")))
+    val side = corpus.select(col("doc_id"), col("source"))
+    pairs
+      .join(side.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(side.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        round(col("jaccard") * 10000, 0).cast("long").as("j4"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("j4")).as("sum_jaccard_e4"))
+      .withColumn("avg_jaccard",
+        round(col("sum_jaccard_e4") / 10000.0 / col("n_pairs"), 6))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   /** DuckDB twins. Fragments mirror [[graft.functions.TextFunctions]]
@@ -2831,12 +3100,13 @@ object Pipeline {
         |  count(DISTINCT raw_h) - count(DISTINCT canon_h) AS n_collapsed_by_norm
         |FROM h GROUP BY lang ORDER BY lang""".stripMargin
 
-    val q24 =
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, text || ' extra token tail' FROM documents WHERE doc_id % 11 = 0),
-         |sh AS (
+    /** The MinHash+LSH pair CTE chain over a `corpus(doc_id, text, …)`
+      * CTE — shared verbatim by q24 (pair listing) and q102 (source
+      * matrix rollup), mirroring the engine's single
+      * `verifiedNearDupPairs` derivation. Ends at `j(doc_a, doc_b,
+      * jaccard)`, unfiltered — consumers apply the ≥ 0.5 cut. */
+    private val minhashPairCtes =
+      s"""sh AS (
          |  SELECT doc_id, CASE WHEN len(toks) >= 3
          |    THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
          |      i -> array_to_string(toks[i:i+2], ' ')))
@@ -2862,9 +3132,51 @@ object Pipeline {
          |  SELECT doc_a, doc_b,
          |    round(len(list_intersect(sa.hs, sb.hs))
          |      / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))), 4) AS jaccard
-         |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
+         |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
+
+    val q24 =
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' extra token tail' FROM documents WHERE doc_id % 11 = 0),
+         |$minhashPairCtes
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin
+
+    /** q102 — the SAME pair CTE chain over the re-crawled corpus (same-
+      * source copies at %7, next-source mirrors at %19), rolled up to
+      * the (least, greatest) source-pair matrix; jaccard mass sums in
+      * E4 integer units so the only division happens once per cell. */
+    val q102 =
+      s"""WITH srcs AS (
+         |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS rk
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |ns AS (SELECT count(*) AS ns FROM srcs),
+         |rot AS (
+         |  SELECT a.source, b.source AS next_source
+         |  FROM srcs a, ns, srcs b WHERE b.rk = (a.rk + 1) % ns.ns),
+         |corpus AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT d.doc_id + 3000000, d.text, rot.next_source
+         |  FROM documents d JOIN rot ON d.source = rot.source
+         |  WHERE d.doc_id % 19 = 0),
+         |$minhashPairCtes,
+         |pp AS (
+         |  SELECT least(sa.source, sb.source) AS source_a,
+         |    greatest(sa.source, sb.source) AS source_b,
+         |    CAST(round(jaccard * 10000, 0) AS BIGINT) AS j4
+         |  FROM j
+         |  JOIN corpus sa ON sa.doc_id = j.doc_a
+         |  JOIN corpus sb ON sb.doc_id = j.doc_b
+         |  WHERE jaccard >= 0.5)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         |  CAST(sum(j4) AS BIGINT) AS sum_jaccard_e4,
+         |  round(sum(j4) / 10000.0 / count(*), 6) AS avg_jaccard
+         |FROM pp GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin
 
     val q25 =
       s"""WITH e AS (SELECT vec_id, embedding, ${nrm("embedding")} AS nrm FROM embeddings),
@@ -3689,6 +4001,99 @@ object Pipeline {
          |FROM i6 ORDER BY r DESC, node LIMIT 20""".stripMargin
     }
 
+    /** q100 — three unrolled learn rounds. The `list_reduce` twin folds
+      * the IDENTICAL greedy left-to-right order as [[bpeMergePass]]'s
+      * `aggregate` (both seed with the first token and scan once), so
+      * rewritten token lists agree token-for-token and every reported
+      * stat is an integer — no tolerance anywhere. */
+    val q100 = {
+      def round(prev: String, i: Int) =
+        s"""pr$i AS (
+           |  SELECT toks[j] AS lhs, toks[j + 1] AS rhs FROM (
+           |    SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS j
+           |    FROM $prev WHERE len(toks) >= 2)),
+           |m$i AS (
+           |  SELECT lhs AS ml, rhs AS mr, count(*) AS pair_count FROM pr$i
+           |  GROUP BY lhs, rhs ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+           |t$i AS (
+           |  SELECT doc_id, CASE WHEN len(toks) < 2 THEN toks ELSE
+           |    list_reduce(list_transform(toks, x -> [x]),
+           |      (acc, x) -> CASE WHEN acc[-1] = ml AND x[1] = mr
+           |        THEN list_concat(acc[1:len(acc) - 1], [acc[-1] || ' ' || x[1]])
+           |        ELSE list_concat(acc, x) END) END AS toks
+           |  FROM $prev, m$i),
+           |s$i AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS tokens_after FROM t$i)"""
+          .stripMargin
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |${round("t0", 1)},
+         |${round("t1", 2)},
+         |${round("t2", 3)}
+         |SELECT * FROM (
+         |  SELECT 1 AS it, ml AS lhs, mr AS rhs, pair_count, tokens_after FROM m1, s1
+         |  UNION ALL
+         |  SELECT 2, ml, mr, pair_count, tokens_after FROM m2, s2
+         |  UNION ALL
+         |  SELECT 3, ml, mr, pair_count, tokens_after FROM m3, s3)
+         |ORDER BY it""".stripMargin
+    }
+
+    /** q101 — the PQ twin: hash-threshold seeds (q53's CTE shape, salt
+      * `pq:`), codewords as 1-based list slices, encode via
+      * `arg_min(idx, d6·10^12 + label)` (the unique q53 score form),
+      * ADC as a BIGINT micro-unit sum over the (s, code) join — exact
+      * in any order, so no tolerance anywhere; subspace distances fold
+      * `list_sum ∘ list_transform` sequentially (the q80 discipline). */
+    val q101 = {
+      def sub(v: String, first: String) =
+        s"list_sum(list_transform(generate_series(1, 16), i -> " +
+          s"($v[s * 16 + i] - $first[i]) * ($v[s * 16 + i] - $first[i])))"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |nn AS (SELECT count(*) AS n FROM e),
+         |hs AS (SELECT vec_id, e,
+         |    ${ph("'pq:' || CAST(vec_id AS VARCHAR)")} % 1000000 AS sh FROM e),
+         |mn AS (SELECT min(sh) AS sh_min FROM hs),
+         |seeds AS (
+         |  SELECT vec_id AS label, e AS cvec FROM hs, nn, mn
+         |  WHERE sh < (least(16, (n + 31) // 32) * 1000000) // n
+         |    OR sh = sh_min),
+         |cb AS (
+         |  SELECT s, label, cvec[s * 16 + 1 : s * 16 + 16] AS cw,
+         |    CAST(row_number() OVER (PARTITION BY s ORDER BY label) - 1 AS INT) AS idx
+         |  FROM seeds, (SELECT unnest(generate_series(0, 3)) AS s)),
+         |enc AS (
+         |  SELECT vec_id, s, arg_min(idx, d6 * 1000000000000 + label) AS code FROM (
+         |    SELECT v.vec_id, cb.s, cb.label, cb.idx,
+         |      round(${sub("v.e", "cb.cw")}, 6) AS d6
+         |    FROM e v CROSS JOIN cb)
+         |  GROUP BY vec_id, s),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id % 97 = 0),
+         |tab AS (
+         |  SELECT qid, s, idx,
+         |    CAST(round(round(${sub("qe", "cw")}, 6) * 1000000, 0) AS BIGINT) AS t6
+         |  FROM q CROSS JOIN cb),
+         |adc AS (
+         |  SELECT qid, vec_id, sum(t6) AS adc_micro
+         |  FROM enc JOIN tab ON enc.s = tab.s AND enc.code = tab.idx
+         |  WHERE vec_id != qid GROUP BY qid, vec_id),
+         |rk AS (SELECT qid, vec_id, CAST(adc_micro AS BIGINT) AS adc_micro,
+         |  row_number() OVER (PARTITION BY qid ORDER BY adc_micro, vec_id) AS rk
+         |  FROM adc),
+         |ex AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, v.vec_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        round(list_sum(list_transform(generate_series(1, 64),
+         |          i -> (v.e[i] - q.qe[i]) * (v.e[i] - q.qe[i]))), 6),
+         |        v.vec_id) AS xr
+         |    FROM q CROSS JOIN e v WHERE v.vec_id != q.qid)
+         |  WHERE xr <= 5)
+         |SELECT r.qid, CAST(r.rk AS INT) AS rk, r.vec_id, r.adc_micro,
+         |  (ex.vec_id IS NOT NULL) AS in_exact_top5
+         |FROM rk r LEFT JOIN ex ON r.qid = ex.qid AND r.vec_id = ex.vec_id
+         |WHERE r.rk <= 5
+         |ORDER BY r.qid, r.rk""".stripMargin
+    }
+
     val all: Map[String, String] = Map(
       "q23_exact_dedup" -> q23,
       "q87_fuzzy_join" -> q87,
@@ -3741,6 +4146,9 @@ object Pipeline {
       "q79_source_quota" -> q79,
       "q80_random_projection" -> q80,
       "q81_pagerank" -> q81,
+      "q100_bpe_merges" -> q100,
+      "q101_pq_ann" -> q101,
+      "q102_source_dup_matrix" -> q102,
     )
   }
 }

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import graft.operators.Pipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming face of q100's BPE merge learning — tokenizer APPLY at
+  * ingest: each arriving document is whitespace-tokenized and the
+  * learned merge table replays in learned order through the SAME
+  * greedy fold as the batch learner
+  * ([[graft.operators.Pipeline.bpeMergePass]] — one derivation, two
+  * faces), so a document tokenizes identically whether it arrived in
+  * the training corpus or at the gate afterwards.
+  *
+  * STATELESS by design (the [[Resolve]] contract): the merge table is
+  * a bounded plan literal (the learner's one-row-per-round snapshot),
+  * the fold is map-side, and every emitted row is final — append mode,
+  * no state beyond source offsets.
+  *
+  * Scale posture: the gate inlines the merge list as chained folds —
+  * right for the handful of merges the oracle-checked learner emits
+  * per pass. A production tokenizer with a 30k-merge vocabulary
+  * applies ranks with the standard pair-priority algorithm inside one
+  * map stage instead of 30k chained expressions; the gate's CONTRACT
+  * (same greedy left-to-right semantics, same merge order, stateless
+  * map-side apply) is what carries over, and the spec pins it against
+  * the batch fold. */
+object Tokenize {
+
+  /** Tokenize a document stream with a learned merge table (append
+    * mode): docs.* + `toks` (merged token list) + `n_toks`. */
+  def applyMerges(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.withColumn("toks",
+        merges.foldLeft(split(col(textCol), " ")) {
+          case (c, (l, r)) => Pipeline.bpeMergePass(c, l, r)
+        })
+      .withColumn("n_toks", size(col("toks")))
+}

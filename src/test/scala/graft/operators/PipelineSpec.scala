@@ -1366,4 +1366,117 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getLong(4)).sum > 0,
       "canonicalization collapsed nothing — the variant feed is dead")
   }
+
+  // ------------------------------------------------- q100 BPE merges
+
+  /** Reference greedy left-to-right merge — the semantics
+    * [[Pipeline.bpeMergePass]] must implement. */
+  private def greedyMerge(toks: Seq[String], l: String, r: String): Seq[String] =
+    toks.drop(1).foldLeft(toks.take(1).toVector) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == l && x == r)
+        acc.init :+ (l + " " + r)
+      else acc :+ x
+    }
+
+  test("bpeMergePass: greedy left-to-right, self-pair runs merge floor(k/2)") {
+    val cases = Seq(
+      ("a a a a a", "a", "a", Seq("a a", "a a", "a")), // run of 5 → 2 merges
+      ("a a a a", "a", "a", Seq("a a", "a a")),
+      ("x a b a b y", "a", "b", Seq("x", "a b", "a b", "y")),
+      ("a b", "a", "b", Seq("a b")),
+      ("b a", "a", "b", Seq("b", "a")), // order matters
+      ("solo", "a", "b", Seq("solo"))) // <2 tokens untouched
+    for ((text, l, r, want) <- cases) {
+      val got = Seq(text).toDF("text")
+        .select(Pipeline.bpeMergePass(split(col("text"), " "), l, r).as("t"))
+        .collect()(0).getSeq[String](0)
+      assert(got == want, s"merge($l,$r) on '$text'")
+      assert(got == greedyMerge(text.split(" ").toSeq, l, r))
+    }
+  }
+
+  test("q100: three learned merges match a driver-side simulation exactly") {
+    val got = Pipeline.q100BpeMerges(spark, sfDir).collect()
+    assert(got.length == Pipeline.BpeMergeRounds)
+    // simulate the whole learn loop in plain Scala on the same corpus
+    var corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0).split(" ").toSeq)
+    for ((row, it) <- got.zipWithIndex) {
+      assert(row.getInt(0) == it + 1)
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for (t <- corpus; i <- 0 until t.length - 1)
+        counts((t(i), t(i + 1))) = counts.getOrElse((t(i), t(i + 1)), 0L) + 1
+      val (bl, br) = counts.toSeq
+        .map { case ((l, r), n) => (-n, l, r) }.min match {
+          case (_, l, r) => (l, r)
+        }
+      val bn = counts((bl, br))
+      assert((row.getString(1), row.getString(2), row.getLong(3)) == ((bl, br, bn)),
+        s"round ${it + 1} picked the wrong merge")
+      corpus = corpus.map(t => greedyMerge(t, bl, br))
+      assert(row.getLong(4) == corpus.map(_.length.toLong).sum,
+        s"round ${it + 1} tokens_after")
+    }
+    // monotone: token totals strictly decrease while merges apply
+    val totals = got.map(_.getLong(4))
+    assert(totals.zip(totals.drop(1)).forall { case (a, b) => b < a })
+  }
+
+  // -------------------------------------------------- q101 PQ ADC ANN
+
+  test("q101: shape, rank order, and exact-recall flags are coherent") {
+    val rows = Pipeline.q101PqAnn(spark, sfDir).collect()
+    val qids = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 97 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(qids.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == qids, "every query reports, none invented")
+    for ((q, rs) <- byQ) {
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5), s"q$q ranks")
+      // ADC distance non-decreasing in rank; ties impossible to invert
+      val d = sorted.map(_.getLong(3))
+      assert(d.zip(d.drop(1)).forall { case (a, b) => a <= b }, s"q$q order")
+      // self never reported
+      assert(!rs.exists(_.getLong(2) == q), s"q$q self-match")
+    }
+    // ADC must carry real signal: across all queries, the quantized
+    // top-5 recovers at least one member of the exact top-5
+    assert(rows.count(_.getBoolean(4)) > 0, "zero recall — ADC is noise")
+  }
+
+  // ------------------------------------------- q102 source dup matrix
+
+  test("q102: diagonal cells, every expected mirrored-feed cell, exact mass") {
+    val rows = Pipeline.q102SourceDupMatrix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val diag = rows.filter(r => r.getString(0) == r.getString(1))
+    val off = rows.filter(r => r.getString(0) != r.getString(1))
+    // %7 same-source re-crawls must surface on the diagonal,
+    // %19 next-source mirrors off it
+    assert(diag.nonEmpty, "no same-source duplicate cells")
+    assert(off.nonEmpty, "no cross-source duplicate cells")
+    // every %19 mirror is an EXACT text copy into the next source in
+    // rank order, so each source holding a %19 doc must surface its
+    // rotation cell (organic cross-source near-dups may add others)
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ranked = base.map(_._2).distinct.sorted
+    val next = ranked.zip(ranked.drop(1) :+ ranked.head).toMap
+    val expected = base.filter(_._1 % 19 == 0).map(_._2).distinct
+      .map(s => (Seq(s, next(s)).min, Seq(s, next(s)).max)).toSet
+    val cells = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    for (c <- expected)
+      assert(cells(c), s"missing rotation cell $c")
+    // exact integer mass: avg = sum/1e4/n at 6 decimals, and every
+    // verified pair clears the 0.5 jaccard cut
+    for (r <- rows) {
+      val (n, s4, avg) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(n > 0 && s4 >= n * 5000, s"cell below the jaccard cut: $r")
+      assert(math.abs(avg - BigDecimal(s4 / 10000.0 / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+  }
 }
