@@ -225,6 +225,10 @@ object SparkEntry {
     // cross-source near-dup contamination matrix: q24's LSH pair
     // derivation verbatim, source-pair rollup, exact E4-integer mass
     "q102_source_dup_matrix" -> (Pipeline.q102SourceDupMatrix _),
+    // PQ index AT REST: build-if-absent, serve from persisted 4-int
+    // codes + stored codebook (zero re-encoding), frozen-codebook
+    // appends with a quantization-error rebuild trigger
+    "q103_indexed_pq_ann" -> (Pipeline.q103IndexedPqAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

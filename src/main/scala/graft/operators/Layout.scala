@@ -75,6 +75,35 @@ object Layout {
     stats.write.mode(SaveMode.Overwrite).saveAsTable(name + "_stats")
   }
 
+  /** Persist a PRODUCT-QUANTIZATION index AT REST — [[writeIvfIndex]]'s
+    * posture applied to compressed ANN serving: the code relation
+    * `(vec_id, codes: array<int>, qerr_micro)` — 4 small ints per
+    * vector instead of 512 bytes of raw doubles, the whole point of PQ
+    * at 100 TB — plus the bounded codebook `(label, cvec)` (≤16 seed
+    * rows) as `<name>_codebook` and the one-row stats sidecar
+    * `(n, build_n, sum_qerr_micro, build_sum_qerr_micro)` as
+    * `<name>_stats`. No bucketing: ADC serving SCANS the code relation
+    * by design (that scan is 128× smaller than the raw corpus — the
+    * compression IS the pruning); queries broadcast. Encoding is
+    * INGEST work, paid once per corpus version; serve pays only table
+    * lookups. */
+  def writePqIndex(codes: DataFrame, codebook: DataFrame,
+      stats: DataFrame, name: String): Unit = {
+    val spark = codes.sparkSession
+    Seq(name, name + "_codebook", name + "_stats")
+      .foreach(dropManagedTable(spark, _))
+    codes.write.mode(SaveMode.Overwrite).saveAsTable(name)
+    codebook.write.mode(SaveMode.Overwrite).saveAsTable(name + "_codebook")
+    stats.write.mode(SaveMode.Overwrite).saveAsTable(name + "_stats")
+  }
+
+  /** The three relations of a persisted PQ index:
+    * (codes, codebook, stats). */
+  def readPqIndex(spark: SparkSession,
+      name: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.table(name), spark.table(name + "_codebook"),
+      spark.table(name + "_stats"))
+
   /** Replace a one-row stats sidecar table in place (the incremental
     * stats update of [[graft.operators.Pipeline.invIndexAppend]]). */
   def replaceStats(stats: DataFrame, name: String): Unit = {

@@ -2898,57 +2898,104 @@ object Pipeline {
     * (q31/q85): route to a cluster, then ADC-rank only its inverted
     * list — IVF-PQ; the per-list machinery here is unchanged. */
   def q101PqAnn(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val e = Tables.spread(Tables.embeddings(spark, dir))
+    val e = pqVectors(spark, dir)
+    val seeds = pqSeeds(e)
+    pqFlaggedServe(pqCodes(e, seeds), e, seeds)
+  }
+
+  /** The embeddings relation in PQ shape: `(vec_id, e: array<double>)`. */
+  private def pqVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
-    // bounded codebook snapshot (≤16 + floor), the kMeansCentroids shape
+
+  /** Bounded codebook snapshot (≤16 + floor, the [[kMeansCentroids]]
+    * seed discipline, salt `pq:`), ascending-label order. Seed vec
+    * `l`'s dims `[16s, 16s+16)` are subspace `s`'s codeword. */
+  private[graft] def pqSeeds(e: DataFrame): Seq[(Long, Seq[Double])] = {
     val nRel = e.agg(count(lit(1)).as("n"))
     val hashed = e.withColumn("sh",
       pmod(portableHash(concat(lit("pq:"), col("vec_id").cast("string"))),
         lit(1000000L)))
     val minRel = hashed.agg(min(col("sh")).as("sh_min"))
-    val seeds: Seq[(Long, Seq[Double])] = hashed
+    hashed
       .crossJoin(broadcast(nRel)).crossJoin(broadcast(minRel))
       .withColumn("thr", expr("least(16, (n + 31) div 32) * 1000000 div n"))
       .filter(col("sh") < col("thr") || col("sh") === col("sh_min"))
       .select(col("vec_id").cast("long"), col("e"))
       .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-    val k = seeds.length
-    val labels = typedlit(seeds.map(_._1))
-    // codebook per subspace, codewords in ascending-label order
-    val cbs: Seq[Column] = (0 until PqSubspaces).map(s =>
+  }
+
+  private def pqSubvec(v: Column, s: Int): Column =
+    slice(v, lit(s * PqSubDim + 1), lit(PqSubDim))
+
+  private def pqCodebookCols(seeds: Seq[(Long, Seq[Double])]): Seq[Column] =
+    (0 until PqSubspaces).map(s =>
       typedlit(seeds.map(_._2.slice(s * PqSubDim, (s + 1) * PqSubDim))))
-    def subvec(v: Column, s: Int): Column =
-      slice(v, lit(s * PqSubDim + 1), lit(PqSubDim))
-    // encode: per subspace the 0-based index of the argmin codeword
-    // (score = d6·10^12 + label — unique, so argmin is the FIRST min)
+
+  /** Encode `(vec_id, e)` against a codebook: per subspace the 0-based
+    * index of the argmin codeword (score = d6·10^12 + label — unique,
+    * so argmin is the FIRST min), plus the summed encode-time
+    * quantization error in integer micro-units (the staleness signal
+    * [[pqIndexDriftReport]] reads). Pure map-side fold per row. */
+  private[graft] def pqCodes(e: DataFrame,
+      seeds: Seq[(Long, Seq[Double])]): DataFrame = {
+    val labels = typedlit(seeds.map(_._1))
+    val cbs = pqCodebookCols(seeds)
+    def dists(s: Int): Column =
+      transform(cbs(s), c => l2sq6(pqSubvec(col("e"), s), c))
     def codeCol(s: Int): Column = {
       val scores = transform(cbs(s), (c, i) =>
-        l2sq6(subvec(col("e"), s), c) * lit(1.0e12) +
+        l2sq6(pqSubvec(col("e"), s), c) * lit(1.0e12) +
           element_at(labels, (i + lit(1)).cast("int")))
       (array_position(scores, array_min(scores)) - 1).cast("int")
     }
-    val codes = e.select(col("vec_id"),
-      array((0 until PqSubspaces).map(codeCol): _*).as("codes"))
-    // queries carry their ADC lookup table: 4·k int64 micro-distances,
-    // s-major, codeword order = the codes' index order
+    e.select(col("vec_id"),
+      array((0 until PqSubspaces).map(codeCol): _*).as("codes"),
+      (0 until PqSubspaces).map(s =>
+          round(array_min(dists(s)) * lit(1.0e6), 0).cast("long"))
+        .reduce(_ + _).as("qerr_micro"))
+  }
+
+  /** A query relation `(qid, qe)` annotated with its ADC lookup table:
+    * 4·k int64 micro-distances, s-major, codeword order = the codes'
+    * index order. */
+  private[graft] def pqQueryRel(queries: DataFrame,
+      seeds: Seq[(Long, Seq[Double])]): DataFrame = {
+    val cbs = pqCodebookCols(seeds)
     val tq = concat((0 until PqSubspaces).map(s =>
       transform(cbs(s), c =>
-        round(l2sq6(subvec(col("e"), s), c) * lit(1.0e6), 0).cast("long"))): _*)
-    val queries = e.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("qid"), col("e").as("qe"), tq.as("tq"))
-    val adc = codes.join(broadcast(queries), col("vec_id") =!= col("qid"))
+        round(l2sq6(pqSubvec(col("qe"), s), c) * lit(1.0e6), 0).cast("long"))): _*)
+    queries.select(col("qid"), col("qe"), tq.as("tq"))
+  }
+
+  /** ADC top-k: broadcast the table-annotated queries against the code
+    * relation, fold 4 `element_at` lookups per pair (exact int64 in
+    * any order), rank per query. */
+  private[graft] def pqAdcTop(codes: DataFrame, queryRel: DataFrame,
+      k: Int): DataFrame = {
+    val adc = codes.join(broadcast(queryRel), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         (0 until PqSubspaces).map(s =>
             element_at(col("tq"), col("codes")(s) + lit(s * k) + 1))
           .reduce(_ + _).as("adc_micro"))
-    val byQ = Window.partitionBy(col("qid"))
-    val top = adc
-      .withColumn("rk", row_number().over(
-        byQ.orderBy(col("adc_micro"), col("vec_id"))))
+    adc.withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc_micro"), col("vec_id"))))
       .filter(col("rk") <= TopK)
-    // exact rounded-L2 top-5 (the q25 brute-force shape) → recall flag
+  }
+
+  /** The q101/q103 serve tail: ADC top-5 per `%97` corpus query, each
+    * row flagged against the exact rounded-L2 top-5 (the q25
+    * brute-force shape). `codes` may come from an in-session encode
+    * (q101) or the index at rest (q103) — rows are identical. */
+  private def pqFlaggedServe(codes: DataFrame, e: DataFrame,
+      seeds: Seq[(Long, Seq[Double])]): DataFrame = {
+    val queries = pqQueryRel(
+      e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("qid"), col("e").as("qe")), seeds)
+    val top = pqAdcTop(codes.select(col("vec_id"), col("codes")),
+      queries, seeds.length)
+    val byQ = Window.partitionBy(col("qid"))
     val exact = e.join(broadcast(queries.select(col("qid"), col("qe"))),
         col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), l2sq6(col("e"), col("qe")).as("d6"))
@@ -2960,6 +3007,102 @@ object Pipeline {
         col("adc_micro"),
         coalesce(col("in_exact_top5"), lit(false)).as("in_exact_top5"))
       .orderBy(col("qid"), col("rk"))
+  }
+
+  // -------------------------------------- q103: PQ index AT REST
+
+  /** Managed-table name for the q103 PQ index, keyed by corpus dir. */
+  private[operators] def pqIndexTable(dir: String): String =
+    "graft_pq_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Build a PQ index AT REST from `(vec_id, e)` vectors: hash-seeded
+    * codebook, map-side encode, then [[Layout.writePqIndex]]. The
+    * stats sidecar freezes the BUILD-time quantization-error average
+    * (`build_n`, `build_sum_qerr_micro`) alongside the running totals
+    * so [[pqIndexDriftReport]] can compare appended data against it. */
+  def buildPqIndex(e: DataFrame, name: String): Unit = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val seeds = pqSeeds(e)
+    val codes = pqCodes(e, seeds)
+    val s = codes.agg(count(lit(1)).as("n"),
+      sum(col("qerr_micro")).as("serr")).collect()(0)
+    val stats = Seq((s.getLong(0), s.getLong(0), s.getLong(1), s.getLong(1)))
+      .toDF("n", "build_n", "sum_qerr_micro", "build_sum_qerr_micro")
+    Layout.writePqIndex(codes, seeds.toDF("label", "cvec"), stats, name)
+  }
+
+  /** The stored codebook restored to [[pqSeeds]]' collected form
+    * (ascending label — the order every code index was minted in). */
+  private[operators] def storedPqSeeds(spark: SparkSession,
+      name: String): Seq[(Long, Seq[Double])] =
+    spark.table(name + "_codebook")
+      .select(col("label").cast("long"), col("cvec").cast("array<double>"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+
+  /** Incremental index maintenance: append NEW vectors `(vec_id, e)`
+    * to a persisted PQ index with the codebook FROZEN at build time —
+    * each vector encodes through the stored codewords (exactly the
+    * map-side fold the build ran) and appends to the code relation;
+    * the stats sidecar accumulates the appended quantization error.
+    *
+    * The trade this encodes: a frozen codebook quantizes drifting data
+    * ever more coarsely — appends are cheap between rebuilds, and
+    * [[pqIndexDriftReport]] flags when the appended error average says
+    * the codebook no longer fits the corpus (the PQ analog of IVF's
+    * occupancy drift). */
+  def pqIndexAppend(spark: SparkSession, name: String,
+      vectors: DataFrame): Unit = {
+    val seeds = storedPqSeeds(spark, name)
+    val fresh = pqCodes(vectors.select(col("vec_id"),
+      col("e").cast("array<double>").as("e")), seeds)
+    val add = fresh.agg(count(lit(1)).as("nb"),
+      coalesce(sum(col("qerr_micro")), lit(0L)).as("sb")).collect()(0)
+    if (add.getLong(0) > 0L) {
+      fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .saveAsTable(name)
+      Layout.replaceStats(spark.table(name + "_stats")
+        .select((col("n") + add.getLong(0)).as("n"), col("build_n"),
+          (col("sum_qerr_micro") + add.getLong(1)).as("sum_qerr_micro"),
+          col("build_sum_qerr_micro")), name + "_stats")
+    }
+  }
+
+  /** Codebook-staleness report for a persisted PQ index — the REBUILD
+    * trigger [[pqIndexAppend]]'s frozen codebook makes necessary: one
+    * row comparing the appended data's average quantization error
+    * against the build-time average; `needs_rebuild` flags a 2×
+    * degradation (data has drifted past what the stored codewords
+    * describe — re-running [[buildPqIndex]] refits them). Reads only
+    * the one-row stats sidecar. */
+  def pqIndexDriftReport(spark: SparkSession, name: String): DataFrame =
+    spark.table(name + "_stats")
+      .select(col("n"), col("build_n"),
+        round(col("build_sum_qerr_micro") / 1.0e6 / col("build_n"), 6)
+          .as("build_avg_qerr"),
+        when(col("n") > col("build_n"),
+          round((col("sum_qerr_micro") - col("build_sum_qerr_micro")) / 1.0e6 /
+            (col("n") - col("build_n")), 6)).as("appended_avg_qerr"))
+      .withColumn("needs_rebuild",
+        coalesce(col("appended_avg_qerr") >
+          col("build_avg_qerr") * 2.0, lit(false)))
+
+  /** L3 — PQ ANN served from the index AT REST: build-if-absent, then
+    * serve every query from the persisted code relation and stored
+    * codebook with ZERO re-encoding — the serve scan reads 4-int codes
+    * (128× smaller than raw vectors), queries route through the stored
+    * codewords, and the result is row-identical to q101 (same seeds,
+    * same encode fold, same ADC) — the oracle twin IS q101's, so the
+    * hash match proves the index round-trip loses nothing. The q85
+    * production split, applied to PQ: encoding is ingest work, paid
+    * once per corpus version; queries pay table lookups. */
+  def q103IndexedPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val idx = pqIndexTable(dir)
+    if (!spark.catalog.tableExists(idx))
+      buildPqIndex(pqVectors(spark, dir), idx)
+    pqFlaggedServe(spark.table(idx), pqVectors(spark, dir),
+      storedPqSeeds(spark, idx))
   }
 
   // ------------------------------ q102: cross-source duplicate matrix
@@ -4148,6 +4291,11 @@ object Pipeline {
       "q81_pagerank" -> q81,
       "q100_bpe_merges" -> q100,
       "q101_pq_ann" -> q101,
+      // q103 serves from the PERSISTED PQ index built by the identical
+      // seed + encode pipeline — row-identical to q101, so the oracle
+      // is q101's: the hash match proves the code/codebook round-trip
+      // loses nothing
+      "q103_indexed_pq_ann" -> q101,
       "q102_source_dup_matrix" -> q102,
     )
   }

@@ -387,4 +387,72 @@ class LayoutSpec extends SparkSpec {
       spark.table(name + "_stats").collect().head.toSeq) == before,
       "empty append must change neither postings nor stats")
   }
+
+  test("persisted PQ index: q103 serves q101's exact rows from 4-int codes") {
+    val atRest = Pipeline.q103IndexedPqAnn(spark, sfDir).collect().toSeq
+    val inSession = Pipeline.q101PqAnn(spark, sfDir).collect().toSeq
+    assert(atRest == inSession, "PQ index round-trip changed the ANN answer")
+    // the compression contract: every stored row is k-bounded small
+    // ints — the 128x-smaller relation the serve scan actually reads
+    val k = Pipeline.storedPqSeeds(spark,
+      Pipeline.pqIndexTable(sfDir)).length
+    val codes = spark.table(Pipeline.pqIndexTable(sfDir)).collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 4 && cs.forall(c => c >= 0 && c < k), s"codes $cs")
+      assert(r.getLong(2) >= 0L, "negative quantization error")
+    }
+  }
+
+  test("pqIndexAppend: frozen codebook, exact stats merge, drift trigger on shifted data") {
+    import spark.implicits._
+    val shared = Pipeline.pqIndexTable(sfDir)
+    if (!spark.catalog.tableExists(shared))
+      Pipeline.q103IndexedPqAnn(spark, sfDir).collect()
+    // append mutates — private copy (the IVF-append discipline)
+    val idx = shared + "_apdx"
+    val (c0, cb0, st0) = Layout.readPqIndex(spark, shared)
+    Layout.writePqIndex(c0, cb0, st0, idx)
+    val before = spark.table(idx).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+    // appended vectors = copies of the WHOLE corpus under fresh ids:
+    // the frozen codebook must encode each copy to its source's exact
+    // codes and error, and the appended average equals the build
+    // average exactly — no rebuild signal from stationary data
+    val vecs = Tables.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    Pipeline.pqIndexAppend(spark, idx,
+      vecs.select((col("vec_id") + 9000000L).as("vec_id"), col("e")))
+    val after = spark.table(idx).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+    assert(after.length == before.length * 2)
+    val bySrc = before.map(r => r._1 -> ((r._2, r._3))).toMap
+    after.filter(_._1 >= 9000000L).foreach { case (id, cs, err) =>
+      assert(bySrc(id - 9000000L) == ((cs, err)),
+        s"copy of ${id - 9000000L} encoded differently under the frozen codebook")
+    }
+    val d1 = Pipeline.pqIndexDriftReport(spark, idx).collect().head
+    assert(d1.getLong(0) == before.length * 2L && d1.getLong(1) == before.length.toLong)
+    assert(d1.getDouble(2) == d1.getDouble(3),
+      "stationary appends must reproduce the build error average exactly")
+    assert(!d1.getBoolean(4), "stationary data must not trigger a rebuild")
+    // drifted data: 10x-scaled vectors quantize ~100x worse against
+    // the frozen codewords — the trigger must fire
+    Pipeline.pqIndexAppend(spark, idx,
+      vecs.select((col("vec_id") + 20000000L).as("vec_id"),
+        transform(col("e"), x => x * 10.0).as("e")))
+    val d2 = Pipeline.pqIndexDriftReport(spark, idx).collect().head
+    assert(d2.getDouble(3) > d2.getDouble(2) * 2,
+      "shifted appends must degrade the appended error average")
+    assert(d2.getBoolean(4), "drifted data must trigger the rebuild flag")
+    // an EMPTY batch is a no-op on codes and stats alike
+    val frozen = (spark.table(idx).count(),
+      spark.table(idx + "_stats").collect().head.toSeq)
+    Pipeline.pqIndexAppend(spark, idx, vecs.filter(lit(false)))
+    assert((spark.table(idx).count(),
+      spark.table(idx + "_stats").collect().head.toSeq) == frozen,
+      "empty append must change neither codes nor stats")
+  }
 }
