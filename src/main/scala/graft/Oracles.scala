@@ -484,6 +484,27 @@ object Oracles {
     // EWMA: the same left fold over the same ordered doubles — the
     // α literals MUST cast to DOUBLE (bare 0.25/0.75 are DECIMAL in
     // DuckDB and the fold then truncates scale)
+    "q105_autocorrelation" ->
+      """WITH s AS (
+        |  SELECT event_type, value,
+        |    lag(value, 1) OVER w AS l1,
+        |    lag(value, 2) OVER w AS l2,
+        |    lag(value, 3) OVER w AS l3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(ts), event_id)),
+        |p AS (
+        |  SELECT event_type,
+        |    count(l1) AS n1, round(corr(value, l1), 6) AS a1,
+        |    count(l2) AS n2, round(corr(value, l2), 6) AS a2,
+        |    count(l3) AS n3, round(corr(value, l3), 6) AS a3
+        |  FROM s GROUP BY event_type)
+        |SELECT event_type, CAST(1 AS INT) AS lag, n1 AS n_pairs, a1 AS acf FROM p
+        |UNION ALL
+        |SELECT event_type, CAST(2 AS INT), n2, a2 FROM p
+        |UNION ALL
+        |SELECT event_type, CAST(3 AS INT), n3, a3 FROM p
+        |ORDER BY event_type, lag""".stripMargin,
+
     "q95_ewma" ->
       """WITH e AS (SELECT user_id, event_id, value,
         |             epoch_ms(ts) AS tsm FROM events)

@@ -229,6 +229,15 @@ object SparkEntry {
     // codes + stored codebook (zero re-encoding), frozen-codebook
     // appends with a quantization-error rebuild trigger
     "q103_indexed_pq_ann" -> (Pipeline.q103IndexedPqAnn _),
+    // per-language tokenizer fertility: q100's learn loop unchanged,
+    // one extra bounded rollup — compression asymmetry feeds mixing
+    "q104_tokenizer_fertility" -> (Pipeline.q104TokenizerFertility _),
+    // per-type autocorrelation at lags 1-3: one window sort, co-moment
+    // aggregates, in-row stack unpivot — serial-dependence diagnostics
+    "q105_autocorrelation" -> (Relational.q105Autocorrelation _),
+    // corpus snapshot diff: both crawls reduce to digests before the
+    // exchange, one full-outer id join, added/removed/modified rollup
+    "q106_snapshot_diff" -> (Pipeline.q106SnapshotDiff _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

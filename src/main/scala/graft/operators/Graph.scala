@@ -234,7 +234,7 @@ object Graph {
     // strong graph (and the whole report) is empty rather than an NPE
     val thrRow = supportC.agg(
       round(avg(col("n")) + lit(2.0) * stddev_samp(col("n")), 6))
-      .head
+      .head()
     val thr =
       if (thrRow.isNullAt(0)) Double.PositiveInfinity else thrRow.getDouble(0)
     val edges = supportC.filter(col("n") > thr)

@@ -2825,6 +2825,20 @@ object Pipeline {
   def q100BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     val base = docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val (rounds, _, release) = bpeLearnRounds(base)
+    release()
+    import spark.implicits._
+    rounds.toDF("it", "lhs", "rhs", "pair_count", "tokens_after")
+      .orderBy(col("it"))
+  }
+
+  /** The q100 learn loop over a `(doc_id, toks)` relation: returns the
+    * per-round merge table, the FINAL rewritten token relation (still
+    * persisted — callers aggregate it, then call the release), and the
+    * release. Shared by [[q100BpeMerges]] (the merge table) and
+    * [[q104TokenizerFertility]] (the final corpus). */
+  private[graft] def bpeLearnRounds(base: DataFrame)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame, () => Unit) = {
     var cur = base.persist(CacheLevel)
     cur.count()
     val rows = Seq.newBuilder[(Int, String, String, Long, Long)]
@@ -2843,10 +2857,40 @@ object Pipeline {
       cur = next
       rows += ((it, l, r, n, after))
     }
-    cur.unpersist(blocking = false)
-    import spark.implicits._
-    rows.result().toDF("it", "lhs", "rhs", "pair_count", "tokens_after")
-      .orderBy(col("it"))
+    val last = cur
+    (rows.result(), last, () => { last.unpersist(blocking = false); () })
+  }
+
+  /** L4 — per-language tokenizer fertility: how well the q100-learned
+    * merge vocabulary compresses each language — `tokens_before /
+    * tokens_after ≥ 1` after the full merge table applies. Fertility
+    * asymmetry across languages is a real mixing input (a tokenizer
+    * that compresses one language 2× worse silently halves its
+    * effective share of a token budget), which is why this rollup sits
+    * beside q54's mixing quotas. One extra ≤|lang|-row aggregate over
+    * the learn loop's final relation — the loop itself is q100's,
+    * unchanged. */
+  def q104TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
+      split(col("text"), " ").as("toks"))
+    val (_, finalToks, release) = bpeLearnRounds(
+      d.select(col("doc_id"), col("toks")))
+    val out = d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("tokens_before"))
+      .join(finalToks.join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(size(col("toks")).cast("long")).as("tokens_after")), "lang")
+      .select(col("lang"), col("n_docs"), col("tokens_before"),
+        col("tokens_after"),
+        round(col("tokens_before").cast("double") / col("tokens_after"), 6)
+          .as("compression"))
+      .orderBy(col("lang"))
+    // ≤|lang| rows: snapshot, then release the loop's persisted corpus
+    val snapshot = out.collect()
+    release()
+    spark.createDataFrame(
+      java.util.Arrays.asList(snapshot: _*), out.schema)
   }
 
   // ------------------------------------ q101: product-quantized ANN
@@ -3012,7 +3056,7 @@ object Pipeline {
   // -------------------------------------- q103: PQ index AT REST
 
   /** Managed-table name for the q103 PQ index, keyed by corpus dir. */
-  private[operators] def pqIndexTable(dir: String): String =
+  private[graft] def pqIndexTable(dir: String): String =
     "graft_pq_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Build a PQ index AT REST from `(vec_id, e)` vectors: hash-seeded
@@ -3034,7 +3078,7 @@ object Pipeline {
 
   /** The stored codebook restored to [[pqSeeds]]' collected form
     * (ascending label — the order every code index was minted in). */
-  private[operators] def storedPqSeeds(spark: SparkSession,
+  private[graft] def storedPqSeeds(spark: SparkSession,
       name: String): Seq[(Long, Seq[Double])] =
     spark.table(name + "_codebook")
       .select(col("label").cast("long"), col("cvec").cast("array<double>"))
@@ -3103,6 +3147,52 @@ object Pipeline {
       buildPqIndex(pqVectors(spark, dir), idx)
     pqFlaggedServe(spark.table(idx), pqVectors(spark, dir),
       storedPqSeeds(spark, idx))
+  }
+
+  // ------------------------------------ q106: corpus snapshot diff
+
+  /** Pipeline — corpus version diff: what changed between two crawls
+    * of the same corpus, the bookkeeping every recurring ingestion
+    * runs before deciding what to re-process (unchanged documents keep
+    * their derived artifacts — embeddings, signatures, index rows —
+    * changed ones invalidate them). Version 2 is a deterministic
+    * mutation of the base corpus: `%13` documents dropped, `%7`
+    * documents revised (content change under the same id), `%11`
+    * documents re-keyed in as additions. A full-outer join on `doc_id`
+    * classifies every id as added / removed / modified (digest
+    * mismatch) / unchanged, rolled up per language.
+    *
+    * Scale posture (100 TB): each side reduces to `(doc_id, lang,
+    * digest)` BEFORE the exchange — text never shuffles (the q91
+    * discipline); the diff is one hash full-outer join on the id and a
+    * partial-aggregated ≤|lang|-row rollup. Re-processing then scans
+    * only `added ∪ modified` — the incremental-pipeline contract. */
+  def q106SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+    val v1 = base.select(col("doc_id"), col("lang"),
+      md5(col("text").cast("binary")).as("h1"))
+    val v2full = base.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("lang"),
+          col("text")))
+    val v2 = v2full.select(col("doc_id"), col("lang").as("lang2"),
+      md5(col("text").cast("binary")).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("lang"), col("lang2")).as("lang"),
+        col("h1"), col("h2"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("h1").isNotNull, 1L).otherwise(0L)).as("n_v1"),
+        sum(when(col("h2").isNotNull, 1L).otherwise(0L)).as("n_v2"),
+        sum(when(col("h1").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("h2").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("h1").isNotNull && col("h2").isNotNull &&
+          col("h1") =!= col("h2"), 1L).otherwise(0L)).as("n_modified"),
+        sum(when(col("h1") === col("h2"), 1L).otherwise(0L)).as("n_unchanged"))
+      .orderBy(col("lang"))
   }
 
   // ------------------------------ q102: cross-source duplicate matrix
@@ -4149,24 +4239,28 @@ object Pipeline {
       * `aggregate` (both seed with the first token and scan once), so
       * rewritten token lists agree token-for-token and every reported
       * stat is an integer — no tolerance anywhere. */
+    /** One unrolled q100 learn round over `prev` — shared by q100 (the
+      * merge table) and q104 (the final corpus rollup). */
+    private def bpeRound(prev: String, i: Int) =
+      s"""pr$i AS (
+         |  SELECT toks[j] AS lhs, toks[j + 1] AS rhs FROM (
+         |    SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS j
+         |    FROM $prev WHERE len(toks) >= 2)),
+         |m$i AS (
+         |  SELECT lhs AS ml, rhs AS mr, count(*) AS pair_count FROM pr$i
+         |  GROUP BY lhs, rhs ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |t$i AS (
+         |  SELECT doc_id, CASE WHEN len(toks) < 2 THEN toks ELSE
+         |    list_reduce(list_transform(toks, x -> [x]),
+         |      (acc, x) -> CASE WHEN acc[-1] = ml AND x[1] = mr
+         |        THEN list_concat(acc[1:len(acc) - 1], [acc[-1] || ' ' || x[1]])
+         |        ELSE list_concat(acc, x) END) END AS toks
+         |  FROM $prev, m$i),
+         |s$i AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS tokens_after FROM t$i)"""
+        .stripMargin
+
     val q100 = {
-      def round(prev: String, i: Int) =
-        s"""pr$i AS (
-           |  SELECT toks[j] AS lhs, toks[j + 1] AS rhs FROM (
-           |    SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS j
-           |    FROM $prev WHERE len(toks) >= 2)),
-           |m$i AS (
-           |  SELECT lhs AS ml, rhs AS mr, count(*) AS pair_count FROM pr$i
-           |  GROUP BY lhs, rhs ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
-           |t$i AS (
-           |  SELECT doc_id, CASE WHEN len(toks) < 2 THEN toks ELSE
-           |    list_reduce(list_transform(toks, x -> [x]),
-           |      (acc, x) -> CASE WHEN acc[-1] = ml AND x[1] = mr
-           |        THEN list_concat(acc[1:len(acc) - 1], [acc[-1] || ' ' || x[1]])
-           |        ELSE list_concat(acc, x) END) END AS toks
-           |  FROM $prev, m$i),
-           |s$i AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS tokens_after FROM t$i)"""
-          .stripMargin
+      def round(prev: String, i: Int) = bpeRound(prev, i)
       s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |${round("t0", 1)},
          |${round("t1", 2)},
@@ -4179,6 +4273,48 @@ object Pipeline {
          |  SELECT 3, ml, mr, pair_count, tokens_after FROM m3, s3)
          |ORDER BY it""".stripMargin
     }
+
+    /** q104 — the q100 rounds verbatim, then per-language before/after
+      * token totals off `t3`; the only division is the final
+      * per-language compression ratio. */
+    val q104 =
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |${bpeRound("t0", 1)},
+         |${bpeRound("t1", 2)},
+         |${bpeRound("t2", 3)},
+         |b AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_before
+         |  FROM documents GROUP BY lang),
+         |a AS (
+         |  SELECT d.lang, CAST(sum(len(t.toks)) AS BIGINT) AS tokens_after
+         |  FROM t3 t JOIN documents d USING (doc_id) GROUP BY d.lang)
+         |SELECT b.lang, n_docs, tokens_before, tokens_after,
+         |  round(tokens_before::DOUBLE / tokens_after, 6) AS compression
+         |FROM b JOIN a USING (lang) ORDER BY b.lang""".stripMargin
+
+    /** q106 — both versions reduce to digests, full-outer join on the
+      * id, integer classification sums. */
+    val q106 =
+      """WITH v1 AS (SELECT doc_id, lang, md5(text) AS h1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, lang,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 13 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, lang, md5(text) FROM documents WHERE doc_id % 11 = 0),
+        |j AS (
+        |  SELECT coalesce(v1.lang, v2.lang) AS lang, h1, h2
+        |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        |SELECT lang,
+        |  CAST(sum(CASE WHEN h1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+        |  CAST(sum(CASE WHEN h2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+        |  CAST(sum(CASE WHEN h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN h2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL AND h1 != h2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+        |  CAST(sum(CASE WHEN h1 = h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
     /** q101 — the PQ twin: hash-threshold seeds (q53's CTE shape, salt
       * `pq:`), codewords as 1-based list slices, encode via
@@ -4290,6 +4426,7 @@ object Pipeline {
       "q80_random_projection" -> q80,
       "q81_pagerank" -> q81,
       "q100_bpe_merges" -> q100,
+      "q104_tokenizer_fertility" -> q104,
       "q101_pq_ann" -> q101,
       // q103 serves from the PERSISTED PQ index built by the identical
       // seed + encode pipeline — row-identical to q101, so the oracle
@@ -4297,6 +4434,7 @@ object Pipeline {
       // loses nothing
       "q103_indexed_pq_ann" -> q101,
       "q102_source_dup_matrix" -> q102,
+      "q106_snapshot_diff" -> q106,
     )
   }
 }

@@ -865,4 +865,37 @@ object Relational {
         round(col("area") / col("span"), 6).as("twap"))
       .orderBy(col("user_id"))
   }
+  /** §2.2 — autocorrelation diagnostics: per event-type Pearson
+    * autocorrelation of the time-ordered value series at lags 1–3, the
+    * serial-dependence view the pointwise moment family (q65 corr,
+    * q67 OLS, q95 EWMA) cannot give — "is this metric momentum or
+    * noise" is an ACF question. The series order is the deterministic
+    * (tsm, event_id) total order used everywhere; Pearson r is
+    * scale-free, so the sample/population variance convention cancels
+    * and both engines agree through round-6.
+    *
+    * Scale posture (100 TB): ONE per-type window sort yields all three
+    * lag columns; the correlations are partial-aggregated co-moments
+    * (count/sum/product sums — O(1) state per (type, lag)); result is
+    * 3·|types| rows. The stack unpivot is in-row. */
+  def q105Autocorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("tsm"), col("event_id"))
+    val lagged = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        unix_millis(col("ts")).as("tsm"), col("event_id"))
+      .select(col("event_type"), col("value"),
+        lag(col("value"), 1).over(w).as("l1"),
+        lag(col("value"), 2).over(w).as("l2"),
+        lag(col("value"), 3).over(w).as("l3"))
+    lagged.groupBy(col("event_type")).agg(
+        count(col("l1")).as("n1"), round(corr(col("value"), col("l1")), 6).as("a1"),
+        count(col("l2")).as("n2"), round(corr(col("value"), col("l2")), 6).as("a2"),
+        count(col("l3")).as("n3"), round(corr(col("value"), col("l3")), 6).as("a3"))
+      .select(col("event_type"), expr(
+        "stack(3, 1, n1, a1, 2, n2, a2, 3, n3, a3) as (lag, n_pairs, acf)"))
+      .select(col("event_type"), col("lag").cast("int").as("lag"),
+        col("n_pairs"), col("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
 }

@@ -1422,6 +1422,22 @@ class PipelineSpec extends SparkSpec {
     assert(totals.zip(totals.drop(1)).forall { case (a, b) => b < a })
   }
 
+  test("q104: fertility reconciles with q100's final round and the raw corpus") {
+    val merges = Pipeline.q100BpeMerges(spark, sfDir).collect()
+    val fert = Pipeline.q104TokenizerFertility(spark, sfDir).collect()
+    // after-totals across languages = the learn loop's final count
+    assert(fert.map(_.getLong(3)).sum ==
+      merges.maxBy(_.getInt(0)).getLong(4))
+    // before-totals = the raw corpus, untouched by the loop
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(sum(size(split(col("text"), " ")).cast("long")))
+      .collect()(0).getLong(0)
+    assert(fert.map(_.getLong(2)).sum == raw)
+    // merges only ever shrink: compression ≥ 1 everywhere, > 1 somewhere
+    fert.foreach(r => assert(r.getDouble(4) >= 1.0, r.toString))
+    assert(fert.exists(_.getDouble(4) > 1.0))
+  }
+
   // -------------------------------------------------- q101 PQ ADC ANN
 
   test("q101: shape, rank order, and exact-recall flags are coherent") {
@@ -1478,5 +1494,31 @@ class PipelineSpec extends SparkSpec {
       assert(math.abs(avg - BigDecimal(s4 / 10000.0 / n)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
     }
+  }
+  // ------------------------------------------------ q106 snapshot diff
+
+  test("q106: classification reconciles with the mutation rules exactly") {
+    val rows = Pipeline.q106SnapshotDiff(spark, sfDir).collect()
+    // per-language identities of a full-outer diff
+    rows.foreach { r =>
+      val (v1, v2, add, rem, mod, same) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(v1 == rem + mod + same, r.toString)
+      assert(v2 == add + mod + same, r.toString)
+    }
+    // totals recomputed from the mutation rules on the raw corpus
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(rows.map(_.getLong(1)).sum == ids.length.toLong)
+    assert(rows.map(_.getLong(3)).sum == ids.count(_ % 11 == 0).toLong,
+      "added = the re-keyed %11 copies")
+    assert(rows.map(_.getLong(4)).sum == ids.count(_ % 13 == 0).toLong,
+      "removed = the dropped %13 ids")
+    assert(rows.map(_.getLong(5)).sum ==
+      ids.count(i => i % 7 == 0 && i % 13 != 0).toLong,
+      "modified = revised %7 ids that were not dropped")
+    assert(rows.map(_.getLong(6)).sum ==
+      ids.count(i => i % 7 != 0 && i % 13 != 0).toLong,
+      "unchanged = everything else")
   }
 }

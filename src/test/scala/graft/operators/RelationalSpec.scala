@@ -456,4 +456,35 @@ class RelationalSpec extends SparkSpec {
     }
     assert(got.keySet.subsetOf(byUser.keySet))
   }
+  test("q105: ACF replays locally, bounds hold, lag structure complete") {
+    val rows = Relational.q105Autocorrelation(spark, sfDir).collect()
+    val types = rows.map(_.getString(0)).distinct
+    // 3 lags per type, Pearson bounded
+    assert(rows.length == types.length * 3)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9, r.toString)
+      assert(r.getLong(2) > 0, r.toString)
+    }
+    // local replay for every type at lag 1: Pearson over the
+    // (tsm, event_id)-ordered series, rounded like the engine
+    val series = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        unix_millis(col("ts")).as("tsm"), col("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    for (t <- types) {
+      val v = series(t).sortBy(x => (x._3, x._4)).map(_._2)
+      val (xs, ys) = (v.dropRight(1), v.drop(1))
+      val n = xs.length.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val r = cov / math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum *
+        ys.map(b => (b - my) * (b - my)).sum)
+      val got = rows.find(x => x.getString(0) == t && x.getInt(1) == 1).get
+      assert(got.getLong(2) == xs.length.toLong)
+      assert(math.abs(got.getDouble(3) - r) < 1e-6,
+        s"$t lag1: engine ${got.getDouble(3)} vs replay $r")
+    }
+  }
 }
