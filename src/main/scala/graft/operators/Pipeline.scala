@@ -3239,8 +3239,12 @@ object Pipeline {
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
           col("next_source").as("source")))
     val pairs = verifiedNearDupPairs(corpus.select(col("doc_id"), col("text")))
+    // narrow (doc_id, source) map persisted ONCE and referenced by both
+    // pair sides — without it each side re-derives the corpus union
+    // (two more full text scans at 100 TB for two fixed-width columns)
     val side = corpus.select(col("doc_id"), col("source"))
-    pairs
+      .persist(NarrowCacheLevel)
+    val out = pairs
       .join(side.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
       .join(side.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
       .select(least(col("sa"), col("sb")).as("source_a"),
@@ -3252,6 +3256,11 @@ object Pipeline {
       .withColumn("avg_jaccard",
         round(col("sum_jaccard_e4") / 10000.0 / col("n_pairs"), 6))
       .orderBy(col("source_a"), col("source_b"))
+    // ≤|src|²-row result: snapshot, then release the side map
+    val snapshot = out.collect()
+    side.unpersist(blocking = false)
+    spark.createDataFrame(
+      java.util.Arrays.asList(snapshot: _*), out.schema)
   }
 
   // ------------------------------------------------------------ oracle SQL
