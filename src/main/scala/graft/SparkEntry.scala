@@ -238,6 +238,9 @@ object SparkEntry {
     // corpus snapshot diff: both crawls reduce to digests before the
     // exchange, one full-outer id join, added/removed/modified rollup
     "q106_snapshot_diff" -> (Pipeline.q106SnapshotDiff _),
+    // IVF-PQ composed: coarse stage prunes candidates, PQ prunes
+    // bytes — q31's membership + q101's integer ADC, one persist
+    "q107_ivf_pq_ann" -> (Pipeline.q107IvfPqAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -89,7 +89,7 @@ object Pipeline {
   /** Target expected occupancy of a FINE cluster in
     * [[corpusScaledClusters]] — the knob that bounds the per-cluster
     * quadratic work in q51 and the per-query candidate list in q31. */
-  private val ClusterTargetOccupancy = 32
+  private[operators] val ClusterTargetOccupancy = 32
   /** Bucket count of the index-at-rest membership table (q85): matches
     * the session's shuffle parallelism so a bucketed scan feeds every
     * core; at a real deployment size to cluster-count / file-size
@@ -432,7 +432,7 @@ object Pipeline {
   /** Per-label mean vectors of the base embeddings table — the coarse
     * centroid relation shared by [[q31IvfAnn]] (IVF index) and
     * [[q51SemanticDedup]] (cluster scoping). */
-  private def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.embeddings(spark, dir))
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
@@ -2984,6 +2984,15 @@ object Pipeline {
     * [[pqIndexDriftReport]] reads). Pure map-side fold per row. */
   private[graft] def pqCodes(e: DataFrame,
       seeds: Seq[(Long, Seq[Double])]): DataFrame = {
+    val (codes, qerr) = pqCodeColumns(seeds)
+    e.select(col("vec_id"), codes.as("codes"), qerr.as("qerr_micro"))
+  }
+
+  /** The (codes, qerr_micro) column pair over a vector column `e` —
+    * the map-side encode [[pqCodes]] projects and [[q107IvfPqAnn]]
+    * grafts onto the IVF membership (keeping its `cluster`). */
+  private def pqCodeColumns(
+      seeds: Seq[(Long, Seq[Double])]): (Column, Column) = {
     val labels = typedlit(seeds.map(_._1))
     val cbs = pqCodebookCols(seeds)
     def dists(s: Int): Column =
@@ -2994,23 +3003,25 @@ object Pipeline {
           element_at(labels, (i + lit(1)).cast("int")))
       (array_position(scores, array_min(scores)) - 1).cast("int")
     }
-    e.select(col("vec_id"),
-      array((0 until PqSubspaces).map(codeCol): _*).as("codes"),
+    (array((0 until PqSubspaces).map(codeCol): _*),
       (0 until PqSubspaces).map(s =>
           round(array_min(dists(s)) * lit(1.0e6), 0).cast("long"))
-        .reduce(_ + _).as("qerr_micro"))
+        .reduce(_ + _))
   }
 
   /** A query relation `(qid, qe)` annotated with its ADC lookup table:
     * 4·k int64 micro-distances, s-major, codeword order = the codes'
     * index order. */
   private[graft] def pqQueryRel(queries: DataFrame,
-      seeds: Seq[(Long, Seq[Double])]): DataFrame = {
+      seeds: Seq[(Long, Seq[Double])]): DataFrame =
+    queries.select(col("qid"), col("qe"), pqQueryTableCol(seeds).as("tq"))
+
+  /** The ADC lookup-table column over a query-vector column `qe`. */
+  private def pqQueryTableCol(seeds: Seq[(Long, Seq[Double])]): Column = {
     val cbs = pqCodebookCols(seeds)
-    val tq = concat((0 until PqSubspaces).map(s =>
+    concat((0 until PqSubspaces).map(s =>
       transform(cbs(s), c =>
         round(l2sq6(pqSubvec(col("qe"), s), c) * lit(1.0e6), 0).cast("long"))): _*)
-    queries.select(col("qid"), col("qe"), tq.as("tq"))
   }
 
   /** ADC top-k: broadcast the table-annotated queries against the code
@@ -3147,6 +3158,75 @@ object Pipeline {
       buildPqIndex(pqVectors(spark, dir), idx)
     pqFlaggedServe(spark.table(idx), pqVectors(spark, dir),
       storedPqSeeds(spark, idx))
+  }
+
+  // ---------------------------------------- q107: IVF-PQ composed
+
+  /** L3 — IVF-PQ, the two pruning axes COMPOSED: the q31 coarse stage
+    * prunes CANDIDATES (each query ranks only its fine cluster's
+    * inverted list — O(1) rows at any corpus size), and the q101 PQ
+    * stage prunes BYTES (candidates are ranked from 4-int codes via
+    * the ADC lookup table — no raw vector is touched at serve time).
+    * This is the architecture production ANN systems actually run
+    * (FAISS `IVFx,PQy`): at 100 TB neither axis suffices alone — a
+    * flat PQ scan still reads every code, and IVF over raw vectors
+    * still reads 512-byte rows — and their costs multiply when
+    * stacked. Candidate semantics are EXACTLY q31's (same membership,
+    * same nprobe=1 cluster join, same `vec_id < 10` query set);
+    * ranking is exactly q101's integer ADC; each row carries
+    * `in_exact_top5` against the exact rounded-L2 top-5 of the SAME
+    * candidate list, so the PQ-induced rank error is read off the
+    * result.
+    *
+    * Scale posture (100 TB): one membership relation persisted (the
+    * q31 single-persist shape) feeding the code projection, the query
+    * routing, and the exact-flag join; codes are a map-side projection
+    * OF that relation (no second encode pass, no join); the ADC join
+    * is cluster-equi with a BROADCAST query side — never a corpus
+    * exchange; both rankings window per query over O(1) candidate
+    * rows. */
+  def q107IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = pqVectors(spark, dir)
+    val members = mapSideFineClusters(e,
+      labelCentroids(spark, dir), ClusterTargetOccupancy)
+      .persist(CacheLevel)
+    members.count()
+    val seeds = pqSeeds(e)
+    val (codesCol, _) = pqCodeColumns(seeds)
+    val coded = members.select(col("vec_id"), col("cluster"),
+      codesCol.as("codes"))
+    val queries = members.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("cluster"),
+        pqQueryTableCol(seeds).as("tq"))
+    val k = seeds.length
+    val byQ = Window.partitionBy(col("qid"))
+    val top = coded.join(broadcast(queries), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (0 until PqSubspaces).map(s =>
+            element_at(col("tq"), col("codes")(s) + lit(s * k) + 1))
+          .reduce(_ + _).as("adc_micro"))
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("adc_micro"), col("vec_id"))))
+      .filter(col("rk") <= TopK)
+    val exact = members.join(
+        broadcast(queries.select(col("qid"), col("qe"), col("cluster"))),
+        Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), l2sq6(col("e"), col("qe")).as("d6"))
+      .withColumn("xr", row_number().over(byQ.orderBy(col("d6"), col("vec_id"))))
+      .filter(col("xr") <= TopK)
+      .select(col("qid"), col("vec_id"), lit(true).as("in_exact_top5"))
+    val out = top.join(exact, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("rk").cast("int").as("rk"), col("vec_id"),
+        col("adc_micro"),
+        coalesce(col("in_exact_top5"), lit(false)).as("in_exact_top5"))
+      .orderBy(col("qid"), col("rk"))
+    // ≤ queries·k rows: snapshot, then release the membership
+    val snapshot = out.collect()
+    members.unpersist(blocking = false)
+    spark.createDataFrame(
+      java.util.Arrays.asList(snapshot: _*), out.schema)
   }
 
   // ------------------------------------ q106: corpus snapshot diff
@@ -4331,12 +4411,19 @@ object Pipeline {
       * ADC as a BIGINT micro-unit sum over the (s, code) join — exact
       * in any order, so no tolerance anywhere; subspace distances fold
       * `list_sum ∘ list_transform` sequentially (the q80 discipline). */
-    val q101 = {
-      def sub(v: String, first: String) =
-        s"list_sum(list_transform(generate_series(1, 16), i -> " +
-          s"($v[s * 16 + i] - $first[i]) * ($v[s * 16 + i] - $first[i])))"
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-         |nn AS (SELECT count(*) AS n FROM e),
+    /** Rounded subspace L2² between a 64-dim vector `v` and a 16-dim
+      * codeword `first` at the row's subspace `s` — the q101/q107 PQ
+      * distance fragment. */
+    private def pqSub(v: String, first: String) =
+      s"list_sum(list_transform(generate_series(1, 16), i -> " +
+        s"($v[s * 16 + i] - $first[i]) * ($v[s * 16 + i] - $first[i])))"
+
+    /** The PQ codebook + encode CTE chain over an `e(vec_id, e)` CTE —
+      * `seeds`/`cb`/`enc` — shared verbatim by q101 (flat ADC) and
+      * q107 (IVF-PQ), mirroring the engine's single `pqSeeds` +
+      * `pqCodeColumns` derivation. */
+    private val pqEncodeCtes =
+      s"""nn AS (SELECT count(*) AS n FROM e),
          |hs AS (SELECT vec_id, e,
          |    ${ph("'pq:' || CAST(vec_id AS VARCHAR)")} % 1000000 AS sh FROM e),
          |mn AS (SELECT min(sh) AS sh_min FROM hs),
@@ -4351,9 +4438,14 @@ object Pipeline {
          |enc AS (
          |  SELECT vec_id, s, arg_min(idx, d6 * 1000000000000 + label) AS code FROM (
          |    SELECT v.vec_id, cb.s, cb.label, cb.idx,
-         |      round(${sub("v.e", "cb.cw")}, 6) AS d6
+         |      round(${pqSub("v.e", "cb.cw")}, 6) AS d6
          |    FROM e v CROSS JOIN cb)
-         |  GROUP BY vec_id, s),
+         |  GROUP BY vec_id, s)""".stripMargin
+
+    val q101 = {
+      def sub(v: String, first: String) = pqSub(v, first)
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |$pqEncodeCtes,
          |q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id % 97 = 0),
          |tab AS (
          |  SELECT qid, s, idx,
@@ -4381,6 +4473,51 @@ object Pipeline {
          |WHERE r.rk <= 5
          |ORDER BY r.qid, r.rk""".stripMargin
     }
+
+    /** q107 — IVF-PQ composed: q31's `cent` + fine-cluster membership
+      * CTEs give the candidate lists, [[pqEncodeCtes]] gives the codes,
+      * the ADC join is restricted to the query's cluster, and the
+      * exact-flag ranks the SAME candidate list by rounded L2. */
+    val q107 =
+      s"""WITH cent AS (
+         |  SELECT label, list(cavg ORDER BY pos) AS cvec FROM (
+         |    SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 6) AS cavg
+         |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i)
+         |  GROUP BY label),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |${fineClusterCtes("e")},
+         |$pqEncodeCtes,
+         |q AS (SELECT vec_id AS qid, e AS qe, cluster FROM m WHERE vec_id < 10),
+         |tab AS (
+         |  SELECT qid, s, idx,
+         |    CAST(round(round(${pqSub("qe", "cw")}, 6) * 1000000, 0) AS BIGINT) AS t6
+         |  FROM q CROSS JOIN cb),
+         |cand AS (
+         |  SELECT mv.cluster, enc.vec_id, enc.s, enc.code
+         |  FROM enc JOIN m mv USING (vec_id)),
+         |adc AS (
+         |  SELECT q.qid, c.vec_id, sum(t6) AS adc_micro
+         |  FROM cand c
+         |  JOIN q ON c.cluster = q.cluster AND c.vec_id != q.qid
+         |  JOIN tab ON tab.qid = q.qid AND tab.s = c.s AND tab.idx = c.code
+         |  GROUP BY q.qid, c.vec_id),
+         |rk AS (SELECT qid, vec_id, CAST(adc_micro AS BIGINT) AS adc_micro,
+         |  row_number() OVER (PARTITION BY qid ORDER BY adc_micro, vec_id) AS rk
+         |  FROM adc),
+         |ex AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, m.vec_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        round(list_sum(list_transform(generate_series(1, 64),
+         |          i -> (m.e[i] - q.qe[i]) * (m.e[i] - q.qe[i]))), 6),
+         |        m.vec_id) AS xr
+         |    FROM m JOIN q USING (cluster) WHERE m.vec_id != q.qid)
+         |  WHERE xr <= 5)
+         |SELECT r.qid, CAST(r.rk AS INT) AS rk, r.vec_id, r.adc_micro,
+         |  (ex.vec_id IS NOT NULL) AS in_exact_top5
+         |FROM rk r LEFT JOIN ex ON r.qid = ex.qid AND r.vec_id = ex.vec_id
+         |WHERE r.rk <= 5
+         |ORDER BY r.qid, r.rk""".stripMargin
 
     val all: Map[String, String] = Map(
       "q23_exact_dedup" -> q23,
@@ -4444,6 +4581,7 @@ object Pipeline {
       "q103_indexed_pq_ann" -> q101,
       "q102_source_dup_matrix" -> q102,
       "q106_snapshot_diff" -> q106,
+      "q107_ivf_pq_ann" -> q107,
     )
   }
 }

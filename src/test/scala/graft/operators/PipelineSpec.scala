@@ -1521,4 +1521,34 @@ class PipelineSpec extends SparkSpec {
       ids.count(i => i % 7 != 0 && i % 13 != 0).toLong,
       "unchanged = everything else")
   }
+  // -------------------------------------------------- q107 IVF-PQ
+
+  test("q107: every hit shares its query's fine cluster; ranks coherent") {
+    val rows = Pipeline.q107IvfPqAnn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // rebuild the membership the query composed over
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val cluster = Pipeline.mapSideFineClusters(e,
+        Pipeline.labelCentroids(spark, sfDir), Pipeline.ClusterTargetOccupancy)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byQ = rows.groupBy(_.getLong(0))
+    for ((q, rs) <- byQ) {
+      assert(q < 10, s"unexpected query $q")
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length), s"q$q ranks")
+      assert(sorted.length <= 5)
+      val d = sorted.map(_.getLong(3))
+      assert(d.zip(d.drop(1)).forall { case (a, b) => a <= b }, s"q$q order")
+      rs.foreach { r =>
+        assert(r.getLong(2) != q, s"q$q self-match")
+        assert(cluster(r.getLong(2)) == cluster(q),
+          s"q$q hit ${r.getLong(2)} escaped the coarse stage")
+      }
+    }
+    // the PQ ranking must retain exact-candidate signal
+    assert(rows.count(_.getBoolean(4)) > 0, "zero within-cluster recall")
+  }
 }
