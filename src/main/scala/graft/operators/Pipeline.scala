@@ -2774,7 +2774,13 @@ object Pipeline {
     * engines agree token-for-token with no tolerance. */
   def bpeMergePass(toks: Column, lhs: String, rhs: String): Column = {
     val merged = lhs + " " + rhs
-    when(size(toks) < 2, toks).otherwise(
+    // contains-guard: a document with no `lhs` element cannot merge, so
+    // it skips the fold — `array_contains` is a codegen'd flat scan
+    // where the fold is an interpreted HOF building array concats; on
+    // a 10x-decorrelated corpus (growing vocabulary → most merges
+    // touch few documents) this is the difference between scanning and
+    // rewriting the corpus each round
+    when(size(toks) < 2 || !array_contains(toks, lhs), toks).otherwise(
       aggregate(
         slice(toks, lit(2), size(toks) - lit(1)),
         slice(toks, 1, 1),
