@@ -484,6 +484,26 @@ object Oracles {
     // EWMA: the same left fold over the same ordered doubles — the
     // α literals MUST cast to DOUBLE (bare 0.25/0.75 are DECIMAL in
     // DuckDB and the fold then truncates scale)
+    "q108_attribution_credit" ->
+      """WITH e AS (SELECT event_type, user_id, event_id, epoch_ms(ts) AS tsm FROM events),
+        |imp AS (SELECT user_id, event_id AS imp_id, tsm AS imp_ts
+        |  FROM e WHERE event_type = 'view'),
+        |conv AS (SELECT user_id, event_id AS conv_id, tsm AS conv_ts
+        |  FROM e WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT conv_id, imp_id, imp_ts FROM imp JOIN conv USING (user_id)
+        |  WHERE conv_ts > imp_ts AND conv_ts <= imp_ts + 14400000),
+        |w AS (
+        |  SELECT conv_id, imp_id,
+        |    count(*) OVER (PARTITION BY conv_id) AS n_imps,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY imp_ts, imp_id) AS rk
+        |  FROM pairs)
+        |SELECT conv_id, imp_id, n_imps,
+        |  rk = 1 AS is_first, rk = n_imps AS is_last,
+        |  CAST(1000000 // n_imps +
+        |    CASE WHEN rk = 1 THEN 1000000 % n_imps ELSE 0 END AS BIGINT) AS credit_e6
+        |FROM w ORDER BY conv_id, imp_id""".stripMargin,
+
     "q105_autocorrelation" ->
       """WITH s AS (
         |  SELECT event_type, value,

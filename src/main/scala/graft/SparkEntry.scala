@@ -241,6 +241,9 @@ object SparkEntry {
     // IVF-PQ composed: coarse stage prunes candidates, PQ prunes
     // bytes — q31's membership + q101's integer ADC, one persist
     "q107_ivf_pq_ann" -> (Pipeline.q107IvfPqAnn _),
+    // multi-touch attribution credit over the stream-stream join's
+    // pair relation: equi user-key join, integer micro-unit shares
+    "q108_attribution_credit" -> (Relational.q108AttributionCredit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2997,7 +2997,7 @@ object Pipeline {
   /** The (codes, qerr_micro) column pair over a vector column `e` —
     * the map-side encode [[pqCodes]] projects and [[q107IvfPqAnn]]
     * grafts onto the IVF membership (keeping its `cluster`). */
-  private def pqCodeColumns(
+  private[graft] def pqCodeColumns(
       seeds: Seq[(Long, Seq[Double])]): (Column, Column) = {
     val labels = typedlit(seeds.map(_._1))
     val cbs = pqCodebookCols(seeds)

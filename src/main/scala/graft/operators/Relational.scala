@@ -898,4 +898,44 @@ object Relational {
         col("n_pairs"), col("acf"))
       .orderBy(col("event_type"), col("lag"))
   }
+  /** §2.2 — multi-touch attribution credit: the batch rollup over the
+    * SAME pair relation [[graft.streaming.Attribution]] emits live.
+    * For every purchase, the same user's views in the preceding 4 h
+    * share the conversion's credit three ways at once: first-touch and
+    * last-touch flags, and linear shares in integer MICRO-units
+    * (`10^6 div n`, remainder to the first touch) so each conversion's
+    * shares sum to EXACTLY 10^6 — no float credit ever drifts.
+    *
+    * Scale posture (100 TB): the join is EQUI on `user_id` with the
+    * range condition as a post-filter — a plain shuffled hash/SMJ on
+    * the user key, never a cross product; the credit windows partition
+    * by `conv_id` over each conversion's own O(horizon) pair group.
+    * AttributionSpec ties the live join to this relation; the credit
+    * arithmetic is integer-exact both engines. */
+  def q108AttributionCredit(spark: SparkSession, dir: String): DataFrame = {
+    val horizonMs = 14400000L
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("tsm"))
+    val imp = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("imp_id"),
+        col("tsm").as("imp_ts"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("tsm").as("conv_ts"))
+    val byConv = Window.partitionBy(col("conv_id"))
+    imp.join(conv, Seq("user_id"))
+      .filter(col("conv_ts") > col("imp_ts") &&
+        col("conv_ts") <= col("imp_ts") + horizonMs)
+      .withColumn("n_imps", count(lit(1)).over(byConv))
+      .withColumn("rk", row_number().over(
+        byConv.orderBy(col("imp_ts"), col("imp_id"))))
+      .select(col("conv_id"), col("imp_id"), col("n_imps"),
+        (col("rk") === 1).as("is_first"),
+        (col("rk") === col("n_imps")).as("is_last"),
+        (expr("1000000 div n_imps") +
+          when(col("rk") === 1, expr("1000000 % n_imps")).otherwise(0L))
+          .cast("long").as("credit_e6"))
+      .orderBy(col("conv_id"), col("imp_id"))
+  }
 }

@@ -37,4 +37,41 @@ object Quantize {
     Pipeline.pqCodes(
       vectors.select(col("vec_id"), col("e").cast("array<double>").as("e")),
       seeds)
+
+  /** Windowed codebook-drift monitor — the streaming face of
+    * [[graft.operators.Pipeline.pqIndexDriftReport]]: per event-time
+    * window, the arriving vectors' average quantization error against
+    * the frozen codebook, flagged when it degrades past 2× the
+    * BUILD-time average (read once from the index's stats sidecar, a
+    * one-row bounded snapshot). The batch report answers "has the
+    * corpus drifted since build" at maintenance time; this answers it
+    * PER WINDOW as data arrives, so a drifting upstream trips the
+    * rebuild signal within one watermark delay instead of at the next
+    * append.
+    *
+    * State is one running (count, sum) per open window — the standard
+    * watermarked windowed aggregate; append mode, each window emits
+    * once when the watermark passes its close. */
+  def driftByWindow(spark: SparkSession, indexName: String,
+      vectors: DataFrame, windowDur: String = "1 hour",
+      watermark: String = "0 seconds"): DataFrame = {
+    val st = spark.table(indexName + "_stats").collect()(0)
+    val buildAvgMicro =
+      st.getLong(3).toDouble / st.getLong(1) // build_sum_qerr / build_n
+    val (_, qerr) = Pipeline.pqCodeColumns(
+      Pipeline.storedPqSeeds(spark, indexName))
+    vectors
+      .select(col("ts"),
+        col("e").cast("array<double>").as("e"))
+      .select(col("ts"), qerr.as("qerr_micro"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n_vectors"),
+        avg(col("qerr_micro")).as("avg_micro"))
+      .select(col("window.start").as("window_start"),
+        col("n_vectors"),
+        round(col("avg_micro") / 1.0e6, 6).as("avg_qerr"),
+        round(lit(buildAvgMicro) / 1.0e6, 6).as("build_avg_qerr"),
+        (col("avg_micro") > buildAvgMicro * 2.0).as("needs_rebuild"))
+  }
 }

@@ -487,4 +487,28 @@ class RelationalSpec extends SparkSpec {
         s"$t lag1: engine ${got.getDouble(3)} vs replay $r")
     }
   }
+  test("q108: credits sum to exactly 1e6 per conversion, pairs equal the live join") {
+    val rows = Relational.q108AttributionCredit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for ((c, rs) <- rows.groupBy(_.getLong(0))) {
+      // linear shares are integer-exact: no conversion ever over- or
+      // under-credits
+      assert(rs.map(_.getLong(5)).sum == 1000000L, s"conv $c credit drift")
+      assert(rs.count(_.getBoolean(3)) == 1, s"conv $c first-touch count")
+      assert(rs.count(_.getBoolean(4)) == 1, s"conv $c last-touch count")
+      assert(rs.forall(_.getLong(2) == rs.length.toLong), s"conv $c n_imps")
+    }
+    // the pair relation IS the stream-stream join's, batch-evaluated
+    val e = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").as("ts"))
+    val live = graft.streaming.Attribution.attribute(
+        e.filter(col("event_type") === "view")
+          .select("user_id", "event_id", "ts"),
+        e.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts"))
+      .collect().map(r => (r.getLong(2), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == live,
+      "batch credit pairs diverge from the attribution join")
+  }
 }

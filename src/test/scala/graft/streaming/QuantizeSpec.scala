@@ -48,4 +48,49 @@ class QuantizeSpec extends SparkSpec {
         "the quantize gate must not hold state")
     } finally query.stop()
   }
+
+  test("driftByWindow: stationary window quiet, shifted window trips the flag") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val idx = Pipeline.pqIndexTable(sfDir)
+    if (!spark.catalog.tableExists(idx))
+      Pipeline.q103IndexedPqAnn(spark, sfDir).collect()
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(offsetH: Int) = new java.sql.Timestamp(t0.getTime + offsetH * 3600000L)
+    val in = MemoryStream[(Long, Seq[Double], java.sql.Timestamp)]
+    val query = Quantize.driftByWindow(spark, idx,
+        in.toDF().toDF("vec_id", "e", "ts"))
+      .writeStream.format("memory").queryName("drift_mem")
+      .outputMode("append").start()
+    try {
+      // window A: the build corpus verbatim — by construction its
+      // average error IS the build average
+      in.addData(vecs.toSeq.map { case (id, e) => (id, e, at(0)) })
+      query.processAllAvailable()
+      // window B: 10x-scaled vectors — ~100x the quantization error
+      in.addData(vecs.toSeq.map { case (id, e) =>
+        (id + 1000000L, e.map(_ * 10.0), at(2)) })
+      query.processAllAvailable()
+      // far-future sentinel closes both windows
+      in.addData(Seq((9999999L, vecs.head._2, at(24 * 400))))
+      query.processAllAvailable()
+      val rows = spark.table("drift_mem").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4)))
+        .sortBy(_._1.getTime)
+      assert(rows.length == 2, s"expected both closed windows, got $rows")
+      val (a, b) = (rows(0), rows(1))
+      assert(a._2 == vecs.length.toLong && b._2 == vecs.length.toLong)
+      // stationary window reproduces the build average exactly and
+      // stays quiet
+      assert(a._3 == a._4, s"stationary avg ${a._3} != build ${a._4}")
+      assert(!a._5)
+      // drifted window trips the rebuild flag
+      assert(b._3 > b._4 * 2 && b._5, s"shifted window must flag: $b")
+    } finally query.stop()
+  }
 }
