@@ -2848,20 +2848,28 @@ object Pipeline {
     var cur = base.persist(CacheLevel)
     cur.count()
     val rows = Seq.newBuilder[(Int, String, String, Long, Long)]
-    for (it <- 1 to BpeMergeRounds) {
-      // one-row snapshot: the argmax pair (count DESC, then pair ASC)
-      val top = adjacentPairs(cur)
+    var exhausted = false
+    for (it <- 1 to BpeMergeRounds if !exhausted) {
+      // one-row snapshot: the argmax pair (count DESC, then pair ASC);
+      // an empty/all-singleton corpus has no pairs — the learn loop
+      // ends early with the merges found so far rather than throwing
+      // (the q88 headOption discipline)
+      adjacentPairs(cur)
         .groupBy(col("lhs"), col("rhs")).agg(count(lit(1)).as("pair_count"))
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()(0)
-      val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      val next = cur
-        .select(col("doc_id"), bpeMergePass(col("toks"), l, r).as("toks"))
-        .persist(CacheLevel)
-      val after = next.agg(sum(size(col("toks")).cast("long"))).collect()(0).getLong(0)
-      cur.unpersist(blocking = false)
-      cur = next
-      rows += ((it, l, r, n, after))
+        .limit(1).collect().headOption match {
+        case None => exhausted = true
+        case Some(top) =>
+          val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
+          val next = cur
+            .select(col("doc_id"), bpeMergePass(col("toks"), l, r).as("toks"))
+            .persist(CacheLevel)
+          val after =
+            next.agg(sum(size(col("toks")).cast("long"))).collect()(0).getLong(0)
+          cur.unpersist(blocking = false)
+          cur = next
+          rows += ((it, l, r, n, after))
+      }
     }
     val last = cur
     (rows.result(), last, () => { last.unpersist(blocking = false); () })
@@ -2968,12 +2976,16 @@ object Pipeline {
       pmod(portableHash(concat(lit("pq:"), col("vec_id").cast("string"))),
         lit(1000000L)))
     val minRel = hashed.agg(min(col("sh")).as("sh_min"))
-    hashed
+    val seeds = hashed
       .crossJoin(broadcast(nRel)).crossJoin(broadcast(minRel))
       .withColumn("thr", expr("least(16, (n + 31) div 32) * 1000000 div n"))
       .filter(col("sh") < col("thr") || col("sh") === col("sh_min"))
       .select(col("vec_id").cast("long"), col("e"))
       .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    // the min-hash floor guarantees ≥1 seed on any NON-empty corpus;
+    // an empty one must fail here, not as a null code downstream
+    require(seeds.nonEmpty, "PQ codebook from an empty vector corpus")
+    seeds
   }
 
   private def pqSubvec(v: Column, s: Int): Column =

@@ -1551,4 +1551,15 @@ class PipelineSpec extends SparkSpec {
     // the PQ ranking must retain exact-candidate signal
     assert(rows.count(_.getBoolean(4)) > 0, "zero within-cluster recall")
   }
+  test("bpe learn loop ends early on a pair-free corpus instead of throwing") {
+    val base = Seq((1L, Seq("solo")), (2L, Seq("x"))).toDF("doc_id", "toks")
+    val (rounds, _, release) = Pipeline.bpeLearnRounds(base)
+    release()
+    assert(rounds.isEmpty, "no adjacent pair exists - nothing to learn")
+  }
+
+  test("pqSeeds refuses an empty corpus rather than minting null codes") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "e")
+    intercept[IllegalArgumentException] { Pipeline.pqSeeds(empty) }
+  }
 }
