@@ -244,6 +244,9 @@ object SparkEntry {
     // multi-touch attribution credit over the stream-stream join's
     // pair relation: equi user-key join, integer micro-unit shares
     "q108_attribution_credit" -> (Relational.q108AttributionCredit _),
+    // residual IVF-PQ: the codebook spends itself on within-cell
+    // variation (r = v - centroid), same 4-int codes, same integer ADC
+    "q109_ivf_pq_residual" -> (Pipeline.q109IvfPqResidual _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

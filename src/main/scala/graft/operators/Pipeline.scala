@@ -3247,6 +3247,79 @@ object Pipeline {
       java.util.Arrays.asList(snapshot: _*), out.schema)
   }
 
+  // ------------------------------- q109: residual IVF-PQ composed
+
+  /** L3 — IVF-PQ with RESIDUAL encoding, the textbook refinement over
+    * q107 (Jégou et al. §IVFADC; FAISS's default): vectors inside one
+    * coarse cell share that cell's centroid, so quantizing the
+    * RESIDUAL `r = v − centroid(cell)` spends the whole codebook on
+    * the within-cell variation instead of re-describing the cell
+    * position — finer effective resolution from the same 4-int codes.
+    * The residual basis is per-cell, which is exactly why it composes
+    * with IVF and not with the flat scan: a query ranks only
+    * candidates in ITS cell, so query and candidate residuals subtract
+    * the SAME centroid and the ADC geometry is consistent (the exact
+    * distance is basis-invariant — `‖v−q‖ = ‖r_v−r_q‖` — so the flag
+    * ranks raw vectors and means the same thing as q107's).
+    *
+    * Everything else is deliberately q107: same membership (one
+    * persist), same hash-threshold seeds (selection hashes only
+    * `vec_id`, so the SAME documents seed — their residuals become the
+    * codewords), same integer ADC, same oracle skeleton with the
+    * encode CTEs pointed at the residual relation.
+    *
+    * Scale posture: identical to q107 plus one broadcast join against
+    * the ≤64-row centroid relation to form residuals — map-side, paid
+    * once inside the persisted relation's lineage. */
+  def q109IvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = pqVectors(spark, dir)
+    val cents = labelCentroids(spark, dir)
+    val members = mapSideFineClusters(e, cents, ClusterTargetOccupancy)
+      .persist(CacheLevel)
+    members.count()
+    val withRes = members
+      .withColumn("label", expr("cluster div 4294967296"))
+      .join(broadcast(cents.select(col("label").cast("long").as("label"),
+        col("cvec").cast("array<double>").as("cvec"))), "label")
+      .withColumn("r", zip_with(col("e"), col("cvec"), (a, b) => a - b))
+    val seeds = pqSeeds(withRes.select(col("vec_id"), col("r").as("e")))
+    val (codesCol, _) = pqCodeColumns(seeds)
+    val coded = withRes.select(col("vec_id"), col("cluster"), col("r").as("e"))
+      .select(col("vec_id"), col("cluster"), codesCol.as("codes"))
+    val queries = withRes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("r").as("qe"), col("cluster"))
+      .select(col("qid"), col("cluster"), pqQueryTableCol(seeds).as("tq"))
+    val k = seeds.length
+    val byQ = Window.partitionBy(col("qid"))
+    val top = coded.join(broadcast(queries), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (0 until PqSubspaces).map(s =>
+            element_at(col("tq"), col("codes")(s) + lit(s * k) + 1))
+          .reduce(_ + _).as("adc_micro"))
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("adc_micro"), col("vec_id"))))
+      .filter(col("rk") <= TopK)
+    val exact = members.join(
+        broadcast(members.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("cluster"))),
+        Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), l2sq6(col("e"), col("qe")).as("d6"))
+      .withColumn("xr", row_number().over(byQ.orderBy(col("d6"), col("vec_id"))))
+      .filter(col("xr") <= TopK)
+      .select(col("qid"), col("vec_id"), lit(true).as("in_exact_top5"))
+    val out = top.join(exact, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("rk").cast("int").as("rk"), col("vec_id"),
+        col("adc_micro"),
+        coalesce(col("in_exact_top5"), lit(false)).as("in_exact_top5"))
+      .orderBy(col("qid"), col("rk"))
+    val snapshot = out.collect()
+    members.unpersist(blocking = false)
+    spark.createDataFrame(
+      java.util.Arrays.asList(snapshot: _*), out.schema)
+  }
+
   // ------------------------------------ q106: corpus snapshot diff
 
   /** Pipeline — corpus version diff: what changed between two crawls
@@ -4436,14 +4509,15 @@ object Pipeline {
       s"list_sum(list_transform(generate_series(1, 16), i -> " +
         s"($v[s * 16 + i] - $first[i]) * ($v[s * 16 + i] - $first[i])))"
 
-    /** The PQ codebook + encode CTE chain over an `e(vec_id, e)` CTE —
-      * `seeds`/`cb`/`enc` — shared verbatim by q101 (flat ADC) and
-      * q107 (IVF-PQ), mirroring the engine's single `pqSeeds` +
-      * `pqCodeColumns` derivation. */
-    private val pqEncodeCtes =
-      s"""nn AS (SELECT count(*) AS n FROM e),
+    /** The PQ codebook + encode CTE chain over a `(vec_id, …, e)` CTE
+      * named `rel` — `seeds`/`cb`/`enc` — shared verbatim by q101
+      * (flat ADC over raw vectors), q107 (IVF-PQ) and q109 (residual
+      * IVF-PQ, where `rel` carries residuals), mirroring the engine's
+      * single `pqSeeds` + `pqCodeColumns` derivation. */
+    private def pqEncodeCtes(rel: String = "e") =
+      s"""nn AS (SELECT count(*) AS n FROM $rel),
          |hs AS (SELECT vec_id, e,
-         |    ${ph("'pq:' || CAST(vec_id AS VARCHAR)")} % 1000000 AS sh FROM e),
+         |    ${ph("'pq:' || CAST(vec_id AS VARCHAR)")} % 1000000 AS sh FROM $rel),
          |mn AS (SELECT min(sh) AS sh_min FROM hs),
          |seeds AS (
          |  SELECT vec_id AS label, e AS cvec FROM hs, nn, mn
@@ -4457,13 +4531,13 @@ object Pipeline {
          |  SELECT vec_id, s, arg_min(idx, d6 * 1000000000000 + label) AS code FROM (
          |    SELECT v.vec_id, cb.s, cb.label, cb.idx,
          |      round(${pqSub("v.e", "cb.cw")}, 6) AS d6
-         |    FROM e v CROSS JOIN cb)
+         |    FROM $rel v CROSS JOIN cb)
          |  GROUP BY vec_id, s)""".stripMargin
 
     val q101 = {
       def sub(v: String, first: String) = pqSub(v, first)
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-         |$pqEncodeCtes,
+         |${pqEncodeCtes()},
          |q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id % 97 = 0),
          |tab AS (
          |  SELECT qid, s, idx,
@@ -4504,7 +4578,7 @@ object Pipeline {
          |  GROUP BY label),
          |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
          |${fineClusterCtes("e")},
-         |$pqEncodeCtes,
+         |${pqEncodeCtes()},
          |q AS (SELECT vec_id AS qid, e AS qe, cluster FROM m WHERE vec_id < 10),
          |tab AS (
          |  SELECT qid, s, idx,
@@ -4530,6 +4604,57 @@ object Pipeline {
          |          i -> (m.e[i] - q.qe[i]) * (m.e[i] - q.qe[i]))), 6),
          |        m.vec_id) AS xr
          |    FROM m JOIN q USING (cluster) WHERE m.vec_id != q.qid)
+         |  WHERE xr <= 5)
+         |SELECT r.qid, CAST(r.rk AS INT) AS rk, r.vec_id, r.adc_micro,
+         |  (ex.vec_id IS NOT NULL) AS in_exact_top5
+         |FROM rk r LEFT JOIN ex ON r.qid = ex.qid AND r.vec_id = ex.vec_id
+         |WHERE r.rk <= 5
+         |ORDER BY r.qid, r.rk""".stripMargin
+
+    /** q109 — q107's skeleton with the encode CTEs pointed at the
+      * per-cell RESIDUAL relation; the exact flag stays on raw
+      * vectors (basis-invariant within a cell). */
+    val q109 =
+      s"""WITH cent AS (
+         |  SELECT label, list(cavg ORDER BY pos) AS cvec FROM (
+         |    SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 6) AS cavg
+         |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i)
+         |  GROUP BY label),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |${fineClusterCtes("e")},
+         |res AS (
+         |  SELECT m.vec_id, m.cluster,
+         |    list_transform(generate_series(1, 64), i -> m.e[i] - c.cvec[i]) AS e
+         |  FROM m JOIN cent c ON c.label = m.cluster // 4294967296),
+         |${pqEncodeCtes("res")},
+         |q AS (SELECT vec_id AS qid, e AS qe, cluster FROM res WHERE vec_id < 10),
+         |tab AS (
+         |  SELECT qid, s, idx,
+         |    CAST(round(round(${pqSub("qe", "cw")}, 6) * 1000000, 0) AS BIGINT) AS t6
+         |  FROM q CROSS JOIN cb),
+         |cand AS (
+         |  SELECT r2.cluster, enc.vec_id, enc.s, enc.code
+         |  FROM enc JOIN res r2 USING (vec_id)),
+         |adc AS (
+         |  SELECT q.qid, c.vec_id, sum(t6) AS adc_micro
+         |  FROM cand c
+         |  JOIN q ON c.cluster = q.cluster AND c.vec_id != q.qid
+         |  JOIN tab ON tab.qid = q.qid AND tab.s = c.s AND tab.idx = c.code
+         |  GROUP BY q.qid, c.vec_id),
+         |rk AS (SELECT qid, vec_id, CAST(adc_micro AS BIGINT) AS adc_micro,
+         |  row_number() OVER (PARTITION BY qid ORDER BY adc_micro, vec_id) AS rk
+         |  FROM adc),
+         |ex AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, m.vec_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        round(list_sum(list_transform(generate_series(1, 64),
+         |          i -> (m.e[i] - q2.qe[i]) * (m.e[i] - q2.qe[i]))), 6),
+         |        m.vec_id) AS xr
+         |    FROM m
+         |    JOIN q USING (cluster)
+         |    JOIN (SELECT vec_id AS qid, e AS qe FROM e) q2 USING (qid)
+         |    WHERE m.vec_id != q.qid)
          |  WHERE xr <= 5)
          |SELECT r.qid, CAST(r.rk AS INT) AS rk, r.vec_id, r.adc_micro,
          |  (ex.vec_id IS NOT NULL) AS in_exact_top5
@@ -4600,6 +4725,7 @@ object Pipeline {
       "q102_source_dup_matrix" -> q102,
       "q106_snapshot_diff" -> q106,
       "q107_ivf_pq_ann" -> q107,
+      "q109_ivf_pq_residual" -> q109,
     )
   }
 }

@@ -1562,4 +1562,33 @@ class PipelineSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "e")
     intercept[IllegalArgumentException] { Pipeline.pqSeeds(empty) }
   }
+  test("q109: residual hits stay in their query's cluster; encoding differs from q107") {
+    val rows = Pipeline.q109IvfPqResidual(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val cluster = Pipeline.mapSideFineClusters(e,
+        Pipeline.labelCentroids(spark, sfDir), Pipeline.ClusterTargetOccupancy)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((q, rs) <- rows.groupBy(_.getLong(0))) {
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length), s"q$q ranks")
+      val d = sorted.map(_.getLong(3))
+      assert(d.zip(d.drop(1)).forall { case (a, b) => a <= b }, s"q$q order")
+      rs.foreach { r =>
+        assert(r.getLong(2) != q)
+        assert(cluster(r.getLong(2)) == cluster(q),
+          s"q$q hit ${r.getLong(2)} escaped the coarse stage")
+      }
+    }
+    assert(rows.count(_.getBoolean(4)) > 0, "zero within-cluster recall")
+    // the residual basis must actually change the quantization: same
+    // candidate spaces, different ADC geometry
+    val raw = Pipeline.q107IvfPqAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val res = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(raw != res, "residual encoding collapsed onto the raw encoding")
+  }
 }
