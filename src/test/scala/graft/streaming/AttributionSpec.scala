@@ -3,6 +3,14 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+object AttributionSpec {
+  /** Recorder for the restart test (companion queue — the foreachBatch
+    * closure must survive serialization). */
+  val restartSink =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+}
 
 class AttributionSpec extends SparkSpec {
 
@@ -63,5 +71,65 @@ class AttributionSpec extends SparkSpec {
       assert(resident <= 2,
         s"watermark must evict matched-out state, found $resident rows")
     } finally query.stop()
+  }
+
+  test("impression state survives a checkpoint restart; matched pairs never re-emit") {
+    val root = java.nio.file.Files.createTempDirectory("graft-attr-restart")
+    val impDir = root.resolve("imp"); java.nio.file.Files.createDirectories(impDir)
+    val convDir = root.resolve("conv"); java.nio.file.Files.createDirectories(convDir)
+    val ckpt = root.resolve("ckpt").toString
+    val t0 = 1600000000000L
+    def addFile(dir: java.nio.file.Path, name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def side(dir: java.nio.file.Path) = {
+      val parts = split(col("value"), "\\|")
+      spark.readStream.text(dir.toString)
+        .select(parts.getItem(0).cast("long").as("user_id"),
+          parts.getItem(1).cast("long").as("event_id"),
+          timestamp_millis(parts.getItem(2).cast("long")).as("ts"))
+    }
+    def startQuery() = StateStores.withRocksDB(spark) {
+      Attribution.attribute(side(impDir), side(convDir))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("imp_id", "conv_id").collect().foreach(r =>
+            AttributionSpec.restartSink.add((r.getLong(0), r.getLong(1))))
+        }
+        .start()
+    }
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what " +
+        s"(sink: ${AttributionSpec.restartSink.asScala.toSeq})")
+    }
+    AttributionSpec.restartSink.clear()
+    // phase 1: impression 10 matches conversion 20 (1 h later)
+    val q1 = startQuery()
+    try {
+      addFile(impDir, "i1.txt", Seq(s"7|10|$t0"))
+      addFile(convDir, "c1.txt", Seq(s"7|20|${t0 + 3600000L}"))
+      await(AttributionSpec.restartSink.asScala.toSet == Set((10L, 20L)),
+        "phase-1 match")
+      // quiesce BEFORE stopping: foreachBatch runs pre-commit, so an
+      // immediate stop can kill batch 1 mid-commit and the recovered
+      // incarnation would replay it (the SparkSpec helper's contract)
+      awaitCheckpointQuiesced(ckpt)
+    } finally q1.stop()
+    // phase 2: restart — a second conversion inside impression 10's
+    // horizon must STILL match it (recovered join state), and the
+    // phase-1 pair must not re-emit
+    val q2 = startQuery()
+    try {
+      addFile(convDir, "c2.txt", Seq(s"7|21|${t0 + 7200000L}"))
+      await(AttributionSpec.restartSink.asScala.toSet.contains((10L, 21L)),
+        "phase-2 match against recovered impression state")
+      val seen = AttributionSpec.restartSink.asScala.toSeq
+      assert(seen.count(_ == ((10L, 20L))) == 1,
+        s"phase-1 pair re-emitted after restart: $seen")
+    } finally q2.stop()
   }
 }
