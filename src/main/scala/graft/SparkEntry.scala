@@ -247,6 +247,9 @@ object SparkEntry {
     // residual IVF-PQ: the codebook spends itself on within-cell
     // variation (r = v - centroid), same 4-int codes, same integer ADC
     "q109_ivf_pq_residual" -> (Pipeline.q109IvfPqResidual _),
+    // dedup yield curve: per-crawl-batch share of first-seen digests,
+    // the crawl-saturation signal — one scan, one digest exchange
+    "q110_dedup_yield" -> (Pipeline.q110DedupYield _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3366,6 +3366,44 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  // ------------------------------------- q110: dedup yield curve
+
+  /** Number of ordered crawl batches [[q110DedupYield]] splits the
+    * corpus into. */
+  private val YieldBatches = 5
+
+  /** Pipeline — dedup yield curve: how much NEW content each
+    * successive crawl batch contributes, the saturation signal a crawl
+    * scheduler watches (a source whose yield decays to zero is
+    * re-crawling itself — stop paying for it). The re-crawled corpus
+    * (the q23 `%7` copies) splits into [[YieldBatches]] ordered
+    * batches by id; a batch's yield is the share of its documents
+    * whose digest first occurs IN that batch. Per batch: document
+    * count, first-occurrence digest count, duplicate-document count
+    * (in-batch extra copies AND cross-batch repeats both count —
+    * they're both wasted crawl), and the yield ratio.
+    *
+    * Scale posture (100 TB): text reduces to a digest before any
+    * exchange (the q91 discipline); first-occurrence is one
+    * `min(batch)` hash aggregation on the digest (map-side partials);
+    * the rollup is ≤ [[YieldBatches]] rows joined from two bounded
+    * aggregates. One corpus scan, one digest exchange. */
+  def q110DedupYield(spark: SparkSession, dir: String): DataFrame = {
+    val d = dupDocs(spark, dir)
+      .select((col("doc_id") % YieldBatches).cast("int").as("batch"),
+        md5(col("text").cast("binary")).as("h"))
+    val perBatch = d.groupBy(col("batch")).agg(count(lit(1)).as("n_docs"))
+    val firsts = d.groupBy(col("h")).agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_new_digests"))
+    perBatch.join(firsts, Seq("batch"), "left")
+      .select(col("batch"), col("n_docs"),
+        coalesce(col("n_new_digests"), lit(0L)).as("n_new_digests"))
+      .withColumn("n_dup_docs", col("n_docs") - col("n_new_digests"))
+      .withColumn("yield_pct",
+        round(col("n_new_digests").cast("double") / col("n_docs"), 6))
+      .orderBy(col("batch"))
+  }
+
   // ------------------------------ q102: cross-source duplicate matrix
 
   /** Pipeline — cross-source near-duplicate contamination matrix: how
@@ -4496,6 +4534,24 @@ object Pipeline {
         |  CAST(sum(CASE WHEN h1 = h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
+    /** q110 — digests, min-batch first occurrence, two bounded
+      * aggregates joined; integers plus one final ratio. */
+    val q110 =
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+        |d AS (SELECT CAST(doc_id % 5 AS INT) AS batch, md5(text) AS h FROM corpus),
+        |pb AS (SELECT batch, count(*) AS n_docs FROM d GROUP BY batch),
+        |fo AS (SELECT batch, count(*) AS n_new_digests FROM (
+        |  SELECT h, min(batch) AS batch FROM d GROUP BY h) GROUP BY batch)
+        |SELECT pb.batch, n_docs,
+        |  coalesce(n_new_digests, 0) AS n_new_digests,
+        |  n_docs - coalesce(n_new_digests, 0) AS n_dup_docs,
+        |  round(coalesce(n_new_digests, 0)::DOUBLE / n_docs, 6) AS yield_pct
+        |FROM pb LEFT JOIN fo USING (batch)
+        |ORDER BY pb.batch""".stripMargin
+
     /** q101 — the PQ twin: hash-threshold seeds (q53's CTE shape, salt
       * `pq:`), codewords as 1-based list slices, encode via
       * `arg_min(idx, d6·10^12 + label)` (the unique q53 score form),
@@ -4726,6 +4782,7 @@ object Pipeline {
       "q106_snapshot_diff" -> q106,
       "q107_ivf_pq_ann" -> q107,
       "q109_ivf_pq_residual" -> q109,
+      "q110_dedup_yield" -> q110,
     )
   }
 }

@@ -1591,4 +1591,26 @@ class PipelineSpec extends SparkSpec {
     val res = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     assert(raw != res, "residual encoding collapsed onto the raw encoding")
   }
+  test("q110: yield curve reconciles with the corpus arithmetic") {
+    val rows = Pipeline.q110DedupYield(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0 until 5))
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    // doc totals: base corpus + the %7 re-crawls, split by id mod 5
+    val allIds = ids ++ ids.filter(_ % 7 == 0).map(_ + 1000000L)
+    for ((b, n, nn, dup, y) <- rows) {
+      assert(n == allIds.count(_ % 5 == b).toLong, s"batch $b count")
+      assert(n == nn + dup, s"batch $b partition")
+      assert(math.abs(y - nn.toDouble / n) < 1e-6)
+    }
+    // every re-crawled copy is a duplicate SOMEWHERE (its digest's
+    // first batch claims the original or the copy, never both)
+    assert(rows.map(_._4).sum == ids.count(_ % 7 == 0).toLong,
+      "total duplicates = the injected re-crawls")
+    assert(rows.map(_._3).sum == ids.length.toLong,
+      "total first occurrences = distinct documents")
+  }
 }
