@@ -250,6 +250,9 @@ object SparkEntry {
     // dedup yield curve: per-crawl-batch share of first-seen digests,
     // the crawl-saturation signal — one scan, one digest exchange
     "q110_dedup_yield" -> (Pipeline.q110DedupYield _),
+    // quality-aware keeper per duplicate cluster: star CC components,
+    // max_by on the exact len-then-id integer key, bounded rollup
+    "q111_cluster_keepers" -> (Pipeline.q111ClusterKeepers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3366,6 +3366,45 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  // -------------------------------- q111: quality-aware keepers
+
+  /** Pipeline — quality-aware keeper selection inside duplicate
+    * clusters: exact and min-id dedup keep the FIRST copy; real
+    * curation keeps the BEST one (longest, highest-quality — the copy
+    * with the appended tail often beats a truncated original). Over
+    * the q50 near-dup graph, each connected component reports its
+    * size, its keeper (max length, ties to the smaller id — the exact
+    * `len·10^9 − id` integer key, engine-deterministic), and the
+    * keeper's length.
+    *
+    * Scale posture (100 TB): components via
+    * [[Graph.connectedComponentsStar]] (O(log² n) rounds, per-round
+    * lineage truncation — the deep-graph-safe form); the score join is
+    * id-equi against the digest-thin corpus projection; the keeper
+    * argmax is a partial-aggregated `max_by` — one exchange on the
+    * component label, ≤|clusters| result rows. */
+  def q111ClusterKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" extra token tail")).as("text")))
+    val edges = verifiedNearDupPairs(corpus)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = Graph.connectedComponentsStar(edges)
+    val scored = corpus.select(col("doc_id").as("node"),
+      length(col("text")).cast("long").as("len"))
+    labels.join(scored, "node")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max_by(col("node"),
+          col("len") * lit(1000000000L) - col("node")).as("keep_id"),
+        max(col("len")).as("keep_len"))
+      .orderBy(col("label"))
+  }
+
   // ------------------------------------- q110: dedup yield curve
 
   /** Number of ordered crawl batches [[q110DedupYield]] splits the
@@ -3889,8 +3928,12 @@ object Pipeline {
          |  count(DISTINCT CASE WHEN h IN (SELECT h FROM tr) THEN doc_id END) AS n_contaminated
          |FROM te GROUP BY lang ORDER BY lang""".stripMargin
 
-    val q50 =
-      s"""WITH corpus AS (
+    /** The q50 near-dup corpus → verified edges → recursive
+      * connected-components chain, ending at `reach(node, label)` —
+      * shared verbatim by q50 (size histogram) and q111 (keeper
+      * selection), mirroring the engine's single edge derivation. */
+    private val nearDupCcCtes =
+      s"""corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
@@ -3930,11 +3973,25 @@ object Pipeline {
          |    SELECT node, node FROM nodes
          |    UNION
          |    SELECT e.b, r.lab FROM r JOIN sym e ON e.a = r.node)
-         |  SELECT node, min(lab) AS label FROM r GROUP BY node),
+         |  SELECT node, min(lab) AS label FROM r GROUP BY node)""".stripMargin
+
+    val q50 =
+      s"""WITH $nearDupCcCtes,
          |cl AS (SELECT label, count(*) AS cluster_size FROM reach GROUP BY label)
          |SELECT cluster_size, count(*) AS n_clusters,
          |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
          |FROM cl GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
+    /** q111 — the shared chain's components joined back to document
+      * lengths; keeper via the exact `len·10^9 − id` integer argmax. */
+    val q111 =
+      s"""WITH $nearDupCcCtes,
+         |sc AS (SELECT doc_id AS node, CAST(length(text) AS BIGINT) AS len FROM corpus)
+         |SELECT r.label, count(*) AS cluster_size,
+         |  arg_max(r.node, sc.len * 1000000000 - r.node) AS keep_id,
+         |  CAST(max(sc.len) AS BIGINT) AS keep_len
+         |FROM reach r JOIN sc ON sc.node = r.node
+         |GROUP BY r.label ORDER BY r.label""".stripMargin
 
     val q51 =
       s"""WITH base AS (
@@ -4783,6 +4840,7 @@ object Pipeline {
       "q107_ivf_pq_ann" -> q107,
       "q109_ivf_pq_residual" -> q109,
       "q110_dedup_yield" -> q110,
+      "q111_cluster_keepers" -> q111,
     )
   }
 }

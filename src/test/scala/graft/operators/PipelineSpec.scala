@@ -1613,4 +1613,31 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._3).sum == ids.length.toLong,
       "total first occurrences = distinct documents")
   }
+  test("q111: keepers are real members with the max length, tail variants win") {
+    val rows = Pipeline.q111ClusterKeepers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // replicate the corpus rule on the driver: id -> text length
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val len = (base.map { case (id, t) => id -> t.length.toLong } ++
+      base.filter(_._1 % 7 == 0).map { case (id, t) =>
+        (id + 1000000L) -> t.length.toLong } ++
+      base.filter(_._1 % 11 == 0).map { case (id, t) =>
+        (id + 2000000L) -> (t.length + " extra token tail".length).toLong }).toMap
+    for ((label, size, keepId, keepLen) <- rows) {
+      // a component exists only where an edge does
+      assert(size >= 2, s"cluster $label size $size")
+      // the keeper is a genuine corpus document with exactly that length
+      assert(len(keepId) == keepLen, s"cluster $label keeper length")
+      // the label is the min id, so the keeper never precedes it
+      assert(keepId >= label, s"cluster $label keeper $keepId")
+    }
+    assert(rows.map(_._3).distinct.length == rows.length, "keeper reused")
+    // quality-aware selection is OBSERVABLE: some cluster keeps its
+    // longer +tail variant over the shorter original it duplicates
+    assert(rows.exists(r => r._3 >= 2000000L),
+      "no tail variant ever out-kept its original - selection is id-blind")
+  }
 }
