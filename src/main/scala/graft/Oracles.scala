@@ -481,9 +481,6 @@ object Oracles {
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         |ORDER BY event_type, value, event_id""".stripMargin,
 
-    // EWMA: the same left fold over the same ordered doubles — the
-    // α literals MUST cast to DOUBLE (bare 0.25/0.75 are DECIMAL in
-    // DuckDB and the fold then truncates scale)
     "q108_attribution_credit" ->
       """WITH e AS (SELECT event_type, user_id, event_id, epoch_ms(ts) AS tsm FROM events),
         |imp AS (SELECT user_id, event_id AS imp_id, tsm AS imp_ts
@@ -525,6 +522,9 @@ object Oracles {
         |SELECT event_type, CAST(3 AS INT), n3, a3 FROM p
         |ORDER BY event_type, lag""".stripMargin,
 
+    // EWMA: the same left fold over the same ordered doubles — the
+    // α literals MUST cast to DOUBLE (bare 0.25/0.75 are DECIMAL in
+    // DuckDB and the fold then truncates scale)
     "q95_ewma" ->
       """WITH e AS (SELECT user_id, event_id, value,
         |             epoch_ms(ts) AS tsm FROM events)

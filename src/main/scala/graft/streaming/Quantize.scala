@@ -55,9 +55,13 @@ object Quantize {
   def driftByWindow(spark: SparkSession, indexName: String,
       vectors: DataFrame, windowDur: String = "1 hour",
       watermark: String = "0 seconds"): DataFrame = {
+    // bind by NAME, not ordinal — a column reorder in writePqIndex /
+    // pqIndexAppend's replaceStats projection must not silently swap
+    // build vs running sums (the batch twin pqIndexDriftReport already
+    // reads this table by name)
     val st = spark.table(indexName + "_stats").collect()(0)
     val buildAvgMicro =
-      st.getLong(3).toDouble / st.getLong(1) // build_sum_qerr / build_n
+      st.getAs[Long]("build_sum_qerr_micro").toDouble / st.getAs[Long]("build_n")
     val (_, qerr) = Pipeline.pqCodeColumns(
       Pipeline.storedPqSeeds(spark, indexName))
     vectors

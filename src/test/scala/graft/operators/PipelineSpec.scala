@@ -1031,38 +1031,44 @@ class PipelineSpec extends SparkSpec {
     assert(rows.take(5).exists(_.getBoolean(2)), "no supplier in top 5")
   }
 
-  test("q81 exchange accounting: each iteration pays exactly one exchange, lineage bounded") {
+  test("q81 exchange accounting: iterations are exchange-FREE, lineage bounded at one") {
     val (top, mids, release) = Pipeline.pageRankReport(spark, sfDir)
     try {
       top.count()
-      // POST-CACHE: exactly ONE exchange per iteration — the
-      // contribution aggregation onto dst. The join pays nothing: the
-      // edge cache holds its src hash-partitioning and the incoming
-      // rank relation arrives partitioned on node from the previous
-      // iteration's rollup (or its cached cut, which preserves that
-      // partitioning), so both sides already satisfy the join
-      // clustering. Seed distinct rides the cache partitioning and
-      // the final top-20 is TakeOrdered (no exchange). The six
-      // iterations now execute as bounded SEGMENTS (VERDICT r12
-      // §next-1a): each mid-loop materialization plus the final plan
-      // must pay exactly its own iterations' exchanges — more means a
-      // segment lost a cached partitioning, fewer means a segment
-      // secretly re-reads an unbounded tree.
-      val per = Pipeline.PageRankMaterializeEvery
-      assert(mids.size == (6 - 1) / per,
-        s"expected ${(6 - 1) / per} mid-loop cuts, got ${mids.size}")
-      // a mid's own executedPlan reads from its cache — the executed
-      // segment lives inside the InMemoryRelation's cachedPlan
+      // POST-CACHE (r14 broadcast-rank design): an iteration pays ZERO
+      // exchanges — the tiny rank relation is broadcast into the
+      // dst-partitioned edge cache, the broadcast join preserves that
+      // partitioning, and the groupBy(dst) aggregation is therefore
+      // already clustered. Every executed iteration materializes
+      // eagerly (the cache fill doubles as the convergence probe), so
+      // lineage is bounded at ONE iteration per segment. More than
+      // zero exchanges in any segment means the edge cache lost its
+      // dst partitioning or a broadcast silently degraded to a
+      // shuffle join — both scale regressions this test exists to
+      // catch.
+      assert(mids.nonEmpty && mids.size <= 6,
+        s"expected 1..6 executed iterations, got ${mids.size}")
+      // each mid is the PRE-checkpoint iteration plan: re-executing it
+      // reads the edge cache + the previous round's checkpoint leaf,
+      // so its executed plan IS the segment
       mids.foreach { m =>
-        val seg = findCachedPlans(m.queryExecution.executedPlan)
-        assert(seg.nonEmpty, "mid-loop cut is not reading from cache")
-        val got = seg.map(countShuffles).sum
-        assert(got == per, s"mid segment: $got exchanges, design says $per")
+        m.write.format("noop").mode("overwrite").save()
+        assert(findCachedPlans(m.queryExecution.executedPlan).nonEmpty,
+          "iteration is not reading the edge cache")
+        val got = countShuffles(m.queryExecution.executedPlan)
+        assert(got == 0, s"iteration segment: $got exchanges, design says 0")
       }
+      // final top-20: TakeOrdered over the last round's checkpoint
       val got = countShuffles(top.queryExecution.executedPlan)
-      val tail = 6 - per * mids.size
-      assert(got == tail,
-        s"q81 final segment: $got exchanges, design says $tail (one per post-cut iteration)")
+      assert(got == 0,
+        s"q81 final segment: $got exchanges, design says 0 (TakeOrdered on checkpoint)")
+      // early exit is only legal at the exact integer fixed point: if
+      // fewer than 6 iterations ran, the last one must be a no-op
+      if (mids.size < 6) {
+        val last = mids.last.select("node", "r", "r0").collect()
+        assert(last.forall(r => r.getLong(1) == r.getLong(2)),
+          "early exit without an exact fixed point")
+      }
     } finally release()
   }
 
