@@ -2992,10 +2992,39 @@ object Pipeline {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
 
+  /** Lloyd refinement rounds applied to the PQ codebook after
+    * hash-threshold seeding (VERDICT r13 §next-3). Untrained seeded
+    * codebooks measurably wasted the residual IVF-PQ composition
+    * (q109 recall ≤ q107's); training each subspace against the data
+    * it quantizes is what makes the production IVFADC stack earn its
+    * keep. Both engines iterate in lockstep — see [[pqSeeds]]. */
+  private[graft] val PqLloydRounds = 3
+
   /** Bounded codebook snapshot (≤16 + floor, the [[kMeansCentroids]]
-    * seed discipline, salt `pq:`), ascending-label order. Seed vec
-    * `l`'s dims `[16s, 16s+16)` are subspace `s`'s codeword. */
+    * seed discipline, salt `pq:`), ascending-label order, then
+    * [[PqLloydRounds]] per-SUBSPACE Lloyd refinements: assign every
+    * vector's subvector to its argmin codeword (the
+    * [[pqCodeColumns]] score, so assignment IS the encode), then move
+    * each codeword to the per-dimension mean of its assignees,
+    * `round(·, 6)` (the [[kMeansCentroids]] discipline, so the DuckDB
+    * twin carries identical codebooks). An empty codeword keeps its
+    * previous position — labels and index order never change, which is
+    * what lets the trained codebook flow through every downstream
+    * consumer (q101/q103/q107/q109, the index at rest, the streaming
+    * encoder) unchanged. Seed vec `l`'s dims `[16s, 16s+16)` are
+    * subspace `s`'s initial codeword; after training the
+    * concatenation layout is preserved but each block is the trained
+    * codeword. One corpus scan per round, ≤4·16·16-row bounded
+    * aggregate collected (the centroid-snapshot discipline). */
   private[graft] def pqSeeds(e: DataFrame): Seq[(Long, Seq[Double])] = {
+    var seeds = pqHashSeeds(e)
+    for (_ <- 1 to PqLloydRounds) seeds = pqLloydRound(e, seeds)
+    seeds
+  }
+
+  /** The untrained hash-threshold seed snapshot (split from
+    * [[pqSeeds]] so the spec can assert training reduces error). */
+  private[graft] def pqHashSeeds(e: DataFrame): Seq[(Long, Seq[Double])] = {
     val nRel = e.agg(count(lit(1)).as("n"))
     val hashed = e.withColumn("sh",
       pmod(portableHash(concat(lit("pq:"), col("vec_id").cast("string"))),
@@ -3011,6 +3040,41 @@ object Pipeline {
     // an empty one must fail here, not as a null code downstream
     require(seeds.nonEmpty, "PQ codebook from an empty vector corpus")
     seeds
+  }
+
+  /** One per-subspace Lloyd round (see [[pqSeeds]]): returns the seeds
+    * with every subspace codeword moved to the rounded mean of its
+    * assigned subvectors (unmoved where no vector assigned). */
+  private[graft] def pqLloydRound(e: DataFrame,
+      seeds: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+    val (codes, _) = pqCodeColumns(seeds)
+    // one scan: explode dims, key each value by (subspace, assigned
+    // codeword, dim-in-subspace) — partial-aggregated means, ≤1024 rows
+    val stats = e.select(codes.as("codes"), posexplode(col("e")))
+      .select(expr("pos div 16").cast("int").as("s"),
+        pmod(col("pos"), lit(16)).cast("int").as("i"),
+        element_at(col("codes"),
+          (expr("pos div 16") + 1).cast("int")).as("code"),
+        col("col").as("v"))
+      .groupBy(col("s"), col("code"), col("i"))
+      .agg(round(avg(col("v")), 6).as("cavg"))
+      .collect()
+    val moved = scala.collection.mutable.HashMap
+      .empty[(Int, Int), Array[Double]]
+    stats.foreach { r =>
+      val key = (r.getInt(0), r.getInt(1)) // (subspace, codeword idx)
+      moved.getOrElseUpdate(key, new Array[Double](PqSubDim))(r.getInt(2)) =
+        r.getDouble(3)
+    }
+    seeds.zipWithIndex.map { case ((label, cvec), idx) =>
+      val nv = (0 until PqSubspaces).flatMap { s =>
+        moved.get((s, idx)) match {
+          case Some(arr) => arr.toSeq
+          case None => cvec.slice(s * PqSubDim, (s + 1) * PqSubDim)
+        }
+      }
+      (label, nv)
+    }
   }
 
   private def pqSubvec(v: Column, s: Int): Column =
@@ -4652,11 +4716,36 @@ object Pipeline {
       s"list_sum(list_transform(generate_series(1, 16), i -> " +
         s"($v[s * 16 + i] - $first[i]) * ($v[s * 16 + i] - $first[i])))"
 
+    /** One per-subspace Lloyd refinement round over `cb${k-1}` →
+      * `cb$k` (VERDICT r13 §next-3): assign every vector's subvector
+      * to its argmin codeword (the `enc` score — assignment IS the
+      * encode), then move each codeword to the per-dimension
+      * `round(avg, 6)` of its assignees; an empty codeword keeps its
+      * previous position via the LEFT JOIN + coalesce. The exact
+      * lockstep twin of the engine's `pqLloydRound`. */
+    private def pqLloydCtes(rel: String, k: Int) =
+      s"""la$k AS (
+         |  SELECT vec_id, s, arg_min(idx, d6 * 1000000000000 + label) AS code FROM (
+         |    SELECT v.vec_id, c.s, c.label, c.idx,
+         |      round(${pqSub("v.e", "c.cw")}, 6) AS d6
+         |    FROM $rel v CROSS JOIN cb${k - 1} c)
+         |  GROUP BY vec_id, s),
+         |lm$k AS (
+         |  SELECT a.s, a.code, i AS pos, round(avg(v.e[a.s * 16 + i]), 6) AS cavg
+         |  FROM la$k a JOIN $rel v USING (vec_id), generate_series(1, 16) t(i)
+         |  GROUP BY a.s, a.code, i),
+         |lw$k AS (SELECT s, code, list(cavg ORDER BY pos) AS cw FROM lm$k GROUP BY s, code),
+         |cb$k AS (
+         |  SELECT c.s, c.label, c.idx, coalesce(w.cw, c.cw) AS cw
+         |  FROM cb${k - 1} c LEFT JOIN lw$k w ON w.s = c.s AND w.code = c.idx)"""
+        .stripMargin
+
     /** The PQ codebook + encode CTE chain over a `(vec_id, …, e)` CTE
-      * named `rel` — `seeds`/`cb`/`enc` — shared verbatim by q101
-      * (flat ADC over raw vectors), q107 (IVF-PQ) and q109 (residual
-      * IVF-PQ, where `rel` carries residuals), mirroring the engine's
-      * single `pqSeeds` + `pqCodeColumns` derivation. */
+      * named `rel` — `seeds`/`cb0`/Lloyd rounds/`cb`/`enc` — shared
+      * verbatim by q101 (flat ADC over raw vectors), q107 (IVF-PQ) and
+      * q109 (residual IVF-PQ, where `rel` carries residuals),
+      * mirroring the engine's single `pqSeeds` (seed + train) +
+      * `pqCodeColumns` derivation. */
     private def pqEncodeCtes(rel: String = "e") =
       s"""nn AS (SELECT count(*) AS n FROM $rel),
          |hs AS (SELECT vec_id, e,
@@ -4666,10 +4755,12 @@ object Pipeline {
          |  SELECT vec_id AS label, e AS cvec FROM hs, nn, mn
          |  WHERE sh < (least(16, (n + 31) // 32) * 1000000) // n
          |    OR sh = sh_min),
-         |cb AS (
+         |cb0 AS (
          |  SELECT s, label, cvec[s * 16 + 1 : s * 16 + 16] AS cw,
          |    CAST(row_number() OVER (PARTITION BY s ORDER BY label) - 1 AS INT) AS idx
          |  FROM seeds, (SELECT unnest(generate_series(0, 3)) AS s)),
+         |${(1 to Pipeline.PqLloydRounds).map(k => pqLloydCtes(rel, k)).mkString(",\n")},
+         |cb AS (SELECT s, label, idx, cw FROM cb${Pipeline.PqLloydRounds}),
          |enc AS (
          |  SELECT vec_id, s, arg_min(idx, d6 * 1000000000000 + label) AS code FROM (
          |    SELECT v.vec_id, cb.s, cb.label, cb.idx,

@@ -1568,6 +1568,31 @@ class PipelineSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "e")
     intercept[IllegalArgumentException] { Pipeline.pqSeeds(empty) }
   }
+
+  test("pq Lloyd training reduces quantization error and never grows it per round") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    def totalQerr(seeds: Seq[(Long, Seq[Double])]): Long =
+      Pipeline.pqCodes(e, seeds).agg(sum(col("qerr_micro")))
+        .collect()(0).getLong(0)
+    val seeded = Pipeline.pqHashSeeds(e)
+    val trained = Pipeline.pqSeeds(e)
+    // structure preserved: same labels, same order, same dims
+    assert(trained.map(_._1) == seeded.map(_._1))
+    assert(trained.forall(_._2.length == seeded.head._2.length))
+    // training must strictly beat the raw seeds on the corpus it
+    // trained on (this is the entire point of VERDICT r13 §next-3)
+    val e0 = totalQerr(seeded)
+    val eT = totalQerr(trained)
+    assert(eT < e0, s"trained qerr $eT !< seeded qerr $e0")
+    // Lloyd monotonicity (mod the 6-decimal rounding): one more round
+    // never makes it materially worse — guard against an assignment /
+    // update mismatch that would oscillate
+    val eT1 = totalQerr(Pipeline.pqLloydRound(e, trained))
+    assert(eT1 <= eT + (eT / 100),
+      s"extra round grew qerr $eT -> $eT1 (>1%): assignment/update mismatch")
+  }
   test("q109: residual hits stay in their query's cluster; encoding differs from q107") {
     val rows = Pipeline.q109IvfPqResidual(spark, sfDir).collect()
     assert(rows.nonEmpty)
