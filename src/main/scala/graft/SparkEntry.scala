@@ -253,6 +253,9 @@ object SparkEntry {
     // quality-aware keeper per duplicate cluster: star CC components,
     // max_by on the exact len-then-id integer key, bounded rollup
     "q111_cluster_keepers" -> (Pipeline.q111ClusterKeepers _),
+    // markup/boilerplate extraction: tag-strip + line-rule cascade
+    // over the deterministic page fixture, per-language shares
+    "q112_markup_extract" -> (Pipeline.q112MarkupExtract _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3605,6 +3605,107 @@ object Pipeline {
   /** DuckDB twins. Fragments mirror [[graft.functions.TextFunctions]]
     * exactly; DuckDB list lambdas index 1-based where Spark's are
     * 0-based — every index formula below accounts for that. */
+  // --------------------- q112: markup / boilerplate extraction
+
+  /** Deterministic HTML-ish page fixture over the documents corpus
+    * (the q102/q106/q110 in-SQL fixture discipline — the oracle
+    * re-derives identical pages inline): a 3-link nav bar, a heading,
+    * the document text split into two `<p>` paragraphs, a menu item,
+    * and a copyright footer, newline-separated. Every boilerplate
+    * line is constructed to trip a DIFFERENT drop rule (link density,
+    * short line, nav token, boilerplate token), so the fixture
+    * exercises the whole cascade. */
+  private[graft] def markupPages(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"),
+      concat(
+        lit("<nav><a href=\"/\">home</a> <a href=\"/a\">about</a> " +
+          "<a href=\"/b\">contact</a></nav>\n<h1>Document "),
+        col("doc_id").cast("string"),
+        lit("</h1>\n<p>"),
+        expr("substring(text, 1, length(text) div 2)"),
+        lit("</p>\n<li>menu</li>\n<p>"),
+        expr("substring(text, length(text) div 2 + 1, length(text))"),
+        lit("</p>\n<footer>copyright 2026 all rights reserved</footer>"))
+        .as("html"))
+
+  /** Tag-strip for one markup line: remove every `<…>` span, trim.
+    * ONE definition for the batch report (q112) and the streaming
+    * gate ([[graft.streaming.Curation.markupExtract]]) — the
+    * [[qualityVerdict]] discipline. */
+  private[graft] def markupLineClean(line: Column): Column =
+    trim(regexp_replace(line, "<[^>]*>", ""))
+
+  /** Anchor-tag count per line (integer, exact: occurrences of the
+    * literal `<a ` marker). */
+  private[graft] def markupLineLinks(line: Column): Column =
+    ((length(line) - length(regexp_replace(line, "<a ", ""))) / 3)
+      .cast("int")
+
+  /** The line-level keep rule — the RefinedWeb shape (q79 cites the
+    * same lineage): a line survives extraction unless it is (a) short
+    * after tag-stripping (< 25 chars — headings, menu items, stray
+    * markup), (b) link-dense (≥ 2 anchors — nav bars, link farms), or
+    * (c) boilerplate-marked (a copyright notice). Pure map-side
+    * column logic, stream-safe. */
+  private[graft] def markupLineKeep(line: Column): Column = {
+    val clean = markupLineClean(line)
+    (length(clean) >= 25) && (markupLineLinks(line) < 2) &&
+      !lower(clean).contains("copyright")
+  }
+
+  /** Whole-document extraction: kept lines tag-stripped and re-joined
+    * with single spaces — the map-side column the streaming gate
+    * emits per arriving page. */
+  private[graft] def markupCleanDoc(html: Column): Column =
+    array_join(
+      transform(
+        filter(split(html, "\n"), l => markupLineKeep(l)),
+        l => markupLineClean(l)),
+      " ")
+
+  /** L4 — markup/boilerplate extraction report (VERDICT r13 §next-4):
+    * the ingest stage every crawl→corpus pipeline runs FIRST — real
+    * corpora start from HTML, not clean text, and every quality op
+    * downstream (q46 gate, q58/q70 LMs, q79 quota) assumes extraction
+    * already happened. Per language: document count, raw vs extracted
+    * character totals, line counts, and the extracted-char /
+    * dropped-line shares.
+    *
+    * Scale posture (100 TB): tag-strip and the rule cascade are pure
+    * map-side string ops on each line; lines of a document explode in
+    * place (no shuffle), so the doc-level rollup partial-aggregates to
+    * ~1 row per document map-side before its exchange, and the
+    * language rollup is ≤|lang| rows. Two exchanges total, both
+    * carrying fixed-width aggregates — the payload text never
+    * shuffles. */
+  def q112MarkupExtract(spark: SparkSession, dir: String): DataFrame = {
+    val lines = markupPages(docs(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        length(col("html")).as("raw_chars"),
+        explode(split(col("html"), "\n")).as("line"))
+    val perDoc = lines
+      .select(col("doc_id"), col("lang"), col("raw_chars"),
+        markupLineKeep(col("line")).as("keep"),
+        length(markupLineClean(col("line"))).cast("long").as("clean_len"))
+      .groupBy(col("doc_id"), col("lang"), col("raw_chars"))
+      .agg(
+        sum(when(col("keep"), col("clean_len")).otherwise(lit(0L)))
+          .as("extracted_chars"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), lit(0L)).otherwise(lit(1L))).as("n_dropped"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("raw_chars")).as("raw_chars"),
+        sum(col("extracted_chars")).as("extracted_chars"),
+        sum(col("n_lines")).as("n_lines"),
+        sum(col("n_dropped")).as("n_dropped_lines"))
+      .withColumn("extracted_share",
+        round(col("extracted_chars").cast("double") / col("raw_chars"), 6))
+      .withColumn("dropped_line_share",
+        round(col("n_dropped_lines").cast("double") / col("n_lines"), 6))
+      .orderBy(col("lang"))
+  }
+
   object Sql {
     private val P = "2147483647"
     private def ph(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
@@ -4896,6 +4997,48 @@ object Pipeline {
          |WHERE r.rk <= 5
          |ORDER BY r.qid, r.rk""".stripMargin
 
+    /** q112 — the page fixture re-derived inline (the q106/q110
+      * discipline), the identical tag-strip + line-rule cascade, and
+      * the same doc-then-language rollup; every count is an integer
+      * and the two shares divide once at the end. */
+    private val q112 =
+      """WITH pages AS (
+        |  SELECT doc_id, lang,
+        |    '<nav><a href="/">home</a> <a href="/a">about</a> <a href="/b">contact</a></nav>' || chr(10) ||
+        |    '<h1>Document ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+        |    '<p>' || substr(text, 1, length(text) // 2) || '</p>' || chr(10) ||
+        |    '<li>menu</li>' || chr(10) ||
+        |    '<p>' || substr(text, length(text) // 2 + 1) || '</p>' || chr(10) ||
+        |    '<footer>copyright 2026 all rights reserved</footer>' AS html
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, lang, length(html) AS raw_chars,
+        |    unnest(string_split(html, chr(10))) AS line
+        |  FROM pages),
+        |sc AS (
+        |  SELECT doc_id, lang, raw_chars,
+        |    length(trim(regexp_replace(line, '<[^>]*>', '', 'g'))) AS clean_len,
+        |    (length(line) - length(replace(line, '<a ', ''))) // 3 AS n_links,
+        |    contains(lower(trim(regexp_replace(line, '<[^>]*>', '', 'g'))),
+        |      'copyright') AS has_copy
+        |  FROM ln),
+        |pd AS (
+        |  SELECT doc_id, lang, raw_chars,
+        |    sum(CASE WHEN clean_len >= 25 AND n_links < 2 AND NOT has_copy
+        |      THEN clean_len ELSE 0 END) AS extracted_chars,
+        |    count(*) AS n_lines,
+        |    sum(CASE WHEN clean_len >= 25 AND n_links < 2 AND NOT has_copy
+        |      THEN 0 ELSE 1 END) AS n_dropped
+        |  FROM sc GROUP BY doc_id, lang, raw_chars)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(raw_chars) AS BIGINT) AS raw_chars,
+        |  CAST(sum(extracted_chars) AS BIGINT) AS extracted_chars,
+        |  CAST(sum(n_lines) AS BIGINT) AS n_lines,
+        |  CAST(sum(n_dropped) AS BIGINT) AS n_dropped_lines,
+        |  round(sum(extracted_chars)::DOUBLE / sum(raw_chars), 6) AS extracted_share,
+        |  round(sum(n_dropped)::DOUBLE / sum(n_lines), 6) AS dropped_line_share
+        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+
     val all: Map[String, String] = Map(
       "q23_exact_dedup" -> q23,
       "q87_fuzzy_join" -> q87,
@@ -4962,6 +5105,7 @@ object Pipeline {
       "q109_ivf_pq_residual" -> q109,
       "q110_dedup_yield" -> q110,
       "q111_cluster_keepers" -> q111,
+      "q112_markup_extract" -> q112,
     )
   }
 }

@@ -63,6 +63,33 @@ object Curation {
         coalesce(Pipeline.piiCount(col(textCol)), lit(0)))
       .withColumn(textCol, Pipeline.piiRedact(col(textCol)))
 
+  /** Markup/boilerplate extraction at ingest — the streaming face of
+    * batch q112, sharing its derivations verbatim
+    * ([[Pipeline.markupCleanDoc]] / [[Pipeline.markupLineKeep]]): each
+    * arriving page row gains `text` (kept lines tag-stripped,
+    * space-joined), `n_lines`, `n_dropped_lines`, and
+    * `extracted_chars`, so the raw markup can be dropped before any
+    * stateful stage pays for it. STATELESS: pure map-side column
+    * logic over whatever the higher-order functions see per row —
+    * append mode, no watermark, no state beyond source offsets. This
+    * is the FIRST gate of the canonical ingest order (extract → gate →
+    * scrub → dedup): it runs before [[qualityGate]] because every
+    * quality heuristic assumes clean text. */
+  def markupExtract(pages: DataFrame, htmlCol: String): DataFrame = {
+    val lines = split(col(htmlCol), "\n")
+    pages
+      .withColumn("text", Pipeline.markupCleanDoc(col(htmlCol)))
+      .withColumn("n_lines", size(lines))
+      .withColumn("n_dropped_lines",
+        size(filter(lines, l => !Pipeline.markupLineKeep(l))))
+      .withColumn("extracted_chars",
+        aggregate(
+          transform(filter(lines, l => Pipeline.markupLineKeep(l)),
+            l => length(Pipeline.markupLineClean(l)).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+      .drop(htmlCol)
+  }
+
   /** Score arriving documents against a STATIC bigram-LM snapshot —
     * the near-line face of q70: the LM (`(bg, logp)`, the artifact
     * [[Pipeline.bigramLm]] derives and a nightly batch job would

@@ -412,6 +412,51 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming markup extraction agrees with a plain-scala replay (one derivation, two modes)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsRows = Seq(
+      (1L, "en", Seq.tabulate(30)(i => s"word$i").mkString(" ")),
+      (2L, "de", "tiny"), // both body halves short → every line drops
+      (3L, "fr", ("alpha beta gamma delta " * 8).trim))
+    val pages = graft.operators.Pipeline.markupPages(
+        docsRows.toDF("doc_id", "lang", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // independent plain-scala replay of the tag-strip + rule cascade
+    def cleanLine(l: String) = l.replaceAll("<[^>]*>", "").trim
+    def links(l: String) = l.sliding(3).count(_ == "<a ")
+    def keep(l: String) = {
+      val c = cleanLine(l)
+      c.length >= 25 && links(l) < 2 && !c.toLowerCase.contains("copyright")
+    }
+    val exp = pages.map { case (id, _, html) =>
+      val ls = html.split("\n", -1).toSeq
+      val kept = ls.filter(keep).map(cleanLine)
+      id -> (kept.mkString(" "), ls.length, ls.count(l => !keep(l)),
+        kept.map(_.length.toLong).sum)
+    }.toMap
+    val in = MemoryStream[(Long, String, String)]
+    val streamed = Curation.markupExtract(
+      in.toDF().toDF("doc_id", "lang", "html"), "html")
+    val query = streamed.writeStream.format("memory").queryName("markup_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(pages: _*)
+      query.processAllAvailable()
+      val got = spark.table("markup_mem").collect().map(r =>
+        r.getAs[Long]("doc_id") -> (r.getAs[String]("text"),
+          r.getAs[Int]("n_lines"), r.getAs[Int]("n_dropped_lines"),
+          r.getAs[Long]("extracted_chars"))).toMap
+      assert(got.keySet == exp.keySet)
+      got.foreach { case (id, g) =>
+        assert(g == exp(id), s"doc $id: $g vs ${exp(id)}") }
+      // doc 1: both body paragraphs survive; the four boilerplate
+      // lines (nav, heading, menu, footer) all drop
+      assert(got(1L)._3 == 4 && got(1L)._1.nonEmpty)
+      // doc 2 ("tiny"): nothing survives the short-line rule
+      assert(got(2L)._1 == "" && got(2L)._3 == 6)
+    } finally query.stop()
+  }
+
   test("streaming bigram scoring against a static LM snapshot agrees with the batch formula") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // "nightly" corpus → LM snapshot via the shared batch derivation
