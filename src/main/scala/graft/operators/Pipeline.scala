@@ -3706,6 +3706,121 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  // --------------------- q113: end-to-end curation funnel
+
+  /** Eval-benchmark membership for the funnel's decontamination
+    * stage: base documents with `doc_id % 17 = 0` play the held-out
+    * eval set. */
+  private val FunnelEvalMod = 17
+
+  /** L4 — the composed corpus-curation funnel (VERDICT r13 §next-5):
+    * ONE query runs the whole production chain — quality gate (q46's
+    * verdict) → canonical exact dedup (q91's digest, keep the minimum
+    * id) → near-dup cluster keepers (q50's LSH+CC chain, q111's
+    * `len·10^9 − id` keeper) → eval decontamination (q49's 8-gram
+    * semi-join against the `%17` benchmark docs) → language mixing
+    * quota (q54's hash threshold, recomputed on the SURVIVOR counts) —
+    * and reports per-stage, per-language survivor counts: the
+    * one-number-per-stage report every real corpus build publishes,
+    * and the proof the stages COMPOSE without per-stage
+    * materialization cliffs.
+    *
+    * Every stage reuses the proven shared derivation of its standalone
+    * query ([[qualityVerdict]], `canonicalText`,
+    * [[verifiedNearDupPairs]] + [[Graph.connectedComponentsStar]],
+    * [[wordShingles]] + [[bloomMightContain]], the q54 threshold) —
+    * one definition per rule, so the funnel cannot drift from the
+    * per-stage reports.
+    *
+    * Scale posture (100 TB): two resident relations only — the
+    * reinsertion corpus and the stage-2 survivor set (each stage's
+    * DROP lists are near-dup cluster members / contaminated ids /
+    * quota losers: tiny, broadcastable anti-join sides, so stages 3-5
+    * re-scan the s2 cache with stacked broadcast anti-joins instead of
+    * materializing each survivor set). Text reduces to digests /
+    * shingle hashes / gram hashes before every exchange; the eval gram
+    * side is Bloom-pruned map-side before the decontam semi-join (the
+    * q49 discipline); the final report is six ≤|lang|-row aggregates
+    * unioned. */
+  def q113CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("text")))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" extra token tail")).as("text")))
+      .persist(CacheLevel)
+    corpus.count()
+    // stage 1 — quality gate (map-side verdict, no exchange)
+    val s1 = corpus.filter(qualityVerdict(col("text")) === "keep")
+    // stage 2 — canonical exact dedup: keep the smallest id per
+    // canonical digest (one exchange on the digest)
+    val byDigest = Window.partitionBy(
+      md5(graft.functions.TextFunctions.canonicalText(col("text"))
+        .cast("binary")))
+    val s2 = s1.withColumn("min_id", min(col("doc_id")).over(byDigest))
+      .filter(col("doc_id") === col("min_id")).drop("min_id")
+      .persist(CacheLevel)
+    s2.count()
+    // stage 3 — near-dup cluster keepers over the s2 survivors: drop
+    // every cluster member except the q111 keeper
+    val edges = verifiedNearDupPairs(s2.select(col("doc_id"), col("text")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = Graph.connectedComponentsStar(edges)
+    val keepers = labels
+      .join(s2.select(col("doc_id").as("node"),
+        length(col("text")).cast("long").as("len")), "node")
+      .groupBy(col("label"))
+      .agg(max_by(col("node"),
+        col("len") * lit(1000000000L) - col("node")).as("keep_id"))
+    val dupDrops = labels.join(keepers, "label")
+      .filter(col("node") =!= col("keep_id"))
+      .select(col("node").as("doc_id"))
+    val s3 = s2.join(dupDrops, Seq("doc_id"), "left_anti")
+    // stage 4 — decontamination: drop survivors sharing any word-8-gram
+    // with the eval benchmark (Bloom-pruned exact semi-join)
+    def gramsOf(rel: DataFrame): DataFrame = rel
+      .select(col("doc_id"),
+        explode(wordShingles(split(col("text"), " "), 8)).as("gram"))
+      .select(col("doc_id"), portableHashMod(col("gram")).as("h"))
+    val evalGrams = gramsOf(d.filter(col("doc_id") % FunnelEvalMod === 0))
+      .select(col("h")).distinct().persist(NarrowCacheLevel)
+    val mightContain = bloomMightContain(evalGrams, DecontamBloomBits)
+    val contaminated = gramsOf(s3)
+      .filter(mightContain(col("h")))
+      .join(evalGrams, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 5 — mixing quota recomputed on the survivor counts
+    val counts = s4.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minRel = counts.agg(min(col("n_lang")).as("n_min"))
+    val s5 = s4.join(broadcast(counts), "lang").crossJoin(broadcast(minRel))
+      .filter(pmod(portableHash(concat(lit("mix:"),
+        col("doc_id").cast("string"))), lit(1000000L))
+        < expr("n_min * 1000000 div n_lang"))
+    def stageCount(df: DataFrame, stage: Int, name: String): DataFrame =
+      df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).cast("int").as("stage"),
+          lit(name).as("stage_name"), col("lang"), col("n_docs"))
+    val out = stageCount(corpus, 0, "ingest")
+      .unionByName(stageCount(s1, 1, "quality_gate"))
+      .unionByName(stageCount(s2, 2, "canonical_dedup"))
+      .unionByName(stageCount(s3, 3, "near_dup_keeper"))
+      .unionByName(stageCount(s4, 4, "decontam"))
+      .unionByName(stageCount(s5, 5, "mixing_quota"))
+      .orderBy(col("stage"), col("lang"))
+    // ≤ 6·|lang| rows: snapshot, then release the residents
+    val snapshot = out.collect()
+    corpus.unpersist(blocking = false)
+    s2.unpersist(blocking = false)
+    evalGrams.unpersist(blocking = false)
+    spark.createDataFrame(
+      java.util.Arrays.asList(snapshot: _*), out.schema)
+  }
+
   object Sql {
     private val P = "2147483647"
     private def ph(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
@@ -4122,19 +4237,17 @@ object Pipeline {
       * connected-components chain, ending at `reach(node, label)` —
       * shared verbatim by q50 (size histogram) and q111 (keeper
       * selection), mirroring the engine's single edge derivation. */
-    private val nearDupCcCtes =
-      s"""corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 2000000, text || ' extra token tail' FROM documents WHERE doc_id % 11 = 0),
-         |sh AS (
+    /** The LSH→verify→CC chain parameterized over its input relation
+      * (must expose `doc_id, text`), ending at `reach(node, label)` —
+      * q50/q111 run it over the reinsertion corpus, q113 over its
+      * stage-2 survivors. */
+    private def nearDupCcChain(rel: String) =
+      s"""sh AS (
          |  SELECT doc_id, CASE WHEN len(toks) >= 3
          |    THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
          |      i -> array_to_string(toks[i:i+2], ' ')))
          |    ELSE []::VARCHAR[] END AS shingles
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $rel)),
          |sig AS (
          |  SELECT doc_id, list_sort(list_distinct(hashes)) AS hs,
          |    list_transform(generate_series(0, 15), h ->
@@ -4164,6 +4277,16 @@ object Pipeline {
          |    UNION
          |    SELECT e.b, r.lab FROM r JOIN sym e ON e.a = r.node)
          |  SELECT node, min(lab) AS label FROM r GROUP BY node)""".stripMargin
+
+    /** The q50/q111 reinsertion corpus + the shared chain over it. */
+    private val nearDupCcCtes =
+      s"""corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text || ' extra token tail' FROM documents WHERE doc_id % 11 = 0),
+         |${nearDupCcChain("corpus")}""".stripMargin
 
     val q50 =
       s"""WITH $nearDupCcCtes,
