@@ -256,6 +256,9 @@ object SparkEntry {
     // markup/boilerplate extraction: tag-strip + line-rule cascade
     // over the deterministic page fixture, per-language shares
     "q112_markup_extract" -> (Pipeline.q112MarkupExtract _),
+    // end-to-end curation funnel: gate → canonical dedup → near-dup
+    // keepers → decontam → mixing quota, per-stage survivor counts
+    "q113_curation_funnel" -> (Pipeline.q113CurationFunnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDirArg) = args
     // default to every core (the driver only passes sfDir/outDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
@@ -23,11 +23,20 @@ object Verify {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
-    new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q81,q100 restricts the dump (dev gate aid —
     // the driver passes no env, so its full-run contract is unchanged)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // A restricted dump goes to its OWN directory (ADVICE r14): with
+    // SPARK_GRAFT_ONLY set, writing the subset oracle_sql.json into a
+    // dir still holding a previous FULL run's parquet would make a
+    // later comparison against that dir silently check the subset.
+    val outDir = if (only.isEmpty) outDirArg
+      else outDirArg + "_only_" + only.get.toSeq.sorted.mkString("_")
+        .replaceAll("[^A-Za-z0-9_]", "_")
+    if (only.nonEmpty && outDir != outDirArg)
+      System.err.println(s"[verify] SPARK_GRAFT_ONLY set - writing to $outDir")
+    new java.io.File(outDir).mkdirs()
     def selected(name: String): Boolean =
       only.forall(o => o.exists(name.startsWith))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>

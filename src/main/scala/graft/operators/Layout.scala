@@ -97,6 +97,16 @@ object Layout {
     stats.write.mode(SaveMode.Overwrite).saveAsTable(name + "_stats")
   }
 
+  /** Persist a bounded codebook relation `(label, cvec)` ALONE — for
+    * codebooks whose code relation is not worth resting (q109's
+    * residual codes are per-cell basis-dependent and a cheap map-side
+    * fold; the expensive artifact is the Lloyd TRAINING, which this
+    * banks once per corpus). */
+  def writeCodebook(codebook: DataFrame, name: String): Unit = {
+    dropManagedTable(codebook.sparkSession, name)
+    codebook.write.mode(SaveMode.Overwrite).saveAsTable(name)
+  }
+
   /** The three relations of a persisted PQ index:
     * (codes, codebook, stats). */
   def readPqIndex(spark: SparkSession,

@@ -2982,8 +2982,28 @@ object Pipeline {
     * list — IVF-PQ; the per-list machinery here is unchanged. */
   def q101PqAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = pqVectors(spark, dir)
-    val seeds = pqSeeds(e)
+    val seeds = trainedPqSeeds(spark, dir)
     pqFlaggedServe(pqCodes(e, seeds), e, seeds)
+  }
+
+  /** The trained raw-vector codebook for a corpus, built ONCE and
+    * served from rest thereafter (VERDICT r14 §next-1): the first
+    * caller in a session pays [[buildPqIndex]] (hash seeding +
+    * [[PqLloydRounds]] Lloyd scans, persisted with the code relation
+    * and stats sidecar); every later caller — q101's in-session
+    * encode, q103's serve-from-rest, q107's IVF-PQ composition, and
+    * every bench repeat — reads the ≤17-row stored codebook. Training
+    * is deterministic for a given corpus, so the stored codewords
+    * equal the oracle's inline derivation and the round-trip changes
+    * no result row (parquet doubles are exact). At 100 TB this is the
+    * difference between 3 extra full-corpus scans per ad-hoc ANN query
+    * and a 17-row table read. */
+  private[graft] def trainedPqSeeds(spark: SparkSession,
+      dir: String): Seq[(Long, Seq[Double])] = {
+    val idx = pqIndexTable(dir)
+    if (!spark.catalog.tableExists(idx))
+      buildPqIndex(pqVectors(spark, dir), idx)
+    storedPqSeeds(spark, idx)
   }
 
   /** The embeddings relation in PQ shape: `(vec_id, e: array<double>)`. */
@@ -3048,23 +3068,27 @@ object Pipeline {
   private[graft] def pqLloydRound(e: DataFrame,
       seeds: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
     val (codes, _) = pqCodeColumns(seeds)
-    // one scan: explode dims, key each value by (subspace, assigned
-    // codeword, dim-in-subspace) — partial-aggregated means, ≤1024 rows
-    val stats = e.select(codes.as("codes"), posexplode(col("e")))
-      .select(expr("pos div 16").cast("int").as("s"),
-        pmod(col("pos"), lit(16)).cast("int").as("i"),
-        element_at(col("codes"),
-          (expr("pos div 16") + 1).cast("int")).as("code"),
-        col("col").as("v"))
-      .groupBy(col("s"), col("code"), col("i"))
-      .agg(round(avg(col("v")), 6).as("cavg"))
+    // one scan: explode the 4 SUBSPACES, not the 64 dims (VERDICT r14
+    // §next-2 — 16× fewer rows through the exchange for identical
+    // means), key each subvector by (subspace, assigned codeword) and
+    // aggregate the 16 dimension means as COLUMNS of the same row —
+    // partial-aggregated, ≤4·16 rows collected
+    val dimAggs = (0 until PqSubDim).map(i =>
+      round(avg(element_at(col("sub"), i + 1)), 6).as(s"c$i"))
+    val stats = e.select(codes.as("codes"),
+        posexplode(array((0 until PqSubspaces)
+          .map(s => pqSubvec(col("e"), s)): _*)))
+      .select(col("pos").cast("int").as("s"),
+        element_at(col("codes"), col("pos").cast("int") + 1).as("code"),
+        col("col").as("sub"))
+      .groupBy(col("s"), col("code"))
+      .agg(dimAggs.head, dimAggs.tail: _*)
       .collect()
     val moved = scala.collection.mutable.HashMap
       .empty[(Int, Int), Array[Double]]
     stats.foreach { r =>
       val key = (r.getInt(0), r.getInt(1)) // (subspace, codeword idx)
-      moved.getOrElseUpdate(key, new Array[Double](PqSubDim))(r.getInt(2)) =
-        r.getDouble(3)
+      moved(key) = Array.tabulate(PqSubDim)(i => r.getDouble(2 + i))
     }
     seeds.zipWithIndex.map { case ((label, cvec), idx) =>
       val nv = (0 until PqSubspaces).flatMap { s =>
@@ -3298,7 +3322,7 @@ object Pipeline {
       labelCentroids(spark, dir), ClusterTargetOccupancy)
       .persist(CacheLevel)
     members.count()
-    val seeds = pqSeeds(e)
+    val seeds = trainedPqSeeds(spark, dir)
     val (codesCol, _) = pqCodeColumns(seeds)
     val coded = members.select(col("vec_id"), col("cluster"),
       codesCol.as("codes"))
@@ -3338,6 +3362,33 @@ object Pipeline {
 
   // ------------------------------- q109: residual IVF-PQ composed
 
+  /** Managed-table base name for the q109 residual codebook (the
+    * codebook lands at `<base>_codebook`, the [[storedPqSeeds]]
+    * contract). */
+  private[graft] def pqResidualCodebookTable(dir: String): String =
+    "graft_pqres_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** The trained RESIDUAL codebook for a corpus — [[trainedPqSeeds]]'
+    * train-once discipline for q109's basis: residuals depend on the
+    * coarse centroids, so the raw-vector codebook cannot be shared,
+    * but the residual relation is just as deterministic per corpus
+    * and its trained codewords persist the same way. Only the ≤17-row
+    * codebook goes to rest (residual CODES are per-cell
+    * basis-dependent and a cheap map-side fold over the already-
+    * persisted membership — the expensive artifact is the Lloyd
+    * training, paid once). `residuals` is by-name so the training
+    * input is only evaluated on a build. */
+  private[graft] def trainedResidualPqSeeds(spark: SparkSession,
+      dir: String, residuals: => DataFrame): Seq[(Long, Seq[Double])] = {
+    val base = pqResidualCodebookTable(dir)
+    if (!spark.catalog.tableExists(base + "_codebook")) {
+      import spark.implicits._
+      Layout.writeCodebook(pqSeeds(residuals).toDF("label", "cvec"),
+        base + "_codebook")
+    }
+    storedPqSeeds(spark, base)
+  }
+
   /** L3 — IVF-PQ with RESIDUAL encoding, the textbook refinement over
     * q107 (Jégou et al. §IVFADC; FAISS's default): vectors inside one
     * coarse cell share that cell's centroid, so quantizing the
@@ -3371,7 +3422,8 @@ object Pipeline {
       .join(broadcast(cents.select(col("label").cast("long").as("label"),
         col("cvec").cast("array<double>").as("cvec"))), "label")
       .withColumn("r", zip_with(col("e"), col("cvec"), (a, b) => a - b))
-    val seeds = pqSeeds(withRes.select(col("vec_id"), col("r").as("e")))
+    val seeds = trainedResidualPqSeeds(spark, dir,
+      withRes.select(col("vec_id"), col("r").as("e")))
     val (codesCol, _) = pqCodeColumns(seeds)
     val coded = withRes.select(col("vec_id"), col("cluster"), col("r").as("e"))
       .select(col("vec_id"), col("cluster"), codesCol.as("codes"))
@@ -3618,14 +3670,19 @@ object Pipeline {
   private[graft] def markupPages(d: DataFrame): DataFrame =
     d.select(col("doc_id"), col("lang"),
       concat(
-        lit("<nav><a href=\"/\">home</a> <a href=\"/a\">about</a> " +
-          "<a href=\"/b\">contact</a></nav>\n<h1>Document "),
+        // nav carries attribute'd block tags plus case/whitespace
+        // anchor variants (`<A HREF`, `<a\thref`) — the VERDICT r14
+        // realism ask; the second <p> line nests inline tags
+        lit("<nav class=\"top\"><a href=\"/\">home</a> " +
+          "<A HREF=\"/a\">about</A> <a\thref=\"/b\">contact</a></nav>" +
+          "\n<h1 id=\"t\">Document "),
         col("doc_id").cast("string"),
-        lit("</h1>\n<p>"),
+        lit("</h1>\n<p class=\"lead\">"),
         expr("substring(text, 1, length(text) div 2)"),
         lit("</p>\n<li>menu</li>\n<p>"),
         expr("substring(text, length(text) div 2 + 1, length(text))"),
-        lit("</p>\n<footer>copyright 2026 all rights reserved</footer>"))
+        lit(" <em>ends <b>here</b></em></p>" +
+          "\n<footer>copyright 2026 all rights reserved</footer>"))
         .as("html"))
 
   /** Tag-strip for one markup line: remove every `<…>` span, trim.
@@ -3635,10 +3692,13 @@ object Pipeline {
   private[graft] def markupLineClean(line: Column): Column =
     trim(regexp_replace(line, "<[^>]*>", ""))
 
-  /** Anchor-tag count per line (integer, exact: occurrences of the
-    * literal `<a ` marker). */
+  /** Anchor-tag count per line: case-insensitive `<a` openers followed
+    * by whitespace or `>` — tolerant of `<A HREF`, `<a\thref`, and
+    * bare `<a>` (the VERDICT r14 hardening over the literal `"<a "`
+    * marker, which undercounted every variant). Same RE2-compatible
+    * pattern both engines. */
   private[graft] def markupLineLinks(line: Column): Column =
-    ((length(line) - length(regexp_replace(line, "<a ", ""))) / 3)
+    size(regexp_extract_all(line, lit("(?i)<a[ \\t>]"), lit(0)))
       .cast("int")
 
   /** The line-level keep rule — the RefinedWeb shape (q79 cites the
@@ -5127,11 +5187,11 @@ object Pipeline {
     private val q112 =
       """WITH pages AS (
         |  SELECT doc_id, lang,
-        |    '<nav><a href="/">home</a> <a href="/a">about</a> <a href="/b">contact</a></nav>' || chr(10) ||
-        |    '<h1>Document ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
-        |    '<p>' || substr(text, 1, length(text) // 2) || '</p>' || chr(10) ||
+        |    '<nav class="top"><a href="/">home</a> <A HREF="/a">about</A> <a' || chr(9) || 'href="/b">contact</a></nav>' || chr(10) ||
+        |    '<h1 id="t">Document ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+        |    '<p class="lead">' || substr(text, 1, length(text) // 2) || '</p>' || chr(10) ||
         |    '<li>menu</li>' || chr(10) ||
-        |    '<p>' || substr(text, length(text) // 2 + 1) || '</p>' || chr(10) ||
+        |    '<p>' || substr(text, length(text) // 2 + 1) || ' <em>ends <b>here</b></em></p>' || chr(10) ||
         |    '<footer>copyright 2026 all rights reserved</footer>' AS html
         |  FROM documents),
         |ln AS (
@@ -5141,7 +5201,7 @@ object Pipeline {
         |sc AS (
         |  SELECT doc_id, lang, raw_chars,
         |    length(trim(regexp_replace(line, '<[^>]*>', '', 'g'))) AS clean_len,
-        |    (length(line) - length(replace(line, '<a ', ''))) // 3 AS n_links,
+        |    len(regexp_extract_all(line, '(?i)<a[ \t>]')) AS n_links,
         |    contains(lower(trim(regexp_replace(line, '<[^>]*>', '', 'g'))),
         |      'copyright') AS has_copy
         |  FROM ln),
@@ -5161,6 +5221,85 @@ object Pipeline {
         |  round(sum(extracted_chars)::DOUBLE / sum(raw_chars), 6) AS extracted_share,
         |  round(sum(n_dropped)::DOUBLE / sum(n_lines), 6) AS dropped_line_share
         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+
+    /** q113 — the end-to-end curation funnel twin: the corpus CTE is
+      * q50/q111's reinsertion corpus WITH lang; every stage reuses the
+      * standalone query's exact fragment (q46's verdict CASE, q91's
+      * canonical digest, the shared [[nearDupCcChain]] over the
+      * stage-2 survivors, q49's 8-gram shape, q54's hash quota
+      * recomputed on the stage-4 counts); the report is six
+      * per-language rollups unioned — the hash match proves the
+      * COMPOSITION drops exactly the documents the standalone stages
+      * drop. */
+    val q113 =
+      s"""WITH corpus AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, lang, text || ' extra token tail' FROM documents WHERE doc_id % 11 = 0),
+         |qv AS (
+         |  SELECT doc_id, lang, text,
+         |    CASE WHEN n < 20 THEN 'too_short' WHEN n > 90 THEN 'too_long'
+         |      WHEN ttr < 0.35 THEN 'low_diversity' WHEN rep > 0.08 THEN 'repetitive'
+         |      ELSE 'keep' END AS verdict
+         |  FROM (
+         |    SELECT doc_id, lang, text, len(toks) AS n,
+         |      len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+         |      CASE WHEN len(toks) >= 2
+         |        THEN 1.0 - len(list_distinct(list_transform(
+         |          generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])))
+         |          * 1.0 / (len(toks) - 1)
+         |        ELSE 0.0 END AS rep
+         |    FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM corpus))),
+         |s1 AS (SELECT doc_id, lang, text FROM qv WHERE verdict = 'keep'),
+         |s2 AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text, min(doc_id) OVER (PARTITION BY md5(
+         |      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         |        ' +', ' ', 'g')))) AS min_id
+         |    FROM s1)
+         |  WHERE doc_id = min_id),
+         |${nearDupCcChain("s2")},
+         |sl AS (SELECT doc_id AS node, CAST(length(text) AS BIGINT) AS len FROM s2),
+         |keepers AS (
+         |  SELECT r.label, arg_max(r.node, sl.len * 1000000000 - r.node) AS keep_id
+         |  FROM reach r JOIN sl ON sl.node = r.node GROUP BY r.label),
+         |dd AS (
+         |  SELECT r.node AS doc_id FROM reach r JOIN keepers k ON r.label = k.label
+         |  WHERE r.node != k.keep_id),
+         |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM dd)),
+         |eg AS (
+         |  SELECT DISTINCT ${phm("gram")} AS h FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(toks) - 7),
+         |      i -> array_to_string(toks[i:i+7], ' '))) AS gram
+         |    FROM (SELECT string_split(text, ' ') AS toks FROM documents
+         |          WHERE doc_id % 17 = 0)
+         |    WHERE len(toks) >= 8)),
+         |cont AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, ${phm("gram")} AS h FROM (
+         |      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
+         |        i -> array_to_string(toks[i:i+7], ' '))) AS gram
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM s3)
+         |      WHERE len(toks) >= 8))
+         |  WHERE h IN (SELECT h FROM eg)),
+         |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |cn AS (SELECT lang, count(*) AS n_lang FROM s4 GROUP BY lang),
+         |mn AS (SELECT min(n_lang) AS n_min FROM cn),
+         |s5 AS (
+         |  SELECT s4.doc_id, s4.lang FROM s4 JOIN cn USING (lang), mn
+         |  WHERE ${ph("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |    < (n_min * 1000000) // n_lang),
+         |f AS (
+         |  SELECT 0 AS stage, 'ingest' AS stage_name, lang, count(*) AS n_docs FROM corpus GROUP BY lang
+         |  UNION ALL SELECT 1, 'quality_gate', lang, count(*) FROM s1 GROUP BY lang
+         |  UNION ALL SELECT 2, 'canonical_dedup', lang, count(*) FROM s2 GROUP BY lang
+         |  UNION ALL SELECT 3, 'near_dup_keeper', lang, count(*) FROM s3 GROUP BY lang
+         |  UNION ALL SELECT 4, 'decontam', lang, count(*) FROM s4 GROUP BY lang
+         |  UNION ALL SELECT 5, 'mixing_quota', lang, count(*) FROM s5 GROUP BY lang)
+         |SELECT CAST(stage AS INT) AS stage, stage_name, lang, n_docs
+         |FROM f ORDER BY stage, lang""".stripMargin
 
     val all: Map[String, String] = Map(
       "q23_exact_dedup" -> q23,
@@ -5229,6 +5368,7 @@ object Pipeline {
       "q110_dedup_yield" -> q110,
       "q111_cluster_keepers" -> q111,
       "q112_markup_extract" -> q112,
+      "q113_curation_funnel" -> q113,
     )
   }
 }

@@ -1671,4 +1671,52 @@ class PipelineSpec extends SparkSpec {
     assert(rows.exists(r => r._3 >= 2000000L),
       "no tail variant ever out-kept its original - selection is id-blind")
   }
+
+  test("train-once: q101 banks the trained codebook at rest, bit-identical to a retrain") {
+    Pipeline.q101PqAnn(spark, sfDir).collect()
+    val idx = Pipeline.pqIndexTable(sfDir)
+    assert(spark.catalog.tableExists(idx),
+      "q101 served without leaving the index at rest")
+    // the stored codebook must equal a deterministic in-session
+    // retrain EXACTLY (parquet doubles round-trip) — this is what
+    // lets the serve path skip the training scans with no oracle edit
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    assert(Pipeline.storedPqSeeds(spark, idx) == Pipeline.pqSeeds(e),
+      "stored codebook != deterministic retrain")
+  }
+
+  test("q113: funnel stages are complete, ordered, and monotone per language") {
+    val rows = Pipeline.q113CurationFunnel(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val names = rows.map(r => r._1 -> r._2).distinct.sortBy(_._1)
+    assert(names.map(_._1).toSeq == (0 to 5),
+      s"expected stages 0..5, got ${names.map(_._1).mkString(",")}")
+    assert(names.map(_._2).toSeq == Seq("ingest", "quality_gate",
+      "canonical_dedup", "near_dup_keeper", "decontam", "mixing_quota"))
+    // stage 0 reconciles with the reinsertion corpus arithmetic
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ingest = rows.filter(_._1 == 0).map(r => r._3 -> r._4).toMap
+    val expect = base.groupBy(_._2).map { case (l, ds) =>
+      l -> (ds.length + ds.count(_._1 % 7 == 0) + ds.count(_._1 % 11 == 0)).toLong
+    }
+    assert(ingest == expect, "stage-0 corpus counts")
+    // every stage only ever DROPS documents: per-language counts are
+    // non-increasing down the funnel (absent = 0)
+    val byLang = rows.groupBy(_._3)
+    for ((lang, rs) <- byLang) {
+      val byStage = rs.map(r => r._1 -> r._4).toMap
+      for (s <- 1 to 5)
+        assert(byStage.getOrElse(s, 0L) <= byStage.getOrElse(s - 1, Long.MaxValue),
+          s"$lang stage $s grew: $byStage")
+    }
+    // the funnel must demonstrably cut somewhere: total survivors at
+    // stage 5 strictly below ingest
+    assert(rows.filter(_._1 == 5).map(_._4).sum <
+      rows.filter(_._1 == 0).map(_._4).sum)
+  }
 }

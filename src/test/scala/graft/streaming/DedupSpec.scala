@@ -423,7 +423,7 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     // independent plain-scala replay of the tag-strip + rule cascade
     def cleanLine(l: String) = l.replaceAll("<[^>]*>", "").trim
-    def links(l: String) = l.sliding(3).count(_ == "<a ")
+    def links(l: String) = "(?i)<a[ \t>]".r.findAllIn(l).size
     def keep(l: String) = {
       val c = cleanLine(l)
       c.length >= 25 && links(l) < 2 && !c.toLowerCase.contains("copyright")

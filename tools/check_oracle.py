@@ -12,6 +12,8 @@ Runs `sbt runMain graft.Verify` first unless outdir already has results and
 """
 import json
 import math
+import os
+import re
 import subprocess
 import sys
 from pathlib import Path
@@ -20,13 +22,21 @@ import duckdb
 import pandas as pd
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+OUT_ARG = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+# Verify redirects restricted dumps to their own directory (ADVICE r14)
+# -- pass the raw dir through, READ from the suffixed one it writes
+OUT = OUT_ARG
+_only = os.environ.get("SPARK_GRAFT_ONLY")
+if _only:
+    names = sorted(n.strip() for n in _only.split(","))
+    OUT = Path(str(OUT_ARG) + "_only_"
+               + re.sub(r"[^A-Za-z0-9_]", "_", "_".join(names)))
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 if "--no-run" not in sys.argv:
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT_ARG}'],
         cwd="/root/repo", capture_output=True, text=True)
     if r.returncode != 0:
         print(r.stdout[-4000:], r.stderr[-4000:])
