@@ -259,6 +259,9 @@ object SparkEntry {
     // end-to-end curation funnel: gate → canonical dedup → near-dup
     // keepers → decontam → mixing quota, per-stage survivor counts
     "q113_curation_funnel" -> (Pipeline.q113CurationFunnel _),
+    // ANN tuning sweep: recall@5 vs candidates at probe radius 0/1 —
+    // the nprobe knob table, measured against the exact top-5
+    "q114_ann_recall_sweep" -> (Pipeline.q114AnnRecallSweep _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3881,6 +3881,93 @@ object Pipeline {
       java.util.Arrays.asList(snapshot: _*), out.schema)
   }
 
+  // ------------- q114: ANN recall/efficiency sweep (multi-probe knob)
+
+  /** L3 — the IVF TUNING report: recall@5 versus candidates-scanned at
+    * probe radius 0 (q31's nprobe=1 home fine cluster) and radius 1
+    * (the q51 Hamming-1 multi-probe trade), each measured against the
+    * exact full-corpus top-5. This is the knob table a production ANN
+    * deployment publishes before fixing nprobe: each probe radius
+    * multiplies the candidate list by ~the active bit count while
+    * recovering the single-plane SRP splits (a true neighbour lands
+    * across one hyperplane with probability ~θ/π per plane), so the
+    * deployment reads recall-per-candidate directly instead of
+    * guessing. Radius 1 probes strictly contain radius 0's home
+    * cluster, so recall is non-decreasing in radius BY CONSTRUCTION —
+    * asserted in the spec, visible in the report.
+    *
+    * Scale posture (100 TB): ONE persisted membership feeds the query
+    * set, both candidate joins, and the exact harness; candidate
+    * lists stay O(occupancy × probes) per query at ANY corpus size
+    * (the corpus-scaled nlist bound — occupancy ≤ 32, probes ≤ 33);
+    * the query side is always BROADCAST (≤10 rows, ≤330 probe rows).
+    * The exact top-5 is the measurement harness, not the serve path —
+    * one corpus scan against the broadcast query set, the offline
+    * audit a deployment runs on SAMPLED queries per corpus version.
+    * The report is two fixed-width rows. */
+  def q114AnnRecallSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = pqVectors(spark, dir)
+    val members = mapSideFineClusters(e, labelCentroids(spark, dir),
+      ClusterTargetOccupancy).persist(CacheLevel)
+    members.count()
+    val queries = members.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("cluster"), col("mask"))
+    val byQ = Window.partitionBy(col("qid"))
+    // exact full-corpus top-5 per query: the q31 ranking discipline
+    // (round-4 cosine desc, vec_id tiebreak — unique, both engines
+    // pick one winner)
+    val exact = e.join(broadcast(queries.select(col("qid"), col("qe"))),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(vecCosine(col("qe"), col("e")), 4).as("c4"))
+      .withColumn("xr",
+        row_number().over(byQ.orderBy(col("c4").desc, col("vec_id"))))
+      .filter(col("xr") <= TopK)
+      .select(col("qid"), col("vec_id"))
+    // radius-1 probe clusters: home + every active-bit flip (the
+    // [[hammingProbes]] expansion applied to the QUERY side — flips
+    // land on distinct cluster ids, so candidates never duplicate)
+    val probed = queries.select(col("qid"), col("qe"),
+      explode(concat(array(col("cluster")),
+        filter(transform(sequence(lit(0), lit(MaxHyperplanes - 1)),
+          j => when(col("mask").bitwiseAND(pow(lit(2.0), j).cast("long")) =!= 0L,
+            col("cluster").bitwiseXOR(pow(lit(2.0), j).cast("long")))),
+          x => x.isNotNull))).as("cluster"))
+    def cands(qrel: DataFrame): DataFrame =
+      members.select(col("vec_id"), col("e"), col("cluster"))
+        .join(broadcast(qrel), Seq("cluster"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(vecCosine(col("qe"), col("e")), 4).as("c4"))
+    def sweep(radius: Int, cand: DataFrame): DataFrame = {
+      val top = cand
+        .withColumn("rk",
+          row_number().over(byQ.orderBy(col("c4").desc, col("vec_id"))))
+        .filter(col("rk") <= TopK)
+        .join(exact, Seq("qid", "vec_id"), "left_semi")
+      queries.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(top.agg(count(lit(1)).as("n_hits")))
+        .select(lit(radius).cast("int").as("radius"),
+          col("n_queries"), col("n_candidates"),
+          round(col("n_candidates").cast("double") / col("n_queries"), 6)
+            .as("avg_candidates"),
+          col("n_hits"),
+          round(col("n_hits").cast("double") / (col("n_queries") * TopK), 6)
+            .as("recall_at_5"))
+    }
+    val out = sweep(0,
+        cands(queries.select(col("qid"), col("qe"), col("cluster"))))
+      .unionByName(sweep(1, cands(probed)))
+      .orderBy(col("radius"))
+    // 2 fixed-width rows: snapshot, then release the membership
+    val snapshot = out.collect()
+    members.unpersist(blocking = false)
+    spark.createDataFrame(
+      java.util.Arrays.asList(snapshot: _*), out.schema)
+  }
+
   object Sql {
     private val P = "2147483647"
     private def ph(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
@@ -5301,6 +5388,62 @@ object Pipeline {
          |SELECT CAST(stage AS INT) AS stage, stage_name, lang, n_docs
          |FROM f ORDER BY stage, lang""".stripMargin
 
+    /** q114 — the sweep twin: q31's `cent` + [[fineClusterCtes]] give
+      * the membership, q51's probe-expansion idiom gives the radius-1
+      * clusters, both radii rank by the q31 discipline (round-4
+      * cosine desc, id tiebreak) and score against the exact
+      * full-corpus top-5; every count is an integer, the two ratios
+      * divide once at the end. */
+    val q114 =
+      s"""WITH cent AS (
+         |  SELECT label, list(cavg ORDER BY pos) AS cvec FROM (
+         |    SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 6) AS cavg
+         |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i)
+         |  GROUP BY label),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |${fineClusterCtes("e")},
+         |q AS (SELECT vec_id AS qid, e AS qe, cluster, mask FROM m WHERE vec_id < 10),
+         |ex AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, v.vec_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        round(${cos("q.qe", "v.e")}, 4) DESC, v.vec_id) AS xr
+         |    FROM q CROSS JOIN e v WHERE v.vec_id != q.qid)
+         |  WHERE xr <= 5),
+         |p1 AS (
+         |  SELECT qid, qe,
+         |    unnest(list_prepend(cluster, list_transform(
+         |      list_filter(generate_series(0, 31), j -> (mask & CAST(2**j AS BIGINT)) != 0),
+         |      j -> xor(cluster, CAST(2**j AS BIGINT))))) AS cluster
+         |  FROM q),
+         |c0 AS (
+         |  SELECT q.qid, m.vec_id, round(${cos("q.qe", "m.e")}, 4) AS c4
+         |  FROM m JOIN q USING (cluster) WHERE m.vec_id != q.qid),
+         |c1 AS (
+         |  SELECT p.qid, m.vec_id, round(${cos("p.qe", "m.e")}, 4) AS c4
+         |  FROM m JOIN p1 p USING (cluster) WHERE m.vec_id != p.qid),
+         |t0 AS (
+         |  SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c4 DESC, vec_id) AS rk
+         |    FROM c0) WHERE rk <= 5),
+         |t1 AS (
+         |  SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c4 DESC, vec_id) AS rk
+         |    FROM c1) WHERE rk <= 5),
+         |r0 AS (
+         |  SELECT 0 AS radius, (SELECT count(*) FROM q) AS n_queries,
+         |    (SELECT count(*) FROM c0) AS n_candidates,
+         |    (SELECT count(*) FROM t0 JOIN ex USING (qid, vec_id)) AS n_hits),
+         |r1 AS (
+         |  SELECT 1 AS radius, (SELECT count(*) FROM q) AS n_queries,
+         |    (SELECT count(*) FROM c1) AS n_candidates,
+         |    (SELECT count(*) FROM t1 JOIN ex USING (qid, vec_id)) AS n_hits)
+         |SELECT CAST(radius AS INT) AS radius, n_queries, n_candidates,
+         |  round(n_candidates::DOUBLE / n_queries, 6) AS avg_candidates,
+         |  n_hits, round(n_hits::DOUBLE / (n_queries * 5), 6) AS recall_at_5
+         |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
+         |ORDER BY radius""".stripMargin
+
     val all: Map[String, String] = Map(
       "q23_exact_dedup" -> q23,
       "q87_fuzzy_join" -> q87,
@@ -5369,6 +5512,7 @@ object Pipeline {
       "q111_cluster_keepers" -> q111,
       "q112_markup_extract" -> q112,
       "q113_curation_funnel" -> q113,
+      "q114_ann_recall_sweep" -> q114,
     )
   }
 }

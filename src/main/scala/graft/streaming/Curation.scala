@@ -90,6 +90,31 @@ object Curation {
       .drop(htmlCol)
   }
 
+  /** The canonical ingest chain COMPOSED — the streaming face of the
+    * batch curation funnel's front half (q113 stages 0–2): markup
+    * extraction → quality gate → PII scrub → normalization-aware
+    * dedup, as ONE transform a crawl ingest binds to its page stream.
+    * Every stage is the already-proven shared-definition face
+    * ([[markupExtract]] / [[qualityGate]] / [[piiScrub]] /
+    * [[Dedup.dedupNormalized]]), in the canonical order: extraction
+    * first because every quality heuristic assumes clean text, the
+    * gate before the scrub so dead documents never pay regex work,
+    * the scrub before dedup so redacted variants collapse.
+    *
+    * Statefulness: the first three stages are pure map-side column
+    * logic (zero state), so the ONLY state the composition holds is
+    * the dedup stage's watermark-bounded canonical digests — one
+    * 16-byte digest per kept document inside the horizon, RocksDB-
+    * backed like every dedup gate. Append mode end to end. At 100 TB
+    * ingest this is the order that minimizes both state and compute:
+    * markup (the bulkiest bytes) drops at the first map, gated
+    * documents never reach the state store. */
+  def ingestGate(pages: DataFrame, htmlCol: String, eventTimeCol: String,
+      horizon: String): DataFrame =
+    Dedup.dedupNormalized(
+      piiScrub(qualityGate(markupExtract(pages, htmlCol), "text"), "text"),
+      "text", eventTimeCol, horizon)
+
   /** Score arriving documents against a STATIC bigram-LM snapshot —
     * the near-line face of q70: the LM (`(bg, logp)`, the artifact
     * [[Pipeline.bigramLm]] derives and a nightly batch job would

@@ -1687,6 +1687,30 @@ class PipelineSpec extends SparkSpec {
       "stored codebook != deterministic retrain")
   }
 
+  test("q114: probe radius 1 dominates radius 0 in candidates AND recall") {
+    val rows = Pipeline.q114AnnRecallSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0, 1), "exactly radii 0 and 1")
+    val Seq(r0, r1) = rows.toSeq
+    // same query set both rows
+    assert(r0._2 == r1._2 && r0._2 > 0)
+    // radius-1 probes strictly contain the home cluster, so both the
+    // candidate count and the exact-top-5 hit count dominate
+    assert(r1._3 >= r0._3, s"candidates shrank: ${r0._3} -> ${r1._3}")
+    assert(r1._5 >= r0._5, s"recall shrank: ${r0._5} -> ${r1._5}")
+    // multi-probe must genuinely widen the search somewhere
+    assert(r1._3 > r0._3, "radius 1 scanned nothing beyond the home cluster")
+    // the derived ratios reconcile with the integer counts exactly
+    for ((_, nq, nc, avg, nh, rec) <- rows) {
+      assert(math.abs(avg - BigDecimal(nc.toDouble / nq)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      assert(math.abs(rec - BigDecimal(nh.toDouble / (nq * 5))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      assert(nh <= nq * 5)
+    }
+  }
+
   test("q113: funnel stages are complete, ordered, and monotone per language") {
     val rows = Pipeline.q113CurationFunnel(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))

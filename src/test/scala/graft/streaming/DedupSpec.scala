@@ -457,6 +457,43 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("composed ingest gate: extract -> gate -> scrub -> dedup in one append chain") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val good = Seq.tabulate(30)(i => s"tok$i").mkString(" ")
+    val caseVariant = good.toUpperCase // same canonical digest as `good`
+    val short = "tiny text" // fails the short-line rule, then the gate
+    val pii = Seq.tabulate(28)(i => s"w$i").mkString(" ") +
+      " mail me@site.example now"
+    val in = MemoryStream[(Long, String, Long)] // (doc_id, html, epoch sec)
+    val pages = in.toDF().toDF("doc_id", "html", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = Curation.ingestGate(pages, "html", "ts", "10 minutes")
+    val query = out.writeStream.format("memory").queryName("ingest_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, s"<p>$good</p>", 1L), (2L, s"<p>$caseVariant</p>", 2L),
+        (3L, s"<p>$short</p>", 3L), (4L, s"<p>$pii</p>", 4L))
+      query.processAllAvailable()
+      val got = spark.table("ingest_mem").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      // doc 3: every line fails extraction, the empty text fails the
+      // gate; doc 2: the case variant collapses onto doc 1's canonical
+      // digest (within one batch the first arrival wins); doc 4:
+      // survives with its email redacted and counted
+      assert(got.keySet == Set(1L, 4L), s"got ${got.keySet}")
+      assert(got(4L).getAs[Int]("n_pii") == 1)
+      assert(got(4L).getAs[String]("text").contains("<EMAIL>"))
+      assert(!got(4L).getAs[String]("text").contains("site.example"))
+      // extraction metadata rides through the whole chain
+      assert(got.values.forall(_.getAs[Int]("n_lines") == 1))
+      assert(got(1L).getAs[String]("text") == good)
+      // the composition's ONLY stateful operator is the dedup stage
+      val stateOps = query.lastProgress.stateOperators
+      assert(stateOps.length == 1, s"expected 1 state op, got ${stateOps.length}")
+    } finally query.stop()
+  }
+
   test("streaming bigram scoring against a static LM snapshot agrees with the batch formula") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // "nightly" corpus → LM snapshot via the shared batch derivation
