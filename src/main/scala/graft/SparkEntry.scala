@@ -262,6 +262,9 @@ object SparkEntry {
     // ANN tuning sweep: recall@5 vs candidates at probe radius 0/1 —
     // the nprobe knob table, measured against the exact top-5
     "q114_ann_recall_sweep" -> (Pipeline.q114AnnRecallSweep _),
+    // crawl-over-crawl token-distribution drift: integer-exact total
+    // variation per language — the refit signal for tokenizer/LM/mix
+    "q115_token_drift" -> (Pipeline.q115TokenDrift _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

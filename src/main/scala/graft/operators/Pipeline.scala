@@ -3881,6 +3881,70 @@ object Pipeline {
       java.util.Arrays.asList(snapshot: _*), out.schema)
   }
 
+  // -------------- q115: crawl-over-crawl token-distribution drift
+
+  /** L4 — token-distribution DRIFT between two crawl snapshots: the
+    * corpus-maintenance signal complementing q106's doc-level diff
+    * (same mutation rules, so the two reports describe the SAME crawl
+    * pair): per language, token totals and vocabulary sizes of both
+    * versions, new/lost token-type counts, and the TOTAL-VARIATION
+    * distance between the two token distributions — the number a
+    * corpus maintainer thresholds to decide whether downstream
+    * artifacts (tokenizer merges q100, LM snapshots q58/q70, mixing
+    * weights q54) need a refit after a re-crawl.
+    *
+    * TV is computed ENGINE-EXACTLY: `TV = Σ|p_i − q_i| / 2 =
+    * Σ|n1_i·T2 − n2_i·T1| / (2·T1·T2)` — the numerator is a pure
+    * int64 sum (exact in any order, the micro-unit discipline), and
+    * the single division + `round(·,6)` happens once per language at
+    * the very end. No per-token float ever crosses an exchange.
+    *
+    * Scale posture (100 TB): token counts partial-aggregate map-side
+    * before the one (lang, token) exchange; the version join is
+    * equi on (lang, token) over count-thin relations (no text); the
+    * ≤|lang|-row totals broadcast back; the result is ≤|lang| rows.
+    * At extreme totals (T ~ 10^13) the int64 numerator would
+    * overflow — normalize counts to parts-per-million first (the same
+    * trade the E4/E6 micro-units make) or lift to decimal; at any
+    * tested scale the products stay < 2^50. */
+  def q115TokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+    val v1 = base.select(col("lang"), col("text"))
+    // the q106 crawl-2 mutation rules, verbatim: %13 dropped, %7
+    // revised (" rev2" appended), %11 re-crawled as an exact copy
+    val v2 = base.filter(col("doc_id") % 13 =!= 0)
+      .select(col("lang"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(base.filter(col("doc_id") % 11 === 0)
+        .select(col("lang"), col("text")))
+    def tokCounts(v: DataFrame, n: String): DataFrame =
+      v.select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as(n))
+    val j = tokCounts(v1, "c1").join(tokCounts(v2, "c2"),
+        Seq("lang", "token"), "full_outer")
+      .select(col("lang"), coalesce(col("c1"), lit(0L)).as("n1"),
+        coalesce(col("c2"), lit(0L)).as("n2"))
+    val totals = j.groupBy(col("lang"))
+      .agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"),
+        sum(when(col("n1") > 0, 1L).otherwise(0L)).as("vocab_v1"),
+        sum(when(col("n2") > 0, 1L).otherwise(0L)).as("vocab_v2"),
+        sum(when(col("n1") === 0, 1L).otherwise(0L)).as("n_new_tokens"),
+        sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_lost_tokens"))
+    val num = j.join(broadcast(totals.select(col("lang"), col("t1"), col("t2"))),
+        "lang")
+      .groupBy(col("lang"))
+      .agg(sum(abs(col("n1") * col("t2") - col("n2") * col("t1"))).as("num"))
+    totals.join(num, "lang")
+      .select(col("lang"), col("t1").as("n_tokens_v1"),
+        col("t2").as("n_tokens_v2"), col("vocab_v1"), col("vocab_v2"),
+        col("n_new_tokens"), col("n_lost_tokens"),
+        round(col("num").cast("double") /
+          (col("t1").cast("double") * col("t2").cast("double") * 2.0), 6)
+          .as("tv_distance"))
+      .orderBy(col("lang"))
+  }
+
   // ------------- q114: ANN recall/efficiency sweep (multi-probe knob)
 
   /** L3 — the IVF TUNING report: recall@5 versus candidates-scanned at
@@ -5388,6 +5452,43 @@ object Pipeline {
          |SELECT CAST(stage AS INT) AS stage, stage_name, lang, n_docs
          |FROM f ORDER BY stage, lang""".stripMargin
 
+    /** q115 — the drift twin: the q106 crawl-2 mutation CTE verbatim,
+      * (lang, token) counts full-outer joined, the TV numerator as a
+      * HUGEINT-exact `sum(abs(n1·t2 − n2·t1))`, one division +
+      * round(6) per language at the end. */
+    val q115 =
+      """WITH v1 AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |v2src AS (
+        |  SELECT lang, CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 != 0
+        |  UNION ALL
+        |  SELECT lang, text FROM documents WHERE doc_id % 11 = 0),
+        |v2 AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM v2src),
+        |c1 AS (SELECT lang, token, count(*) AS n1 FROM v1 GROUP BY lang, token),
+        |c2 AS (SELECT lang, token, count(*) AS n2 FROM v2 GROUP BY lang, token),
+        |j AS (
+        |  SELECT lang, coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+        |  FROM c1 FULL OUTER JOIN c2 USING (lang, token)),
+        |t AS (
+        |  SELECT lang, sum(n1) AS t1, sum(n2) AS t2,
+        |    sum(CASE WHEN n1 > 0 THEN 1 ELSE 0 END) AS vocab_v1,
+        |    sum(CASE WHEN n2 > 0 THEN 1 ELSE 0 END) AS vocab_v2,
+        |    sum(CASE WHEN n1 = 0 THEN 1 ELSE 0 END) AS n_new_tokens,
+        |    sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS n_lost_tokens
+        |  FROM j GROUP BY lang),
+        |d AS (
+        |  SELECT j.lang, sum(abs(n1 * t2 - n2 * t1)) AS num
+        |  FROM j JOIN t USING (lang) GROUP BY j.lang)
+        |SELECT t.lang, CAST(t1 AS BIGINT) AS n_tokens_v1,
+        |  CAST(t2 AS BIGINT) AS n_tokens_v2,
+        |  CAST(vocab_v1 AS BIGINT) AS vocab_v1,
+        |  CAST(vocab_v2 AS BIGINT) AS vocab_v2,
+        |  CAST(n_new_tokens AS BIGINT) AS n_new_tokens,
+        |  CAST(n_lost_tokens AS BIGINT) AS n_lost_tokens,
+        |  round(num::DOUBLE / (t1::DOUBLE * t2::DOUBLE * 2.0), 6) AS tv_distance
+        |FROM t JOIN d USING (lang) ORDER BY t.lang""".stripMargin
+
     /** q114 — the sweep twin: q31's `cent` + [[fineClusterCtes]] give
       * the membership, q51's probe-expansion idiom gives the radius-1
       * clusters, both radii rank by the q31 discipline (round-4
@@ -5513,6 +5614,7 @@ object Pipeline {
       "q112_markup_extract" -> q112,
       "q113_curation_funnel" -> q113,
       "q114_ann_recall_sweep" -> q114,
+      "q115_token_drift" -> q115,
     )
   }
 }

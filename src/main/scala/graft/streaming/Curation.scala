@@ -115,6 +115,35 @@ object Curation {
       piiScrub(qualityGate(markupExtract(pages, htmlCol), "text"), "text"),
       "text", eventTimeCol, horizon)
 
+  /** Windowed OUT-OF-VOCABULARY rate against a STATIC baseline
+    * vocabulary — the near-line tripwire for the batch drift report
+    * (q115): the full total-variation distance needs both complete
+    * distributions and stays a batch job, but the share of arriving
+    * token instances the baseline vocabulary has never seen is
+    * computable per event-time window with ONE watermarked windowed
+    * aggregation, and a rising OOV share is the earliest signal that
+    * the crawl drifted and the q100 merges / q58-q70 LMs / q54 mix
+    * need a refit. `vocab` is the artifact a nightly batch persists
+    * (e.g. crawl-1's distinct tokens); the join is stream-static,
+    * left to the planner (broadcast when the vocabulary fits); state
+    * is one count pair per open window, bounded by the watermark.
+    * Append mode: a window's row finalizes when the watermark passes
+    * its end. */
+  def windowedOovRate(docs: DataFrame, textCol: String,
+      eventTimeCol: String, windowLen: String, horizon: String,
+      vocab: DataFrame): DataFrame =
+    docs.withColumn("token", explode(split(col(textCol), " ")))
+      .join(vocab.select(col("token")).distinct()
+        .withColumn("known", lit(true)), Seq("token"), "left")
+      .withWatermark(eventTimeCol, horizon)
+      .groupBy(window(col(eventTimeCol), windowLen))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_share"))
+
   /** Score arriving documents against a STATIC bigram-LM snapshot —
     * the near-line face of q70: the LM (`(bg, logp)`, the artifact
     * [[Pipeline.bigramLm]] derives and a nightly batch job would

@@ -1687,6 +1687,45 @@ class PipelineSpec extends SparkSpec {
       "stored codebook != deterministic retrain")
   }
 
+  test("q115: token drift reconciles with an exact driver-side recomputation") {
+    val rows = Pipeline.q115TokenDrift(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+    assert(rows.nonEmpty)
+    // replicate both crawls and the exact integer TV on the driver
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def counts(docs: Seq[(String, String)]): Map[String, Map[String, Long]] =
+      docs.groupBy(_._1).map { case (l, ds) =>
+        l -> ds.flatMap(_._2.split(" ")).groupBy(identity)
+          .map { case (t, o) => t -> o.length.toLong }
+      }
+    val cv1 = counts(base.map(d => (d._2, d._3)).toSeq)
+    val cv2 = counts((base.filter(_._1 % 13 != 0).map(d =>
+        (d._2, if (d._1 % 7 == 0) d._3 + " rev2" else d._3)) ++
+      base.filter(_._1 % 11 == 0).map(d => (d._2, d._3))).toSeq)
+    assert(rows.keySet == cv1.keySet)
+    for (l <- rows.keySet) {
+      val (m1, m2) = (cv1(l), cv2.getOrElse(l, Map.empty[String, Long]))
+      val (t1, t2) = (m1.values.sum, m2.values.sum)
+      val vocab = m1.keySet ++ m2.keySet
+      val num = vocab.toSeq.map(t => math.abs(
+        m1.getOrElse(t, 0L) * t2 - m2.getOrElse(t, 0L) * t1)).sum
+      val tv = BigDecimal(num.toDouble / (t1.toDouble * t2.toDouble * 2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (g1, g2, gv1, gv2, gNew, gLost, gTv) = rows(l)
+      assert((g1, g2) == (t1, t2), s"$l totals")
+      assert((gv1, gv2) == (m1.size.toLong, m2.size.toLong), s"$l vocab")
+      assert(gNew == (m2.keySet -- m1.keySet).size.toLong, s"$l new")
+      assert(gLost == (m1.keySet -- m2.keySet).size.toLong, s"$l lost")
+      assert(math.abs(gTv - tv) < 1e-12, s"$l tv $gTv vs $tv")
+      assert(gTv >= 0.0 && gTv <= 1.0)
+    }
+    // the mutation rules guarantee SOME drift overall
+    assert(rows.values.map(_._7).sum > 0.0, "zero drift everywhere")
+  }
+
   test("q114: probe radius 1 dominates radius 0 in candidates AND recall") {
     val rows = Pipeline.q114AnnRecallSweep(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),

@@ -494,6 +494,35 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed OOV rate against a static vocabulary: exact counts per closed window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vocab = Seq("alpha", "beta", "gamma").toDF("token")
+    val in = MemoryStream[(Long, String, Long)] // (doc_id, text, epoch sec)
+    val docs = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = Curation.windowedOovRate(docs, "text", "ts",
+      "10 seconds", "5 seconds", vocab)
+    val query = out.writeStream.format("memory").queryName("oov_mem")
+      .outputMode("append").start()
+    try {
+      // window [0,10): 5 known + 1 unknown instance; [10,20): all novel
+      in.addData((1L, "alpha beta alpha", 1L), (2L, "gamma novel1 beta", 3L),
+        (3L, "novel2 novel2 novel3", 12L))
+      query.processAllAvailable()
+      // advance the watermark far enough to close both windows
+      in.addData((4L, "alpha", 60L))
+      query.processAllAvailable()
+      val got = spark.table("oov_mem").collect().map(r =>
+        r.getAs[java.sql.Timestamp]("window_start").getTime / 1000L ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+            r.getAs[Double]("oov_share"))).toMap
+      assert(got.contains(0L) && got.contains(10L), s"got ${got.keySet}")
+      assert(got(0L) == ((6L, 1L, BigDecimal(1.0 / 6.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)), s"${got(0L)}")
+      assert(got(10L) == ((3L, 3L, 1.0)), s"${got(10L)}")
+    } finally query.stop()
+  }
+
   test("streaming bigram scoring against a static LM snapshot agrees with the batch formula") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // "nightly" corpus → LM snapshot via the shared batch derivation
