@@ -3835,9 +3835,15 @@ object Pipeline {
       .groupBy(col("label"))
       .agg(max_by(col("node"),
         col("len") * lit(1000000000L) - col("node")).as("keep_id"))
+    // the drop lists are REUSED by every later stage's derivation AND
+    // rollup (s3 feeds s4 feeds s5; each rollup re-executes its
+    // lineage) — persist the two expensive ones so the LSH+CC chain
+    // and the 8-gram semi-join run exactly once per funnel execution
     val dupDrops = labels.join(keepers, "label")
       .filter(col("node") =!= col("keep_id"))
       .select(col("node").as("doc_id"))
+      .persist(NarrowCacheLevel)
+    dupDrops.count()
     val s3 = s2.join(dupDrops, Seq("doc_id"), "left_anti")
     // stage 4 — decontamination: drop survivors sharing any word-8-gram
     // with the eval benchmark (Bloom-pruned exact semi-join)
@@ -3852,6 +3858,8 @@ object Pipeline {
       .filter(mightContain(col("h")))
       .join(evalGrams, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
+      .persist(NarrowCacheLevel)
+    contaminated.count()
     val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
     // stage 5 — mixing quota recomputed on the survivor counts
     val counts = s4.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
@@ -3877,6 +3885,8 @@ object Pipeline {
     corpus.unpersist(blocking = false)
     s2.unpersist(blocking = false)
     evalGrams.unpersist(blocking = false)
+    dupDrops.unpersist(blocking = false)
+    contaminated.unpersist(blocking = false)
     spark.createDataFrame(
       java.util.Arrays.asList(snapshot: _*), out.schema)
   }
