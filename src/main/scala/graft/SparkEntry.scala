@@ -265,6 +265,9 @@ object SparkEntry {
     // crawl-over-crawl token-distribution drift: integer-exact total
     // variation per language — the refit signal for tokenizer/LM/mix
     "q115_token_drift" -> (Pipeline.q115TokenDrift _),
+    // length-distribution drift: per-language lower deciles of both
+    // crawls + shift, pure integer arithmetic — the structural axis
+    "q116_length_drift" -> (Pipeline.q116LengthDrift _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3955,6 +3955,53 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  // ----------- q116: crawl-over-crawl length-distribution drift
+
+  /** L4 — document-LENGTH distribution drift between the same two
+    * crawl snapshots as q106/q115: the STRUCTURAL drift axis. A
+    * truncating extractor, boilerplate creep, or a changed chunker
+    * shifts the length deciles before it moves token-level TV (the
+    * vocabulary can stay identical while every document halves), so
+    * corpus maintainers watch both. Per (lang, decile 1..9): both
+    * versions' corpus sizes, the decile lengths, and the shift.
+    *
+    * Deciles are LOWER empirical quantiles — `vs[(n−1)·k div 10 + 1]`
+    * over the sorted length array — so the whole report is INTEGER
+    * arithmetic end to end: no interpolation, no doubles, nothing to
+    * round; the cross-engine hash match is exact by construction
+    * (the q42 exact-percentile family, minus even its explicit
+    * interpolation tree). Like q42, the exact operator holds each
+    * group's sorted multiset (one `collect_list` per lang); at 100 TB
+    * the same report runs on the GK/t-digest sketch path (q60) —
+    * the exact form carries the correctness row. ≤9·|lang| rows. */
+  def q116LengthDrift(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+    val v1 = base.select(col("lang"), length(col("text")).cast("long").as("len"))
+    // the q106/q115 crawl-2 mutation rules, verbatim
+    val v2 = base.filter(col("doc_id") % 13 =!= 0)
+      .select(col("lang"),
+        length(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).cast("long").as("len"))
+      .unionByName(base.filter(col("doc_id") % 11 === 0)
+        .select(col("lang"), length(col("text")).cast("long").as("len")))
+    def deciles(v: DataFrame, nName: String, lName: String): DataFrame =
+      v.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sort_array(collect_list(col("len"))).as("vs"))
+        .select(col("lang"), col("n"), col("vs"),
+          explode(typedlit((1 to 9).toList)).as("decile"))
+        .select(col("lang"), col("decile").cast("int").as("decile"),
+          col("n").as(nName),
+          element_at(col("vs"),
+            ((col("n") - 1) * col("decile") / 10).cast("long").cast("int") + 1)
+            .as(lName))
+    deciles(v1, "n_v1", "len_v1")
+      .join(deciles(v2, "n_v2", "len_v2"), Seq("lang", "decile"))
+      .select(col("lang"), col("decile"), col("n_v1"), col("n_v2"),
+        col("len_v1"), col("len_v2"),
+        (col("len_v2") - col("len_v1")).as("shift"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
   // ------------- q114: ANN recall/efficiency sweep (multi-probe knob)
 
   /** L3 — the IVF TUNING report: recall@5 versus candidates-scanned at
@@ -5499,6 +5546,31 @@ object Pipeline {
         |  round(num::DOUBLE / (t1::DOUBLE * t2::DOUBLE * 2.0), 6) AS tv_distance
         |FROM t JOIN d USING (lang) ORDER BY t.lang""".stripMargin
 
+    /** q116 — the length-drift twin: the same mutation CTE, lower
+      * deciles as pure integer positions into the sorted length list —
+      * no interpolation, no doubles, nothing rounded. */
+    val q116 =
+      """WITH v1 AS (
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS len FROM documents),
+        |v2 AS (
+        |  SELECT lang, CAST(length(CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' rev2' ELSE text END) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 13 != 0
+        |  UNION ALL
+        |  SELECT lang, CAST(length(text) AS BIGINT) FROM documents WHERE doc_id % 11 = 0),
+        |g1 AS (SELECT lang, count(*) AS n, list_sort(list(len)) AS vs FROM v1 GROUP BY lang),
+        |g2 AS (SELECT lang, count(*) AS n, list_sort(list(len)) AS vs FROM v2 GROUP BY lang),
+        |d1 AS (
+        |  SELECT lang, k AS decile, n AS n_v1, vs[(n - 1) * k // 10 + 1] AS len_v1
+        |  FROM g1, generate_series(1, 9) t(k)),
+        |d2 AS (
+        |  SELECT lang, k AS decile, n AS n_v2, vs[(n - 1) * k // 10 + 1] AS len_v2
+        |  FROM g2, generate_series(1, 9) t(k))
+        |SELECT d1.lang, CAST(d1.decile AS INT) AS decile, n_v1, n_v2,
+        |  len_v1, len_v2, len_v2 - len_v1 AS shift
+        |FROM d1 JOIN d2 ON d1.lang = d2.lang AND d1.decile = d2.decile
+        |ORDER BY d1.lang, decile""".stripMargin
+
     /** q114 — the sweep twin: q31's `cent` + [[fineClusterCtes]] give
       * the membership, q51's probe-expansion idiom gives the radius-1
       * clusters, both radii rank by the q31 discipline (round-4
@@ -5625,6 +5697,7 @@ object Pipeline {
       "q113_curation_funnel" -> q113,
       "q114_ann_recall_sweep" -> q114,
       "q115_token_drift" -> q115,
+      "q116_length_drift" -> q116,
     )
   }
 }

@@ -1726,6 +1726,38 @@ class PipelineSpec extends SparkSpec {
     assert(rows.values.map(_._7).sum > 0.0, "zero drift everywhere")
   }
 
+  test("q116: length deciles reconcile with a driver-side sort, monotone within language") {
+    val rows = Pipeline.q116LengthDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def dec(lens: Seq[Long], k: Int): Long = {
+      val vs = lens.sorted
+      vs(((vs.length - 1) * k / 10).toInt)
+    }
+    val l1 = base.map(d => (d._2, d._3.length.toLong)).toSeq
+    val l2 = (base.filter(_._1 % 13 != 0).map(d =>
+        (d._2, (if (d._1 % 7 == 0) d._3 + " rev2" else d._3).length.toLong)) ++
+      base.filter(_._1 % 11 == 0).map(d => (d._2, d._3.length.toLong))).toSeq
+    val by1 = l1.groupBy(_._1); val by2 = l2.groupBy(_._1)
+    for ((lang, decile, n1, n2, lv1, lv2, shift) <- rows) {
+      assert(n1 == by1(lang).length.toLong && n2 == by2(lang).length.toLong)
+      assert(lv1 == dec(by1(lang).map(_._2).toSeq, decile), s"$lang d$decile v1")
+      assert(lv2 == dec(by2(lang).map(_._2).toSeq, decile), s"$lang d$decile v2")
+      assert(shift == lv2 - lv1)
+    }
+    // 9 deciles per language, non-decreasing within each version
+    for ((lang, rs) <- rows.groupBy(_._1)) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 9), s"$lang deciles")
+      assert(sorted.map(_._5).toSeq == sorted.map(_._5).sorted.toSeq, s"$lang v1 order")
+      assert(sorted.map(_._6).toSeq == sorted.map(_._6).sorted.toSeq, s"$lang v2 order")
+    }
+  }
+
   test("q114: probe radius 1 dominates radius 0 in candidates AND recall") {
     val rows = Pipeline.q114AnnRecallSweep(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),

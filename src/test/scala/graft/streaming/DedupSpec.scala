@@ -11,6 +11,7 @@ object DedupSpec {
   val restartSink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
   val embRestartSink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
   val imgRestartSink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  val ingestRestartSink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
 }
 
 /** Streaming dedup through the state store: keep-first semantics,
@@ -887,6 +888,67 @@ class DedupSpec extends SparkSpec {
       assert(!seen.contains(4L),
         s"duplicate re-emitted after restart — state lost: $seen")
       assert(!seen.contains(2L), s"phase-1 duplicate resurfaced: $seen")
+    } finally q2.stop()
+  }
+
+  test("composed ingest gate survives a RocksDB restart (recovered dedup state, stateless stages replay clean)") {
+    // the composed chain's only state is the dedup stage's — a restart
+    // must recover IT while the stateless extract/gate/scrub stages
+    // simply recompute; a canonical duplicate of a pre-restart page
+    // must still be dropped by the recovered digests
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-restart")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val ckpt = root.resolve("ckpt").toString
+    def addFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(inDir.resolve(name),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val good = Seq.tabulate(30)(i => s"tok$i").mkString(" ")
+    def startQuery() = StateStores.withRocksDB(spark) {
+      val parts = split(col("value"), "\\|")
+      val pages = spark.readStream.text(inDir.toString)
+        .select(parts.getItem(0).cast("long").as("doc_id"),
+          parts.getItem(1).as("html"),
+          parts.getItem(2).cast("long").cast("timestamp").as("ts"))
+      Curation.ingestGate(pages, "html", "ts", "1 hour")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("doc_id", "text").collect()
+            .foreach(r => DedupSpec.ingestRestartSink.add(
+              r.getLong(0) -> r.getString(1)))
+        }
+        .start()
+    }
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what " +
+        s"(sink: ${DedupSpec.ingestRestartSink.asScala.toSeq})")
+    }
+    DedupSpec.ingestRestartSink.clear()
+    // phase 1: one good page kept; its gated sibling never emits
+    val q1 = startQuery()
+    try {
+      addFile("f1.txt", Seq(s"1|<p>$good</p>|1", "2|<p>tiny</p>|2"))
+      await(DedupSpec.ingestRestartSink.asScala.map(_._1).toSet == Set(1L),
+        "phase-1 row")
+    } finally q1.stop()
+    // phase 2: restart — the CASE VARIANT of phase 1's page shares its
+    // canonical digest and must be dropped by the RECOVERED state; a
+    // genuinely new page passes through the whole recomputed chain
+    val fresh = Seq.tabulate(30)(i => s"new$i").mkString(" ")
+    val q2 = startQuery()
+    try {
+      addFile("f2.txt", Seq(s"3|<p>${good.toUpperCase}</p>|5", s"4|<p>$fresh</p>|6"))
+      await(DedupSpec.ingestRestartSink.asScala.map(_._1).toSet.contains(4L),
+        "phase-2 row")
+      val seen = DedupSpec.ingestRestartSink.asScala.map(_._1).toSet
+      assert(!seen.contains(3L),
+        s"canonical duplicate re-admitted after restart — state lost: $seen")
+      assert(!seen.contains(2L), s"gated page resurfaced: $seen")
+      assert(DedupSpec.ingestRestartSink.asScala.find(_._1 == 4L)
+        .exists(_._2 == fresh), "extraction mangled the new page's text")
     } finally q2.stop()
   }
 
