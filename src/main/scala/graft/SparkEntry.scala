@@ -268,6 +268,9 @@ object SparkEntry {
     // length-distribution drift: per-language lower deciles of both
     // crawls + shift, pure integer arithmetic — the structural axis
     "q116_length_drift" -> (Pipeline.q116LengthDrift _),
+    // embedding-centroid drift: per-label centroid cosine + norm ratio
+    // between re-embeddings — the corpus-level index-staleness signal
+    "q117_embedding_drift" -> (Pipeline.q117EmbeddingDrift _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -4002,6 +4002,58 @@ object Pipeline {
       .orderBy(col("lang"), col("decile"))
   }
 
+  // ----------- q117: embedding-centroid drift between re-embeddings
+
+  /** L3/L4 — EMBEDDING-space drift between two corpus versions: the
+    * corpus-level index-staleness signal that complements the
+    * per-index rebuild triggers ([[pqIndexDriftReport]], IVF
+    * occupancy): when a re-crawl re-embeds part of the corpus (model
+    * upgrade, re-encode) and deprecates another part, how far did
+    * each label's REGION move? Per label: both versions' vector
+    * counts, the cosine between the per-label mean vectors, and their
+    * norm ratio — a centroid cosine dropping from 1.0 is the "rebuild
+    * the coarse index" tripwire BEFORE serving recall degrades.
+    *
+    * Version-2 derivation (deterministic): `%13` vectors deprecated
+    * (the q106 drop rule), `%9` re-embedded through the q51
+    * perturbation (the established ±0.2% per-dimension model-shift
+    * fixture), everything else unchanged.
+    *
+    * Cross-engine: means are per-dim `round(avg, 6)` (the
+    * [[labelCentroids]] discipline), the cosine/norms are sequential
+    * folds over the ≤64-dim ROUNDED mean vectors (the q80
+    * discipline), and the two final ratios round once — same shapes
+    * the green q31/q51 oracles already prove. Scale posture: two
+    * corpus scans partial-aggregating to ≤|label|·64 rows each;
+    * everything after is ≤|label|-row arithmetic. */
+  def q117EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val v2 = base.filter(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"), col("label"),
+        when(col("vec_id") % 9 === 0,
+          transform(col("e"), (x, i) =>
+            x * (lit(1.0) + lit(0.002) * ((col("vec_id") + i) % 3 - 1))))
+          .otherwise(col("e")).as("e"))
+    def cents(v: DataFrame, nName: String, cName: String): DataFrame = {
+      val c = v.select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("cavg"))
+        .groupBy(col("label"))
+        .agg(collect_list(struct(col("pos"), col("cavg"))).as("tmp"))
+        .select(col("label"),
+          transform(array_sort(col("tmp")), s => s.getField("cavg")).as(cName))
+      v.groupBy(col("label")).agg(count(lit(1)).as(nName)).join(c, "label")
+    }
+    cents(base, "n_v1", "c1").join(cents(v2, "n_v2", "c2"), "label")
+      .select(col("label").cast("long").as("label"), col("n_v1"), col("n_v2"),
+        round(vecCosine(col("c1"), col("c2")), 6).as("centroid_cos"),
+        round(graft.functions.TextFunctions.l2Norm(col("c2")) /
+          graft.functions.TextFunctions.l2Norm(col("c1")), 6).as("norm_ratio"))
+      .orderBy(col("label"))
+  }
+
   // ------------- q114: ANN recall/efficiency sweep (multi-probe knob)
 
   /** L3 — the IVF TUNING report: recall@5 versus candidates-scanned at
@@ -5571,6 +5623,37 @@ object Pipeline {
         |FROM d1 JOIN d2 ON d1.lang = d2.lang AND d1.decile = d2.decile
         |ORDER BY d1.lang, decile""".stripMargin
 
+    /** q117 — the embedding-drift twin: q51's perturbation fixture for
+      * the re-embedded subset, the `cent` per-dim rounded means for
+      * both versions, sequential-fold cosine/norms over the rounded
+      * ≤64-dim mean vectors, two final round(6) ratios. */
+    val q117 =
+      s"""WITH e AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |v2 AS (
+         |  SELECT vec_id, label,
+         |    CASE WHEN vec_id % 9 = 0
+         |      THEN list_transform(e, (x, i) -> x * (1.0 + 0.002 * ((vec_id + i - 1) % 3 - 1)))
+         |      ELSE e END AS e
+         |  FROM e WHERE vec_id % 13 != 0),
+         |c1 AS (
+         |  SELECT label, list(cavg ORDER BY pos) AS c FROM (
+         |    SELECT label, i AS pos, round(avg(e[i]), 6) AS cavg
+         |    FROM e, generate_series(1, 64) t(i) GROUP BY label, i)
+         |  GROUP BY label),
+         |c2 AS (
+         |  SELECT label, list(cavg ORDER BY pos) AS c FROM (
+         |    SELECT label, i AS pos, round(avg(e[i]), 6) AS cavg
+         |    FROM v2, generate_series(1, 64) t(i) GROUP BY label, i)
+         |  GROUP BY label),
+         |n1 AS (SELECT label, count(*) AS n_v1 FROM e GROUP BY label),
+         |n2 AS (SELECT label, count(*) AS n_v2 FROM v2 GROUP BY label)
+         |SELECT CAST(c1.label AS BIGINT) AS label, n_v1, n_v2,
+         |  round(${cos("c1.c", "c2.c")}, 6) AS centroid_cos,
+         |  round(${nrm("c2.c")} / ${nrm("c1.c")}, 6) AS norm_ratio
+         |FROM c1 JOIN c2 USING (label) JOIN n1 USING (label) JOIN n2 USING (label)
+         |ORDER BY label""".stripMargin
+
     /** q114 — the sweep twin: q31's `cent` + [[fineClusterCtes]] give
       * the membership, q51's probe-expansion idiom gives the radius-1
       * clusters, both radii rank by the q31 discipline (round-4
@@ -5698,6 +5781,7 @@ object Pipeline {
       "q114_ann_recall_sweep" -> q114,
       "q115_token_drift" -> q115,
       "q116_length_drift" -> q116,
+      "q117_embedding_drift" -> q117,
     )
   }
 }

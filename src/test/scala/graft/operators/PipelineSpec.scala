@@ -1758,6 +1758,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q117: centroid drift is bounded, counts reconcile, unmoved labels stay put") {
+    val rows = Pipeline.q117EmbeddingDrift(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("CAST(vec_id AS LONG) AS v", "CAST(label AS LONG) AS l")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // counts reconcile with the mutation rules exactly
+    val by = base.groupBy(_._2)
+    for ((label, n1, n2, cosC, nr) <- rows) {
+      assert(n1 == by(label).length.toLong, s"label $label n_v1")
+      assert(n2 == by(label).count(_._1 % 13 != 0).toLong, s"label $label n_v2")
+      // the mutation rules move means measurably (a label mean has
+      // magnitude ~sigma/sqrt(n), so dropping 1/13 of its vectors
+      // shifts the DIRECTION appreciably) but can never flip a
+      // centroid to the opposite hemisphere or rescale it wildly —
+      // and the report must RESOLVE the drift, not report all-1.0
+      assert(cosC > 0.5 && cosC <= 1.0, s"label $label cos $cosC")
+      assert(nr > 0.5 && nr < 2.0, s"label $label norm ratio $nr")
+    }
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // drift is visible somewhere: at least one label's centroid moved
+    assert(rows.exists(r => r._4 < 1.0 || r._5 != 1.0), "no drift resolved")
+  }
+
   test("q114: probe radius 1 dominates radius 0 in candidates AND recall") {
     val rows = Pipeline.q114AnnRecallSweep(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
