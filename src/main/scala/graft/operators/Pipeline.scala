@@ -3931,10 +3931,15 @@ object Pipeline {
     def tokCounts(v: DataFrame, n: String): DataFrame =
       v.select(col("lang"), explode(split(col("text"), " ")).as("token"))
         .groupBy(col("lang"), col("token")).agg(count(lit(1)).as(n))
+    // the count-pair relation feeds BOTH rollups (totals and the TV
+    // numerator) — persist it or the token counting runs once per
+    // consumer (the plan showed 3 full-outer count joins unpersisted)
     val j = tokCounts(v1, "c1").join(tokCounts(v2, "c2"),
         Seq("lang", "token"), "full_outer")
       .select(col("lang"), coalesce(col("c1"), lit(0L)).as("n1"),
         coalesce(col("c2"), lit(0L)).as("n2"))
+      .persist(NarrowCacheLevel)
+    j.count()
     val totals = j.groupBy(col("lang"))
       .agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"),
         sum(when(col("n1") > 0, 1L).otherwise(0L)).as("vocab_v1"),
@@ -3945,7 +3950,7 @@ object Pipeline {
         "lang")
       .groupBy(col("lang"))
       .agg(sum(abs(col("n1") * col("t2") - col("n2") * col("t1"))).as("num"))
-    totals.join(num, "lang")
+    val out = totals.join(num, "lang")
       .select(col("lang"), col("t1").as("n_tokens_v1"),
         col("t2").as("n_tokens_v2"), col("vocab_v1"), col("vocab_v2"),
         col("n_new_tokens"), col("n_lost_tokens"),
@@ -3953,6 +3958,11 @@ object Pipeline {
           (col("t1").cast("double") * col("t2").cast("double") * 2.0), 6)
           .as("tv_distance"))
       .orderBy(col("lang"))
+    // ≤|lang| rows: snapshot, then release the count relation
+    val snapshot = out.collect()
+    j.unpersist(blocking = false)
+    spark.createDataFrame(
+      java.util.Arrays.asList(snapshot: _*), out.schema)
   }
 
   // ----------- q116: crawl-over-crawl length-distribution drift
@@ -4036,16 +4046,18 @@ object Pipeline {
           transform(col("e"), (x, i) =>
             x * (lit(1.0) + lit(0.002) * ((col("vec_id") + i) % 3 - 1))))
           .otherwise(col("e")).as("e"))
-    def cents(v: DataFrame, nName: String, cName: String): DataFrame = {
-      val c = v.select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
+    // one scan per version: the vector count per label IS the row
+    // count of any single dimension slot in the same exploded
+    // aggregate — no second counting pass over the corpus
+    def cents(v: DataFrame, nName: String, cName: String): DataFrame =
+      v.select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
         .groupBy(col("label"), col("pos"))
-        .agg(round(avg(col("x")), 6).as("cavg"))
+        .agg(round(avg(col("x")), 6).as("cavg"), count(lit(1)).as("cnt"))
         .groupBy(col("label"))
-        .agg(collect_list(struct(col("pos"), col("cavg"))).as("tmp"))
-        .select(col("label"),
+        .agg(collect_list(struct(col("pos"), col("cavg"))).as("tmp"),
+          max(when(col("pos") === 0, col("cnt"))).as(nName))
+        .select(col("label"), col(nName),
           transform(array_sort(col("tmp")), s => s.getField("cavg")).as(cName))
-      v.groupBy(col("label")).agg(count(lit(1)).as(nName)).join(c, "label")
-    }
     cents(base, "n_v1", "c1").join(cents(v2, "n_v2", "c2"), "label")
       .select(col("label").cast("long").as("label"), col("n_v1"), col("n_v2"),
         round(vecCosine(col("c1"), col("c2")), 6).as("centroid_cos"),
