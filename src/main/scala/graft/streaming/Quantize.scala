@@ -78,4 +78,44 @@ object Quantize {
         round(lit(buildAvgMicro) / 1.0e6, 6).as("build_avg_qerr"),
         (col("avg_micro") > buildAvgMicro * 2.0).as("needs_rebuild"))
   }
+
+  /** Windowed CENTROID-drift monitor — the near-line face of the batch
+    * embedding-drift report (q117): per event-time window and label,
+    * the cosine between the window's mean vector and a STATIC baseline
+    * centroid snapshot (the `(label, cvec)` relation a nightly
+    * `labelCentroids` run persists — bounded, collected into plan
+    * literals). The batch report compares two full corpus versions at
+    * maintenance time; this answers "is the arriving distribution still
+    * where the index thinks it is" per window, one watermark delay
+    * after the data lands — the coarse-index analog of
+    * [[driftByWindow]]'s codebook signal.
+    *
+    * ONE stateful operator: a watermarked windowed aggregate holding
+    * `dims+1` doubles per open (window, label) — the per-dimension
+    * running sums and the count; the mean, the baseline lookup (a map
+    * literal), and the fold cosine are all map-side on the final
+    * projection. Append mode: each (window, label) row emits once. */
+  def centroidDriftByWindow(vectors: DataFrame, eventTimeCol: String,
+      windowDur: String, watermark: String,
+      baseline: DataFrame): DataFrame = {
+    val cents = baseline
+      .select(col("label").cast("long"), col("cvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    require(cents.nonEmpty, "empty baseline centroid relation")
+    val dims = cents.head._2.length
+    val sums = (0 until dims).map(i =>
+      sum(element_at(col("e"), i + 1)).as(s"s$i"))
+    val mean = array((0 until dims).map(i =>
+      round(col(s"s$i") / col("n"), 6)): _*)
+    vectors
+      .select(col("label").cast("long").as("label"),
+        col("e").cast("array<double>").as("e"), col(eventTimeCol))
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowDur), col("label"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("label"), col("n"),
+        round(graft.functions.TextFunctions.cosine(mean,
+          element_at(typedlit(cents), col("label"))), 6).as("centroid_cos"))
+  }
 }

@@ -93,4 +93,49 @@ class QuantizeSpec extends SparkSpec {
       assert(b._3 > b._4 * 2 && b._5, s"shifted window must flag: $b")
     } finally query.stop()
   }
+
+  test("windowed centroid drift: an on-baseline window reads ~1.0, a negated window reads -1.0") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // the labelCentroids derivation, inlined (operators-private)
+    val baseline = Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cavg"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("cavg")))).as("tmp"))
+      .selectExpr("label", "transform(tmp, s -> s.cavg) AS cvec")
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("CAST(label AS LONG) AS label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val in = MemoryStream[(Long, Seq[Double], Long)]
+    val docs = in.toDF().toDF("label", "e", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val query = Quantize.centroidDriftByWindow(docs, "ts", "10 seconds",
+        "0 seconds", baseline)
+      .writeStream.format("memory").queryName("cdrift_mem")
+      .outputMode("append").start()
+    try {
+      // window [0,10): the exact build corpus -> per-label means equal
+      // the baseline centroids (same round-6 discipline) -> cos ~ 1;
+      // window [10,20): every vector negated -> cos = -1 exactly
+      in.addData(vecs.map { case (l, e) => (l, e, 1L) }.toSeq)
+      in.addData(vecs.map { case (l, e) => (l, e.map(-_), 12L) }.toSeq)
+      in.addData((vecs.head._1, vecs.head._2, 60L)) // close both windows
+      query.processAllAvailable()
+      val got = spark.table("cdrift_mem").collect().map(r =>
+        (r.getAs[java.sql.Timestamp]("window_start").getTime / 1000L,
+          r.getAs[Long]("label")) ->
+          (r.getAs[Long]("n"), r.getAs[Double]("centroid_cos"))).toMap
+      val labels = vecs.map(_._1).distinct
+      for (l <- labels) {
+        val n = vecs.count(_._1 == l).toLong
+        assert(got((0L, l))._1 == n, s"label $l window-0 count")
+        assert(got((0L, l))._2 >= 0.999998, s"label $l on-baseline cos ${got((0L, l))._2}")
+        assert(got((10L, l))._1 == n, s"label $l window-10 count")
+        assert(got((10L, l))._2 == -1.0, s"label $l negated cos ${got((10L, l))._2}")
+      }
+    } finally query.stop()
+  }
 }
