@@ -4110,6 +4110,10 @@ object Pipeline {
         row_number().over(byQ.orderBy(col("c4").desc, col("vec_id"))))
       .filter(col("xr") <= TopK)
       .select(col("qid"), col("vec_id"))
+      // BOTH radii score against it — persist the ≤ queries·k rows or
+      // the harness corpus scan runs once per sweep branch
+      .persist(NarrowCacheLevel)
+    exact.count()
     // radius-1 probe clusters: home + every active-bit flip (the
     // [[hammingProbes]] expansion applied to the QUERY side — flips
     // land on distinct cluster ids, so candidates never duplicate)
@@ -4146,9 +4150,10 @@ object Pipeline {
         cands(queries.select(col("qid"), col("qe"), col("cluster"))))
       .unionByName(sweep(1, cands(probed)))
       .orderBy(col("radius"))
-    // 2 fixed-width rows: snapshot, then release the membership
+    // 2 fixed-width rows: snapshot, then release the residents
     val snapshot = out.collect()
     members.unpersist(blocking = false)
+    exact.unpersist(blocking = false)
     spark.createDataFrame(
       java.util.Arrays.asList(snapshot: _*), out.schema)
   }
