@@ -393,9 +393,19 @@ object Bench {
       detail.append(" },\n")
     }
     detail.append(s""" "errors":$errJson\n}\n""")
+    // Restricted runs (SPARK_GRAFT_ONLY) write a SUFFIXED details file —
+    // Verify.scala's `_only_<sorted names>` discipline — so a dev
+    // profiling run can never clobber the committed full-suite
+    // BENCH_DETAILS.json (ADVICE r15 item 1).
+    val detailsFile = only match {
+      case None => "BENCH_DETAILS.json"
+      case Some(o) => "BENCH_DETAILS_only_" +
+        o.toSeq.sorted.mkString("_").replaceAll("[^A-Za-z0-9_]", "_") +
+        ".json"
+    }
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_DETAILS.json"),
+        java.nio.file.Paths.get(detailsFile),
         detail.toString.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // read-only cwd must not fail the bench
     // stop FIRST, print LAST: async block-removal WARNs (the final

@@ -1726,6 +1726,45 @@ class PipelineSpec extends SparkSpec {
     assert(rows.values.map(_._7).sum > 0.0, "zero drift everywhere")
   }
 
+  test("q115: TV numerator is exact where raw int64 products wrap (counts near 2^63)") {
+    // token counts at the extreme-scale edge the scaladoc names: totals
+    // T ~ 9.2·10^18 (int64 max), per-token counts up to 10^18 — every
+    // cross product n·T is far past 2^63, so the OLD int64 numerator
+    // wraps silently while the decimal(38,0) path must stay exact
+    val cases = Seq(
+      // one-sided mass: term = n1·t2 ≈ 9.2·10^36, far past 2^63
+      (1000000000000000000L, 0L, 1L, 9223372036854775807L),
+      // near-cancelling giants: both products ≈ 8.5·10^37 (the decimal
+      // ceiling region), difference still past 2^63
+      (9223372036854775807L, 9223372036854775806L,
+        9223372036854775807L, 9223372036854775804L),
+      (7L, 7L, 4611686018427387904L, 4611686018427387904L), // equal → 0
+      (123456789012345678L, 1L, 9000000000000000000L, 8999999999999999999L))
+    import spark.implicits._
+    val df = cases.toDF("n1", "n2", "t1", "t2")
+      .select(Pipeline.tvNumeratorTerm(col("n1"), col("n2"),
+        col("t1"), col("t2")).as("term"))
+    val got = df.collect()
+    var pastInt64 = 0
+    cases.zip(got).foreach { case ((n1, n2, t1, t2), r) =>
+      val exact = (BigInt(n1) * BigInt(t2) - BigInt(n2) * BigInt(t1)).abs
+      assert(BigInt(r.getDecimal(0).toBigInteger) == exact,
+        s"term($n1,$n2,$t1,$t2)")
+      if (exact > BigInt(Long.MaxValue)) pastInt64 += 1
+    }
+    // the fixture must actually exercise the past-int64 range the lift
+    // exists for (an int64 expression here throws under ANSI / wraps
+    // with ANSI off — either way not this exact value)
+    assert(pastInt64 >= 2, s"fixture too small: $pastInt64 terms past 2^63")
+    // the summed numerator (the aggregate q115 actually runs) is exact too
+    val summed = cases.toDF("n1", "n2", "t1", "t2")
+      .agg(sum(Pipeline.tvNumeratorTerm(col("n1"), col("n2"),
+        col("t1"), col("t2"))).as("num")).collect().head.getDecimal(0)
+    val expSum = cases.map { case (n1, n2, t1, t2) =>
+      (BigInt(n1) * BigInt(t2) - BigInt(n2) * BigInt(t1)).abs }.sum
+    assert(BigInt(summed.toBigInteger) == expSum, "summed numerator")
+  }
+
   test("q116: length deciles reconcile with a driver-side sort, monotone within language") {
     val rows = Pipeline.q116LengthDrift(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),

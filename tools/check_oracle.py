@@ -28,7 +28,9 @@ OUT_ARG = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
 OUT = OUT_ARG
 _only = os.environ.get("SPARK_GRAFT_ONLY")
 if _only:
-    names = sorted(n.strip() for n in _only.split(","))
+    # set() first: Verify.scala dedupes via toSet before sorting, so
+    # SPARK_GRAFT_ONLY='q81,q81' must resolve to the same directory
+    names = sorted(set(n.strip() for n in _only.split(",")))
     OUT = Path(str(OUT_ARG) + "_only_"
                + re.sub(r"[^A-Za-z0-9_]", "_", "_".join(names)))
 TABLES = ("region nation customer supplier part orders lineitem events "
