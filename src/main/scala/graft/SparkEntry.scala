@@ -271,6 +271,9 @@ object SparkEntry {
     // embedding-centroid drift: per-label centroid cosine + norm ratio
     // between re-embeddings — the corpus-level index-staleness signal
     "q117_embedding_drift" -> (Pipeline.q117EmbeddingDrift _),
+    // multi-probe ANN serve: q85's persisted index served at probe
+    // radius 1 — the q114 knob turned, index untouched
+    "q118_multi_probe_ann" -> (Pipeline.q118MultiProbeAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

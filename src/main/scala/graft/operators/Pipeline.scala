@@ -621,6 +621,49 @@ object Pipeline {
       explode(concat(array(col("cluster")), flips)).as("cluster"))
   }
 
+  /** QUERY-side multi-probe expansion — the serve-time nprobe knob.
+    * Each input row (any carry columns + `cluster` + `mask`) is emitted
+    * once per probe cluster: its home sub-bucket plus every sub-bucket
+    * within Hamming distance `radius` over the ACTIVE bits (`mask`).
+    * Radius 0 is the identity (no Generate node — q31/q85's plans are
+    * untouched); radius 1 adds the ≤ b_c one-bit flips (the
+    * configuration q114 measured at 4.3× recall for 3.7× candidates);
+    * radius 2 adds the b_c·(b_c−1)/2 two-bit flips. All probe ids are
+    * pairwise DISTINCT (XOR of distinct bit subsets), and a member
+    * lives in exactly one cluster, so the candidate join never
+    * duplicates a (query, member) pair — no post-join dedup.
+    *
+    * Scale posture (100 TB): the expansion multiplies only the QUERY
+    * side — O(1 + b + b²/2) rows per query, b ≤ 32 — which stays
+    * broadcast at any corpus size; candidates stay
+    * O(occupancy × probes) per query (occupancy ≤ the build target by
+    * construction). `mask` is dropped so the expanded relation is
+    * exactly what the candidate join broadcasts. */
+  private[operators] def probeExpand(qrel: DataFrame, radius: Int): DataFrame = {
+    require(radius >= 0 && radius <= 2, s"probe radius 0..2, got $radius")
+    if (radius == 0) return qrel.drop("mask")
+    def bit(j: Column): Column = pow(lit(2.0), j).cast("long")
+    def active(j: Column): Column = col("mask").bitwiseAND(bit(j)) =!= 0L
+    val one = filter(
+      transform(sequence(lit(0), lit(MaxHyperplanes - 1)),
+        j => when(active(j), col("cluster").bitwiseXOR(bit(j)))),
+      x => x.isNotNull)
+    val probes =
+      if (radius == 1) concat(array(col("cluster")), one)
+      else {
+        // j strictly below k, so j tops out at MaxHyperplanes−2 and the
+        // inner sequence is never descending
+        val two = filter(
+          flatten(transform(sequence(lit(0), lit(MaxHyperplanes - 2)), j =>
+            transform(sequence(j + lit(1), lit(MaxHyperplanes - 1)), k =>
+              when(active(j) && active(k),
+                col("cluster").bitwiseXOR(bit(j)).bitwiseXOR(bit(k)))))),
+          x => x.isNotNull)
+        concat(array(col("cluster")), one, two)
+      }
+    qrel.withColumn("cluster", explode(probes)).drop("mask")
+  }
+
   /** L3 — IVF approximate nearest neighbour with a CORPUS-SCALED list
     * count: the inverted lists are [[corpusScaledClusters]]'s fine
     * clusters (label centroids subdivided to ≤ 32 expected occupancy),
@@ -649,15 +692,21 @@ object Pipeline {
     annServe(members)
   }
 
-  /** The IVF serve path shared by q31 (in-session index) and q85
-    * (index at rest): nprobe=1 candidate lists via the corpus-query
-    * cluster join, ranked by the bounded [[graft.functions.TopK]]
-    * Aggregator — one query_id exchange over O(1)-per-query candidate
-    * rows plus the ≤ queries·k result sort, regardless of corpus
-    * size. */
-  private def annServe(members: DataFrame): DataFrame = {
-    val q = members.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("cluster"))
+  /** The IVF serve path shared by q31 (in-session index), q85 (index
+    * at rest) and q118 (multi-probe): candidate lists via the
+    * corpus-query cluster join, ranked by the bounded
+    * [[graft.functions.TopK]] Aggregator — one query_id exchange over
+    * O(occupancy × probes)-per-query candidate rows plus the
+    * ≤ queries·k result sort, regardless of corpus size. `probeRadius`
+    * is the serve-time nprobe knob ([[probeExpand]]): the INDEX is
+    * untouched, only the broadcast query relation widens, so a
+    * deployment retunes recall without rebuilding anything. */
+  private def annServe(members: DataFrame, probeRadius: Int = 0): DataFrame = {
+    val q = probeExpand(
+      members.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("cluster"), col("mask")),
+      probeRadius)
     val scored = members.join(broadcast(q), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", round(vecCosine(col("qe"), col("e")), 4))
@@ -693,7 +742,14 @@ object Pipeline {
     * but the default in-memory catalog forgets them, so a fresh
     * session rebuilds — on a real deployment the metastore carries the
     * metadata and the rebuild disappears entirely. */
-  def q85IndexedAnn(spark: SparkSession, dir: String): DataFrame = {
+  def q85IndexedAnn(spark: SparkSession, dir: String): DataFrame =
+    annServe(spark.table(ensureIvfIndex(spark, dir)))
+
+  /** Build-if-absent for the persisted IVF index of `dir` — the shared
+    * ingest stage of q85 and q118 (whichever runs first in a session
+    * pays the build; the build is deterministic, so order is
+    * immaterial). Returns the members table name. */
+  private def ensureIvfIndex(spark: SparkSession, dir: String): String = {
     val idx = ivfIndexTable(dir)
     if (!spark.catalog.tableExists(idx)) {
       val e = Tables.spread(Tables.embeddings(spark, dir))
@@ -702,8 +758,30 @@ object Pipeline {
         labelCentroids(spark, dir), ClusterTargetOccupancy)
       Layout.writeIvfIndex(members, routing, idx, IvfIndexBuckets)
     }
-    annServe(spark.table(idx))
+    idx
   }
+
+  /** L3 — MULTI-PROBE ANN serving (VERDICT r15 §next-1): the SAME
+    * persisted IVF index q85 serves, with the serve-time knob turned
+    * to probe radius 1 — each query scans its home fine cluster PLUS
+    * every one-bit sub-bucket neighbour ([[probeExpand]]), the exact
+    * configuration q114's sweep measured at ~4.3× the recall for
+    * ~3.7× the candidates. This closes the knob-table-without-a-knob
+    * gap: q114 publishes recall-per-candidate per radius, and this is
+    * the serve path a deployment points production queries at after
+    * reading it. Radius-1 candidates are a strict superset of
+    * radius-0's (the home cluster is always probed), so per-rank
+    * scores dominate q85's — asserted in the spec.
+    *
+    * Scale posture (100 TB): identical to q85 except the broadcast
+    * query relation is ≤ (1 + b_c) rows per query (b_c ≤ 32 active
+    * bits); the members side stays a bucketed exchange-free scan, and
+    * per-query candidates stay O(occupancy × probes) — at the 32-target
+    * occupancy and b_c ≈ 30, ~10³ candidate rows per query at ANY
+    * corpus size. The index is NOT rebuilt: nprobe is a query-time
+    * decision, as in any production IVF deployment. */
+  def q118MultiProbeAnn(spark: SparkSession, dir: String): DataFrame =
+    annServe(spark.table(ensureIvfIndex(spark, dir)), probeRadius = 1)
 
   /** Serve EXTERNAL query vectors `(query_id, qe)` from a persisted
     * IVF index — the production similarity-search entry point. Query
@@ -4137,15 +4215,10 @@ object Pipeline {
       // the harness corpus scan runs once per sweep branch
       .persist(NarrowCacheLevel)
     exact.count()
-    // radius-1 probe clusters: home + every active-bit flip (the
-    // [[hammingProbes]] expansion applied to the QUERY side — flips
-    // land on distinct cluster ids, so candidates never duplicate)
-    val probed = queries.select(col("qid"), col("qe"),
-      explode(concat(array(col("cluster")),
-        filter(transform(sequence(lit(0), lit(MaxHyperplanes - 1)),
-          j => when(col("mask").bitwiseAND(pow(lit(2.0), j).cast("long")) =!= 0L,
-            col("cluster").bitwiseXOR(pow(lit(2.0), j).cast("long")))),
-          x => x.isNotNull))).as("cluster"))
+    // radius-1 probe clusters: home + every active-bit flip — the
+    // SHARED [[probeExpand]] serve expansion, so this sweep measures
+    // byte-for-byte the candidate sets q118's serve path scans
+    val probed = probeExpand(queries, 1)
     def cands(qrel: DataFrame): DataFrame =
       members.select(col("vec_id"), col("e"), col("cluster"))
         .join(broadcast(qrel), Seq("cluster"))
@@ -4169,8 +4242,7 @@ object Pipeline {
           round(col("n_hits").cast("double") / (col("n_queries") * TopK), 6)
             .as("recall_at_5"))
     }
-    val out = sweep(0,
-        cands(queries.select(col("qid"), col("qe"), col("cluster"))))
+    val out = sweep(0, cands(probeExpand(queries, 0)))
       .unionByName(sweep(1, cands(probed)))
       .orderBy(col("radius"))
     // 2 fixed-width rows: snapshot, then release the residents
@@ -5750,7 +5822,38 @@ object Pipeline {
          |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
          |ORDER BY radius""".stripMargin
 
+    /** q118 — the multi-probe SERVE twin: q31's `cent` +
+      * [[fineClusterCtes]] membership, q114's radius-1 probe-expansion
+      * idiom on the query side (home sub-bucket prepended to every
+      * active-bit flip — all ids distinct, so no candidate dedup), then
+      * exactly the q31 ranking discipline (round-4 cosine desc, vec_id
+      * tiebreak). */
+    val q118 =
+      s"""WITH cent AS (
+         |  SELECT label, list(cavg ORDER BY pos) AS cvec FROM (
+         |    SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 6) AS cavg
+         |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i)
+         |  GROUP BY label),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |${fineClusterCtes("e")},
+         |q0 AS (SELECT vec_id AS query_id, e AS qe, cluster, mask
+         |  FROM m WHERE vec_id < 10),
+         |q AS (
+         |  SELECT query_id, qe,
+         |    unnest(list_prepend(cluster, list_transform(
+         |      list_filter(generate_series(0, 31), j -> (mask & CAST(2**j AS BIGINT)) != 0),
+         |      j -> xor(cluster, CAST(2**j AS BIGINT))))) AS cluster
+         |  FROM q0),
+         |scored AS (
+         |  SELECT query_id, vec_id, round(${cos("qe", "m.e")}, 4) AS cosine
+         |  FROM m JOIN q USING (cluster) WHERE vec_id <> query_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+         |SELECT query_id, rk, vec_id, cosine FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin
+
     val all: Map[String, String] = Map(
+      "q118_multi_probe_ann" -> q118,
       "q23_exact_dedup" -> q23,
       "q87_fuzzy_join" -> q87,
       "q91_normalized_dedup" -> q91,

@@ -703,6 +703,11 @@ class PipelineSpec extends SparkSpec {
       // TopK agg exchange + the result orderBy; the build, when it
       // runs, is ingest work outside this executed plan
       "q85" -> (Pipeline.q85IndexedAnn(spark, sfDir), 2),
+      // multi-probe serve over the same bucketed index: the probe
+      // expansion widens only the BROADCAST query side (a Generate on
+      // ≤10 rows), so the budget is exactly q85's — the candidate
+      // O(occupancy × probes) bound costs zero additional exchanges
+      "q118" -> (Pipeline.q118MultiProbeAnn(spark, sfDir), 2),
       // single-persist design (r11 brief #1a): the mapSideFineClusters
       // membership is the ONE resident relation (cached on the scan
       // partitioning, so both dominance sides exchange on cluster: 2)
@@ -1844,6 +1849,55 @@ class PipelineSpec extends SparkSpec {
       assert(math.abs(rec - BigDecimal(nh.toDouble / (nq * 5))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
       assert(nh <= nq * 5)
+    }
+  }
+
+  test("q118: radius-1 serve dominates q85's radius-0 per rank, same index") {
+    val r0 = Pipeline.q85IndexedAnn(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val r1 = Pipeline.q118MultiProbeAnn(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(r1.nonEmpty)
+    // same query set, full top-5 per query both sides
+    assert(r0.keySet.map(_._1) == r1.keySet.map(_._1), "query sets differ")
+    assert(r1.keySet == r1.keySet.map(_._1).flatMap(q => (1 to 5).map(q -> _)),
+      "not a full top-5 per query")
+    // radius-1 candidates ⊇ radius-0's (the home cluster is always
+    // probed), so the k-th best score can only improve at every rank
+    r1.foreach { case ((q, rk), (_, c1)) =>
+      val c0 = r0((q, rk))._2
+      assert(c1 >= c0, s"query $q rank $rk: radius-1 cosine $c1 < radius-0 $c0")
+    }
+    // and somewhere the wider probe genuinely found a better neighbour
+    // (at this SF the q114 sweep shows recall 4.3x — a strict win must
+    // surface in at least one rank's score)
+    assert(r1.exists { case (k, (_, c1)) => c1 > r0(k)._2 },
+      "radius 1 never improved any rank — probe expansion inert")
+  }
+
+  test("probeExpand: probe sets nest by radius, all ids distinct, exact sizes") {
+    import spark.implicits._
+    // mask with b=4 active low bits plus a cluster id carrying a coarse
+    // label above bit 32 — flips must never touch the coarse part
+    val b = 4
+    val cluster = 7L * 4294967296L + 5L
+    val qrel = Seq((42L, cluster, (1L << b) - 1L))
+      .toDF("query_id", "cluster", "mask")
+      .withColumn("qe", typedLit(Seq(1.0, 0.0)))
+    def probes(r: Int): Seq[Long] =
+      Pipeline.probeExpand(qrel, r).select("cluster").collect().map(_.getLong(0)).toSeq
+    val Seq(p0, p1, p2) = Seq(0, 1, 2).map(probes)
+    assert(p0 == Seq(cluster))
+    assert(p1.size == 1 + b && p2.size == 1 + b + b * (b - 1) / 2)
+    assert(p1.distinct.size == p1.size && p2.distinct.size == p2.size)
+    assert(p0.toSet.subsetOf(p1.toSet) && p1.toSet.subsetOf(p2.toSet))
+    // every probe keeps the coarse label and stays inside the mask
+    (p1 ++ p2).foreach { p =>
+      assert(p >> 32 == cluster >> 32, s"probe $p left the coarse cluster")
+      assert(((p ^ cluster) & ~((1L << b) - 1L)) == 0L,
+        s"probe $p flipped an inactive bit")
     }
   }
 
