@@ -257,6 +257,59 @@ case class CentroidArgmax(child: Expression,
     copy(child = newChild)
 }
 
+/** TRUE iff any element of the child `array<long>` is a member of the
+  * ascending-sorted duplicate-free literal `set` — the codegen'd EXACT
+  * confirm behind the streaming decontamination gate's map-side
+  * membership test (reference: tzshin/ESPKinesis has no analog; this
+  * serves the LLM-pipeline surface). Binary search per element with
+  * early exit on the first hit; the set rides as ONE reference object
+  * (the [[CentroidArgmax]] discipline), so generated code size is
+  * independent of |set|. Null array → null; null elements are skipped
+  * (a null gram cannot match). */
+case class AnySortedSetMember(child: Expression, set: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(set.nonEmpty, "empty membership set")
+  require((1 until set.length).forall(i => set(i - 1) < set(i)),
+    "set must be ascending-sorted and duplicate-free (the binary-search contract)")
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "any_sorted_set_member"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    var i = 0
+    var hit = false
+    while (!hit && i < arr.numElements()) {
+      if (!arr.isNullAt(i) &&
+          java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) hit = true
+      i += 1
+    }
+    hit
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("sortedSet", set, "long[]")
+    nullSafeCodeGen(ctx, ev, e => {
+      val i = ctx.freshName("i")
+      val hit = ctx.freshName("hit")
+      s"""
+         |boolean $hit = false;
+         |for (int $i = 0; !$hit && $i < $e.numElements(); $i++) {
+         |  if (!$e.isNullAt($i) &&
+         |      java.util.Arrays.binarySearch($setRef, $e.getLong($i)) >= 0) {
+         |    $hit = true;
+         |  }
+         |}
+         |${ev.value} = $hit;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AnySortedSetMember =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the native vector expressions. */
 object VectorFunctions {
 
@@ -289,4 +342,11 @@ object VectorFunctions {
     SqlBridge.column(SortedIntersectSize(
       SqlBridge.expression(a.cast("array<long>")),
       SqlBridge.expression(b.cast("array<long>"))))
+
+  /** Codegen'd "any element ∈ sorted literal set" for `array<long>`
+    * (see [[AnySortedSetMember]]). `set` must be ascending-sorted and
+    * duplicate-free. */
+  def anySortedSetMember(a: Column, set: Array[Long]): Column =
+    SqlBridge.column(AnySortedSetMember(
+      SqlBridge.expression(a.cast("array<long>")), set))
 }

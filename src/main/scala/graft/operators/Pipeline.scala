@@ -1279,6 +1279,64 @@ object Pipeline {
     }
   }
 
+  /** The distinct word-`n`-gram hash set of a document relation — THE
+    * shared eval-set derivation of the decontamination family: batch
+    * q113 stage 4 builds its Bloom + semi-join side from it, and
+    * [[contaminationPredicate]] compiles it into the streaming ingest
+    * gate's map-side verdict. One definition, so the nightly batch
+    * artifact and the near-line gate can never disagree on what "a
+    * gram of the eval set" means. Output: one `h` long column
+    * ([[graft.functions.TextFunctions.portableHashMod]] over
+    * [[graft.functions.TextFunctions.wordShingles]]), distinct. */
+  def wordGramHashes(rel: DataFrame, textCol: String, n: Int = 8): DataFrame =
+    rel.select(explode(wordShingles(split(col(textCol), " "), n)).as("gram"))
+      .select(portableHashMod(col("gram")).as("h")).distinct()
+
+  /** The decontamination verdict as ONE map-side Column predicate —
+    * the STREAMING face of q49 / q113-stage-4 (VERDICT r15 §next-3):
+    * TRUE iff the text shares at least one word-`n`-gram hash with
+    * `evalGrams` (a one-long-column relation, the [[wordGramHashes]]
+    * artifact a nightly batch persists). EXACT, not approximate: the
+    * broadcast Bloom ([[bloomMightContain]] — no false negatives)
+    * prunes per gram, then a codegen'd binary search over the SORTED
+    * eval hash set ([[graft.expressions.AnySortedSetMember]]) confirms
+    * — a Bloom false positive costs ~15 long compares, never a flipped
+    * verdict. Gram-hash equality semantics are identical to the batch
+    * semi-join's, so batch/stream verdicts agree row for row (asserted
+    * in DedupSpec).
+    *
+    * Both artifacts ride the PLAN as literals — the bounded-eval-set
+    * rationale of [[DecontamBloomBits]]: eval benchmarks are fixed by
+    * the benchmarks, not the corpus, so neither literal grows with
+    * ingest volume. Capped at 2^18 grams (a 2 MB long-array literal,
+    * the [[bloomMightContain]] cap class); a "small side" past that
+    * has stopped being small — run the batch semi-join instead.
+    *
+    * ZERO state, zero stream-side exchanges, no per-micro-batch join:
+    * this is what lets the composed ingest gate add decontamination
+    * while keeping exactly ONE stateful operator. A null text has no
+    * grams and is never contaminated (matches the batch semi-join,
+    * where a null produces no gram rows). */
+  def contaminationPredicate(evalGrams: DataFrame,
+      bloomBits: Int = DecontamBloomBits, n: Int = 8): Column => Column = {
+    val hs = evalGrams
+      .select(col(evalGrams.columns.head).cast("long").as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    require(hs.nonEmpty, "empty eval gram set")
+    require(hs.length <= (1 << 18),
+      s"eval gram set has ${hs.length} > 2^18 entries: past the plan-" +
+        "literal class — decontaminate with the batch semi-join instead")
+    val spark = evalGrams.sparkSession
+    import spark.implicits._
+    val mightContain = bloomMightContain(hs.toSeq.toDF("h"), bloomBits)
+    (text: Column) => coalesce(
+      graft.expressions.VectorFunctions.anySortedSetMember(
+        filter(transform(wordShingles(split(text, " "), n),
+          g => portableHashMod(g)), h => mightContain(h)),
+        hs),
+      lit(false))
+  }
+
   /** [[q49Contamination]] with the Bloom width exposed: PipelineSpec
     * drives `bloomBits` down to a deliberately saturated filter to
     * prove false positives cannot change the answer. */
@@ -3929,8 +3987,12 @@ object Pipeline {
       .select(col("doc_id"),
         explode(wordShingles(split(col("text"), " "), 8)).as("gram"))
       .select(col("doc_id"), portableHashMod(col("gram")).as("h"))
-    val evalGrams = gramsOf(d.filter(col("doc_id") % FunnelEvalMod === 0))
-      .select(col("h")).distinct().persist(NarrowCacheLevel)
+    // the eval side is the SHARED [[wordGramHashes]] derivation — the
+    // same artifact the streaming decontamGate compiles into its
+    // map-side verdict, so batch funnel and ingest gate agree
+    val evalGrams = wordGramHashes(
+      d.filter(col("doc_id") % FunnelEvalMod === 0), "text")
+      .persist(NarrowCacheLevel)
     val mightContain = bloomMightContain(evalGrams, DecontamBloomBits)
     val contaminated = gramsOf(s3)
       .filter(mightContain(col("h")))

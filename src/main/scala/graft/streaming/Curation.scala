@@ -90,30 +90,57 @@ object Curation {
       .drop(htmlCol)
   }
 
+  /** Eval-set DECONTAMINATION at ingest — the streaming face of batch
+    * q49 / q113-stage-4, from the one shared verdict definition
+    * ([[Pipeline.contaminationPredicate]]): drop every arriving
+    * document sharing at least one word-8-gram with the eval set.
+    * `evalGrams` is the [[Pipeline.wordGramHashes]] artifact a nightly
+    * batch persists (one `h` long column, bounded by the benchmarks —
+    * it does not grow with the crawl). STATELESS by construction: the
+    * verdict is one map-side column expression (Bloom prune per gram,
+    * then an exact codegen'd binary search over the sorted eval hash
+    * set riding the plan as a literal), so the stage adds zero state,
+    * zero exchanges, and no per-micro-batch join — the eval set is
+    * compiled in at composition time, exactly like a stream-static
+    * broadcast side, and a new eval snapshot means re-composing the
+    * query (the same contract as every static-side snapshot).
+    * Batch/stream verdict agreement is asserted in DedupSpec. */
+  def decontamGate(docs: DataFrame, textCol: String,
+      evalGrams: DataFrame): DataFrame =
+    docs.filter(!Pipeline.contaminationPredicate(evalGrams)(col(textCol)))
+
   /** The canonical ingest chain COMPOSED — the streaming face of the
-    * batch curation funnel's front half (q113 stages 0–2): markup
-    * extraction → quality gate → PII scrub → normalization-aware
-    * dedup, as ONE transform a crawl ingest binds to its page stream.
-    * Every stage is the already-proven shared-definition face
-    * ([[markupExtract]] / [[qualityGate]] / [[piiScrub]] /
-    * [[Dedup.dedupNormalized]]), in the canonical order: extraction
-    * first because every quality heuristic assumes clean text, the
-    * gate before the scrub so dead documents never pay regex work,
-    * the scrub before dedup so redacted variants collapse.
+    * batch curation funnel's front half (q113 stages 0–4): markup
+    * extraction → quality gate → PII scrub → eval decontamination →
+    * normalization-aware dedup, as ONE transform a crawl ingest binds
+    * to its page stream. Every stage is the already-proven
+    * shared-definition face ([[markupExtract]] / [[qualityGate]] /
+    * [[piiScrub]] / [[decontamGate]] / [[Dedup.dedupNormalized]]), in
+    * the canonical order: extraction first because every quality
+    * heuristic assumes clean text, the gate before the scrub so dead
+    * documents never pay regex work, the scrub before dedup so
+    * redacted variants collapse, decontamination before dedup so
+    * contaminated pages never cost state. `evalGrams` (the
+    * [[Pipeline.wordGramHashes]] artifact) enables the
+    * decontamination stage; None composes the historical 4-stage
+    * chain.
     *
-    * Statefulness: the first three stages are pure map-side column
-    * logic (zero state), so the ONLY state the composition holds is
-    * the dedup stage's watermark-bounded canonical digests — one
-    * 16-byte digest per kept document inside the horizon, RocksDB-
-    * backed like every dedup gate. Append mode end to end. At 100 TB
-    * ingest this is the order that minimizes both state and compute:
-    * markup (the bulkiest bytes) drops at the first map, gated
-    * documents never reach the state store. */
+    * Statefulness: the first FOUR stages are pure map-side column
+    * logic (zero state — decontamination's eval set rides the plan as
+    * a literal), so the ONLY state the composition holds is the dedup
+    * stage's watermark-bounded canonical digests — one 16-byte digest
+    * per kept document inside the horizon, RocksDB-backed like every
+    * dedup gate. Append mode end to end. At 100 TB ingest this is the
+    * order that minimizes both state and compute: markup (the
+    * bulkiest bytes) drops at the first map, gated documents never
+    * reach the state store. */
   def ingestGate(pages: DataFrame, htmlCol: String, eventTimeCol: String,
-      horizon: String): DataFrame =
-    Dedup.dedupNormalized(
-      piiScrub(qualityGate(markupExtract(pages, htmlCol), "text"), "text"),
-      "text", eventTimeCol, horizon)
+      horizon: String, evalGrams: Option[DataFrame] = None): DataFrame = {
+    val scrubbed =
+      piiScrub(qualityGate(markupExtract(pages, htmlCol), "text"), "text")
+    val cleared = evalGrams.fold(scrubbed)(decontamGate(scrubbed, "text", _))
+    Dedup.dedupNormalized(cleared, "text", eventTimeCol, horizon)
+  }
 
   /** Windowed OUT-OF-VOCABULARY rate against a STATIC baseline
     * vocabulary — the near-line tripwire for the batch drift report

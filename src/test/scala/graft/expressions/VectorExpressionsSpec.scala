@@ -86,6 +86,31 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("any_sorted_set_member agrees with arrays_overlap on random sets, both eval paths") {
+    val rnd = new scala.util.Random(11L)
+    val set = (0L to 500L).filter(_ => rnd.nextBoolean()).toArray.sorted
+    val rows = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(40))(rnd.nextLong(600L)))
+    val df = rows.toDF("a")
+    val got = df.select(
+      anySortedSetMember(col("a"), set).as("native"),
+      arrays_overlap(col("a"), lit(set)).as("builtin")).collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+    // interpreted path (inside a HOF lambda) agrees
+    val hof = df.select(element_at(
+      transform(array(col("a")), x => anySortedSetMember(x, set)), 1))
+      .collect().map(_.getBoolean(0))
+    assert(hof.toSeq == got.map(_.getBoolean(0)).toSeq)
+    // edges: empty array → false, null array → null, null element skipped
+    assert(!Seq(Seq.empty[Long]).toDF("a")
+      .select(anySortedSetMember(col("a"), set)).head().getBoolean(0))
+    assert(Seq(Tuple1(null.asInstanceOf[Seq[Long]])).toDF("a")
+      .select(anySortedSetMember(col("a"), set)).head().isNullAt(0))
+    val withNull = Seq(Tuple1(Seq[java.lang.Long](null, java.lang.Long.valueOf(set.head))))
+      .toDF("a")
+    assert(withNull.select(anySortedSetMember(col("a"), set)).head().getBoolean(0))
+  }
+
   test("centroid_argmax matches the crossJoin + max_by derivation on random vectors") {
     // the Column form whose DuckDB parity carries the q51/q61 oracle:
     // max_by(label, round(cos, 6)*1e12 + label) over a broadcast

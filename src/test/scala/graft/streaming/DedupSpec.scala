@@ -495,6 +495,81 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("decontamination verdict: map-side predicate agrees with the batch semi-join, Bloom FPs harmless") {
+    import graft.functions.TextFunctions.{portableHashMod, wordShingles}
+    val evalDocs = Seq(
+      "the held out benchmark question about astronomy and physics answers",
+      "a second eval prompt carrying its own eight token span here").toDF("text")
+    val evalGrams = graft.operators.Pipeline.wordGramHashes(evalDocs, "text")
+    val corpus = Seq(
+      // embeds eval doc 1's tokens 2-9 as a full 8-gram → contaminated
+      (1L, "prefix words held out benchmark question about astronomy and physics trailing tail"),
+      // shares 7 consecutive tokens only (one substituted) → clean
+      (2L, "prefix words held out benchmark question about astronomy XX physics trailing tail"),
+      (3L, "a completely unrelated document with plenty of tokens to shingle over"),
+      (4L, null.asInstanceOf[String]), // no grams, never contaminated
+      (5L, "short doc")) // < 8 tokens, no grams
+      .toDF("doc_id", "text")
+    // batch truth: the q113-stage-4 semi-join on the same gram hashes
+    val batchTruth = corpus
+      .select(col("doc_id"),
+        explode(wordShingles(split(col("text"), " "), 8)).as("gram"))
+      .select(col("doc_id"), portableHashMod(col("gram")).as("h"))
+      .join(evalGrams, Seq("h"), "left_semi")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(batchTruth == Set(1L), s"fixture broken: $batchTruth")
+    def verdicts(bloomBits: Int): Map[Long, Boolean] = {
+      val pred = graft.operators.Pipeline.contaminationPredicate(
+        evalGrams, bloomBits)
+      corpus.withColumn("c", pred(col("text")))
+        .select("doc_id", "c").as[(Long, Boolean)].collect().toMap
+    }
+    val got = verdicts(20)
+    assert(got.filter(_._2).keySet == batchTruth, s"verdicts $got")
+    assert(!got(4L) && !got(5L))
+    // a deliberately SATURATED Bloom (2^5 bits, FP-ridden): the exact
+    // binary-search confirm means verdicts cannot move
+    assert(verdicts(5) == got, "Bloom false positives flipped a verdict")
+  }
+
+  test("composed ingest gate with decontamination: contaminated page drops at ingest, still one state op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the eval artifact a nightly batch would persist (wordGramHashes)
+    val evalText = Seq.tabulate(10)(i => s"evaltok$i").mkString(" ")
+    val evalGrams = graft.operators.Pipeline.wordGramHashes(
+      Seq(evalText).toDF("text"), "text")
+    val good = Seq.tabulate(30)(i => s"tok$i").mkString(" ")
+    // passes extraction and the quality gate, but embeds eval tokens
+    // 0..7 as a full 8-gram → must die at the decontamination stage
+    val contaminated = (Seq.tabulate(11)(i => s"pre$i") ++
+      Seq.tabulate(8)(i => s"evaltok$i") ++
+      Seq.tabulate(11)(i => s"post$i")).mkString(" ")
+    // shares only 7 consecutive eval tokens → survives
+    val nearMiss = (Seq.tabulate(11)(i => s"pre$i") ++
+      Seq.tabulate(7)(i => s"evaltok$i") ++
+      Seq.tabulate(12)(i => s"post$i")).mkString(" ")
+    val in = MemoryStream[(Long, String, Long)] // (doc_id, html, epoch sec)
+    val pages = in.toDF().toDF("doc_id", "html", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = Curation.ingestGate(pages, "html", "ts", "10 minutes",
+      Some(evalGrams))
+    val query = out.writeStream.format("memory").queryName("ingest_decon_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, s"<p>$good</p>", 1L), (2L, s"<p>$contaminated</p>", 2L),
+        (3L, s"<p>$nearMiss</p>", 3L))
+      query.processAllAvailable()
+      val got = spark.table("ingest_decon_mem").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(got == Set(1L, 3L), s"got $got")
+      // decontamination added ZERO state: the dedup digests remain the
+      // composition's only stateful operator
+      val stateOps = query.lastProgress.stateOperators
+      assert(stateOps.length == 1, s"expected 1 state op, got ${stateOps.length}")
+    } finally query.stop()
+  }
+
   test("windowed OOV rate against a static vocabulary: exact counts per closed window") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val vocab = Seq("alpha", "beta", "gamma").toDF("token")
