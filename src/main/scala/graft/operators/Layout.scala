@@ -127,6 +127,30 @@ object Layout {
     fresh.write.mode(SaveMode.Overwrite).saveAsTable(name)
   }
 
+  /** One-row corpus-FINGERPRINT sidecar of a banked artifact (ADVICE
+    * r15): `(n_rows, content_hash)` of the corpus the artifact was
+    * built from, at `<name>_fingerprint`. The build-if-absent sites
+    * compare the live corpus against it and rebuild on mismatch — a
+    * regenerated corpus retrains instead of silently serving stale
+    * codes. See [[graft.operators.Pipeline.corpusFingerprint]] for the
+    * hash discipline. */
+  def writeFingerprint(spark: SparkSession, name: String,
+      fp: (Long, Long)): Unit = {
+    dropManagedTable(spark, name + "_fingerprint")
+    import spark.implicits._
+    Seq(fp).toDF("n_rows", "content_hash")
+      .write.mode(SaveMode.Overwrite).saveAsTable(name + "_fingerprint")
+  }
+
+  /** The stored corpus fingerprint of a banked artifact — None when
+    * the artifact predates fingerprinting or does not exist (both mean
+    * "rebuild"). */
+  def readFingerprint(spark: SparkSession,
+      name: String): Option[(Long, Long)] =
+    if (!spark.catalog.tableExists(name + "_fingerprint")) None
+    else spark.table(name + "_fingerprint").collect().headOption
+      .map(r => (r.getLong(0), r.getLong(1)))
+
   /** Drop `name` AND scrub its warehouse directory: the default
     * in-memory catalog forgets table METADATA at session end but the
     * warehouse directory survives, and `saveAsTable` onto a non-empty

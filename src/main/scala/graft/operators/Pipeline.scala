@@ -745,15 +745,49 @@ object Pipeline {
   def q85IndexedAnn(spark: SparkSession, dir: String): DataFrame =
     annServe(spark.table(ensureIvfIndex(spark, dir)))
 
-  /** Build-if-absent for the persisted IVF index of `dir` — the shared
-    * ingest stage of q85 and q118 (whichever runs first in a session
-    * pays the build; the build is deterministic, so order is
+  /** Order-independent CONTENT fingerprint of a corpus relation:
+    * `(row count, XOR of per-row xxhash64 over every column cast to
+    * string)` — the rebuild-on-mismatch guard behind every banked
+    * artifact (ADVICE r15: an index/codebook keyed only by directory
+    * NAME silently serves stale state after the corpus is regenerated
+    * in place). XOR is commutative/associative (partitioning cannot
+    * move it) and never overflows; the string cast is Spark's
+    * deterministic rendering, covering nested arrays. Cost: one
+    * map + partial-agg scan of the corpus per ensure call — cheap
+    * beside any serve, but NOT free at 100 TB: a production deployment
+    * replaces it with a catalog-carried corpus VERSION (O(1), no
+    * scan); the content hash is the stand-in for sources without
+    * one. */
+  private[graft] def corpusFingerprint(rel: DataFrame): (Long, Long) = {
+    val h = xxhash64(rel.columns.map(c => col(c).cast("string")): _*)
+    val r = rel.agg(count(lit(1)).as("n"),
+      coalesce(bit_xor(h), lit(0L)).as("h")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Build-if-absent-or-STALE: run `build` unless the `presence` table
+    * exists AND its stored corpus fingerprint equals `fp`; record `fp`
+    * beside the artifact after every build. The shared ensure
+    * discipline of the IVF index (q85/q118), the PQ index
+    * (q101/q103/q107), the residual codebook (q109), and the inverted
+    * index (q86). */
+  private def ensureCurrent(spark: SparkSession, presence: String,
+      fp: (Long, Long))(build: => Unit): Unit =
+    if (!spark.catalog.tableExists(presence) ||
+        !Layout.readFingerprint(spark, presence).contains(fp)) {
+      build
+      Layout.writeFingerprint(spark, presence, fp)
+    }
+
+  /** Build-if-absent-or-stale for the persisted IVF index of `dir` —
+    * the shared ingest stage of q85 and q118 (whichever runs first in
+    * a session pays the build; the build is deterministic, so order is
     * immaterial). Returns the members table name. */
   private def ensureIvfIndex(spark: SparkSession, dir: String): String = {
     val idx = ivfIndexTable(dir)
-    if (!spark.catalog.tableExists(idx)) {
-      val e = Tables.spread(Tables.embeddings(spark, dir))
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val e = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    ensureCurrent(spark, idx, corpusFingerprint(e)) {
       val (members, routing) = mapSideFineClustersWithRouting(e,
         labelCentroids(spark, dir), ClusterTargetOccupancy)
       Layout.writeIvfIndex(members, routing, idx, IvfIndexBuckets)
@@ -1737,8 +1771,9 @@ object Pipeline {
     * match proves the postings round-trip loses nothing. */
   def q86IndexedBm25(spark: SparkSession, dir: String): DataFrame = {
     val idx = invIndexTable(dir)
-    if (!spark.catalog.tableExists(idx))
-      buildInvIndex(spark, idx, docs(spark, dir))
+    val corpus = docs(spark, dir)
+    ensureCurrent(spark, idx, corpusFingerprint(corpus))(
+      buildInvIndex(spark, idx, corpus))
     invIndexBm25(spark, idx)
   }
 
@@ -3135,11 +3170,20 @@ object Pipeline {
     * difference between 3 extra full-corpus scans per ad-hoc ANN query
     * and a 17-row table read. */
   private[graft] def trainedPqSeeds(spark: SparkSession,
-      dir: String): Seq[(Long, Seq[Double])] = {
+      dir: String): Seq[(Long, Seq[Double])] =
+    storedPqSeeds(spark, ensurePqIndex(spark, dir))
+
+  /** Build-if-absent-or-stale for the persisted PQ index of `dir`
+    * (the [[ensureCurrent]] discipline): the first caller per (session,
+    * corpus version) pays the build; a REGENERATED corpus fails the
+    * fingerprint compare and retrains instead of silently serving
+    * stale codes (ADVICE r15). Returns the code-relation table name. */
+  private[graft] def ensurePqIndex(spark: SparkSession,
+      dir: String): String = {
     val idx = pqIndexTable(dir)
-    if (!spark.catalog.tableExists(idx))
-      buildPqIndex(pqVectors(spark, dir), idx)
-    storedPqSeeds(spark, idx)
+    ensureCurrent(spark, idx, corpusFingerprint(pqVectors(spark, dir)))(
+      buildPqIndex(pqVectors(spark, dir), idx))
+    idx
   }
 
   /** The embeddings relation in PQ shape: `(vec_id, e: array<double>)`. */
@@ -3420,9 +3464,7 @@ object Pipeline {
     * production split, applied to PQ: encoding is ingest work, paid
     * once per corpus version; queries pay table lookups. */
   def q103IndexedPqAnn(spark: SparkSession, dir: String): DataFrame = {
-    val idx = pqIndexTable(dir)
-    if (!spark.catalog.tableExists(idx))
-      buildPqIndex(pqVectors(spark, dir), idx)
+    val idx = ensurePqIndex(spark, dir)
     pqFlaggedServe(spark.table(idx), pqVectors(spark, dir),
       storedPqSeeds(spark, idx))
   }
@@ -3517,7 +3559,12 @@ object Pipeline {
   private[graft] def trainedResidualPqSeeds(spark: SparkSession,
       dir: String, residuals: => DataFrame): Seq[(Long, Seq[Double])] = {
     val base = pqResidualCodebookTable(dir)
-    if (!spark.catalog.tableExists(base + "_codebook")) {
+    // the staleness key is the SOURCE corpus: residuals derive
+    // deterministically from it (embeddings → centroids → r), so a
+    // matching source fingerprint proves the banked codewords current
+    // without forcing the residual lineage on a served path
+    ensureCurrent(spark, base + "_codebook",
+        corpusFingerprint(pqVectors(spark, dir))) {
       import spark.implicits._
       Layout.writeCodebook(pqSeeds(residuals).toDF("label", "cvec"),
         base + "_codebook")

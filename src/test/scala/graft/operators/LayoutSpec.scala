@@ -230,6 +230,46 @@ class LayoutSpec extends SparkSpec {
     finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("banked codebook retrains when the corpus is regenerated in place, skips rebuild when unchanged") {
+    // a private corpus dir the test owns (ADVICE r15: indexes keyed
+    // only by dir NAME silently served stale codes after an in-place
+    // corpus regeneration)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpr").toString
+    Tables.embeddings(spark, sfDir).write.parquet(dir + "/embeddings.parquet")
+    val idx = Pipeline.pqIndexTable(dir)
+    def codebookFiles(): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        (idx + "_codebook").toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName).toSet
+    }
+    val seeds1 = Pipeline.trainedPqSeeds(spark, dir)
+    val fp1 = Layout.readFingerprint(spark, idx)
+    assert(fp1.isDefined, "build must record a corpus fingerprint")
+    val files1 = codebookFiles()
+    // unchanged corpus → the ensure is a no-op: same data files at rest
+    val seeds2 = Pipeline.trainedPqSeeds(spark, dir)
+    assert(seeds2 == seeds1)
+    assert(codebookFiles() == files1, "unchanged corpus must not rebuild")
+    // regenerate the corpus IN PLACE (same dir, halved content): the
+    // fingerprint mismatch must force a retrain, not serve stale codes
+    val halved = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 0).collect()
+    val schema = Tables.embeddings(spark, sfDir).schema
+    spark.createDataFrame(java.util.Arrays.asList(halved: _*), schema)
+      .write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+    val seeds3 = Pipeline.trainedPqSeeds(spark, dir)
+    val fp3 = Layout.readFingerprint(spark, idx)
+    assert(fp3 != fp1, "fingerprint must track the regenerated corpus")
+    assert(codebookFiles() != files1, "regenerated corpus must rebuild")
+    // the retrained codebook is the halved corpus's own training output
+    assert(seeds3 == Pipeline.pqSeeds(
+      spark.read.parquet(dir + "/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))))
+  }
+
   test("indexAppend: new vectors land in their routed buckets, serve finds them, layout invariant holds") {
     import spark.implicits._
     val shared = Pipeline.ivfIndexTable(sfDir)
