@@ -4294,16 +4294,25 @@ object Pipeline {
     * group's sorted multiset (one `collect_list` per lang); at 100 TB
     * the same report runs on the GK/t-digest sketch path (q60) —
     * the exact form carries the correctness row. ≤9·|lang| rows. */
-  def q116LengthDrift(spark: SparkSession, dir: String): DataFrame = {
+  /** The two `(lang, len)` crawl-version relations q116 compares —
+    * shared by the exact path ([[q116LengthDrift]], the correctness
+    * row) and the sketch path ([[lengthDriftSketch]], the 100 TB
+    * form). The q106/q115 crawl-2 mutation rules, verbatim. */
+  private def lengthDriftVersions(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val base = docs(spark, dir)
     val v1 = base.select(col("lang"), length(col("text")).cast("long").as("len"))
-    // the q106/q115 crawl-2 mutation rules, verbatim
     val v2 = base.filter(col("doc_id") % 13 =!= 0)
       .select(col("lang"),
         length(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
           .otherwise(col("text"))).cast("long").as("len"))
       .unionByName(base.filter(col("doc_id") % 11 === 0)
         .select(col("lang"), length(col("text")).cast("long").as("len")))
+    (v1, v2)
+  }
+
+  def q116LengthDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = lengthDriftVersions(spark, dir)
     def deciles(v: DataFrame, nName: String, lName: String): DataFrame =
       v.groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sort_array(collect_list(col("len"))).as("vs"))
@@ -4314,6 +4323,49 @@ object Pipeline {
           element_at(col("vs"),
             ((col("n") - 1) * col("decile") / 10).cast("long").cast("int") + 1)
             .as(lName))
+    deciles(v1, "n_v1", "len_v1")
+      .join(deciles(v2, "n_v2", "len_v2"), Seq("lang", "decile"))
+      .select(col("lang"), col("decile"), col("n_v1"), col("n_v2"),
+        col("len_v1"), col("len_v2"),
+        (col("len_v2") - col("len_v1")).as("shift"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
+  /** The SKETCH-path form of [[q116LengthDrift]] (VERDICT r15
+    * §next-7): same report shape — per (lang, decile 1..9) both
+    * versions' sizes, decile lengths, and shift — but deciles come
+    * from `percentile_approx`'s Greenwald–Khanna sketch instead of a
+    * per-language sorted multiset. State per (lang, version) is
+    * O(accuracy·log(ε·n)) sketch entries REGARDLESS of corpus size,
+    * where the exact form's `collect_list` holds every length of the
+    * language in one aggregation buffer — at 100 TB per-language
+    * collect is the one non-bounded state this report family had
+    * left, and this is its production form.
+    *
+    * Contract: GK guarantees each reported decile's RANK is within
+    * `ε·n` of the target rank, `ε = 1/accuracy` — asserted in
+    * PipelineSpec by a broadcast join-back of the ≤9·|lang| report
+    * rows against the length relation (counting elements strictly
+    * below / at-or-below each reported value). WHEN EACH PATH
+    * APPLIES: the exact form carries the oracle correctness row and
+    * any corpus whose largest language fits one aggregation buffer;
+    * the sketch form is the drift monitor a 100 TB deployment
+    * actually schedules, trading ≤ ε rank error for bounded state.
+    * Lengths are integers, so the sketch returns genuine corpus
+    * lengths (no interpolation) — the report stays integer-exact in
+    * VALUE, approximate only in rank. */
+  def lengthDriftSketch(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val (v1, v2) = lengthDriftVersions(spark, dir)
+    def deciles(v: DataFrame, nName: String, lName: String): DataFrame =
+      v.groupBy(col("lang"))
+        .agg(count(lit(1)).as(nName),
+          percentile_approx(col("len"),
+            typedlit((1 to 9).map(_ / 10.0)), lit(accuracy)).as("qs"))
+        .select(col("lang"), col(nName),
+          posexplode(col("qs")).as(Seq("pos", lName)))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("decile"),
+          col(nName), col(lName).cast("long").as(lName))
     deciles(v1, "n_v1", "len_v1")
       .join(deciles(v2, "n_v2", "len_v2"), Seq("lang", "decile"))
       .select(col("lang"), col("decile"), col("n_v1"), col("n_v2"),

@@ -1939,6 +1939,62 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q116 sketch path: GK deciles honor the rank-error contract, join-back verified") {
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the shared crawl-version rules, rebuilt for the join-back
+    val v1 = docsDf.select(col("lang"), length(col("text")).cast("long").as("len"))
+    val v2 = docsDf.filter(col("doc_id") % 13 =!= 0)
+      .select(col("lang"),
+        length(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).cast("long").as("len"))
+      .unionByName(docsDf.filter(col("doc_id") % 11 === 0)
+        .select(col("lang"), length(col("text")).cast("long").as("len")))
+    val exact = Pipeline.q116LengthDrift(spark, sfDir)
+    for (acc <- Seq(100, 100000)) {
+      val rep = Pipeline.lengthDriftSketch(spark, sfDir, acc)
+      assert(rep.schema == exact.schema, "sketch/exact schema drift")
+      assert(rep.count() == exact.count())
+      // per-version rank check: BROADCAST the ≤9·|lang| report rows
+      // back onto the length relation, count elements strictly below /
+      // at-or-below each reported decile — GK promises the reported
+      // value's rank within eps*n of the target rank
+      def rankCheck(v: org.apache.spark.sql.DataFrame, lenCol: String): Unit = {
+        val checks = v
+          .join(broadcast(rep.select(col("lang"), col("decile"), col(lenCol))),
+            Seq("lang"))
+          .groupBy(col("lang"), col("decile"), col(lenCol))
+          .agg(sum(when(col("len") < col(lenCol), 1L).otherwise(0L)).as("below"),
+            sum(when(col("len") <= col(lenCol), 1L).otherwise(0L)).as("at_or_below"),
+            count(lit(1)).as("n"))
+          .collect()
+        assert(checks.nonEmpty)
+        checks.foreach { r =>
+          val (lang, dec) = (r.getString(0), r.getInt(1))
+          val (below, atOrBelow, n) = (r.getLong(3), r.getLong(4), r.getLong(5))
+          val target = n.toDouble * dec / 10.0
+          val tol = n.toDouble / acc + 1.0
+          assert(below <= target + tol,
+            s"$lenCol $lang d$dec acc=$acc: rank-below $below > $target + $tol")
+          assert(atOrBelow >= target - tol,
+            s"$lenCol $lang d$dec acc=$acc: rank-at-or-below $atOrBelow < $target - $tol")
+        }
+      }
+      rankCheck(v1, "len_v1")
+      rankCheck(v2, "len_v2")
+      // integer-valued: every reported decile is a genuine corpus length
+      val lens1 = v1.select("len").distinct().as[Long].collect().toSet
+      rep.select("len_v1").as[Long].collect()
+        .foreach(l => assert(lens1(l), s"sketch emitted non-corpus length $l"))
+    }
+    // counts agree with the exact path exactly (only ranks are approximate)
+    val exCounts = exact.select("lang", "decile", "n_v1", "n_v2").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    Pipeline.lengthDriftSketch(spark, sfDir).select("lang", "decile", "n_v1", "n_v2")
+      .collect().foreach { r =>
+        assert(exCounts((r.getString(0), r.getInt(1))) == ((r.getLong(2), r.getLong(3))))
+      }
+  }
+
   test("q118: radius-1 serve dominates q85's radius-0 per rank, same index") {
     val r0 = Pipeline.q85IndexedAnn(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
