@@ -274,6 +274,9 @@ object SparkEntry {
     // multi-probe ANN serve: q85's persisted index served at probe
     // radius 1 — the q114 knob turned, index untouched
     "q118_multi_probe_ann" -> (Pipeline.q118MultiProbeAnn _),
+    // q114's sweep with the coarse stage swapped to Lloyd-trained
+    // corpus-derived centroids — the label-free production router
+    "q119_trained_coarse_sweep" -> (Pipeline.q119TrainedCoarseSweep _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -4452,10 +4452,23 @@ object Pipeline {
     * one corpus scan against the broadcast query set, the offline
     * audit a deployment runs on SAMPLED queries per corpus version.
     * The report is two fixed-width rows. */
-  def q114AnnRecallSweep(spark: SparkSession, dir: String): DataFrame = {
-    val e = pqVectors(spark, dir)
-    val members = mapSideFineClusters(e, labelCentroids(spark, dir),
-      ClusterTargetOccupancy).persist(CacheLevel)
+  def q114AnnRecallSweep(spark: SparkSession, dir: String): DataFrame =
+    annRecallSweep(pqVectors(spark, dir), labelCentroids(spark, dir))
+
+  /** The recall/efficiency sweep HARNESS q114 and q119 share: given a
+    * `(vec_id, e)` corpus and a coarse centroid relation, measure
+    * recall@5 vs candidates-scanned at probe radius 0 and 1 against
+    * the exact full-corpus top-5. Parameterizing the centroid relation
+    * is what lets the same harness grade DIFFERENT coarse quantizers —
+    * label centroids (q114), Lloyd-trained corpus-derived centroids
+    * (q119), or a degenerate single centroid (the pure-SRP baseline
+    * the spec uses) — on identical queries and an identical exact
+    * answer set. */
+  private[operators] def annRecallSweep(e: DataFrame,
+      cent: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val members = mapSideFineClusters(e, cent, ClusterTargetOccupancy)
+      .persist(CacheLevel)
     members.count()
     val queries = members.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
@@ -4512,6 +4525,27 @@ object Pipeline {
     exact.unpersist(blocking = false)
     spark.createDataFrame(
       java.util.Arrays.asList(snapshot: _*), out.schema)
+  }
+
+  /** L3 — the TRAINED-COARSE recall sweep (VERDICT r15 §next-9):
+    * q114's harness with the coarse quantizer swapped from label
+    * centroids to [[kMeansCentroids]]' Lloyd-trained, corpus-DERIVED
+    * centroids — the form a real deployment runs, because production
+    * corpora have no label column (the q61 argument applied to the
+    * tuning report). Same exact-top-5 harness, same [[probeExpand]]
+    * radii, same report shape, so the two tables read side by side:
+    * a deployment compares supervised-proxy routing (q114) against
+    * its actual trained router (this) at equal candidate budget —
+    * both subdivide to the same target occupancy, so the budget
+    * equality is by construction. The spec additionally grades the
+    * trained coarse stage against a degenerate single-centroid
+    * (pure-SRP) baseline on a clustered fixture: training must buy
+    * recall at equal occupancy. Scale posture: q114's, plus
+    * kMeansCentroids' bounded O(n·k·d) map-side Lloyd pass (≤64-row
+    * broadcast, one corpus scan per iteration). */
+  def q119TrainedCoarseSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = pqVectors(spark, dir)
+    annRecallSweep(e, kMeansCentroids(e))
   }
 
   object Sql {
@@ -5171,6 +5205,33 @@ object Pipeline {
         |  n_batch - coalesce(n_kept, 0) AS n_dropped
         |FROM t LEFT JOIN k USING (lang) ORDER BY t.lang""".stripMargin
 
+    /** The [[Pipeline.kMeansCentroids]] twin (iters = 1): CTE block
+      * deriving Lloyd-trained corpus centroids for the `(vec_id, e)`
+      * relation `rel` — expected-k hash-threshold seeding with the
+      * min-hash floor, one argmax assignment, one rounded per-dim mean
+      * — ending with `cent`, the name [[fineClusterCtes]] expects.
+      * Shared by q61 and q119 (single-sourced r17). */
+    private def derivedCentCtes(rel: String): String =
+      s"""nn AS (SELECT count(*) AS n FROM $rel),
+         |hs AS (SELECT vec_id, e,
+         |    ${ph("'seed:' || CAST(vec_id AS VARCHAR)")} % 1000000 AS sh FROM $rel),
+         |mn AS (SELECT min(sh) AS sh_min FROM hs),
+         |seeds AS (
+         |  SELECT vec_id AS label, e AS cvec FROM hs, nn, mn
+         |  WHERE sh < (least(64, (n + 31) // 32) * 1000000) // n
+         |    OR sh = sh_min),
+         |asg0 AS (
+         |  SELECT vec_id, arg_max(label, cos6 * 1000000000000 + label) AS cluster FROM (
+         |    SELECT vec_id, label, round(${cos("e", "cvec")}, 6) AS cos6
+         |    FROM $rel CROSS JOIN seeds)
+         |  GROUP BY vec_id),
+         |cent AS (
+         |  SELECT label, list(cavg ORDER BY pos) AS cvec FROM (
+         |    SELECT cluster AS label, i AS pos, round(avg(e[i]), 6) AS cavg
+         |    FROM $rel JOIN asg0 USING (vec_id), generate_series(1, 64) t(i)
+         |    GROUP BY cluster, i)
+         |  GROUP BY label)""".stripMargin
+
     /** q61 — q53's derived k-means (seed threshold + one Lloyd pass)
       * over the DUP'D base corpus, its refined centroids feeding the
       * shared [[fineClusterCtes]] block (which expects the `cent`
@@ -5183,25 +5244,7 @@ object Pipeline {
          |    list_transform(embedding, (x, i) ->
          |      x::DOUBLE * (1.0 + 0.002 * ((vec_id + i - 1) % 3 - 1)))
          |  FROM embeddings WHERE vec_id % 9 = 0),
-         |nn AS (SELECT count(*) AS n FROM base),
-         |hs AS (SELECT vec_id, e,
-         |    ${ph("'seed:' || CAST(vec_id AS VARCHAR)")} % 1000000 AS sh FROM base),
-         |mn AS (SELECT min(sh) AS sh_min FROM hs),
-         |seeds AS (
-         |  SELECT vec_id AS label, e AS cvec FROM hs, nn, mn
-         |  WHERE sh < (least(64, (n + 31) // 32) * 1000000) // n
-         |    OR sh = sh_min),
-         |asg0 AS (
-         |  SELECT vec_id, arg_max(label, cos6 * 1000000000000 + label) AS cluster FROM (
-         |    SELECT vec_id, label, round(${cos("e", "cvec")}, 6) AS cos6
-         |    FROM base CROSS JOIN seeds)
-         |  GROUP BY vec_id),
-         |cent AS (
-         |  SELECT label, list(cavg ORDER BY pos) AS cvec FROM (
-         |    SELECT cluster AS label, i AS pos, round(avg(e[i]), 6) AS cavg
-         |    FROM base JOIN asg0 USING (vec_id), generate_series(1, 64) t(i)
-         |    GROUP BY cluster, i)
-         |  GROUP BY label),
+         |${derivedCentCtes("base")},
          |${fineClusterCtes("base")},
          |probes AS (
          |  SELECT vec_id AS smaller_id, e AS se,
@@ -6113,8 +6156,59 @@ object Pipeline {
          |SELECT query_id, rk, vec_id, cosine FROM ranked WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin
 
+    /** q119 — q114's sweep twin with the coarse stage swapped to the
+      * DERIVED Lloyd-trained centroids ([[derivedCentCtes]], q61's
+      * chain verbatim): same exact harness, same probe expansion, same
+      * integer counts and two final ratios. */
+    val q119 =
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |${derivedCentCtes("e")},
+         |${fineClusterCtes("e")},
+         |q AS (SELECT vec_id AS qid, e AS qe, cluster, mask FROM m WHERE vec_id < 10),
+         |ex AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, v.vec_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        round(${cos("q.qe", "v.e")}, 4) DESC, v.vec_id) AS xr
+         |    FROM q CROSS JOIN e v WHERE v.vec_id != q.qid)
+         |  WHERE xr <= 5),
+         |p1 AS (
+         |  SELECT qid, qe,
+         |    unnest(list_prepend(cluster, list_transform(
+         |      list_filter(generate_series(0, 31), j -> (mask & CAST(2**j AS BIGINT)) != 0),
+         |      j -> xor(cluster, CAST(2**j AS BIGINT))))) AS cluster
+         |  FROM q),
+         |c0 AS (
+         |  SELECT q.qid, m.vec_id, round(${cos("q.qe", "m.e")}, 4) AS c4
+         |  FROM m JOIN q USING (cluster) WHERE m.vec_id != q.qid),
+         |c1 AS (
+         |  SELECT p.qid, m.vec_id, round(${cos("p.qe", "m.e")}, 4) AS c4
+         |  FROM m JOIN p1 p USING (cluster) WHERE m.vec_id != p.qid),
+         |t0 AS (
+         |  SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c4 DESC, vec_id) AS rk
+         |    FROM c0) WHERE rk <= 5),
+         |t1 AS (
+         |  SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c4 DESC, vec_id) AS rk
+         |    FROM c1) WHERE rk <= 5),
+         |r0 AS (
+         |  SELECT 0 AS radius, (SELECT count(*) FROM q) AS n_queries,
+         |    (SELECT count(*) FROM c0) AS n_candidates,
+         |    (SELECT count(*) FROM t0 JOIN ex USING (qid, vec_id)) AS n_hits),
+         |r1 AS (
+         |  SELECT 1 AS radius, (SELECT count(*) FROM q) AS n_queries,
+         |    (SELECT count(*) FROM c1) AS n_candidates,
+         |    (SELECT count(*) FROM t1 JOIN ex USING (qid, vec_id)) AS n_hits)
+         |SELECT CAST(radius AS INT) AS radius, n_queries, n_candidates,
+         |  round(n_candidates::DOUBLE / n_queries, 6) AS avg_candidates,
+         |  n_hits, round(n_hits::DOUBLE / (n_queries * 5), 6) AS recall_at_5
+         |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
+         |ORDER BY radius""".stripMargin
+
     val all: Map[String, String] = Map(
       "q118_multi_probe_ann" -> q118,
+      "q119_trained_coarse_sweep" -> q119,
       "q23_exact_dedup" -> q23,
       "q87_fuzzy_join" -> q87,
       "q91_normalized_dedup" -> q91,

@@ -2044,6 +2044,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q119/trained coarse: Lloyd routing beats pure-SRP at equal candidate budget on a clustered fixture") {
+    // deterministic clustered fixture: 8 blobs near the origin with
+    // noise comparable to the center spread, so random hyperplanes CUT
+    // through blobs (SRP splits true neighbours) while Lloyd-trained
+    // centroids recover the blob structure
+    val rnd = new scala.util.Random(13L)
+    val (dims, blobs, perBlob) = (64, 8, 64)
+    val centers = Seq.fill(blobs)(Seq.fill(dims)(rnd.nextGaussian()))
+    val rows = for (b <- 0 until blobs; i <- 0 until perBlob) yield
+      ((b.toLong * perBlob + i),
+        centers(b).map(c => c + rnd.nextGaussian() * 0.5))
+    val e = rows.toDF("vec_id", "e")
+    def sweep(cent: org.apache.spark.sql.DataFrame): Map[Int, (Long, Double, Double)] =
+      Pipeline.annRecallSweep(e, cent).collect()
+        .map(r => r.getInt(0) -> (r.getLong(2), r.getDouble(3), r.getDouble(5)))
+        .toMap
+    val trained = sweep(Pipeline.kMeansCentroids(e))
+    // pure-SRP baseline: a degenerate single-centroid coarse stage —
+    // every bit of routing structure comes from the hyperplanes
+    val mean = (0 until dims)
+      .map(d => rows.map(_._2(d)).sum / rows.length).toSeq
+    val srp = sweep(Seq((0L, mean)).toDF("label", "cvec"))
+    // equal candidate budget by construction: both subdivide to the
+    // same target occupancy — verify the budgets actually landed close
+    val (tCand, sCand) = (trained(0)._1, srp(0)._1)
+    assert(tCand > 0 && sCand > 0)
+    assert(tCand <= sCand * 2 && sCand <= tCand * 2,
+      s"budgets diverged: trained $tCand vs srp $sCand")
+    // training must buy recall at that budget — strictly, on both radii
+    assert(trained(0)._3 > srp(0)._3,
+      s"radius 0: trained ${trained(0)._3} <= srp ${srp(0)._3}")
+    assert(trained(1)._3 > srp(1)._3,
+      s"radius 1: trained ${trained(1)._3} <= srp ${srp(1)._3}")
+    info(f"radius-0 recall: trained ${trained(0)._3}%.3f (${tCand} cands) " +
+      f"vs pure-SRP ${srp(0)._3}%.3f (${sCand} cands)")
+  }
+
   test("q113: funnel stages are complete, ordered, and monotone per language") {
     val rows = Pipeline.q113CurationFunnel(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
