@@ -277,6 +277,9 @@ object SparkEntry {
     // q114's sweep with the coarse stage swapped to Lloyd-trained
     // corpus-derived centroids — the label-free production router
     "q119_trained_coarse_sweep" -> (Pipeline.q119TrainedCoarseSweep _),
+    // the full production stack at nprobe > 1: IVF prunes candidates,
+    // PQ prunes bytes, radius-1 probes buy back boundary recall
+    "q120_multi_probe_ivf_pq" -> (Pipeline.q120MultiProbeIvfPq _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3638,6 +3638,84 @@ object Pipeline {
       java.util.Arrays.asList(snapshot: _*), out.schema)
   }
 
+  // ---------------------- q120: multi-probe IVF-PQ (the full stack)
+
+  /** L3 — MULTI-PROBE IVF-PQ: q107's two composed pruning axes with
+    * the q118 serve-time knob turned — each query ADC-ranks the
+    * 4-int codes of its home fine cluster PLUS every radius-1
+    * sub-bucket neighbour ([[probeExpand]]). This is the full
+    * production configuration (FAISS `IVFx,PQy` at nprobe > 1): IVF
+    * prunes candidates, PQ prunes bytes, multi-probe buys back the
+    * recall the partition boundary costs — and because the q107
+    * codebook quantizes RAW vectors (one global basis), the ADC
+    * lookup table stays valid across probed clusters with no per-cell
+    * re-derivation (the residual form q109 would need one table per
+    * probed cell — the textbook reason FAISS computes per-probe LUTs
+    * for IVFADC; the raw-basis form is the one that multi-probes for
+    * free). The per-query table is computed ONCE on the home row and
+    * carried through the probe expansion, so the widened broadcast
+    * ships ~33 (cluster, table) rows per query, all
+    * corpus-size-independent.
+    *
+    * The `in_exact_top5` flag grades ADC against the exact rounded-L2
+    * top-5 of the SAME probed candidate set — both rankings see
+    * identical candidates, so the flag isolates quantization error
+    * from partition recall exactly as q107's does.
+    *
+    * Scale posture: q107's — ONE persisted membership, candidate
+    * lists O(occupancy × probes) per query, queries broadcast, the
+    * ≤ queries·k result sort — plus nothing: the probe expansion is a
+    * Generate on ≤10 rows. */
+  def q120MultiProbeIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = pqVectors(spark, dir)
+    val members = mapSideFineClusters(e,
+      labelCentroids(spark, dir), ClusterTargetOccupancy)
+      .persist(CacheLevel)
+    members.count()
+    val seeds = trainedPqSeeds(spark, dir)
+    val (codesCol, _) = pqCodeColumns(seeds)
+    val coded = members.select(col("vec_id"), col("cluster"),
+      codesCol.as("codes"))
+    // the ADC table derives from the RAW query vector — once per
+    // query, before the expansion, then carried per probe row
+    val probed = probeExpand(
+      members.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          pqQueryTableCol(seeds).as("tq"), col("cluster"), col("mask")),
+      1)
+    val k = seeds.length
+    val byQ = Window.partitionBy(col("qid"))
+    val top = coded.join(
+        broadcast(probed.select(col("qid"), col("tq"), col("cluster"))),
+        Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (0 until PqSubspaces).map(s =>
+            element_at(col("tq"), col("codes")(s) + lit(s * k) + 1))
+          .reduce(_ + _).as("adc_micro"))
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("adc_micro"), col("vec_id"))))
+      .filter(col("rk") <= TopK)
+    val exact = members.select(col("vec_id"), col("e"), col("cluster"))
+      .join(broadcast(probed.select(col("qid"), col("qe"), col("cluster"))),
+        Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), l2sq6(col("e"), col("qe")).as("d6"))
+      .withColumn("xr", row_number().over(byQ.orderBy(col("d6"), col("vec_id"))))
+      .filter(col("xr") <= TopK)
+      .select(col("qid"), col("vec_id"), lit(true).as("in_exact_top5"))
+    val out = top.join(exact, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("rk").cast("int").as("rk"), col("vec_id"),
+        col("adc_micro"),
+        coalesce(col("in_exact_top5"), lit(false)).as("in_exact_top5"))
+      .orderBy(col("qid"), col("rk"))
+    // ≤ queries·k rows: snapshot, then release the membership
+    val snapshot = out.collect()
+    members.unpersist(blocking = false)
+    spark.createDataFrame(
+      java.util.Arrays.asList(snapshot: _*), out.schema)
+  }
+
   // ------------------------------- q109: residual IVF-PQ composed
 
   /** Managed-table base name for the q109 residual codebook (the
@@ -5805,6 +5883,58 @@ object Pipeline {
          |WHERE r.rk <= 5
          |ORDER BY r.qid, r.rk""".stripMargin
 
+    /** q120 — q107's skeleton with the q114/q118 radius-1 probe
+      * expansion on the query side: the ADC table derives once per
+      * query (raw-basis codebook, valid across probed clusters), the
+      * candidate and exact-flag joins both run over the probed
+      * cluster set. */
+    val q120 =
+      s"""WITH cent AS (
+         |  SELECT label, list(cavg ORDER BY pos) AS cvec FROM (
+         |    SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 6) AS cavg
+         |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i)
+         |  GROUP BY label),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |${fineClusterCtes("e")},
+         |${pqEncodeCtes()},
+         |q0 AS (SELECT vec_id AS qid, e AS qe, cluster, mask FROM m WHERE vec_id < 10),
+         |p1 AS (
+         |  SELECT qid, qe,
+         |    unnest(list_prepend(cluster, list_transform(
+         |      list_filter(generate_series(0, 31), j -> (mask & CAST(2**j AS BIGINT)) != 0),
+         |      j -> xor(cluster, CAST(2**j AS BIGINT))))) AS cluster
+         |  FROM q0),
+         |tab AS (
+         |  SELECT qid, s, idx,
+         |    CAST(round(round(${pqSub("qe", "cw")}, 6) * 1000000, 0) AS BIGINT) AS t6
+         |  FROM q0 CROSS JOIN cb),
+         |cand AS (
+         |  SELECT mv.cluster, enc.vec_id, enc.s, enc.code
+         |  FROM enc JOIN m mv USING (vec_id)),
+         |adc AS (
+         |  SELECT p.qid, c.vec_id, sum(t6) AS adc_micro
+         |  FROM cand c
+         |  JOIN p1 p ON c.cluster = p.cluster AND c.vec_id != p.qid
+         |  JOIN tab ON tab.qid = p.qid AND tab.s = c.s AND tab.idx = c.code
+         |  GROUP BY p.qid, c.vec_id),
+         |rk AS (SELECT qid, vec_id, CAST(adc_micro AS BIGINT) AS adc_micro,
+         |  row_number() OVER (PARTITION BY qid ORDER BY adc_micro, vec_id) AS rk
+         |  FROM adc),
+         |ex AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT p.qid, m.vec_id,
+         |      row_number() OVER (PARTITION BY p.qid ORDER BY
+         |        round(list_sum(list_transform(generate_series(1, 64),
+         |          i -> (m.e[i] - p.qe[i]) * (m.e[i] - p.qe[i]))), 6),
+         |        m.vec_id) AS xr
+         |    FROM m JOIN p1 p USING (cluster) WHERE m.vec_id != p.qid)
+         |  WHERE xr <= 5)
+         |SELECT r.qid, CAST(r.rk AS INT) AS rk, r.vec_id, r.adc_micro,
+         |  (ex.vec_id IS NOT NULL) AS in_exact_top5
+         |FROM rk r LEFT JOIN ex ON r.qid = ex.qid AND r.vec_id = ex.vec_id
+         |WHERE r.rk <= 5
+         |ORDER BY r.qid, r.rk""".stripMargin
+
     /** q109 — q107's skeleton with the encode CTEs pointed at the
       * per-cell RESIDUAL relation; the exact flag stays on raw
       * vectors (basis-invariant within a cell). */
@@ -6209,6 +6339,7 @@ object Pipeline {
     val all: Map[String, String] = Map(
       "q118_multi_probe_ann" -> q118,
       "q119_trained_coarse_sweep" -> q119,
+      "q120_multi_probe_ivf_pq" -> q120,
       "q23_exact_dedup" -> q23,
       "q87_fuzzy_join" -> q87,
       "q91_normalized_dedup" -> q91,

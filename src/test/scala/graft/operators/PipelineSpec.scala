@@ -2044,6 +2044,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q120: multi-probe IVF-PQ dominates q107's home-cluster ADC per rank") {
+    def rows(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), Long] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    val home = rows(Pipeline.q107IvfPqAnn(spark, sfDir))
+    val probedR = Pipeline.q120MultiProbeIvfPq(spark, sfDir)
+    val probed = rows(probedR)
+    assert(probed.nonEmpty)
+    // full top-5 per query, ADC non-decreasing down each query's ranks
+    val byQ = probed.keySet.groupBy(_._1)
+    byQ.foreach { case (q, ks) =>
+      assert(ks.map(_._2) == (1 to 5).toSet, s"query $q ranks ${ks.map(_._2)}")
+      val seq = (1 to 5).map(rk => probed((q, rk)))
+      assert(seq == seq.sorted, s"query $q ADC not sorted: $seq")
+    }
+    // the probed candidate set contains the home cluster's, so the
+    // k-th best ADC distance can only improve (smaller) at every rank
+    assert(home.keySet == probed.keySet, "query sets differ")
+    probed.foreach { case (k @ (q, rk), adc) =>
+      assert(adc <= home(k),
+        s"query $q rank $rk: probed ADC $adc > home-only ${home(k)}")
+    }
+    // and the wider probe genuinely found a closer code somewhere
+    assert(probed.exists { case (k, adc) => adc < home(k) },
+      "radius 1 never improved any ADC rank — probe expansion inert")
+    // the recall flag stays meaningful: some hits, graded per rank
+    assert(probedR.collect().exists(_.getBoolean(4)), "zero exact-top-5 hits")
+  }
+
   test("q119/trained coarse: Lloyd routing beats pure-SRP at equal candidate budget on a clustered fixture") {
     // deterministic clustered fixture: 8 blobs near the origin with
     // noise comparable to the center spread, so random hyperplanes CUT
