@@ -280,6 +280,9 @@ object SparkEntry {
     // the full production stack at nprobe > 1: IVF prunes candidates,
     // PQ prunes bytes, radius-1 probes buy back boundary recall
     "q120_multi_probe_ivf_pq" -> (Pipeline.q120MultiProbeIvfPq _),
+    // residual IVF-PQ at radius 1: probes stay inside the coarse
+    // cell, so one residual ADC table per query stays exact
+    "q121_multi_probe_residual" -> (Pipeline.q121MultiProbeResidual _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

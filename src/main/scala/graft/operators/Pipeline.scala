@@ -3646,16 +3646,17 @@ object Pipeline {
     * sub-bucket neighbour ([[probeExpand]]). This is the full
     * production configuration (FAISS `IVFx,PQy` at nprobe > 1): IVF
     * prunes candidates, PQ prunes bytes, multi-probe buys back the
-    * recall the partition boundary costs — and because the q107
-    * codebook quantizes RAW vectors (one global basis), the ADC
-    * lookup table stays valid across probed clusters with no per-cell
-    * re-derivation (the residual form q109 would need one table per
-    * probed cell — the textbook reason FAISS computes per-probe LUTs
-    * for IVFADC; the raw-basis form is the one that multi-probes for
-    * free). The per-query table is computed ONCE on the home row and
-    * carried through the probe expansion, so the widened broadcast
-    * ships ~33 (cluster, table) rows per query, all
-    * corpus-size-independent.
+    * recall the partition boundary costs. The q107 codebook quantizes
+    * RAW vectors (one global basis), so the ADC lookup table is valid
+    * across ANY probed cluster; computed ONCE on the home row and
+    * carried through the probe expansion, the widened broadcast ships
+    * ~33 (cluster, table) rows per query, all
+    * corpus-size-independent. (The residual form also multi-probes
+    * with one table here — see [[q121MultiProbeResidual]]: radius-1
+    * probes flip only sub-bucket bits, so the coarse cell and its
+    * residual basis never change; per-probe LUTs only become
+    * necessary when probing crosses COARSE cells, the classic FAISS
+    * IVFADC nprobe geometry.)
     *
     * The `in_exact_top5` flag grades ADC against the exact rounded-L2
     * top-5 of the SAME probed candidate set — both rankings see
@@ -3806,6 +3807,84 @@ object Pipeline {
         broadcast(members.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("qid"), col("e").as("qe"), col("cluster"))),
         Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), l2sq6(col("e"), col("qe")).as("d6"))
+      .withColumn("xr", row_number().over(byQ.orderBy(col("d6"), col("vec_id"))))
+      .filter(col("xr") <= TopK)
+      .select(col("qid"), col("vec_id"), lit(true).as("in_exact_top5"))
+    val out = top.join(exact, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("rk").cast("int").as("rk"), col("vec_id"),
+        col("adc_micro"),
+        coalesce(col("in_exact_top5"), lit(false)).as("in_exact_top5"))
+      .orderBy(col("qid"), col("rk"))
+    val snapshot = out.collect()
+    members.unpersist(blocking = false)
+    spark.createDataFrame(
+      java.util.Arrays.asList(snapshot: _*), out.schema)
+  }
+
+  /** L3 — MULTI-PROBE RESIDUAL IVF-PQ (q109 at nprobe > 1): the
+    * refinement and the recall knob COMPOSED. The subtlety a reader
+    * expects here is absent BY THE PROBE GEOMETRY: radius-1 probes
+    * flip only SUB-BUCKET bits ([[probeExpand]] masks to the active
+    * low bits), so every probed cluster shares the query's coarse
+    * cell — same centroid, same residual basis — and ONE ADC table
+    * per query (computed from the query's residual on its home row)
+    * is exact across the whole probe set. Per-probe lookup tables,
+    * the cost the FAISS IVFADC literature pays for multi-probe, only
+    * arise when probing crosses COARSE cells; the corpus-scaled
+    * design probes within the cell, so the residual refinement
+    * multi-probes for free. The `in_exact_top5` flag stays on RAW
+    * vectors over the probed candidate set (basis-invariant within
+    * the shared cell: `‖v−q‖ = ‖r_v−r_q‖`).
+    *
+    * Scale posture: q109's — one persisted membership, one broadcast
+    * centroid join inside its lineage — plus the Generate on ≤10
+    * query rows; candidates stay O(occupancy × probes). */
+  def q121MultiProbeResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = pqVectors(spark, dir)
+    val cents = labelCentroids(spark, dir)
+    val members = mapSideFineClusters(e, cents, ClusterTargetOccupancy)
+      .persist(CacheLevel)
+    members.count()
+    val withRes = members
+      .withColumn("label", expr("cluster div 4294967296"))
+      .join(broadcast(cents.select(col("label").cast("long").as("label"),
+        col("cvec").cast("array<double>").as("cvec"))), "label")
+      .withColumn("r", zip_with(col("e"), col("cvec"), (a, b) => a - b))
+    val seeds = trainedResidualPqSeeds(spark, dir,
+      withRes.select(col("vec_id"), col("r").as("e")))
+    val (codesCol, _) = pqCodeColumns(seeds)
+    val coded = withRes.select(col("vec_id"), col("cluster"), col("r").as("e"))
+      .select(col("vec_id"), col("cluster"), codesCol.as("codes"))
+    // ONE residual ADC table per query, then the probe expansion —
+    // valid across every probed sub-bucket (same coarse cell)
+    val probed = probeExpand(
+      withRes.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("r").as("qe"),
+          col("cluster"), col("mask"))
+        .select(col("qid"), pqQueryTableCol(seeds).as("tq"),
+          col("cluster"), col("mask")),
+      1)
+    val k = seeds.length
+    val byQ = Window.partitionBy(col("qid"))
+    val top = coded.join(broadcast(probed), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (0 until PqSubspaces).map(s =>
+            element_at(col("tq"), col("codes")(s) + lit(s * k) + 1))
+          .reduce(_ + _).as("adc_micro"))
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("adc_micro"), col("vec_id"))))
+      .filter(col("rk") <= TopK)
+    // exact flag on RAW vectors over the SAME probed candidate set
+    val probedRaw = probeExpand(
+      members.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("cluster"), col("mask")),
+      1)
+    val exact = members.select(col("vec_id"), col("e"), col("cluster"))
+      .join(broadcast(probedRaw), Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), l2sq6(col("e"), col("qe")).as("d6"))
       .withColumn("xr", row_number().over(byQ.orderBy(col("d6"), col("vec_id"))))
@@ -5986,6 +6065,67 @@ object Pipeline {
          |WHERE r.rk <= 5
          |ORDER BY r.qid, r.rk""".stripMargin
 
+    /** q121 — q109's skeleton with the radius-1 probe expansion on
+      * the query side: one residual ADC table per query (the probes
+      * share the coarse cell, hence the basis), candidate and exact
+      * joins over the probed cluster set, exact flag on raw
+      * vectors. */
+    val q121 =
+      s"""WITH cent AS (
+         |  SELECT label, list(cavg ORDER BY pos) AS cvec FROM (
+         |    SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 6) AS cavg
+         |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i)
+         |  GROUP BY label),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |${fineClusterCtes("e")},
+         |res AS (
+         |  SELECT m.vec_id, m.cluster,
+         |    list_transform(generate_series(1, 64), i -> m.e[i] - c.cvec[i]) AS e
+         |  FROM m JOIN cent c ON c.label = m.cluster // 4294967296),
+         |${pqEncodeCtes("res")},
+         |q0 AS (
+         |  SELECT m.vec_id AS qid, r2.e AS qe, m.cluster, m.mask
+         |  FROM m JOIN res r2 USING (vec_id) WHERE m.vec_id < 10),
+         |p1 AS (
+         |  SELECT qid,
+         |    unnest(list_prepend(cluster, list_transform(
+         |      list_filter(generate_series(0, 31), j -> (mask & CAST(2**j AS BIGINT)) != 0),
+         |      j -> xor(cluster, CAST(2**j AS BIGINT))))) AS cluster
+         |  FROM q0),
+         |tab AS (
+         |  SELECT qid, s, idx,
+         |    CAST(round(round(${pqSub("qe", "cw")}, 6) * 1000000, 0) AS BIGINT) AS t6
+         |  FROM q0 CROSS JOIN cb),
+         |cand AS (
+         |  SELECT r2.cluster, enc.vec_id, enc.s, enc.code
+         |  FROM enc JOIN res r2 USING (vec_id)),
+         |adc AS (
+         |  SELECT p.qid, c.vec_id, sum(t6) AS adc_micro
+         |  FROM cand c
+         |  JOIN p1 p ON c.cluster = p.cluster AND c.vec_id != p.qid
+         |  JOIN tab ON tab.qid = p.qid AND tab.s = c.s AND tab.idx = c.code
+         |  GROUP BY p.qid, c.vec_id),
+         |rk AS (SELECT qid, vec_id, CAST(adc_micro AS BIGINT) AS adc_micro,
+         |  row_number() OVER (PARTITION BY qid ORDER BY adc_micro, vec_id) AS rk
+         |  FROM adc),
+         |ex AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT p.qid, m.vec_id,
+         |      row_number() OVER (PARTITION BY p.qid ORDER BY
+         |        round(list_sum(list_transform(generate_series(1, 64),
+         |          i -> (m.e[i] - q2.qe[i]) * (m.e[i] - q2.qe[i]))), 6),
+         |        m.vec_id) AS xr
+         |    FROM m
+         |    JOIN p1 p USING (cluster)
+         |    JOIN (SELECT vec_id AS qid, e AS qe FROM e) q2 ON q2.qid = p.qid
+         |    WHERE m.vec_id != p.qid)
+         |  WHERE xr <= 5)
+         |SELECT r.qid, CAST(r.rk AS INT) AS rk, r.vec_id, r.adc_micro,
+         |  (ex.vec_id IS NOT NULL) AS in_exact_top5
+         |FROM rk r LEFT JOIN ex ON r.qid = ex.qid AND r.vec_id = ex.vec_id
+         |WHERE r.rk <= 5
+         |ORDER BY r.qid, r.rk""".stripMargin
+
     /** q112 — the page fixture re-derived inline (the q106/q110
       * discipline), the identical tag-strip + line-rule cascade, and
       * the same doc-then-language rollup; every count is an integer
@@ -6340,6 +6480,7 @@ object Pipeline {
       "q118_multi_probe_ann" -> q118,
       "q119_trained_coarse_sweep" -> q119,
       "q120_multi_probe_ivf_pq" -> q120,
+      "q121_multi_probe_residual" -> q121,
       "q23_exact_dedup" -> q23,
       "q87_fuzzy_join" -> q87,
       "q91_normalized_dedup" -> q91,

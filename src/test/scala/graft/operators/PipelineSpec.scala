@@ -2072,6 +2072,23 @@ class PipelineSpec extends SparkSpec {
     assert(probedR.collect().exists(_.getBoolean(4)), "zero exact-top-5 hits")
   }
 
+  test("q121: residual multi-probe dominates q109 per rank with ONE table per query") {
+    def rows(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), Long] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    val home = rows(Pipeline.q109IvfPqResidual(spark, sfDir))
+    val probed = rows(Pipeline.q121MultiProbeResidual(spark, sfDir))
+    assert(probed.nonEmpty && home.keySet == probed.keySet)
+    // probes share the query's coarse cell, so the single residual
+    // table is exact across the probe set and the wider candidate
+    // pool can only improve every rank's ADC distance
+    probed.foreach { case (k @ (q, rk), adc) =>
+      assert(adc <= home(k),
+        s"query $q rank $rk: probed ADC $adc > home-only ${home(k)}")
+    }
+    assert(probed.exists { case (k, adc) => adc < home(k) },
+      "radius 1 never improved any residual ADC rank")
+  }
+
   test("q119/trained coarse: Lloyd routing beats pure-SRP at equal candidate budget on a clustered fixture") {
     // deterministic clustered fixture: 8 blobs near the origin with
     // noise comparable to the center spread, so random hyperplanes CUT
