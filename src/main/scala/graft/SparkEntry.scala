@@ -283,6 +283,16 @@ object SparkEntry {
     // residual IVF-PQ at radius 1: probes stay inside the coarse
     // cell, so one residual ADC table per query stays exact
     "q121_multi_probe_residual" -> (Pipeline.q121MultiProbeResidual _),
+    // deterministic shuffle + shard export manifest: the training-order
+    // permutation as one hash exchange + in-partition sort, with an
+    // order-sensitive checksum per shard
+    "q122_shard_manifest" -> (Pipeline.q122ShardManifest _),
+    // temperature mixing (XLM-R α-sampling) at α = 1/2: kept ∝ n^α,
+    // sqrt-exact cross-engine — q54's uniform mix with the knob added
+    "q123_temperature_mix" -> (Pipeline.q123TemperatureMix _),
+    // near-dup decontamination of the train/eval split boundary: the
+    // leakage mode exact-gram decontam (q49) misses
+    "q124_split_decontam" -> (Pipeline.q124SplitDecontam _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

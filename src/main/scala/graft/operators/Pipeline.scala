@@ -4705,6 +4705,136 @@ object Pipeline {
     annRecallSweep(e, kMeansCentroids(e))
   }
 
+  /** Number of output shards for the q122 export manifest. Bench-sized
+    * here; a production export scales the count to a target shard SIZE
+    * (e.g. ~1 GB of packed tokens), which keeps per-shard row counts
+    * bounded — the plan shape below is shard-count-agnostic. */
+  private val NumShards = 8L
+
+  /** Pipeline — deterministic global shuffle + shard-export manifest:
+    * the LAST stage of a training-data pipeline. Every document gets a
+    * portable md5-derived shuffle key (`shard:doc_id` — stable across
+    * engines, machines, partitionings, and reruns); shard = key mod
+    * [[NumShards]], within-shard order = (key, doc_id). That IS the
+    * industry-standard distributed shuffle for training order: a
+    * pseudo-random permutation computed as one hash exchange + one
+    * in-partition sort, no global sort, no driver state — the exact
+    * plan a 100 TB export runs, just with a scaled shard count.
+    *
+    * The manifest row per shard carries what a downstream trainer (or
+    * a re-run audit) needs: document count, total whitespace tokens
+    * (shards are token-balanced in expectation by hash uniformity —
+    * law of large numbers, no bin-packing pass needed), the head
+    * document, and an ORDER-SENSITIVE checksum
+    * `Σ pos·(key mod P) mod P` — any permutation of the shard's
+    * within-order changes it, so two exports can be compared for
+    * byte-order equality from their manifests alone. The checksum term
+    * stays exact for pos < 2^32 (2^31·2^32 < 2^63) — production shard
+    * sizing keeps per-shard rows far below that — and the SUM is
+    * carried in decimal(38,0) (the q115 discipline), overflow-free for
+    * any shard size. */
+  def q122ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"),
+      portableHash(concat(lit("shard:"), col("doc_id").cast("string"))).as("sk"))
+    val assigned = d
+      .withColumn("shard", pmod(col("sk"), lit(NumShards)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("sk"), col("doc_id"))))
+    assigned
+      .withColumn("term", pmod(col("pos") * pmod(col("sk"), lit(P)), lit(P)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        (sum(col("term").cast("decimal(38,0)")) % lit(P)).cast("long")
+          .as("order_checksum"),
+        max(when(col("pos") === 1, col("doc_id"))).as("head_doc_id"))
+      .orderBy(col("shard"))
+  }
+
+  /** Pipeline — temperature-based corpus mixing (the multilingual
+    * α-sampling of XLM-R / mT5: sample language l with probability
+    * ∝ p_l^α): per-language keep rate `(n_min/n_l)^(1−α)`, which
+    * yields kept counts ∝ n_l^α — α = 1 keeps the natural
+    * distribution, α = 0 is [[q54CorpusMix]]'s uniform-to-min mix,
+    * and the α = 1/2 exposed here is the balanced middle. α = 1/2 is
+    * the one oracle-checkable temperature: its rate is a single
+    * `sqrt`, which IEEE 754 REQUIRES correctly rounded (identical
+    * doubles in Spark and DuckDB), where a general `pow` carries no
+    * such guarantee and a last-ulp divergence could flip a
+    * micro-threshold compare. The rate converts to integer micro-units
+    * (round-6 → ×10^6, the established cross-engine idiom) and
+    * membership is the portable md5 hash of `temp:doc_id` — map-side
+    * verdict + partial-aggregated rollup, one scan at 100 TB, exactly
+    * q54's shape with the knob added. */
+  def q123TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+    val minRel = counts.agg(min(col("n_lang")).as("n_min"))
+    docs(spark, dir)
+      .join(broadcast(counts), "lang").crossJoin(broadcast(minRel))
+      .withColumn("thr", round(round(
+        sqrt(col("n_min").cast("double") / col("n_lang")), 6) * 1e6, 0)
+        .cast("long"))
+      .withColumn("keep",
+        pmod(portableHash(concat(lit("temp:"), col("doc_id").cast("string"))),
+          lit(1000000L)) < col("thr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        max(col("thr")).as("keep_rate_micro"))
+      .orderBy(col("lang"))
+  }
+
+  /** Pipeline — NEAR-duplicate split decontamination: q49 guards the
+    * training corpus against EXACT eval n-gram overlap; this guards
+    * the train/eval boundary of [[q41StratifiedSplit]]'s own split
+    * against NEAR duplicates — the leakage mode the exact-gram gate
+    * misses (an eval document's lightly-edited twin landing in train
+    * still leaks the answer; Lee et al. 2022, arXiv:2107.06499 §6
+    * measure exactly this). Same deterministic `split:doc_id` buckets
+    * as q41 (train < 80, eval otherwise, so the guard composes with
+    * the split users already run), the corpus-scaled MinHash-LSH
+    * pipeline ([[verifiedNearDupPairs]] — banded candidates, never
+    * all-pairs) over the near-dup corpus, and any TRAIN doc verified
+    * ≥ 0.5 Jaccard against an EVAL doc is dropped. Per-language
+    * report: split sizes, leaked count, surviving train count.
+    *
+    * Scale shape: split assignment is a map-side projection riding the
+    * LSH scan; the leaked set is ≤ the verified-pair count (already
+    * corpus-scaled); flagging is one hash join on doc_id; the rollup
+    * is partial-aggregated. */
+  def q124SplitDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDocs(spark, dir)
+    val bucket = pmod(portableHash(
+      concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+    val assign = corpus.select(col("doc_id"),
+      when(bucket < 80, "train").otherwise("eval").as("split"))
+    val pairs = verifiedNearDupPairs(corpus)
+    val leaked = pairs
+      .join(assign.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(assign.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(when(col("split_a") === "train", col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+      .withColumn("is_leaked", lit(true))
+    // language of an inserted near-copy = its source's language
+    val base = docs(spark, dir)
+    val langRel = base.select(col("doc_id"), col("lang"))
+      .unionByName(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang")))
+    langRel.join(assign, "doc_id")
+      .join(leaked, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "eval", 1L).otherwise(0L)).as("n_eval"),
+        sum(when(col("is_leaked").isNotNull, 1L).otherwise(0L)).as("n_leaked"),
+        sum(when(col("split") === "train" && col("is_leaked").isNull, 1L)
+          .otherwise(0L)).as("n_train_kept"))
+      .orderBy(col("lang"))
+  }
+
   object Sql {
     private val P = "2147483647"
     private def ph(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
@@ -6126,6 +6256,76 @@ object Pipeline {
          |WHERE r.rk <= 5
          |ORDER BY r.qid, r.rk""".stripMargin
 
+    /** q122 — identical shuffle-key derivation (`ph('shard:'‖id)`),
+      * shard = key mod 8, within-shard position by (key, id); the
+      * order checksum folds in HUGEINT (Spark carries decimal(38,0))
+      * and every per-term product stays below 2^63. */
+    val q122 =
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    ${ph("'shard:' || CAST(doc_id AS VARCHAR)")} AS sk
+         |  FROM documents),
+         |a AS (
+         |  SELECT doc_id, n_toks, sk, CAST(sk % 8 AS INT) AS shard,
+         |    row_number() OVER (PARTITION BY sk % 8 ORDER BY sk, doc_id) AS pos
+         |  FROM d)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum((pos * (sk % $P)) % $P) AS HUGEINT) % $P AS BIGINT)
+         |    AS order_checksum,
+         |  CAST(max(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS head_doc_id
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
+    /** q123 — q54's verdict shape with the α = 1/2 temperature rate:
+      * sqrt is correctly rounded in both engines (IEEE 754), so the
+      * round-6 micro-threshold is bit-identical. */
+    val q123 =
+      s"""WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+         |mn AS (SELECT min(n_lang) AS n_min FROM counts),
+         |v AS (
+         |  SELECT d.lang,
+         |    CAST(round(round(sqrt(n_min::DOUBLE / n_lang), 6) * 1000000, 0) AS BIGINT) AS thr,
+         |    ${ph("'temp:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+         |  FROM documents d JOIN counts USING (lang), mn)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  max(thr) AS keep_rate_micro
+         |FROM v GROUP BY lang ORDER BY lang""".stripMargin
+
+    /** q124 — q24's corpus + pair CTE chain, q41's split buckets
+      * (train < 80), leaked = the train side of any cross-split
+      * verified pair; per-language rollup through the same
+      * copy-inherits-source-language relation the engine builds. */
+    val q124 =
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' extra token tail' FROM documents WHERE doc_id % 11 = 0),
+         |$minhashPairCtes,
+         |assign AS (
+         |  SELECT doc_id, CASE WHEN ${ph("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+         |    THEN 'train' ELSE 'eval' END AS split FROM corpus),
+         |leaked AS (
+         |  SELECT DISTINCT CASE WHEN aa.split = 'train' THEN j.doc_a ELSE j.doc_b END AS doc_id
+         |  FROM j
+         |  JOIN assign aa ON aa.doc_id = j.doc_a
+         |  JOIN assign ab ON ab.doc_id = j.doc_b
+         |  WHERE j.jaccard >= 0.5 AND aa.split <> ab.split),
+         |langrel AS (
+         |  SELECT doc_id, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang FROM documents WHERE doc_id % 11 = 0)
+         |SELECT l.lang,
+         |  CAST(sum(CASE WHEN a.split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |  CAST(sum(CASE WHEN a.split = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+         |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+         |  CAST(sum(CASE WHEN a.split = 'train' AND k.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_train_kept
+         |FROM langrel l
+         |JOIN assign a USING (doc_id)
+         |LEFT JOIN leaked k USING (doc_id)
+         |GROUP BY l.lang ORDER BY l.lang""".stripMargin
+
     /** q112 — the page fixture re-derived inline (the q106/q110
       * discipline), the identical tag-strip + line-rule cascade, and
       * the same doc-then-language rollup; every count is an integer
@@ -6481,6 +6681,9 @@ object Pipeline {
       "q119_trained_coarse_sweep" -> q119,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
+      "q122_shard_manifest" -> q122,
+      "q123_temperature_mix" -> q123,
+      "q124_split_decontam" -> q124,
       "q23_exact_dedup" -> q23,
       "q87_fuzzy_join" -> q87,
       "q91_normalized_dedup" -> q91,

@@ -2089,6 +2089,114 @@ class PipelineSpec extends SparkSpec {
       "radius 1 never improved any residual ADC rank")
   }
 
+  test("q122 shard manifest: exact local re-derivation, full cover, token balance") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val P = 2147483647L
+    val corpus = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val keyed = corpus.map { case (id, text) =>
+      (id, text.split(" ", -1).length.toLong, h60("shard:" + id)) }
+    val expected = keyed.groupBy(_._3 % 8).map { case (shard, ds) =>
+      val ordered = ds.sortBy { case (id, _, sk) => (sk, id) }
+      val checksum = ordered.zipWithIndex
+        .map { case ((_, _, sk), i) => BigInt(i + 1) * (sk % P) % P }
+        .sum % P
+      shard.toInt -> ((ds.length.toLong, ds.map(_._2).sum,
+        checksum.toLong, ordered.head._1))
+    }
+    val rows = Pipeline.q122ShardManifest(spark, sfDir).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, toks, ck, head) = expected(r.getInt(0))
+      assert(r.getLong(1) == n, s"shard ${r.getInt(0)} n_docs")
+      assert(r.getLong(2) == toks, s"shard ${r.getInt(0)} n_tokens")
+      assert(r.getLong(3) == ck, s"shard ${r.getInt(0)} order_checksum")
+      assert(r.getLong(4) == head, s"shard ${r.getInt(0)} head_doc_id")
+    }
+    // full cover (every doc in exactly one shard) + hash-uniformity
+    // token balance: no shard empty, none dominating
+    assert(rows.map(_.getLong(1)).sum == corpus.length)
+    val t = rows.map(_.getLong(2))
+    assert(t.min > 0 && t.max < 3 * t.min, s"token skew: ${t.toSeq}")
+  }
+
+  test("q123 temperature mix: sqrt-rate thresholds exact, min language fully kept, local recount") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val corpus = Tables.documents(spark, sfDir)
+      .select("lang", "doc_id").collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts = corpus.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nMin = counts.values.min
+    val expected = counts.map { case (lang, n) =>
+      val thr = (BigDecimal(math.sqrt(nMin.toDouble / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong
+      val kept = corpus.count { case (l, id) =>
+        l == lang && h60("temp:" + id) % 1000000 < thr }
+      lang -> ((n, kept.toLong, thr))
+    }
+    val rows = Pipeline.q123TemperatureMix(spark, sfDir).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, kept, thr) = expected(r.getString(0))
+      assert(r.getLong(1) == n, s"${r.getString(0)} n_docs")
+      assert(r.getLong(2) == kept, s"${r.getString(0)} n_kept")
+      assert(r.getLong(3) == thr, s"${r.getString(0)} keep_rate_micro")
+    }
+    // the smallest language keeps everything (rate exactly 1) and the
+    // α = 1/2 rate dominates the uniform-to-min (α = 0, q54) rate
+    val minLang = counts.minBy(c => (c._2, c._1))._1
+    val rMin = rows.find(_.getString(0) == minLang).get
+    assert(rMin.getLong(3) == 1000000L && rMin.getLong(2) == rMin.getLong(1))
+    counts.foreach { case (lang, n) =>
+      assert(expected(lang)._3 >= nMin * 1000000 / n, s"$lang rate below uniform-min") }
+  }
+
+  test("q124 split decontam: leaked = train side of cross-split verified pairs, independently re-derived") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    // independent pair source: the q24 surface over the same corpus
+    val pairs = Pipeline.q24NearDupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def isTrain(id: Long): Boolean = h60("split:" + id) % 100 < 80
+    val leaked = pairs.flatMap { case (a, b) =>
+      (isTrain(a), isTrain(b)) match {
+        case (true, false) => Some(a)
+        case (false, true) => Some(b)
+        case _             => None
+      }
+    }.toSet
+    val langOf = Tables.documents(spark, sfDir).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def lang(id: Long): String = langOf(if (id >= 1000000L) id - 1000000L else id)
+    val corpusIds = langOf.keys.toSeq ++
+      langOf.keys.filter(_ % 11 == 0).map(_ + 1000000L)
+    val expected = corpusIds.groupBy(lang).map { case (l, ids) =>
+      val train = ids.filter(isTrain)
+      l -> ((train.size.toLong, (ids.size - train.size).toLong,
+        train.count(leaked).toLong))
+    }
+    val rows = Pipeline.q124SplitDecontam(spark, sfDir).collect()
+    assert(rows.length == expected.size)
+    var totalLeaked = 0L
+    rows.foreach { r =>
+      val (nTrain, nEval, nLeaked) = expected(r.getString(0))
+      assert(r.getLong(1) == nTrain, s"${r.getString(0)} n_train")
+      assert(r.getLong(2) == nEval, s"${r.getString(0)} n_eval")
+      assert(r.getLong(3) == nLeaked, s"${r.getString(0)} n_leaked")
+      assert(r.getLong(4) == nTrain - nLeaked, s"${r.getString(0)} n_train_kept")
+      totalLeaked += r.getLong(3)
+    }
+    assert(totalLeaked > 0,
+      "fixture produced no cross-split leakage - the gate is untested")
+  }
+
   test("q119/trained coarse: Lloyd routing beats pure-SRP at equal candidate budget on a clustered fixture") {
     // deterministic clustered fixture: 8 blobs near the origin with
     // noise comparable to the center spread, so random hyperplanes CUT
