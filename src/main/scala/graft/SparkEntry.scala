@@ -293,6 +293,9 @@ object SparkEntry {
     // near-dup decontamination of the train/eval split boundary: the
     // leakage mode exact-gram decontam (q49) misses
     "q124_split_decontam" -> (Pipeline.q124SplitDecontam _),
+    // q59's concat-and-chunk packing composed with q122's shuffle:
+    // per-shard sequence counts in the order a trainer actually reads
+    "q125_packed_shards" -> (Pipeline.q125PackedShards _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -4733,10 +4733,18 @@ object Pipeline {
     * sizing keeps per-shard rows far below that — and the SUM is
     * carried in decimal(38,0) (the q115 discipline), overflow-free for
     * any shard size. */
+  /** The export shuffle key: portable md5 hash of `shard:doc_id` —
+    * THE one derivation shared by batch q122/q125 and the streaming
+    * shard router ([[graft.streaming.Export]]), so a stream-ingested
+    * shard and a batch re-shard of the same corpus route every
+    * document identically. */
+  def shardKey(idCol: Column): Column =
+    portableHash(concat(lit("shard:"), idCol.cast("string")))
+
   def q122ShardManifest(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_toks"),
-      portableHash(concat(lit("shard:"), col("doc_id").cast("string"))).as("sk"))
+      shardKey(col("doc_id")).as("sk"))
     val assigned = d
       .withColumn("shard", pmod(col("sk"), lit(NumShards)).cast("int"))
       .withColumn("pos", row_number().over(
@@ -4749,6 +4757,45 @@ object Pipeline {
         (sum(col("term").cast("decimal(38,0)")) % lit(P)).cast("long")
           .as("order_checksum"),
         max(when(col("pos") === 1, col("doc_id"))).as("head_doc_id"))
+      .orderBy(col("shard"))
+  }
+
+  /** Pipeline — sequence packing WITHIN export shards: [[q59SequencePacking]]'s
+    * concat-and-chunk accounting composed with [[q122ShardManifest]]'s
+    * deterministic shuffle — documents concatenate in each shard's
+    * shuffled (key, id) order and chunk into fixed 512-token training
+    * sequences, which is the order a trainer actually reads. Per-shard
+    * report: docs, tokens, sequence count `ceil(tokens/512)`,
+    * boundary-crossing docs, and utilization (tokens over sequence
+    * capacity — the tail sequence is the only padding under
+    * concat-and-chunk).
+    *
+    * Scale note vs q59: q59's GLOBAL doc-id order needs the two-level
+    * prefix scan to avoid a single-task window; here the prefix sum is
+    * per-shard (`Window.partitionBy(shard)`) and the SHARD is the
+    * distributed unit — production sizing bounds each shard (~1 GB),
+    * and the shard count grows with the corpus, so per-shard cumsum
+    * tasks stay bounded and parallelism scales with data. Same single
+    * hash exchange as q122. */
+  def q125PackedShards(spark: SparkSession, dir: String): DataFrame = {
+    val seqTokens = 512L
+    val d = docs(spark, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"),
+      shardKey(col("doc_id")).as("sk"))
+      .withColumn("shard", pmod(col("sk"), lit(NumShards)).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("sk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("fin", sum(col("n_toks")).over(w))
+      .withColumn("crosses",
+        expr(s"(fin - n_toks) div $seqTokens") =!= expr(s"(fin - 1) div $seqTokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        expr(s"(max(fin) + ${seqTokens - 1}) div $seqTokens").as("n_seqs"),
+        sum(when(col("crosses"), 1L).otherwise(0L)).as("n_crossing"),
+        round(sum(col("n_toks")).cast("double") /
+          (expr(s"(max(fin) + ${seqTokens - 1}) div $seqTokens") * seqTokens),
+          6).as("utilization"))
       .orderBy(col("shard"))
   }
 
@@ -6292,6 +6339,30 @@ object Pipeline {
          |  max(thr) AS keep_rate_micro
          |FROM v GROUP BY lang ORDER BY lang""".stripMargin
 
+    /** q125 — q122's shard/key derivation, per-shard running token
+      * positions in (key, id) order (ROWS frame; unique ordering makes
+      * RANGE/ROWS identical, stated explicitly anyway), q59's
+      * boundary-crossing arithmetic, ceil sequences, round-6
+      * utilization. */
+    val q125 =
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    ${ph("'shard:' || CAST(doc_id AS VARCHAR)")} AS sk
+         |  FROM documents),
+         |c AS (
+         |  SELECT CAST(sk % 8 AS INT) AS shard, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY sk % 8 ORDER BY sk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fin
+         |  FROM d)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST((max(fin) + 511) // 512 AS BIGINT) AS n_seqs,
+         |  CAST(sum(CASE WHEN (fin - n_toks) // 512 != (fin - 1) // 512
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing,
+         |  round(sum(n_toks)::DOUBLE / (((max(fin) + 511) // 512) * 512), 6)
+         |    AS utilization
+         |FROM c GROUP BY shard ORDER BY shard""".stripMargin
+
     /** q124 — q24's corpus + pair CTE chain, q41's split buckets
       * (train < 80), leaked = the train side of any cross-split
       * verified pair; per-language rollup through the same
@@ -6684,6 +6755,7 @@ object Pipeline {
       "q122_shard_manifest" -> q122,
       "q123_temperature_mix" -> q123,
       "q124_split_decontam" -> q124,
+      "q125_packed_shards" -> q125,
       "q23_exact_dedup" -> q23,
       "q87_fuzzy_join" -> q87,
       "q91_normalized_dedup" -> q91,

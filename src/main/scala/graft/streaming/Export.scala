@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.functions.TextFunctions
+import graft.operators.Pipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming export routing — the near-line face of the q122 shard
+  * export: documents arriving on an ingest stream are routed to their
+  * training shard AT INGEST TIME through the identical portable
+  * shuffle-key derivation the batch export uses
+  * ([[Pipeline.shardKey]]), so a shard written incrementally from the
+  * stream holds exactly the documents a batch re-shard of the same
+  * corpus would route there (routing parity asserted row-for-row in
+  * ExportSpec).
+  *
+  * What a stream CANNOT reproduce is q122's positional order checksum:
+  * the batch manifest's within-shard order is the (key, id) sort over
+  * the FINAL corpus, unknowable mid-stream. The running manifest
+  * therefore carries the ORDER-INDEPENDENT key digest
+  * `Σ (key mod P) mod P` — commutative, so any arrival order yields
+  * the same value, and batch can recompute it to certify SET equality
+  * of every shard's membership (the batch-side positional checksum
+  * then separately certifies order). Digest sums fold in
+  * decimal(38,0), overflow-free at any shard size.
+  *
+  * Scale posture: assignment is stateless map-side column logic (zero
+  * state, zero stream-side exchange before the sink); the running
+  * manifest is ONE streaming aggregation whose state is exactly
+  * `numShards` rows — bounded by configuration, not by the stream. */
+object Export {
+
+  /** Stateless shard assignment: shuffle key, shard id, and token
+    * count as columns on the stream — bind this in front of a
+    * shard-partitioned sink (`partitionBy("shard")`). */
+  def shardAssign(docs: DataFrame, idCol: String, textCol: String,
+      numShards: Int = 8): DataFrame =
+    docs.withColumn("sk", Pipeline.shardKey(col(idCol)))
+      .withColumn("shard", pmod(col("sk"), lit(numShards.toLong)).cast("int"))
+      .withColumn("n_toks", size(split(col(textCol), " ")).cast("long"))
+
+  /** Running per-shard manifest (update mode): document count, token
+    * total, and the order-independent key digest per shard — the
+    * stream-maintained half of q122's manifest, `numShards` rows of
+    * state total. */
+  def runningShardManifest(docs: DataFrame, idCol: String, textCol: String,
+      numShards: Int = 8): DataFrame =
+    shardAssign(docs, idCol, textCol, numShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        (sum(pmod(col("sk"), lit(TextFunctions.P)).cast("decimal(38,0)"))
+          % lit(TextFunctions.P)).cast("long").as("key_digest"))
+}

@@ -2123,6 +2123,44 @@ class PipelineSpec extends SparkSpec {
     assert(t.min > 0 && t.max < 3 * t.min, s"token skew: ${t.toSeq}")
   }
 
+  test("q125 packed shards: local packing re-derivation in shuffled order, q122 consistency") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val corpus = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = corpus.map { case (id, text) =>
+      (id, text.split(" ", -1).length.toLong, h60("shard:" + id)) }
+      .groupBy(_._3 % 8).map { case (shard, ds) =>
+        val ordered = ds.sortBy { case (id, _, sk) => (sk, id) }
+        var fin = 0L; var crossing = 0L
+        ordered.foreach { case (_, n, _) =>
+          val start = fin; fin += n
+          if (start / 512 != (fin - 1) / 512) crossing += 1
+        }
+        val nSeqs = (fin + 511) / 512
+        shard.toInt -> ((ds.length.toLong, fin, nSeqs, crossing,
+          BigDecimal(fin.toDouble / (nSeqs * 512))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    val rows = Pipeline.q125PackedShards(spark, sfDir).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, toks, seqs, crossing, util) = expected(r.getInt(0))
+      assert(r.getLong(1) == n, s"shard ${r.getInt(0)} n_docs")
+      assert(r.getLong(2) == toks, s"shard ${r.getInt(0)} n_tokens")
+      assert(r.getLong(3) == seqs, s"shard ${r.getInt(0)} n_seqs")
+      assert(r.getLong(4) == crossing, s"shard ${r.getInt(0)} n_crossing")
+      assert(math.abs(r.getDouble(5) - util) < 1e-9, s"shard ${r.getInt(0)} utilization")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // composes with the shard export: same routing, same per-shard totals
+    val manifest = Pipeline.q122ShardManifest(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap == manifest)
+  }
+
   test("q123 temperature mix: sqrt-rate thresholds exact, min language fully kept, local recount") {
     def h60(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
