@@ -4741,6 +4741,16 @@ object Pipeline {
   def shardKey(idCol: Column): Column =
     portableHash(concat(lit("shard:"), idCol.cast("string")))
 
+  /** The temperature-mix membership draw: portable md5 hash of
+    * `temp:doc_id` reduced to micro-units — THE one derivation shared
+    * by batch q123 and the streaming mix gate
+    * ([[graft.streaming.Curation.mixGate]]), so an ingest-time mix
+    * decision and a batch re-mix of the same corpus agree per
+    * document. */
+  def mixKey(idCol: Column): Column =
+    pmod(portableHash(concat(lit("temp:"), idCol.cast("string"))),
+      lit(1000000L))
+
   def q122ShardManifest(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_toks"),
@@ -4823,9 +4833,7 @@ object Pipeline {
       .withColumn("thr", round(round(
         sqrt(col("n_min").cast("double") / col("n_lang")), 6) * 1e6, 0)
         .cast("long"))
-      .withColumn("keep",
-        pmod(portableHash(concat(lit("temp:"), col("doc_id").cast("string"))),
-          lit(1000000L)) < col("thr"))
+      .withColumn("keep", mixKey(col("doc_id")) < col("thr"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),

@@ -142,6 +142,45 @@ object Curation {
     Dedup.dedupNormalized(cleared, "text", eventTimeCol, horizon)
   }
 
+  /** Stateless temperature-mix gate — the streaming face of q123:
+    * keep a document when its [[Pipeline.mixKey]] micro-draw falls
+    * below its language's keep rate. `keepRateMicro` is the artifact
+    * a nightly batch derives (q123's `keep_rate_micro` column — rates
+    * come from corpus counts, which a stream cannot know), riding the
+    * plan as ONE literal map; a language absent from the map keeps
+    * everything (rate 10^6), the conservative default for a
+    * never-before-seen stratum. Zero state, zero exchanges, and the
+    * SAME membership draw as batch, so ingest-time mix decisions are
+    * reproducible by a batch re-mix (parity asserted in ExportSpec). */
+  def mixGate(docs: DataFrame, idCol: String, langCol: String,
+      keepRateMicro: Map[String, Long]): DataFrame =
+    docs.filter(Pipeline.mixKey(col(idCol)) <
+      coalesce(element_at(typedLit(keepRateMicro), col(langCol)),
+        lit(1000000L)))
+
+  /** The ENTIRE ingest-to-export chain composed — crawl page in,
+    * shard-routed training document out: [[ingestGate]] (markup →
+    * quality → PII → optional decontamination → dedup) → [[mixGate]]
+    * (optional, rates permitting) → [[Export.shardAssign]]. Stage
+    * order follows the batch funnel (q113): mixing AFTER dedup —
+    * rates derive from the deduped corpus, and mixing earlier would
+    * let a mixed-out first arrival resurrect its duplicate — and the
+    * shard route last, on exactly the documents a trainer will read.
+    * Mix and route are both stateless map logic, so the composition
+    * still holds exactly ONE stateful operator (the dedup digests);
+    * bind the result to a `partitionBy("shard")` sink and the stream
+    * writes training shards directly. */
+  def ingestToShards(pages: DataFrame, htmlCol: String,
+      eventTimeCol: String, horizon: String,
+      evalGrams: Option[DataFrame] = None,
+      mixRates: Option[Map[String, Long]] = None,
+      idCol: String = "doc_id", langCol: String = "lang",
+      numShards: Int = 8): DataFrame = {
+    val gated = ingestGate(pages, htmlCol, eventTimeCol, horizon, evalGrams)
+    val mixed = mixRates.fold(gated)(mixGate(gated, idCol, langCol, _))
+    Export.shardAssign(mixed, idCol, "text", numShards)
+  }
+
   /** Windowed OUT-OF-VOCABULARY rate against a STATIC baseline
     * vocabulary — the near-line tripwire for the batch drift report
     * (q115): the full total-variation distance needs both complete

@@ -55,6 +55,46 @@ class ExportSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest-to-shards: page stream in, shard-routed training docs out, one stateful op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val good = Seq.tabulate(30)(i => s"tok$i").mkString(" ")
+    val other = Seq.tabulate(30)(i => s"word$i").mkString(" ")
+    val zzText = Seq.tabulate(30)(i => s"zz$i").mkString(" ")
+    val in = MemoryStream[(Long, String, String, Long)]
+    val pages = in.toDF().toDF("doc_id", "lang", "html", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    // lang zz is mixed out entirely; en is absent from the map → kept
+    val out = Curation.ingestToShards(pages, "html", "ts", "10 minutes",
+      mixRates = Some(Map("zz" -> 0L)))
+    val query = out.writeStream.format("memory").queryName("i2s_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "en", s"<p>$good</p>", 1L),            // survives
+        (2L, "en", s"<p>${good.toUpperCase}</p>", 2L), // dedup-dropped
+        (3L, "en", "<p>tiny text</p>", 3L),         // quality-dropped
+        (5L, "zz", s"<p>$zzText</p>", 4L),          // mix-dropped
+        (6L, "en", s"<p>$other</p>", 5L))           // survives
+      query.processAllAvailable()
+      val got = spark.table("i2s_mem").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(got.keySet == Set(1L, 6L), s"got ${got.keySet}")
+      got.foreach { case (id, r) =>
+        val sk = h60("shard:" + id)
+        assert(r.getAs[Long]("sk") == sk && r.getAs[Int]("shard") == (sk % 8).toInt)
+        assert(r.getAs[Long]("n_toks") == 30L)
+      }
+      assert(got(1L).getAs[String]("text") == good)
+      // mix and route added ZERO state: still only the dedup digests
+      assert(query.lastProgress.stateOperators.length == 1)
+    } finally query.stop()
+  }
+
   test("shardAssign is stateless and key-identical to the batch derivation") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
