@@ -296,6 +296,9 @@ object SparkEntry {
     // q59's concat-and-chunk packing composed with q122's shuffle:
     // per-shard sequence counts in the order a trainer actually reads
     "q125_packed_shards" -> (Pipeline.q125PackedShards _),
+    // token-budget temperature mixing: B-token mix at α = 1/2 with
+    // nested (consistent-sampling) membership — the production ask
+    "q126_token_budget_mix" -> (Pipeline.q126TokenBudgetMix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

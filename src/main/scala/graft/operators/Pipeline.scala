@@ -4841,6 +4841,59 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** Pipeline — token-BUDGET temperature mixing: the production form
+    * of the mixing ask — "a B-token training mix at temperature α
+    * from this corpus" — where q123 fixes only the SHAPE. Per
+    * language: token total T_l, a sqrt-temperature share
+    * q_l ∝ √T_l (α = 1/2, the oracle-exact temperature — see q123),
+    * and keep rate `min(1, B·q_l/T_l)` for a budget B = 7/8 of total
+    * tokens (large enough that a low-resource stratum saturates — the
+    * cap protects it — while the oversampled head is genuinely cut), converted to round-6 micro-units. Engine-exactness: each
+    * √T_l rounds to an INTEGER micro value first and the share
+    * denominator is the integer sum of those — no float sum over
+    * languages (whose order IEEE does not fix) ever forms; the two
+    * remaining divisions are single correctly-rounded IEEE ops in an
+    * identical expression shape both engines. The membership draw is
+    * [[mixKey]] — the SAME per-document draw as q123, so mixes are
+    * NESTED (consistent sampling): raising any language's rate can
+    * only grow its kept set, a mix re-run at a new budget reuses
+    * every previously-kept document it can, and the q123/q126 kept
+    * sets relate by rate order per language (asserted in the spec).
+    * A saturated stratum (rate capped at 1) leaves its unused budget
+    * unredistributed — single-shot semantics; the waterfilling
+    * variant iterates this report's ≤|lang| rows driver-side, the
+    * bounded-collect discipline of [[kMeansCentroids]].
+    *
+    * Scale shape: q54/q123's — one rollup to ≤|lang| rows, broadcast
+    * rates join-back, map-side verdict, partial-aggregated report. */
+  def q126TokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("lang"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val totals = d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_l"), sum(col("n_toks")).as("t_lang"))
+      .withColumn("sqrt_micro",
+        round(round(sqrt(col("t_lang").cast("double")), 6) * 1e6, 0).cast("long"))
+    val global = totals.agg(sum(col("sqrt_micro")).as("denom"),
+      sum(col("t_lang")).as("t_total"))
+    val rates = totals.crossJoin(broadcast(global))
+      .withColumn("b_total", expr("(t_total * 7) div 8"))
+      .withColumn("rate_micro",
+        round(round(least(lit(1.0),
+          (col("b_total").cast("double") / col("t_lang")) *
+            (col("sqrt_micro").cast("double") / col("denom"))), 6) * 1e6, 0)
+          .cast("long"))
+      .select(col("lang"), col("n_docs_l"), col("t_lang"), col("rate_micro"))
+    d.join(broadcast(rates), "lang")
+      .withColumn("keep", mixKey(col("doc_id")) < col("rate_micro"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs_l")).as("n_docs"),
+        max(col("t_lang")).as("n_tokens"),
+        max(col("rate_micro")).as("rate_micro"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L)).as("tokens_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** Pipeline — NEAR-duplicate split decontamination: q49 guards the
     * training corpus against EXACT eval n-gram overlap; this guards
     * the train/eval boundary of [[q41StratifiedSplit]]'s own split
@@ -6371,6 +6424,33 @@ object Pipeline {
          |    AS utilization
          |FROM c GROUP BY shard ORDER BY shard""".stripMargin
 
+    /** q126 — integer micro-sqrt per language summed as integers (no
+      * order-sensitive float sum), identical least/div/round chain,
+      * the q123 `temp:` membership draw. */
+    val q126 =
+      s"""WITH d AS (
+         |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |tot AS (
+         |  SELECT lang, count(*) AS n_docs_l, sum(n_toks) AS t_lang,
+         |    CAST(round(round(sqrt(sum(n_toks)::DOUBLE), 6) * 1000000, 0) AS BIGINT) AS sqrt_micro
+         |  FROM d GROUP BY lang),
+         |g AS (SELECT sum(sqrt_micro) AS denom, sum(t_lang) AS t_total FROM tot),
+         |r AS (
+         |  SELECT lang, n_docs_l, t_lang,
+         |    CAST(round(round(least(1.0,
+         |      (((t_total * 7) // 8)::DOUBLE / t_lang) * (sqrt_micro::DOUBLE / denom)),
+         |      6) * 1000000, 0) AS BIGINT) AS rate_micro
+         |  FROM tot, g)
+         |SELECT r.lang, CAST(max(n_docs_l) AS BIGINT) AS n_docs,
+         |  CAST(max(t_lang) AS BIGINT) AS n_tokens,
+         |  max(rate_micro) AS rate_micro,
+         |  CAST(sum(CASE WHEN ${ph("'temp:' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |    < rate_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN ${ph("'temp:' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |    < rate_micro THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept
+         |FROM r JOIN d USING (lang) GROUP BY r.lang ORDER BY r.lang""".stripMargin
+
     /** q124 — q24's corpus + pair CTE chain, q41's split buckets
       * (train < 80), leaked = the train side of any cross-split
       * verified pair; per-language rollup through the same
@@ -6764,6 +6844,7 @@ object Pipeline {
       "q123_temperature_mix" -> q123,
       "q124_split_decontam" -> q124,
       "q125_packed_shards" -> q125,
+      "q126_token_budget_mix" -> q126,
       "q23_exact_dedup" -> q23,
       "q87_fuzzy_join" -> q87,
       "q91_normalized_dedup" -> q91,

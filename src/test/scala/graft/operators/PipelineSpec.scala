@@ -2194,6 +2194,66 @@ class PipelineSpec extends SparkSpec {
       assert(expected(lang)._3 >= nMin * 1000000 / n, s"$lang rate below uniform-min") }
   }
 
+  test("q126 token-budget mix: exact local rates, nested sampling vs q123, saturation both ways") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val corpus = Tables.documents(spark, sfDir)
+      .select("lang", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1).length.toLong))
+    val byLang = corpus.groupBy(_._1)
+    val tLang = byLang.view.mapValues(_.map(_._3).sum).toMap
+    val sqrtMicro = tLang.view.mapValues(t =>
+      (BigDecimal(math.sqrt(t.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong).toMap
+    val denom = sqrtMicro.values.sum
+    val tTotal = tLang.values.sum
+    val b = tTotal * 7 / 8
+    val rate = tLang.map { case (l, t) =>
+      l -> (BigDecimal(math.min(1.0,
+        (b.toDouble / t) * (sqrtMicro(l).toDouble / denom)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong
+    }
+    val expected = byLang.map { case (l, ds) =>
+      val kept = ds.filter { case (_, id, _) => h60("temp:" + id) % 1000000 < rate(l) }
+      l -> ((ds.length.toLong, tLang(l), rate(l),
+        kept.length.toLong, kept.map(_._3).sum))
+    }
+    val rows = Pipeline.q126TokenBudgetMix(spark, sfDir).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, toks, rt, kept, keptToks) = expected(r.getString(0))
+      assert(r.getLong(1) == n, s"${r.getString(0)} n_docs")
+      assert(r.getLong(2) == toks, s"${r.getString(0)} n_tokens")
+      assert(r.getLong(3) == rt, s"${r.getString(0)} rate_micro")
+      assert(r.getLong(4) == kept, s"${r.getString(0)} n_kept")
+      assert(r.getLong(5) == keptToks, s"${r.getString(0)} tokens_kept")
+    }
+    // the least(1, ·) cap must be exercised BOTH ways: some stratum
+    // saturates (keeps everything), some is genuinely budget-cut
+    assert(rate.values.exists(_ == 1000000L), s"no saturated stratum: $rate")
+    assert(rate.values.exists(_ < 1000000L), s"no budget-cut stratum: $rate")
+    // nested sampling: q123 and q126 share the membership draw, so per
+    // language the lower-rate mix's kept set is a SUBSET of the
+    // higher-rate mix's — verified on the actual kept-id sets
+    val nMin = byLang.view.mapValues(_.length.toLong).values.min
+    byLang.foreach { case (l, ds) =>
+      val r123 = (BigDecimal(math.sqrt(nMin.toDouble / ds.length))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong
+      val keep123 = ds.filter(d => h60("temp:" + d._2) % 1000000 < r123).map(_._2).toSet
+      val keep126 = ds.filter(d => h60("temp:" + d._2) % 1000000 < rate(l)).map(_._2).toSet
+      if (r123 <= rate(l)) assert(keep123.subsetOf(keep126), s"$l not nested")
+      else assert(keep126.subsetOf(keep123), s"$l not nested")
+    }
+    // single-shot semantics: kept tokens track the budget — the
+    // EXPECTED total is Σ_l min(T_l, B·q_l) ≤ B; the realized draw
+    // fluctuates by sampling noise, so the envelope carries 20% slack
+    val keptTotal = rows.map(_.getLong(5)).sum
+    assert(keptTotal <= b * 12 / 10, s"kept $keptTotal far over budget $b")
+    assert(keptTotal >= b * 5 / 10, s"kept $keptTotal far under budget $b")
+  }
+
   test("q124 split decontam: leaked = train side of cross-split verified pairs, independently re-derived") {
     def h60(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
