@@ -299,6 +299,9 @@ object SparkEntry {
     // token-budget temperature mixing: B-token mix at α = 1/2 with
     // nested (consistent-sampling) membership — the production ask
     "q126_token_budget_mix" -> (Pipeline.q126TokenBudgetMix _),
+    // long-document chunking: cut docs past the context width into
+    // fixed chunks — packing's complement for fitting sequences
+    "q127_doc_chunking" -> (Pipeline.q127DocChunking _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

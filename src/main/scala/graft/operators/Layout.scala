@@ -177,6 +177,36 @@ object Layout {
     * partition columns maps each output directory to one task,
     * avoiding the small-files explosion (every task otherwise writes a
     * file into every partition it touches). */
+  /** The q122 export MATERIALIZED — write a corpus as training shards
+    * at rest: every row keyed by [[Pipeline.shardKey]], routed to
+    * `shard = key mod numShards`, and written under
+    * `path/shard=N/` with rows ORDERED by the (key, id) shuffle order
+    * — a sequential read of a shard file replays exactly the
+    * permutation [[Pipeline.q122ShardManifest]]'s order checksum
+    * certifies (tied together in ExportSpec: read-back positions
+    * recompute the manifest checksum bit-for-bit).
+    *
+    * `repartition(col("shard"))` hash-partitions on the VALUE, so a
+    * shard never splits across tasks (distinct shards may share a
+    * task; the partitionBy writer still emits one file per shard) and
+    * the task-local (key, id) sort is therefore a correct per-shard
+    * order. One hash exchange + in-partition sort + write — the same
+    * plan shape as the manifest query, which is the point: computing
+    * the manifest and writing the shards share one shuffle at 100 TB. */
+  def writeShards(docs: DataFrame, idCol: String,
+      path: String, numShards: Int = 8): Unit =
+    docs.withColumn("sk", Pipeline.shardKey(col(idCol)))
+      .withColumn("shard", pmod(col("sk"), lit(numShards.toLong)).cast("int"))
+      .repartition(col("shard"))
+      // shard LEADS the sort: the partitionBy writer requires ordering
+      // by the partition column and would insert its own UNSTABLE sort
+      // otherwise, destroying the (key, id) order this write exists to
+      // lay down; with the child already ordered (shard, key, id) the
+      // required ordering is satisfied as a prefix and no sort is added
+      .sortWithinPartitions(col("shard"), col("sk"), col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(path)
+
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String], maxRecordsPerFile: Long = 5000000L): Unit =
     df.repartition(partitionCols.map(df.col): _*)

@@ -4894,6 +4894,79 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** Chunk width for the q127 report. Bench-sized (the corpus' docs
+    * run 10–90 tokens); a production context window (2048/4096/8192)
+    * substitutes without changing the plan. */
+  private val ChunkTokens = 64L
+
+  /** Pipeline — long-document CHUNKING: cut every document longer than
+    * the training context into `ceil(n/64)` fixed-width chunks — the
+    * complement of packing ([[q59SequencePacking]]/[[q125PackedShards]]
+    * concatenate SHORT docs; chunking cuts LONG ones; together they
+    * fit any corpus to fixed training sequences). Chunk rows
+    * materialize via a map-side `explode(sequence(...))` — Generate
+    * over per-row arithmetic, no join, no shuffle before the
+    * ≤|lang|-row rollup. Report per language: docs, split docs, chunk
+    * counts, full (width-exact) chunks, tokens, and mean chunk fill —
+    * the tail-waste metric that decides whether chunk boundaries
+    * should instead ride the packing stage at a given context width. */
+  def q127DocChunking(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir).select(col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("nc", expr(s"(n_toks + ${ChunkTokens - 1}) div $ChunkTokens"))
+      .withColumn("ci", explode(sequence(lit(0L), col("nc") - 1)))
+      .withColumn("c_toks",
+        least(lit(ChunkTokens), col("n_toks") - col("ci") * ChunkTokens))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("ci") === 0, 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("ci") === 0 && col("nc") > 1, 1L).otherwise(0L))
+          .as("n_split_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("c_toks") === ChunkTokens, 1L).otherwise(0L))
+          .as("n_full_chunks"),
+        sum(col("c_toks")).as("n_tokens"),
+        round(sum(col("c_toks")).cast("double") /
+          (count(lit(1)) * ChunkTokens), 6).as("chunk_fill"))
+      .orderBy(col("lang"))
+  }
+
+  /** Waterfilled budget rates — the redistribution [[q126TokenBudgetMix]]'s
+    * single-shot cap leaves on the table: when a stratum saturates
+    * (its whole token mass fits its budget share), its UNUSED budget
+    * re-splits among the unsaturated strata ∝ their weights, repeated
+    * until no new stratum saturates (≤ |strata| iterations — each pass
+    * saturates at least one or terminates). Pure driver-side
+    * arithmetic over the ≤|lang| report rows, the bounded-collect
+    * discipline of [[kMeansCentroids]]; the result feeds
+    * [[graft.streaming.Curation.mixGate]] (or a batch re-mix) as the
+    * per-language micro-rate map. When the budget is feasible
+    * (≤ total tokens), the waterfilled expectation consumes it
+    * EXACTLY: Σ rate_l·T_l = budget up to round-6 quantization —
+    * the property the single-shot form only approximates. */
+  def waterfillRates(tokens: Map[String, Long],
+      weightMicro: Map[String, Long], budget: Long): Map[String, Long] = {
+    require(tokens.keySet == weightMicro.keySet, "strata must align")
+    var saturated = Set.empty[String]
+    var open = Map.empty[String, Double]
+    var done = false
+    while (!done) {
+      val rest = tokens.keySet -- saturated
+      val bRem = budget - saturated.toSeq.map(tokens).sum
+      val wRem = rest.toSeq.map(weightMicro).sum
+      val tentative = rest.map { l =>
+        l -> (if (wRem == 0L) 0.0
+              else bRem.toDouble * weightMicro(l) / wRem / tokens(l))
+      }.toMap
+      val newSat = tentative.filter(_._2 >= 1.0).keySet
+      if (newSat.isEmpty) { open = tentative; done = true }
+      else saturated ++= newSat
+    }
+    saturated.map(_ -> 1000000L).toMap ++ open.map { case (l, r) =>
+      l -> (BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        * 1000000).toLong
+    }
+  }
+
   /** Pipeline — NEAR-duplicate split decontamination: q49 guards the
     * training corpus against EXACT eval n-gram overlap; this guards
     * the train/eval boundary of [[q41StratifiedSplit]]'s own split
@@ -6424,6 +6497,26 @@ object Pipeline {
          |    AS utilization
          |FROM c GROUP BY shard ORDER BY shard""".stripMargin
 
+    /** q127 — identical ceil-div chunk arithmetic, chunk rows from
+      * generate_series, least() tail width. */
+    val q127 =
+      s"""WITH d AS (
+         |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, n_toks, (n_toks + 63) // 64 AS nc,
+         |    t.ci AS ci,
+         |    least(64, n_toks - t.ci * 64) AS c_toks
+         |  FROM d, LATERAL (SELECT unnest(generate_series(0, (n_toks + 63) // 64 - 1)) AS ci) t)
+         |SELECT lang,
+         |  CAST(sum(CASE WHEN ci = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN ci = 0 AND nc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+         |  count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN c_toks = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_chunks,
+         |  CAST(sum(c_toks) AS BIGINT) AS n_tokens,
+         |  round(sum(c_toks)::DOUBLE / (count(*) * 64), 6) AS chunk_fill
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
     /** q126 — integer micro-sqrt per language summed as integers (no
       * order-sensitive float sum), identical least/div/round chain,
       * the q123 `temp:` membership draw. */
@@ -6845,6 +6938,7 @@ object Pipeline {
       "q124_split_decontam" -> q124,
       "q125_packed_shards" -> q125,
       "q126_token_budget_mix" -> q126,
+      "q127_doc_chunking" -> q127,
       "q23_exact_dedup" -> q23,
       "q87_fuzzy_join" -> q87,
       "q91_normalized_dedup" -> q91,

@@ -2254,6 +2254,69 @@ class PipelineSpec extends SparkSpec {
     assert(keptTotal >= b * 5 / 10, s"kept $keptTotal far under budget $b")
   }
 
+  test("q127 doc chunking: local ceil-div re-derivation, token conservation, split docs exist") {
+    val corpus = Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val expected = corpus.groupBy(_._1).map { case (l, ds) =>
+      val chunks = ds.flatMap { case (_, n) =>
+        val nc = (n + 63) / 64
+        (0L until nc).map(i => math.min(64L, n - i * 64))
+      }
+      l -> ((ds.length.toLong, ds.count(_._2 > 64).toLong,
+        chunks.length.toLong, chunks.count(_ == 64L).toLong, chunks.sum))
+    }
+    val rows = Pipeline.q127DocChunking(spark, sfDir).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, split, nc, full, toks) = expected(r.getString(0))
+      assert(r.getLong(1) == n, s"${r.getString(0)} n_docs")
+      assert(r.getLong(2) == split, s"${r.getString(0)} n_split_docs")
+      assert(r.getLong(3) == nc, s"${r.getString(0)} n_chunks")
+      assert(r.getLong(4) == full, s"${r.getString(0)} n_full_chunks")
+      assert(r.getLong(5) == toks, s"${r.getString(0)} n_tokens")
+      assert(r.getDouble(6) ==
+        BigDecimal(toks.toDouble / (nc * 64))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"${r.getString(0)} chunk_fill")
+    }
+    // chunking conserves tokens and the fixture actually splits docs
+    assert(rows.map(_.getLong(5)).sum == corpus.map(_._2).sum)
+    assert(rows.map(_.getLong(2)).sum > 0, "no doc exceeded the chunk width")
+  }
+
+  test("waterfillRates: exact budget consumption, fixpoint saturation, single-shot agreement") {
+    val tokens = Map("en" -> 5000L, "de" -> 1000L, "fr" -> 400L, "zh" -> 100L)
+    val w = tokens.view.mapValues(t => math.round(math.sqrt(t.toDouble) * 1000)).toMap
+    // no saturation: waterfill equals the single-shot formula
+    val small = Pipeline.waterfillRates(tokens, w, budget = 1000L)
+    val wSum = w.values.sum
+    tokens.foreach { case (l, t) =>
+      val singleShot = (BigDecimal(1000.0 * w(l) / wSum / t)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong
+      assert(small(l) == singleShot, s"$l single-shot mismatch")
+    }
+    // saturating budget: zh (and possibly fr) cap at 1; the freed
+    // budget lands on the others and expectation consumes it EXACTLY
+    val b = 4000L
+    val mid = Pipeline.waterfillRates(tokens, w, b)
+    assert(mid("zh") == 1000000L)
+    val consumed = tokens.map { case (l, t) => mid(l).toDouble / 1e6 * t }.sum
+    assert(math.abs(consumed - b) < tokens.size * 0.01,
+      s"waterfill consumed $consumed of budget $b")
+    // the single-shot form UNDERSHOOTS the same budget (unused
+    // saturated share not redistributed) — the reason waterfill exists
+    val ssConsumed = tokens.map { case (l, t) =>
+      math.min(1.0, b.toDouble * w(l) / wSum / t) * t }.sum
+    assert(ssConsumed < consumed - 1)
+    // infeasible budget: everything saturates
+    val all = Pipeline.waterfillRates(tokens, w, budget = 10000L)
+    assert(all.values.forall(_ == 1000000L))
+    // monotone in budget, pointwise
+    val lo = Pipeline.waterfillRates(tokens, w, 2000L)
+    tokens.keys.foreach(l => assert(lo(l) <= mid(l), s"$l not monotone"))
+  }
+
   test("q124 split decontam: leaked = train side of cross-split verified pairs, independently re-derived") {
     def h60(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

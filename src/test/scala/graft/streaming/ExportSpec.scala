@@ -95,6 +95,39 @@ class ExportSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("shards at rest: read-back order recomputes q122's manifest checksum bit-for-bit") {
+    val P = 2147483647L
+    val out = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    try {
+      graft.operators.Layout.writeShards(
+        graft.Tables.documents(spark, sfDir).select("doc_id", "text"),
+        "doc_id", out)
+      val manifest = graft.operators.Pipeline.q122ShardManifest(spark, sfDir)
+        .collect().map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+      manifest.foreach { case (shard, (nDocs, checksum, headId)) =>
+        val dir = new java.io.File(s"$out/shard=$shard")
+        val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"shard $shard: ${files.length} files")
+        // one file = one split: parquet read preserves row order
+        val rows = spark.read.parquet(files.head.getAbsolutePath)
+          .select("doc_id", "sk").collect()
+        assert(rows.length == nDocs)
+        assert(rows.head.getLong(0) == headId, s"shard $shard head")
+        // positions from FILE ORDER, the manifest's checksum formula
+        val ck = rows.zipWithIndex.map { case (r, i) =>
+          BigInt(i + 1) * (r.getLong(1) % P) % P }.sum % P
+        assert(ck.toLong == checksum, s"shard $shard checksum from file order")
+        // the at-rest order is exactly the (sk, id) sort
+        assert(rows.map(r => (r.getLong(1), r.getLong(0))).toSeq ==
+          rows.map(r => (r.getLong(1), r.getLong(0))).sortBy(identity).toSeq)
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
   test("shardAssign is stateless and key-identical to the batch derivation") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
