@@ -302,6 +302,9 @@ object SparkEntry {
     // long-document chunking: cut docs past the context width into
     // fixed chunks — packing's complement for fitting sequences
     "q127_doc_chunking" -> (Pipeline.q127DocChunking _),
+    // the complete nprobe knob table: q114's sweep at radius 0/1/2 —
+    // brackets where recall-per-candidate flattens
+    "q128_recall_sweep_r2" -> (Pipeline.q128RecallSweepR2 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

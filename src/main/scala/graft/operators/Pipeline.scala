@@ -4622,7 +4622,7 @@ object Pipeline {
     * the spec uses) — on identical queries and an identical exact
     * answer set. */
   private[operators] def annRecallSweep(e: DataFrame,
-      cent: DataFrame): DataFrame = {
+      cent: DataFrame, radii: Seq[Int] = Seq(0, 1)): DataFrame = {
     val spark = e.sparkSession
     val members = mapSideFineClusters(e, cent, ClusterTargetOccupancy)
       .persist(CacheLevel)
@@ -4642,14 +4642,13 @@ object Pipeline {
         row_number().over(byQ.orderBy(col("c4").desc, col("vec_id"))))
       .filter(col("xr") <= TopK)
       .select(col("qid"), col("vec_id"))
-      // BOTH radii score against it — persist the ≤ queries·k rows or
-      // the harness corpus scan runs once per sweep branch
+      // EVERY radius scores against it — persist the ≤ queries·k rows
+      // or the harness corpus scan runs once per sweep branch
       .persist(NarrowCacheLevel)
     exact.count()
-    // radius-1 probe clusters: home + every active-bit flip — the
-    // SHARED [[probeExpand]] serve expansion, so this sweep measures
-    // byte-for-byte the candidate sets q118's serve path scans
-    val probed = probeExpand(queries, 1)
+    // probe clusters via the SHARED [[probeExpand]] serve expansion,
+    // so this sweep measures byte-for-byte the candidate sets the
+    // q118/q120/q121 serve paths scan at each radius
     def cands(qrel: DataFrame): DataFrame =
       members.select(col("vec_id"), col("e"), col("cluster"))
         .join(broadcast(qrel), Seq("cluster"))
@@ -4673,10 +4672,10 @@ object Pipeline {
           round(col("n_hits").cast("double") / (col("n_queries") * TopK), 6)
             .as("recall_at_5"))
     }
-    val out = sweep(0, cands(probeExpand(queries, 0)))
-      .unionByName(sweep(1, cands(probed)))
+    val out = radii.map(r => sweep(r, cands(probeExpand(queries, r))))
+      .reduce(_ unionByName _)
       .orderBy(col("radius"))
-    // 2 fixed-width rows: snapshot, then release the residents
+    // |radii| fixed-width rows: snapshot, then release the residents
     val snapshot = out.collect()
     members.unpersist(blocking = false)
     exact.unpersist(blocking = false)
@@ -4703,6 +4702,24 @@ object Pipeline {
   def q119TrainedCoarseSweep(spark: SparkSession, dir: String): DataFrame = {
     val e = pqVectors(spark, dir)
     annRecallSweep(e, kMeansCentroids(e))
+  }
+
+  /** L3 — the COMPLETE knob table: q114's recall/efficiency sweep
+    * extended to probe radius 2, every radius [[probeExpand]] (and
+    * therefore every serve path) supports. The radius-2 row adds the
+    * b·(b−1)/2 two-bit flips — the diminishing-returns end of the
+    * multi-probe trade (the [[hammingProbes]] scaladoc's ~0.1%
+    * residual two-plane splits are exactly what it buys), so the
+    * table now brackets the knob from both sides: a deployment reads
+    * where recall-per-candidate flattens and stops probing there.
+    * Same exact-top-5 harness, centroids, and report shape as q114 —
+    * the rows read side by side, and radii 0/1 reproduce q114's rows
+    * identically (same persisted harness, same expansion). Candidate
+    * bound stays O(occupancy × probes) = O(32 · (1 + b + b²/2)) per
+    * query at any corpus size, query side always broadcast. */
+  def q128RecallSweepR2(spark: SparkSession, dir: String): DataFrame = {
+    val e = pqVectors(spark, dir)
+    annRecallSweep(e, labelCentroids(spark, dir), Seq(0, 1, 2))
   }
 
   /** Number of output shards for the q122 export manifest. Bench-sized
@@ -6848,6 +6865,79 @@ object Pipeline {
          |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
          |ORDER BY radius""".stripMargin
 
+    /** q128 — q114's skeleton with the radius-2 CTE added: actives
+      * once per query, one-flip and ordered two-flip lists prepended
+      * to the home cluster (all XORs of distinct bit subsets —
+      * pairwise distinct, no candidate dedup), c2/t2/r2 mirroring
+      * c1/t1/r1. */
+    val q128 =
+      s"""WITH cent AS (
+         |  SELECT label, list(cavg ORDER BY pos) AS cvec FROM (
+         |    SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 6) AS cavg
+         |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i)
+         |  GROUP BY label),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |${fineClusterCtes("e")},
+         |q AS (SELECT vec_id AS qid, e AS qe, cluster, mask,
+         |  list_filter(generate_series(0, 31), j -> (mask & CAST(2**j AS BIGINT)) != 0) AS actives
+         |  FROM m WHERE vec_id < 10),
+         |ex AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, v.vec_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        round(${cos("q.qe", "v.e")}, 4) DESC, v.vec_id) AS xr
+         |    FROM q CROSS JOIN e v WHERE v.vec_id != q.qid)
+         |  WHERE xr <= 5),
+         |p1 AS (
+         |  SELECT qid, qe, unnest(list_prepend(cluster,
+         |    list_transform(actives, j -> xor(cluster, CAST(2**j AS BIGINT))))) AS cluster
+         |  FROM q),
+         |p2 AS (
+         |  SELECT qid, qe, unnest(list_prepend(cluster, list_concat(
+         |    list_transform(actives, j -> xor(cluster, CAST(2**j AS BIGINT))),
+         |    flatten(list_transform(actives, j ->
+         |      list_transform(list_filter(actives, k -> k > j),
+         |        k -> xor(xor(cluster, CAST(2**j AS BIGINT)), CAST(2**k AS BIGINT)))))))) AS cluster
+         |  FROM q),
+         |c0 AS (
+         |  SELECT q.qid, m.vec_id, round(${cos("q.qe", "m.e")}, 4) AS c4
+         |  FROM m JOIN q USING (cluster) WHERE m.vec_id != q.qid),
+         |c1 AS (
+         |  SELECT p.qid, m.vec_id, round(${cos("p.qe", "m.e")}, 4) AS c4
+         |  FROM m JOIN p1 p USING (cluster) WHERE m.vec_id != p.qid),
+         |c2 AS (
+         |  SELECT p.qid, m.vec_id, round(${cos("p.qe", "m.e")}, 4) AS c4
+         |  FROM m JOIN p2 p USING (cluster) WHERE m.vec_id != p.qid),
+         |t0 AS (
+         |  SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c4 DESC, vec_id) AS rk
+         |    FROM c0) WHERE rk <= 5),
+         |t1 AS (
+         |  SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c4 DESC, vec_id) AS rk
+         |    FROM c1) WHERE rk <= 5),
+         |t2 AS (
+         |  SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c4 DESC, vec_id) AS rk
+         |    FROM c2) WHERE rk <= 5),
+         |r0 AS (
+         |  SELECT 0 AS radius, (SELECT count(*) FROM q) AS n_queries,
+         |    (SELECT count(*) FROM c0) AS n_candidates,
+         |    (SELECT count(*) FROM t0 JOIN ex USING (qid, vec_id)) AS n_hits),
+         |r1 AS (
+         |  SELECT 1 AS radius, (SELECT count(*) FROM q) AS n_queries,
+         |    (SELECT count(*) FROM c1) AS n_candidates,
+         |    (SELECT count(*) FROM t1 JOIN ex USING (qid, vec_id)) AS n_hits),
+         |r2 AS (
+         |  SELECT 2 AS radius, (SELECT count(*) FROM q) AS n_queries,
+         |    (SELECT count(*) FROM c2) AS n_candidates,
+         |    (SELECT count(*) FROM t2 JOIN ex USING (qid, vec_id)) AS n_hits)
+         |SELECT CAST(radius AS INT) AS radius, n_queries, n_candidates,
+         |  round(n_candidates::DOUBLE / n_queries, 6) AS avg_candidates,
+         |  n_hits, round(n_hits::DOUBLE / (n_queries * 5), 6) AS recall_at_5
+         |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+         |ORDER BY radius""".stripMargin
+
     /** q118 — the multi-probe SERVE twin: q31's `cent` +
       * [[fineClusterCtes]] membership, q114's radius-1 probe-expansion
       * idiom on the query side (home sub-bucket prepended to every
@@ -6939,6 +7029,7 @@ object Pipeline {
       "q125_packed_shards" -> q125,
       "q126_token_budget_mix" -> q126,
       "q127_doc_chunking" -> q127,
+      "q128_recall_sweep_r2" -> q128,
       "q23_exact_dedup" -> q23,
       "q87_fuzzy_join" -> q87,
       "q91_normalized_dedup" -> q91,

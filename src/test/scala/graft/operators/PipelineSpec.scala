@@ -2254,6 +2254,35 @@ class PipelineSpec extends SparkSpec {
     assert(keptTotal >= b * 5 / 10, s"kept $keptTotal far under budget $b")
   }
 
+  test("q128 radius-2 sweep: dominates radius 1, reproduces q114's rows, bounded expansion") {
+    // sf0.1: the one test corpus whose fine clusters carry ≥ 2 active
+    // bits, so the two-bit flips actually exist (at sf0.001/sf0.01
+    // b = 1 and radius 2 degenerates to radius 1 — by construction,
+    // asserted below on the small corpus too)
+    val big = "/root/testdata/sf0.1"
+    val rows = Pipeline.q128RecallSweepR2(spark, big).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(rows.keySet == Set(0, 1, 2))
+    // candidate sets nest by construction (probe ids strictly widen),
+    // and hits = |candidates ∩ exact top-5| is monotone in the set
+    assert(rows(1)._1 > rows(0)._1 && rows(2)._1 > rows(1)._1, s"candidates not widening: $rows")
+    assert(rows(1)._2 >= rows(0)._2 && rows(2)._2 >= rows(1)._2, s"recall decreased: $rows")
+    // radii 0/1 are byte-for-byte q114's sweep (same harness, same
+    // expansion) — the two published tables cannot drift apart
+    val q114 = Pipeline.q114AnnRecallSweep(spark, big).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(rows(0) == q114(0) && rows(1) == q114(1))
+    // the radius-2 expansion is bounded: ≤ (1 + b + b(b−1)/2) probes
+    // per query over ≤ 32 active bits → candidates stay O(occupancy·probes)
+    val b = 32.0
+    assert(rows(2)._1 <= rows(0)._1 * (1 + b + b * (b - 1) / 2),
+      "radius-2 candidates exceed the probe bound")
+    // single-active-bit corpus: radius 2 = radius 1 exactly
+    val small = Pipeline.q128RecallSweepR2(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(small(2) == small(1), s"b=1 corpus: $small")
+  }
+
   test("q127 doc chunking: local ceil-div re-derivation, token conservation, split docs exist") {
     val corpus = Tables.documents(spark, sfDir)
       .select("lang", "text").collect()
