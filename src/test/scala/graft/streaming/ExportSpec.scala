@@ -4,6 +4,13 @@ import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+object ExportSpec {
+  /** foreachBatch recorder for the restart test (companion-object
+    * queue so the closure survives serialization — DedupSpec idiom). */
+  val manifestSink =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long)]()
+}
+
 /** Streaming shard router: ingest-time routing parity with the batch
   * export and the order-independent running manifest. */
 class ExportSpec extends SparkSpec {
@@ -93,6 +100,77 @@ class ExportSpec extends SparkSpec {
       // mix and route added ZERO state: still only the dedup digests
       assert(query.lastProgress.stateOperators.length == 1)
     } finally query.stop()
+  }
+
+  test("running manifest survives a RocksDB restart: recovered counts converge to the full-corpus truth") {
+    import scala.jdk.CollectionConverters._
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val P = 2147483647L
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest-restart")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val ckpt = root.resolve("ckpt").toString
+    def addFile(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(inDir.resolve(name),
+        (rows.map { case (id, t) => s"$id|$t" }.mkString("\n") + "\n").getBytes("UTF-8"))
+    def startQuery() = StateStores.withRocksDB(spark) {
+      val parts = split(col("value"), "\\|")
+      val docs = spark.readStream.text(inDir.toString)
+        .select(parts.getItem(0).cast("long").as("doc_id"),
+          parts.getItem(1).as("text"))
+      Export.runningShardManifest(docs, "doc_id", "text")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => ExportSpec.manifestSink.add(
+            (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+        }
+        .start()
+    }
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what")
+    }
+    ExportSpec.manifestSink.clear()
+    val a = Seq(1L -> "a b c", 2L -> "d e", 9L -> "x y z w")
+    val b = Seq(3L -> "p q", 17L -> "r s t")
+    val q1 = startQuery()
+    try {
+      addFile("f1.txt", a)
+      await(ExportSpec.manifestSink.asScala.map(_._2).sum >= a.length,
+        "phase-1 rows")
+    } finally q1.stop()
+    val q2 = startQuery()
+    try {
+      addFile("f2.txt", b)
+      // converged = every doc counted exactly once across both phases
+      await({
+        val last = ExportSpec.manifestSink.asScala.toSeq
+          .groupBy(_._1).view.mapValues(_.last).toMap
+        last.values.map(_._2).sum == (a ++ b).length
+      }, "phase-2 convergence")
+      val last = ExportSpec.manifestSink.asScala.toSeq
+        .groupBy(_._1).view.mapValues(_.last).toMap
+      // truth over the FULL corpus — phase-1 counts must have been
+      // RECOVERED from the checkpoint, not restarted from zero
+      val want = (a ++ b).map { case (id, t) =>
+        val sk = h60("shard:" + id)
+        ((sk % 8).toInt, t.split(" ", -1).length.toLong, sk % P)
+      }.groupBy(_._1).map { case (s, ds) =>
+        s -> ((ds.length.toLong, ds.map(_._2).sum,
+          (ds.map(d => BigInt(d._3)).sum % P).toLong))
+      }
+      assert(last.view.mapValues(v => (v._2, v._3, v._4)).toMap == want,
+        s"recovered manifest ${last} vs truth $want")
+    } finally {
+      q2.stop()
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
   }
 
   test("shards at rest: read-back order recomputes q122's manifest checksum bit-for-bit") {
