@@ -135,11 +135,19 @@ object Curation {
     * bulkiest bytes) drops at the first map, gated documents never
     * reach the state store. */
   def ingestGate(pages: DataFrame, htmlCol: String, eventTimeCol: String,
-      horizon: String, evalGrams: Option[DataFrame] = None): DataFrame = {
+      horizon: String, evalGrams: Option[DataFrame] = None,
+      history: Option[DataFrame] = None): DataFrame = {
     val scrubbed =
       piiScrub(qualityGate(markupExtract(pages, htmlCol), "text"), "text")
     val cleared = evalGrams.fold(scrubbed)(decontamGate(scrubbed, "text", _))
-    Dedup.dedupNormalized(cleared, "text", eventTimeCol, horizon)
+    // `history` ([[Dedup.historicalDigests]] of the already-ingested
+    // batch corpus) bootstraps the dedup stage: content the corpus
+    // already holds drops at a stateless stream-static anti-join, so a
+    // FRESH stream doesn't re-admit history while its state store
+    // warms up; stream-internal duplicates still hit the same
+    // watermark-bounded state
+    history.fold(Dedup.dedupNormalized(cleared, "text", eventTimeCol, horizon))(
+      Dedup.dedupNormalizedBootstrapped(cleared, "text", eventTimeCol, horizon, _))
   }
 
   /** Stateless temperature-mix gate — the streaming face of q123:
@@ -175,8 +183,9 @@ object Curation {
       evalGrams: Option[DataFrame] = None,
       mixRates: Option[Map[String, Long]] = None,
       idCol: String = "doc_id", langCol: String = "lang",
-      numShards: Int = 8): DataFrame = {
-    val gated = ingestGate(pages, htmlCol, eventTimeCol, horizon, evalGrams)
+      numShards: Int = 8, history: Option[DataFrame] = None): DataFrame = {
+    val gated =
+      ingestGate(pages, htmlCol, eventTimeCol, horizon, evalGrams, history)
     val mixed = mixRates.fold(gated)(mixGate(gated, idCol, langCol, _))
     Export.shardAssign(mixed, idCol, "text", numShards)
   }

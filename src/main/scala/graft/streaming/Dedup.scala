@@ -65,6 +65,40 @@ object Dedup {
       .dropDuplicatesWithinWatermark("digest")
       .drop("digest")
 
+  /** The historical-digest relation for [[dedupNormalizedBootstrapped]]:
+    * one distinct canonical md5 per document of an already-ingested
+    * batch corpus — the artifact a nightly job persists beside the
+    * corpus (same derivation as the gate, so batch and stream agree
+    * digest-for-digest). */
+  def historicalDigests(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(
+      md5(graft.functions.TextFunctions.canonicalText(col(textCol))
+        .cast("binary")).as("digest")).distinct()
+
+  /** [[dedupNormalized]] BOOTSTRAPPED from batch history — the
+    * operational gap a fresh stream has: its state store starts empty,
+    * so the first arrival of content the BATCH corpus already holds
+    * would be admitted and re-ingested. The fix is Spark-first
+    * composition, not custom state surgery: a STREAM-STATIC left-anti
+    * join against [[historicalDigests]] drops historical duplicates
+    * map-side (stateless — the static side is planner-managed,
+    * broadcast when it fits; a production deployment hands it a
+    * digest table at rest), and the watermark-bounded stateful stage
+    * then handles only STREAM-INTERNAL duplicates, exactly as before.
+    * State cost is unchanged (one digest per kept in-horizon doc —
+    * history never enters the store); the history snapshot is bound
+    * at composition time, the same contract as every static side
+    * ([[Curation.decontamGate]]'s eval set). */
+  def dedupNormalizedBootstrapped(docs: DataFrame, textCol: String,
+      eventTimeCol: String, horizon: String, history: DataFrame): DataFrame =
+    docs.withColumn("digest",
+        md5(graft.functions.TextFunctions.canonicalText(col(textCol))
+          .cast("binary")))
+      .join(history.select(col("digest")), Seq("digest"), "left_anti")
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("digest")
+      .drop("digest")
+
   def dedupSimhash(docs: DataFrame, textCol: String, eventTimeCol: String,
       horizon: String): DataFrame =
     docs.withColumn("hs",

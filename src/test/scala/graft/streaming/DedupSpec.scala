@@ -458,6 +458,39 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("bootstrapped dedup: batch history drops statelessly, stream-internal dups still hit state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val historyDoc = Seq.tabulate(25)(i => s"old$i").mkString(" ")
+    val fresh = Seq.tabulate(25)(i => s"new$i").mkString(" ")
+    // the artifact a nightly batch persists: distinct canonical digests
+    val history = Dedup.historicalDigests(
+      Seq(historyDoc).toDF("text"), "text")
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val query = Dedup.dedupNormalizedBootstrapped(
+        docs, "text", "ts", "10 minutes", history)
+      .writeStream.format("memory").queryName("boot_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        // case variant of HISTORY content: canonical digest matches →
+        // dropped by the stream-static anti-join, never costs state
+        (1L, historyDoc.toUpperCase, 1L),
+        (2L, fresh, 2L),                  // genuinely new: kept
+        (3L, fresh.toUpperCase, 3L))      // stream-internal dup: state drops it
+      query.processAllAvailable()
+      val got = spark.table("boot_mem").collect().map(_.getLong(0)).toSet
+      assert(got == Set(2L), s"got $got")
+      // exactly ONE stateful operator — the bootstrap join added none —
+      // and its state holds only the KEPT stream doc, never history
+      val ops = query.lastProgress.stateOperators
+      assert(ops.length == 1, s"state ops: ${ops.length}")
+      assert(ops.head.numRowsTotal == 1, s"state rows: ${ops.head.numRowsTotal}")
+    } finally query.stop()
+  }
+
   test("composed ingest gate: extract -> gate -> scrub -> dedup in one append chain") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val good = Seq.tabulate(30)(i => s"tok$i").mkString(" ")
