@@ -2346,6 +2346,32 @@ class PipelineSpec extends SparkSpec {
     tokens.keys.foreach(l => assert(lo(l) <= mid(l), s"$l not monotone"))
   }
 
+  test("waterfillRates property: random strata — caps respected, feasible budgets consumed exactly, never exceeded") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val strataGen = for {
+      n <- Gen.choose(1, 12)
+      toks <- Gen.listOfN(n, Gen.choose(1L, 1000000L))
+      ws <- Gen.listOfN(n, Gen.choose(1L, 1000000L))
+      frac <- Gen.choose(1, 99)
+    } yield {
+      val names = (0 until n).map(i => s"s$i")
+      (names.zip(toks).toMap, names.zip(ws).toMap,
+        toks.sum * frac / 100)
+    }
+    val prop = Prop.forAll(strataGen) { case (tokens, w, budget) =>
+      val rates = Pipeline.waterfillRates(tokens, w, budget)
+      val total = tokens.values.sum
+      val consumed = tokens.map { case (l, t) => rates(l).toDouble / 1e6 * t }.sum
+      val capped = rates.values.forall(r => r >= 0L && r <= 1000000L)
+      val exact =
+        if (budget >= total) rates.values.forall(_ == 1000000L)
+        // feasible: consumed == budget up to round-6 quantization per stratum
+        else math.abs(consumed - budget) <= tokens.size * (tokens.values.max / 1e6 + 1)
+      capped && exact && consumed <= total + 1e-6
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop).passed)
+  }
+
   test("q124 split decontam: leaked = train side of cross-split verified pairs, independently re-derived") {
     def h60(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
