@@ -305,6 +305,9 @@ object SparkEntry {
     // the complete nprobe knob table: q114's sweep at radius 0/1/2 —
     // brackets where recall-per-candidate flattens
     "q128_recall_sweep_r2" -> (Pipeline.q128RecallSweepR2 _),
+    // seeded epoch orderings: one independent deterministic
+    // permutation per training epoch, reproducible from the seed alone
+    "q129_epoch_orders" -> (Pipeline.q129EpochOrders _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -4755,8 +4755,18 @@ object Pipeline {
     * shard router ([[graft.streaming.Export]]), so a stream-ingested
     * shard and a batch re-shard of the same corpus route every
     * document identically. */
-  def shardKey(idCol: Column): Column =
-    portableHash(concat(lit("shard:"), idCol.cast("string")))
+  def shardKey(idCol: Column): Column = shardKey(idCol, 0)
+
+  /** Seeded export shuffle key — one independent deterministic
+    * permutation (and shard assignment) per training EPOCH: seed 0 is
+    * the historical `shard:doc_id` derivation bit-for-bit (q122/q125,
+    * the streaming router, and shards at rest all stay unchanged);
+    * seed s > 0 keys on `shard<s>:doc_id`, giving a fresh md5-
+    * independent draw. Same portability contract as every hash here. */
+  def shardKey(idCol: Column, seed: Int): Column =
+    portableHash(concat(
+      lit(if (seed == 0) "shard:" else s"shard$seed:"),
+      idCol.cast("string")))
 
   /** The temperature-mix membership draw: portable md5 hash of
     * `temp:doc_id` reduced to micro-units — THE one derivation shared
@@ -4785,6 +4795,39 @@ object Pipeline {
           .as("order_checksum"),
         max(when(col("pos") === 1, col("doc_id"))).as("head_doc_id"))
       .orderBy(col("shard"))
+  }
+
+  /** Pipeline — EPOCH orderings: the q122 manifest for training epochs
+    * 0 and 1 side by side, each from its own seeded shuffle key
+    * ([[shardKey]](id, seed)) — the multi-epoch training contract: a
+    * trainer re-reading the corpus must see an INDEPENDENT
+    * deterministic permutation per epoch, reproducible from the seed
+    * alone (no stored permutation, no driver state — re-deriving
+    * epoch k's order anywhere yields the same bytes). Epoch 0 is
+    * bit-for-bit q122's manifest (the shared derivation — asserted in
+    * the spec); epoch 1 re-draws both assignment and order. The spec
+    * pins the independence evidence: global doc/token totals match
+    * across epochs while per-shard membership and checksums move.
+    * Same one-exchange-per-epoch plan as q122. */
+  def q129EpochOrders(spark: SparkSession, dir: String): DataFrame = {
+    def manifest(seed: Int): DataFrame = {
+      val d = docs(spark, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        shardKey(col("doc_id"), seed).as("sk"))
+      d.withColumn("shard", pmod(col("sk"), lit(NumShards)).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("sk"), col("doc_id"))))
+        .withColumn("term", pmod(col("pos") * pmod(col("sk"), lit(P)), lit(P)))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          (sum(col("term").cast("decimal(38,0)")) % lit(P)).cast("long")
+            .as("order_checksum"))
+        .select(lit(seed).as("epoch"), col("shard"), col("n_docs"),
+          col("n_tokens"), col("order_checksum"))
+    }
+    manifest(0).unionByName(manifest(1))
+      .orderBy(col("epoch"), col("shard"))
   }
 
   /** Pipeline — sequence packing WITHIN export shards: [[q59SequencePacking]]'s
@@ -6474,6 +6517,29 @@ object Pipeline {
          |  CAST(max(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS head_doc_id
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin
 
+    /** q129 — the q122 manifest body instantiated per epoch prefix
+      * (`shard:` / `shard1:`), unioned. */
+    val q129 = {
+      def epoch(seed: Int): String = {
+        val prefix = if (seed == 0) "'shard:'" else s"'shard$seed:'"
+        s"""SELECT $seed AS epoch, shard, count(*) AS n_docs,
+           |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           |  CAST(CAST(sum((pos * (sk % $P)) % $P) AS HUGEINT) % $P AS BIGINT)
+           |    AS order_checksum
+           |FROM (
+           |  SELECT n_toks, sk, CAST(sk % 8 AS INT) AS shard,
+           |    row_number() OVER (PARTITION BY sk % 8 ORDER BY sk, doc_id) AS pos
+           |  FROM (
+           |    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           |      ${ph(s"$prefix || CAST(doc_id AS VARCHAR)")} AS sk
+           |    FROM documents))
+           |GROUP BY shard""".stripMargin
+      }
+      s"""SELECT CAST(epoch AS INT) AS epoch, shard, n_docs, n_tokens, order_checksum
+         |FROM (${epoch(0)} UNION ALL ${epoch(1)})
+         |ORDER BY epoch, shard""".stripMargin
+    }
+
     /** q123 — q54's verdict shape with the α = 1/2 temperature rate:
       * sqrt is correctly rounded in both engines (IEEE 754), so the
       * round-6 micro-threshold is bit-identical. */
@@ -7030,6 +7096,7 @@ object Pipeline {
       "q126_token_budget_mix" -> q126,
       "q127_doc_chunking" -> q127,
       "q128_recall_sweep_r2" -> q128,
+      "q129_epoch_orders" -> q129,
       "q23_exact_dedup" -> q23,
       "q87_fuzzy_join" -> q87,
       "q91_normalized_dedup" -> q91,

@@ -2161,6 +2161,24 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap == manifest)
   }
 
+  test("q129 epoch orders: epoch 0 is q122's manifest, epoch 1 is an independent permutation") {
+    val rows = Pipeline.q129EpochOrders(spark, sfDir).collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(r =>
+        r.getInt(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap).toMap
+    assert(rows.keySet == Set(0, 1))
+    // epoch 0 = the q122 manifest bit-for-bit (shared derivation)
+    val q122 = Pipeline.q122ShardManifest(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(0) == q122)
+    // epochs cover the same corpus (global totals equal) but re-draw
+    // assignment and order (per-shard membership and checksums move)
+    assert(rows(0).values.map(_._1).sum == rows(1).values.map(_._1).sum)
+    assert(rows(0).values.map(_._2).sum == rows(1).values.map(_._2).sum)
+    assert(rows(0) != rows(1), "epoch 1 reproduced epoch 0 — seeds not independent")
+    assert(rows(0).keySet.exists(s => rows(0)(s)._3 != rows(1)(s)._3),
+      "no shard's order checksum moved across epochs")
+  }
+
   test("q123 temperature mix: sqrt-rate thresholds exact, min language fully kept, local recount") {
     def h60(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
