@@ -308,6 +308,9 @@ object SparkEntry {
     // seeded epoch orderings: one independent deterministic
     // permutation per training epoch, reproducible from the seed alone
     "q129_epoch_orders" -> (Pipeline.q129EpochOrders _),
+    // the trained-coarse router SERVED: q119's sweep configuration as
+    // a radius-1 serve path — both measured routers now servable
+    "q130_trained_coarse_ann" -> (Pipeline.q130TrainedCoarseAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -701,7 +701,7 @@ object Pipeline {
     * is the serve-time nprobe knob ([[probeExpand]]): the INDEX is
     * untouched, only the broadcast query relation widens, so a
     * deployment retunes recall without rebuilding anything. */
-  private def annServe(members: DataFrame, probeRadius: Int = 0): DataFrame = {
+  private[operators] def annServe(members: DataFrame, probeRadius: Int = 0): DataFrame = {
     val q = probeExpand(
       members.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("e").as("qe"),
@@ -816,6 +816,34 @@ object Pipeline {
     * decision, as in any production IVF deployment. */
   def q118MultiProbeAnn(spark: SparkSession, dir: String): DataFrame =
     annServe(spark.table(ensureIvfIndex(spark, dir)), probeRadius = 1)
+
+  /** L3 — the TRAINED-COARSE multi-probe serve: q119's sweep
+    * configuration made SERVABLE. The coarse router is
+    * [[kMeansCentroids]]' Lloyd-trained, corpus-derived centroids (the
+    * router a label-free production corpus actually trains — q119's
+    * spec measured it strictly beating pure-SRP routing at a smaller
+    * candidate budget), subdivided to the same target occupancy, served
+    * through the SAME [[annServe]]/[[probeExpand]] path as q31/q85/q118
+    * at probe radius 1. With q118 (label-centroid router, index at
+    * rest) and this (trained router), BOTH router choices the sweep
+    * family measures (q114 vs q119) now exist as serve paths — the
+    * knob tables and the serving surface are in 1:1 correspondence.
+    *
+    * Scale posture: q118's serve bounds verbatim (broadcast query side
+    * ≤ (1 + b_c) rows per query, candidates O(occupancy × probes))
+    * plus kMeansCentroids' bounded O(n·k·d) map-side Lloyd pass. The
+    * in-session membership mirrors q31; the at-rest form needs no new
+    * code — [[mapSideFineClustersWithRouting]] and
+    * [[graft.operators.Layout.writeIvfIndex]] are centroid-agnostic,
+    * so a deployment banks the trained index exactly as q85 banks the
+    * label one. */
+  def q130TrainedCoarseAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = pqVectors(spark, dir)
+    val members = mapSideFineClusters(e, kMeansCentroids(e),
+      ClusterTargetOccupancy).persist(CacheLevel)
+    members.count()
+    annServe(members, probeRadius = 1)
+  }
 
   /** Serve EXTERNAL query vectors `(query_id, qe)` from a persisted
     * IVF index — the production similarity-search entry point. Query
@@ -7034,6 +7062,30 @@ object Pipeline {
          |SELECT query_id, rk, vec_id, cosine FROM ranked WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin
 
+    /** q130 — the trained-coarse SERVE twin: q118's skeleton with the
+      * label-centroid `cent` CTE swapped for [[derivedCentCtes]]
+      * (q61/q119's Lloyd chain verbatim), same radius-1 probe
+      * expansion, same q31 ranking discipline. */
+    val q130 =
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |${derivedCentCtes("e")},
+         |${fineClusterCtes("e")},
+         |q0 AS (SELECT vec_id AS query_id, e AS qe, cluster, mask
+         |  FROM m WHERE vec_id < 10),
+         |q AS (
+         |  SELECT query_id, qe,
+         |    unnest(list_prepend(cluster, list_transform(
+         |      list_filter(generate_series(0, 31), j -> (mask & CAST(2**j AS BIGINT)) != 0),
+         |      j -> xor(cluster, CAST(2**j AS BIGINT))))) AS cluster
+         |  FROM q0),
+         |scored AS (
+         |  SELECT query_id, vec_id, round(${cos("qe", "m.e")}, 4) AS cosine
+         |  FROM m JOIN q USING (cluster) WHERE vec_id <> query_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+         |SELECT query_id, rk, vec_id, cosine FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin
+
     /** q119 — q114's sweep twin with the coarse stage swapped to the
       * DERIVED Lloyd-trained centroids ([[derivedCentCtes]], q61's
       * chain verbatim): same exact harness, same probe expansion, same
@@ -7087,6 +7139,7 @@ object Pipeline {
     val all: Map[String, String] = Map(
       "q118_multi_probe_ann" -> q118,
       "q119_trained_coarse_sweep" -> q119,
+      "q130_trained_coarse_ann" -> q130,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

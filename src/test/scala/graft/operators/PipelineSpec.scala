@@ -708,6 +708,11 @@ class PipelineSpec extends SparkSpec {
       // ≤10 rows), so the budget is exactly q85's — the candidate
       // O(occupancy × probes) bound costs zero additional exchanges
       "q118" -> (Pipeline.q118MultiProbeAnn(spark, sfDir), 2),
+      // trained-coarse radius-1 serve: same annServe shape as q31 —
+      // the Lloyd training runs as separate bounded collect jobs
+      // BEFORE the served plan, so the serve itself stays at the TopK
+      // agg exchange + the 50-row result orderBy
+      "q130" -> (Pipeline.q130TrainedCoarseAnn(spark, sfDir), 2),
       // single-persist design (r11 brief #1a): the mapSideFineClusters
       // membership is the ONE resident relation (cached on the scan
       // partitioning, so both dominance sides exchange on cluster: 2)
@@ -2018,6 +2023,36 @@ class PipelineSpec extends SparkSpec {
     // surface in at least one rank's score)
     assert(r1.exists { case (k, (_, c1)) => c1 > r0(k)._2 },
       "radius 1 never improved any rank — probe expansion inert")
+  }
+
+  test("q130: trained-coarse radius-1 serve dominates its radius-0 form per rank") {
+    import org.apache.spark.sql.functions.{col, transform}
+    // rebuild the SAME trained membership (kMeansCentroids is
+    // deterministic: hash-threshold seeds + round-6 Lloyd means) and
+    // serve it at radius 0 — the baseline q130 must dominate, because
+    // radius-1 candidates contain radius-0's by construction
+    val e = Tables.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val members = Pipeline.mapSideFineClusters(e,
+      Pipeline.kMeansCentroids(e), Pipeline.ClusterTargetOccupancy)
+      .persist()
+    members.count()
+    val r0 = Pipeline.annServe(members, 0).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val r1 = Pipeline.q130TrainedCoarseAnn(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    members.unpersist(blocking = false)
+    assert(r1.nonEmpty)
+    assert(r0.keySet.map(_._1) == r1.keySet.map(_._1), "query sets differ")
+    assert(r1.keySet == r1.keySet.map(_._1).flatMap(q => (1 to 5).map(q -> _)),
+      "not a full top-5 per query")
+    r1.foreach { case ((q, rk), (_, c1)) =>
+      val c0 = r0((q, rk))._2
+      assert(c1 >= c0, s"query $q rank $rk: radius-1 cosine $c1 < radius-0 $c0")
+    }
   }
 
   test("probeExpand: probe sets nest by radius, all ids distinct, exact sizes") {
