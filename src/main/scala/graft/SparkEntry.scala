@@ -311,6 +311,13 @@ object SparkEntry {
     // the trained-coarse router SERVED: q119's sweep configuration as
     // a radius-1 serve path — both measured routers now servable
     "q130_trained_coarse_ann" -> (Pipeline.q130TrainedCoarseAnn _),
+    // the LSH banding knob table: candidate volume + recall vs the
+    // EXACT >=0.5-Jaccard truth for every banding of the 16-hash
+    // signature — the dedup family's q114
+    "q131_banding_sweep" -> (Pipeline.q131BandingSweep _),
+    // duplicate-aware soft dedup: weight docs by 1/|near-dup cluster|
+    // instead of dropping — per-language effective vs raw token mass
+    "q132_soft_dedup_weights" -> (Pipeline.q132SoftDedupWeights _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -64,6 +64,13 @@ object Pipeline {
   private val NumMinhash = 16
   private val NumBands = 4
   private val RowsPerBand = 4
+
+  /** The q131 sweep's banding configurations of the 16-hash signature:
+    * (bands, rows_per_band) with bands·rows = 16, from maximally
+    * recall-biased (16,1) to maximally precision-biased (2,8); (4,4)
+    * is q24's production point. */
+  private[operators] val BandingConfigs =
+    Seq((16, 1), (8, 2), (4, 4), (2, 8))
   private val ShingleK = 3
   private val JaccardThreshold = 0.5
   /** q40's threshold: prefix-filter candidate volume scales with
@@ -229,21 +236,35 @@ object Pipeline {
     * identically, so parity is exact). The single-level `transform`
     * evaluates md5 once per element — safe; only NESTED lambdas
     * re-evaluate inner arrays (the 50× trap in the scaladoc above). */
-  private def verifiedNearDupPairs(corpus: DataFrame): DataFrame = {
-    val base = corpus
+  /** Sorted distinct word-3-shingle hash sets `(doc_id, hs)` — the
+    * base relation the whole MinHash family derives from
+    * (q24/q50/q102/q124 via [[verifiedNearDupPairs]]; q131 directly).
+    * Returned UNPERSISTED: each consumer owns its residency. */
+  private def shingleHashSets(corpus: DataFrame): DataFrame =
+    corpus
       .withColumn("shingles", wordShingles(split(col("text"), " "), ShingleK))
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), array_sort(array_distinct(
         transform(col("shingles"), s => portableHashMod(s)))).as("hs"))
-      .persist(CacheLevel)
+
+  /** 16-hash MinHash signatures `(doc_id, msig)` over the hash-set
+    * relation: explode + 16 codegen'd `min` aggregates with map-side
+    * partial combine (see the q24 scaladoc for why NOT nested array
+    * lambdas — the 50× interpreted-re-evaluation trap). */
+  private def minhashSigs(base: DataFrame): DataFrame = {
     val hashRows = base.select(col("doc_id"), explode(col("hs")).as("x"))
     val minCols = (0 until NumMinhash).map { h =>
       min(pmod(lit(2L * h + 1) * col("x") + lit(12289L * h), lit(P))).as(s"m$h")
     }
-    val sigs = hashRows.groupBy(col("doc_id"))
+    hashRows.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until NumMinhash).map(h => col(s"m$h")): _*).as("msig"))
+  }
+
+  private def verifiedNearDupPairs(corpus: DataFrame): DataFrame = {
+    val base = shingleHashSets(corpus).persist(CacheLevel)
+    val sigs = minhashSigs(base)
     val bands = sigs.select(col("doc_id"),
       posexplode(lshBands(col("msig"), NumBands, RowsPerBand)).as(Seq("b", "bsig")))
     val cand = bands.as("x")
@@ -843,6 +864,168 @@ object Pipeline {
       ClusterTargetOccupancy).persist(CacheLevel)
     members.count()
     annServe(members, probeRadius = 1)
+  }
+
+  /** Pipeline — duplicate-aware SOFT dedup weights: instead of
+    * dropping duplicates, weight every document by 1/|its near-dup
+    * component|, so each duplicated content unit contributes ONE
+    * document's worth of training mass in total — the soft alternative
+    * to hard removal (down-weighting keeps benign repetition's
+    * diversity while killing the over-representation that hard dedup
+    * targets; the near-dup components are q50/q111's own). Per
+    * language: document count, documents actually down-weighted
+    * (component size > 1), raw whitespace-token mass, effective
+    * (weighted) token mass, and the retention ratio.
+    *
+    * Determinism: the weighted mass is EXACT INTEGER micro-tokens —
+    * each document contributes `(n_tok·10^6) div size` (floor division
+    * in both engines), summed as int64 in any order — no per-doc float
+    * ever crosses an exchange; the one division-to-double happens per
+    * ≤|lang| report row, rounded to 6. Scale posture (100 TB): the
+    * component labels are the dedup family's own banded-LSH + star-CC
+    * derivation (never all-pairs); sizes join back to labels on the
+    * bounded label relation; the corpus-side join is one hash exchange
+    * on doc_id and the rollup partial-aggregates map-side. */
+  def q132SoftDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" extra token tail")).as("text")))
+    val edges = verifiedNearDupPairs(corpus.select(col("doc_id"), col("text")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = Graph.connectedComponentsStar(edges)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    val nodeSize = labels.join(sizes, "label")
+      .select(col("node"), col("csize"))
+    corpus
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(nodeSize, col("doc_id") === col("node"), "left")
+      .select(col("lang"), col("n_tok"),
+        coalesce(col("csize"), lit(1L)).as("csize"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_weighted_down"),
+        sum(col("n_tok")).as("raw_tokens"),
+        sum(expr("n_tok * 1000000 DIV csize")).as("eff_tokens_micro"))
+      .select(col("lang"), col("n_docs"), col("n_weighted_down"),
+        col("raw_tokens"), col("eff_tokens_micro"),
+        round(col("eff_tokens_micro").cast("double") /
+          (col("raw_tokens") * lit(1000000L)), 6).as("retention"))
+      .orderBy(col("lang"))
+  }
+
+  /** L2 — the LSH BANDING knob table: the q114/q128 recall/efficiency
+    * sweep pattern applied to the MinHash dedup family. For each
+    * banding of the 16-hash signature — (16,1) / (8,2) / (4,4, q24's
+    * production config) / (2,8) — the table reports candidate volume
+    * and recall against the EXACT ≥ 0.5-Jaccard ground truth, so a
+    * deployment reads the S-curve trade (more bands of fewer rows =
+    * higher recall, more candidates) as measured numbers on its own
+    * corpus before fixing the banding, exactly as q114 fixes nprobe.
+    *
+    * The ground truth is NOT all-pairs: it is the q40 prefix-filter
+    * construction at t = 1/2 (prefix p = ⌊n/2⌋+1 under the corpus
+    * df-order, PPJoin positional filter 3·bound ≥ n_a+n_b, exact by
+    * the prefix theorem under ANY shared global order) — i.e. the
+    * truth harness itself scales as a production exact-join audit, not
+    * a quadratic scan. Bands are md5-band-hashed (portable, any row
+    * count) rather than base-31-combined (exact only to r = 4, and
+    * 31^7 overflows int64 at r = 8); candidate sets therefore NEST
+    * across configs by construction — an r-row band match implies both
+    * r/2-row half-band matches — so candidates and recall are monotone
+    * in the banding, asserted in the spec.
+    *
+    * Scale posture (100 TB): every stage is the dedup family's own
+    * (digest-before-exchange signatures, per-bucket candidate joins,
+    * never all-pairs); the sweep costs |configs| bucket joins plus one
+    * prefix-filter truth join, all bounded by bucket/prefix occupancy.
+    * Like q114's exact top-5, the truth join is the OFFLINE audit a
+    * deployment runs (on a sampled stratum at extreme scale); the
+    * banding it selects then serves the full corpus. */
+  def q131BandingSweep(spark: SparkSession, dir: String): DataFrame =
+    bandingSweep(nearDocs(spark, dir))
+
+  /** Corpus-parameterized harness behind [[q131BandingSweep]] (the
+    * spec drives it with a constructed fixture). */
+  private[operators] def bandingSweep(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = shingleHashSets(corpus).persist(CacheLevel)
+    base.count()
+    val sigs = minhashSigs(base).persist(NarrowCacheLevel)
+    sigs.count()
+    // exact ≥ t ground truth via prefix filtering (q40's idiom at
+    // t = 1/2): df-ordered prefixes (rare grams block, frequent grams
+    // sort to the suffix), p = n − ⌈n/2⌉ + 1 = ⌊n/2⌋ + 1, positional
+    // overlap bound 1 + min(n_a−i−1, n_b−j−1) ≥ ⌈(n_a+n_b)/3⌉ in
+    // integer arithmetic
+    val withDf = base.select(col("doc_id"), explode(col("hs")).as("h"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+    val ordered = withDf.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col("doc_id"), transform(col("ord"), s => s.getField("h")).as("po"))
+    val pj = ordered.join(base, "doc_id")
+      .select(col("doc_id"), col("po"), size(col("hs")).as("n"))
+    val pref = pj.select(col("doc_id"), col("n"),
+      posexplode(slice(col("po"), lit(1),
+        (floor(col("n").cast("double") / 2.0) + 1).cast("int")))
+        .as(Seq("pos", "key")))
+    val tcand = pref.as("x").join(pref.as("y"),
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id") &&
+          (lit(1) + least(col("x.n") - col("x.pos") - 1,
+            col("y.n") - col("y.pos") - 1)) * 3 >= (col("x.n") + col("y.n")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = base.select(col("doc_id").as("doc_a"),
+      col("hs").as("ha"), size(col("hs")).as("na"))
+    val sb = base.select(col("doc_id").as("doc_b"),
+      col("hs").as("hb"), size(col("hs")).as("nb"))
+    val truth = tcand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter",
+        graft.expressions.VectorFunctions.sortedIntersectSize(
+          col("ha"), col("hb")).cast("double"))
+      .filter(round(col("inter") / (col("na") + col("nb") - col("inter")), 4)
+        >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(NarrowCacheLevel)
+    val nTruth = truth.count()
+    // per config: md5-band-hashed buckets → distinct candidate pairs →
+    // hits = candidates ∩ truth (truth is exact, so the semi-join IS
+    // ≥ t verification). Counts are bounded driver-side snapshots (the
+    // annRecallSweep discipline: |configs| fixed report rows).
+    val rows = BandingConfigs.map { case (bC, r) =>
+      val bands = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bC - 1)), b =>
+          portableHashMod(array_join(
+            transform(slice(col("msig"), b * lit(r) + lit(1), lit(r)),
+              x => x.cast("string")), ",")))).as(Seq("b", "bsig")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bsig") === col("y.bsig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .persist(NarrowCacheLevel)
+      val nCand = cand.count()
+      val nHits = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
+      cand.unpersist(blocking = false)
+      (bC, r, nTruth, nCand, nHits)
+    }
+    base.unpersist(blocking = false)
+    sigs.unpersist(blocking = false)
+    truth.unpersist(blocking = false)
+    rows.toDF("bands", "rows_per_band", "n_truth", "n_candidates", "n_hits")
+      .select(col("bands").cast("int").as("bands"),
+        col("rows_per_band").cast("int").as("rows_per_band"),
+        col("n_truth"), col("n_candidates"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"),
+        when(col("n_candidates") === 0, lit(0.0))
+          .otherwise(round(col("n_hits").cast("double") / col("n_candidates"), 6))
+          .as("candidate_precision"))
+      .orderBy(col("bands").desc)
   }
 
   /** Serve EXTERNAL query vectors `(query_id, qe)` from a persisted
@@ -5183,7 +5366,7 @@ object Pipeline {
       * matrix rollup), mirroring the engine's single
       * `verifiedNearDupPairs` derivation. Ends at `j(doc_a, doc_b,
       * jaccard)`, unfiltered — consumers apply the ≥ 0.5 cut. */
-    private val minhashPairCtes =
+    private val minhashSigCtes =
       s"""sh AS (
          |  SELECT doc_id, CASE WHEN len(toks) >= 3
          |    THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -5196,7 +5379,10 @@ object Pipeline {
          |      list_min(list_transform(hashes, x -> ((2*h+1)*x + 12289*h) % $P))) AS msig
          |  FROM (SELECT doc_id,
          |      list_transform(shingles, s -> ${phm("s")}) AS hashes
-         |    FROM sh WHERE len(shingles) > 0)),
+         |    FROM sh WHERE len(shingles) > 0))""".stripMargin
+
+    private val minhashPairCtes =
+      s"""$minhashSigCtes,
          |bands AS (
          |  SELECT doc_id, b,
          |    msig[4*b+1] + msig[4*b+2]*31 + msig[4*b+3]*961 + msig[4*b+4]*29791 AS bsig
@@ -7086,6 +7272,82 @@ object Pipeline {
          |SELECT query_id, rk, vec_id, cosine FROM ranked WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin
 
+    /** q132 — soft-dedup twin: the q50/q111 corpus (with lang carried
+      * through the reinsertions) + the shared [[nearDupCcChain]]
+      * components; effective mass in exact integer micro-tokens via
+      * floor division, one round-6 division per report row. */
+    val q132 =
+      s"""WITH corpus AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, lang, text || ' extra token tail' FROM documents WHERE doc_id % 11 = 0),
+         |${nearDupCcChain("corpus")},
+         |cs AS (SELECT label, count(*) AS csize FROM reach GROUP BY label),
+         |ns AS (SELECT node, csize FROM reach JOIN cs USING (label)),
+         |w AS (
+         |  SELECT c.lang, CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tok,
+         |    coalesce(ns.csize, 1) AS csize
+         |  FROM corpus c LEFT JOIN ns ON ns.node = c.doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_weighted_down,
+         |  CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+         |  CAST(sum((n_tok * 1000000) // csize) AS BIGINT) AS eff_tokens_micro,
+         |  round(CAST(sum((n_tok * 1000000) // csize) AS DOUBLE)
+         |    / (CAST(sum(n_tok) AS DOUBLE) * 1000000), 6) AS retention
+         |FROM w GROUP BY lang ORDER BY lang""".stripMargin
+
+    /** q131 — the banding-sweep twin: the shared [[minhashSigCtes]]
+      * signatures, exact ground truth via VALUE-ordered prefix
+      * filtering at t = 1/2 (the prefix theorem holds under any shared
+      * global order, so the engine's df-ordered prefixes and this
+      * value-ordered form verify the SAME truth set), md5-band-hashed
+      * candidate buckets per config, hits = candidates ∩ truth. */
+    val q131 = {
+      val cfgCtes = Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+        s"""bands_$b AS (
+           |  SELECT doc_id, b, ${phm(s"array_to_string(list_transform(msig[$r*b+1 : $r*b+$r], x -> CAST(x AS VARCHAR)), ',')")} AS bsig
+           |  FROM sig, generate_series(0, ${b - 1}) t(b)),
+           |cand_$b AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands_$b x JOIN bands_$b y
+           |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+           |row_$b AS (
+           |  SELECT $b AS bands, $r AS rows_per_band,
+           |    (SELECT count(*) FROM truth) AS n_truth,
+           |    (SELECT count(*) FROM cand_$b) AS n_candidates,
+           |    (SELECT count(*) FROM (SELECT * FROM cand_$b INTERSECT SELECT * FROM truth)) AS n_hits)""".stripMargin
+      }.mkString(",\n")
+      val unions = Seq(16, 8, 4, 2)
+        .map(b => s"SELECT * FROM row_$b").mkString(" UNION ALL ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' extra token tail' FROM documents WHERE doc_id % 11 = 0),
+         |$minhashSigCtes,
+         |pref AS (
+         |  SELECT doc_id, len(hs) AS n, unnest(hs[1 : len(hs)//2 + 1]) AS key
+         |  FROM sig),
+         |tcand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM pref x JOIN pref y ON x.key = y.key AND x.doc_id < y.doc_id),
+         |truth AS (
+         |  SELECT doc_a, doc_b FROM tcand
+         |  JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+         |  WHERE round(len(list_intersect(sa.hs, sb.hs))
+         |    / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))), 4) >= 0.5),
+         |$cfgCtes
+         |SELECT CAST(bands AS INT) AS bands,
+         |  CAST(rows_per_band AS INT) AS rows_per_band,
+         |  n_truth, n_candidates, n_hits,
+         |  round(n_hits::DOUBLE / n_truth, 6) AS recall,
+         |  CASE WHEN n_candidates = 0 THEN 0.0
+         |    ELSE round(n_hits::DOUBLE / n_candidates, 6) END AS candidate_precision
+         |FROM ($unions)
+         |ORDER BY bands DESC""".stripMargin
+    }
+
     /** q119 — q114's sweep twin with the coarse stage swapped to the
       * DERIVED Lloyd-trained centroids ([[derivedCentCtes]], q61's
       * chain verbatim): same exact harness, same probe expansion, same
@@ -7140,6 +7402,8 @@ object Pipeline {
       "q118_multi_probe_ann" -> q118,
       "q119_trained_coarse_sweep" -> q119,
       "q130_trained_coarse_ann" -> q130,
+      "q131_banding_sweep" -> q131,
+      "q132_soft_dedup_weights" -> q132,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

@@ -2055,6 +2055,95 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q132: soft-dedup weights reconcile with q50's cluster histogram") {
+    val rows = Pipeline.q132SoftDedupWeights(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nDocs, nDown, raw, eff, ret) =>
+      assert(nDown <= nDocs, s"$lang: more down-weighted than docs")
+      assert(eff <= raw * 1000000L, s"$lang: effective mass exceeds raw")
+      // a language with no duplicated docs keeps its mass EXACTLY;
+      // one with any must lose some (floor division of size>1 strictly
+      // shrinks any doc with >= 1 token, and corpus docs are non-empty)
+      if (nDown == 0)
+        assert(eff == raw * 1000000L && ret == 1.0, s"$lang: lossless lang lost mass")
+      else assert(eff < raw * 1000000L, s"$lang: duplicated lang lost nothing")
+      assert(ret > 0.0 && ret <= 1.0)
+    }
+    // docs sitting in size>1 components, counted from q50's histogram
+    // over the SAME corpus/chain, must equal the down-weighted total
+    val q50Down = Pipeline.q50DedupClusters(spark, sfDir).collect()
+      .filter(_.getLong(0) > 1L).map(_.getLong(2)).sum
+    assert(rows.map(_._3).sum == q50Down,
+      s"down-weighted ${rows.map(_._3).sum} != q50 clustered docs $q50Down")
+  }
+
+  test("q131: banding sweep — truth fixed, candidates/hits nest across configs, q24 pairs are truth") {
+    val rows = Pipeline.q131BandingSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((16, 1), (8, 2), (4, 4), (2, 8)), "config rows wrong or misordered")
+    // one exact truth denominator for every row
+    assert(rows.map(_._3).distinct.length == 1 && rows.head._3 > 0)
+    // an r-row band match implies both half-band matches, so candidate
+    // sets (and therefore hits) nest as rows_per_band doubles
+    rows.sliding(2).foreach { case Array(fine, coarse) =>
+      assert(fine._4 >= coarse._4,
+        s"candidates not monotone: ${fine._1} bands ${fine._4} < ${coarse._1} bands ${coarse._4}")
+      assert(fine._5 >= coarse._5, "hits not monotone across bandings")
+    }
+    rows.foreach { case (_, _, t, c, h) =>
+      assert(h <= t && h <= c, "hits exceed truth or candidates")
+    }
+    // every q24 verified pair is a true >=0.5 pair — the production
+    // (4,4) config can never out-find the exact ground truth
+    val q24n = Pipeline.q24NearDupMinhash(spark, sfDir).count()
+    assert(q24n <= rows.head._3, s"q24 found $q24n pairs > truth ${rows.head._3}")
+  }
+
+  test("q131 harness: exact truth equals brute-force all-pairs Jaccard on a fixture") {
+    import spark.implicits._
+    val P = 2147483647L
+    // three heavily-overlapping variants of one 24-token document, one
+    // lightly-overlapping edit, and two unrelated documents
+    val baseToks = (1 to 24).map(i => s"w$i")
+    val docs = Seq(
+      1L -> baseToks.mkString(" "),
+      2L -> (baseToks :+ "tail").mkString(" "),                  // near-dup of 1
+      3L -> baseToks.updated(11, "CHANGED").mkString(" "),       // near-dup of 1,2
+      4L -> (baseToks.take(8) ++ (1 to 16).map(i => s"x$i")).mkString(" "), // light overlap
+      5L -> (1 to 24).map(i => s"y$i").mkString(" "),
+      6L -> (1 to 24).map(i => s"z$i").mkString(" "))
+    def hashMod(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      val v = java.lang.Long.parseLong(hex, 16)
+      ((v % P) + P) % P
+    }
+    def hs(text: String): Set[Long] = {
+      val t = text.split(" ")
+      (0 to t.length - 3).map(i => hashMod(t.slice(i, i + 3).mkString(" "))).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> hs(t) }.toMap
+    val bruteTruth = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      inter = (sets(a) & sets(b)).size.toDouble
+      j = BigDecimal(inter / (sets(a).size + sets(b).size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(bruteTruth.contains((1L, 2L)) && bruteTruth.contains((1L, 3L)),
+      "fixture lost its planted near-dups")
+    assert(!bruteTruth.exists(p => p._1 == 5L || p._2 == 5L), "unrelated doc leaked into truth")
+    val out = Pipeline.bandingSweep(docs.toDF("doc_id", "text")).collect()
+    // the prefix-filter truth must equal brute force EXACTLY — that is
+    // the harness's honesty claim (exact denominator, no sampling)
+    out.foreach(r => assert(r.getLong(2) == bruteTruth.size.toLong,
+      s"truth ${r.getLong(2)} != brute-force ${bruteTruth.size}"))
+  }
+
   test("probeExpand: probe sets nest by radius, all ids distinct, exact sizes") {
     import spark.implicits._
     // mask with b=4 active low bits plus a cluster id carrying a coarse
