@@ -318,6 +318,9 @@ object SparkEntry {
     // duplicate-aware soft dedup: weight docs by 1/|near-dup cluster|
     // instead of dropping — per-language effective vs raw token mass
     "q132_soft_dedup_weights" -> (Pipeline.q132SoftDedupWeights _),
+    // hybrid retrieval: per-query BM25 (sparse) + cosine (dense) legs
+    // fused by integer reciprocal-rank fusion — the RAG serving stack
+    "q133_hybrid_rrf" -> (Pipeline.q133HybridRrf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

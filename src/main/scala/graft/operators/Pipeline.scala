@@ -866,6 +866,102 @@ object Pipeline {
     annServe(members, probeRadius = 1)
   }
 
+  /** RRF rank constant (Cormack et al. 2009's k = 60, the de-facto
+    * standard), per-leg candidate depth, and fused result depth for
+    * [[q133HybridRrf]]. */
+  private val RrfK = 60
+  private val HybridLegK = 20
+  private val HybridTopK = 10
+
+  /** Pipeline — HYBRID RETRIEVAL via reciprocal-rank fusion: the
+    * two-leg serving stack every retrieval deployment runs — a SPARSE
+    * leg (per-query BM25 over the document corpus, query = the query
+    * document's distinct tokens, i.e. more-like-this) and a DENSE leg
+    * (cosine ranking over the aligned embedding corpus), fused by
+    * RRF: `score = Σ_legs 1/(k + rank)` with k = 60. RRF fuses RANKS,
+    * not scores, so the two legs' incomparable score scales never
+    * touch — which is also what makes it oracle-exact: the fused
+    * score is `10^6 div (60 + rank)` summed in int64.
+    *
+    * Determinism: the sparse leg sums per-(doc, term) BM25 weights in
+    * integer micro-units (round-6-free: round(w·10^6) per term, int64
+    * sums in any order — the micro-unit discipline applied to BM25,
+    * where q57's 3-term float sum tolerated partition order only by
+    * its tiny addend count); the dense leg ranks on round-6 cosine
+    * (the q31 discipline); every rank ties to the smaller doc_id.
+    *
+    * Scale posture (100 TB): the sparse leg restricts corpus postings
+    * to the query vocabulary BEFORE its one (doc, term) exchange (at
+    * rest this is q86's inverted index — the serve filters postings
+    * by term); the dense leg here is the EXACT scorer over a
+    * broadcast ≤10-row query side — a deployment swaps q118/q130's
+    * IVF serve into the same (query_id, doc_id, rank) interface; the
+    * fusion join carries ≤ 2·legK rows per query. */
+  def q133HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val qterms = d.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), explode(array_distinct(col("toks"))).as("t"))
+      .persist(NarrowCacheLevel)
+    val qvocab = qterms.select(col("t")).distinct()
+    // corpus postings restricted to the query vocabulary before the
+    // one (doc, term) exchange; feeds df AND scoring
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+      .join(broadcast(qvocab), "t")
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .persist(NarrowCacheLevel)
+    tf.count()
+    val stats = d.agg(count(lit(1)).cast("double").as("nn"),
+      avg(col("dl")).as("avgdl"))
+    val df_ = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+    val wmicro = tf.join(broadcast(df_), "t").crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("nn") - col("df") + 0.5) / (col("df") + 0.5))
+          * col("tf") * (lit(1.2) + 1.0)
+          / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+      .select(col("doc_id"), col("t"),
+        round(col("w") * 1000000).cast("long").as("w_micro"))
+    val byQ = Window.partitionBy(col("query_id"))
+    val sparse = wmicro.join(broadcast(qterms), "t")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_micro")).as("s_micro"))
+      .withColumn("srk",
+        row_number().over(byQ.orderBy(col("s_micro").desc, col("doc_id"))))
+      .filter(col("srk") <= HybridLegK)
+      .select(col("query_id"), col("doc_id"), col("srk"))
+    val e = pqVectors(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val dense = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(vecCosine(col("qe"), col("e")), 6).as("c6"))
+      .withColumn("drk",
+        row_number().over(byQ.orderBy(col("c6").desc, col("doc_id"))))
+      .filter(col("drk") <= HybridLegK)
+      .select(col("query_id"), col("doc_id"), col("drk"))
+    val out = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("srk"), lit(0)).as("sparse_rank"),
+        coalesce(col("drk"), lit(0)).as("dense_rank"))
+      .withColumn("rrf_micro",
+        (when(col("sparse_rank") > 0,
+          expr(s"1000000 DIV ($RrfK + sparse_rank)")).otherwise(lit(0))
+          + when(col("dense_rank") > 0,
+            expr(s"1000000 DIV ($RrfK + dense_rank)")).otherwise(lit(0)))
+          .cast("long"))
+      .withColumn("rk",
+        row_number().over(byQ.orderBy(col("rrf_micro").desc, col("doc_id"))))
+      .filter(col("rk") <= HybridTopK)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_micro"),
+        col("sparse_rank"), col("dense_rank"))
+      .orderBy(col("query_id"), col("rk"))
+    out
+  }
+
   /** Pipeline — duplicate-aware SOFT dedup weights: instead of
     * dropping duplicates, weight every document by 1/|its near-dup
     * component|, so each duplicated content unit contributes ONE
@@ -7298,6 +7394,67 @@ object Pipeline {
          |    / (CAST(sum(n_tok) AS DOUBLE) * 1000000), 6) AS retention
          |FROM w GROUP BY lang ORDER BY lang""".stripMargin
 
+    /** q133 — hybrid-RRF twin: q57's BM25 expression per query (terms
+      * = the query doc's distinct tokens) with per-term weights
+      * rounded to integer micro-units BEFORE the sum, the q31 cosine
+      * discipline on the dense leg, integer RRF fusion. */
+    val q133 =
+      s"""WITH dd AS (
+         |  SELECT doc_id, len(toks) AS dl, toks
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |qt AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS t
+         |  FROM dd WHERE doc_id < 10),
+         |qv AS (SELECT DISTINCT t FROM qt),
+         |st AS (SELECT count(*)::DOUBLE AS nn, avg(dl) AS avgdl FROM dd),
+         |tf AS (
+         |  SELECT doc_id, dl, t, count(*)::DOUBLE AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM dd) u
+         |  WHERE t IN (SELECT t FROM qv)
+         |  GROUP BY doc_id, dl, t),
+         |dfr AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+         |wm AS (
+         |  SELECT doc_id, t, CAST(round(
+         |    ln(1.0 + (nn - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+         |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) * 1000000) AS BIGINT) AS w_micro
+         |  FROM tf JOIN dfr USING (t), st),
+         |sp0 AS (
+         |  SELECT q.query_id, w.doc_id, CAST(sum(w.w_micro) AS BIGINT) AS s_micro
+         |  FROM wm w JOIN qt q USING (t) WHERE w.doc_id <> q.query_id
+         |  GROUP BY q.query_id, w.doc_id),
+         |sp AS (SELECT query_id, doc_id, srk FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY s_micro DESC, doc_id) AS srk FROM sp0)
+         |  WHERE srk <= 20),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |q2 AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 10),
+         |dn0 AS (
+         |  SELECT query_id, v.vec_id AS doc_id, round(${cos("q2.qe", "v.e")}, 6) AS c6
+         |  FROM e v JOIN q2 ON v.vec_id <> q2.query_id),
+         |dn AS (SELECT query_id, doc_id, drk FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY c6 DESC, doc_id) AS drk FROM dn0)
+         |  WHERE drk <= 20),
+         |fused AS (
+         |  SELECT coalesce(sp.query_id, dn.query_id) AS query_id,
+         |    coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+         |    coalesce(srk, 0) AS sparse_rank, coalesce(drk, 0) AS dense_rank
+         |  FROM sp FULL OUTER JOIN dn
+         |    ON sp.query_id = dn.query_id AND sp.doc_id = dn.doc_id),
+         |sc AS (
+         |  SELECT query_id, doc_id, sparse_rank, dense_rank,
+         |    CAST(CASE WHEN sparse_rank > 0 THEN 1000000 // (60 + sparse_rank) ELSE 0 END
+         |      + CASE WHEN dense_rank > 0 THEN 1000000 // (60 + dense_rank) ELSE 0 END
+         |      AS BIGINT) AS rrf_micro
+         |  FROM fused),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_micro DESC, doc_id) AS rk FROM sc)
+         |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, rrf_micro,
+         |  CAST(sparse_rank AS INT) AS sparse_rank,
+         |  CAST(dense_rank AS INT) AS dense_rank
+         |FROM ranked WHERE rk <= 10
+         |ORDER BY query_id, rk""".stripMargin
+
     /** q131 — the banding-sweep twin: the shared [[minhashSigCtes]]
       * signatures, exact ground truth via VALUE-ordered prefix
       * filtering at t = 1/2 (the prefix theorem holds under any shared
@@ -7404,6 +7561,7 @@ object Pipeline {
       "q130_trained_coarse_ann" -> q130,
       "q131_banding_sweep" -> q131,
       "q132_soft_dedup_weights" -> q132,
+      "q133_hybrid_rrf" -> q133,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

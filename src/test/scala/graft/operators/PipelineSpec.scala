@@ -2055,6 +2055,55 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q133: hybrid RRF — shape, integer fusion arithmetic, leg re-derivations") {
+    val out = Pipeline.q133HybridRrf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.size == 10, s"expected 10 queries, got ${byQuery.size}")
+    byQuery.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"query $q ranks not 1..k")
+      sorted.foreach { case (_, _, doc, rrf, srk, drk) =>
+        assert(doc != q, s"query $q retrieved itself")
+        assert(srk >= 0 && srk <= 20 && drk >= 0 && drk <= 20)
+        assert(srk > 0 || drk > 0, s"query $q doc $doc in neither leg")
+        // the fused score is pure integer arithmetic over the leg ranks
+        val expect = (if (srk > 0) 1000000L / (60 + srk) else 0L) +
+          (if (drk > 0) 1000000L / (60 + drk) else 0L)
+        assert(rrf == expect, s"query $q doc $doc rrf $rrf != $expect")
+      }
+      // rows are ordered by (rrf desc, doc_id)
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+          s"query $q fused order violated at ranks ${a._2},${b._2}")
+      }
+    }
+    // dense-leg cross-check: wherever the fused output surfaces a
+    // dense_rank == 1 row, it must be the locally-computed exact
+    // cosine argmax (round-6, id tiebreak) for that query
+    val vecs = graft.Tables.spread(graft.Tables.embeddings(spark, sfDir))
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos6(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.lazyZip(b).map(_ * _).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var checked = 0
+    byQuery.foreach { case (q, rows) =>
+      rows.find(_._6 == 1).foreach { case (_, _, doc, _, _, _) =>
+        val best = vecs.keys.filter(_ != q)
+          .map(v => (v, cos6(vecs(q), vecs(v))))
+          .minBy { case (v, c) => (-c, v) }._1
+        assert(doc == best, s"query $q dense rank-1 $doc != local argmax $best")
+        checked += 1
+      }
+    }
+    assert(checked > 0, "no dense rank-1 rows surfaced — fusion inert")
+  }
+
   test("q132: soft-dedup weights reconcile with q50's cluster histogram") {
     val rows = Pipeline.q132SoftDedupWeights(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
