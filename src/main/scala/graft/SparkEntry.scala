@@ -321,6 +321,9 @@ object SparkEntry {
     // hybrid retrieval: per-query BM25 (sparse) + cosine (dense) legs
     // fused by integer reciprocal-rank fusion — the RAG serving stack
     "q133_hybrid_rrf" -> (Pipeline.q133HybridRrf _),
+    // q126's token-budget mix with language masses in q132's
+    // duplicate-discounted effective micro-tokens — dedup-aware mixing
+    "q134_weighted_budget_mix" -> (Pipeline.q134WeightedBudgetMix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -982,7 +982,26 @@ object Pipeline {
     * derivation (never all-pairs); sizes join back to labels on the
     * bounded label relation; the corpus-side join is one hash exchange
     * on doc_id and the rollup partial-aggregates map-side. */
-  def q132SoftDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+  def q132SoftDedupWeights(spark: SparkSession, dir: String): DataFrame =
+    softWeightedDocs(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_weighted_down"),
+        sum(col("n_tok")).as("raw_tokens"),
+        sum(col("eff_micro")).as("eff_tokens_micro"))
+      .select(col("lang"), col("n_docs"), col("n_weighted_down"),
+        col("raw_tokens"), col("eff_tokens_micro"),
+        round(col("eff_tokens_micro").cast("double") /
+          (col("raw_tokens") * lit(1000000L)), 6).as("retention"))
+      .orderBy(col("lang"))
+
+  /** Per-document soft-dedup weight relation over the q50/q111
+    * reinsertion corpus: `(doc_id, lang, n_tok, csize, eff_micro)`
+    * with `eff_micro = (n_tok·10^6) div csize` — the ONE derivation
+    * behind q132 (per-language mass report) and q134 (weighted budget
+    * mix), so the report and the mix can never disagree about a
+    * document's weight. */
+  private def softWeightedDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("text"))
     val corpus = d
       .unionByName(d.filter(col("doc_id") % 7 === 0)
@@ -1000,18 +1019,61 @@ object Pipeline {
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .join(nodeSize, col("doc_id") === col("node"), "left")
-      .select(col("lang"), col("n_tok"),
+      .select(col("doc_id"), col("lang"), col("n_tok"),
         coalesce(col("csize"), lit(1L)).as("csize"))
+      .withColumn("eff_micro", expr("n_tok * 1000000 DIV csize"))
+  }
+
+  /** Pipeline — soft-dedup-WEIGHTED token-budget mix: q126's B-token
+    * α = 1/2 mix with every language's mass measured in q132's
+    * effective (duplicate-discounted) micro-tokens instead of raw
+    * tokens. Raw-mass mixing double-pays duplicated content twice
+    * over — the duplicated language's inflated total buys it a larger
+    * sqrt share AND its kept sample re-contains the duplicates; the
+    * weighted mix sizes every language by content it actually
+    * contributes. Same consistent-sampling `temp:` draw as q123/q126
+    * (membership is id-deterministic); budget B = 7/8 of the TOTAL
+    * EFFECTIVE mass, shares ∝ √(effective mass) in the q126
+    * integer-micro discipline (sqrt is IEEE-correctly-rounded in both
+    * engines; each share rounds to micro-units BEFORE the integer
+    * denominator sum). Report per language: docs, raw and effective
+    * mass, the mix rate, and kept docs/effective mass.
+    *
+    * Scale posture: [[softWeightedDocs]]' dedup-family shapes plus
+    * q126's one broadcast-rate scan — the ≤|lang| totals collect
+    * nothing; the only additions over q132 are two bounded
+    * aggregates and the rate join. */
+  def q134WeightedBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val w = softWeightedDocs(spark, dir).persist(NarrowCacheLevel)
+    w.count()
+    val totals = w.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_l"), sum(col("n_tok")).as("raw_l"),
+        sum(col("eff_micro")).as("eff_l"))
+      .withColumn("sqrt_micro",
+        round(round(sqrt(col("eff_l").cast("double") / 1e6), 6) * 1e6, 0)
+          .cast("long"))
+    val global = totals.agg(sum(col("sqrt_micro")).as("denom"),
+      sum(col("eff_l")).as("eff_total"))
+    val rates = totals.crossJoin(broadcast(global))
+      .withColumn("b_micro", expr("(eff_total * 7) div 8"))
+      .withColumn("rate_micro",
+        round(round(least(lit(1.0),
+          (col("b_micro").cast("double") / col("eff_l")) *
+            (col("sqrt_micro").cast("double") / col("denom"))), 6) * 1e6, 0)
+          .cast("long"))
+      .select(col("lang"), col("n_docs_l"), col("raw_l"), col("eff_l"),
+        col("rate_micro"))
+    val out = w.join(broadcast(rates), "lang")
+      .withColumn("keep", mixKey(col("doc_id")) < col("rate_micro"))
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_weighted_down"),
-        sum(col("n_tok")).as("raw_tokens"),
-        sum(expr("n_tok * 1000000 DIV csize")).as("eff_tokens_micro"))
-      .select(col("lang"), col("n_docs"), col("n_weighted_down"),
-        col("raw_tokens"), col("eff_tokens_micro"),
-        round(col("eff_tokens_micro").cast("double") /
-          (col("raw_tokens") * lit(1000000L)), 6).as("retention"))
+      .agg(max(col("n_docs_l")).as("n_docs"),
+        max(col("raw_l")).as("raw_tokens"),
+        max(col("eff_l")).as("eff_tokens_micro"),
+        max(col("rate_micro")).as("rate_micro"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("eff_micro")).otherwise(0L)).as("eff_kept_micro"))
       .orderBy(col("lang"))
+    out
   }
 
   /** L2 — the LSH BANDING knob table: the q114/q128 recall/efficiency
@@ -7372,8 +7434,11 @@ object Pipeline {
       * through the reinsertions) + the shared [[nearDupCcChain]]
       * components; effective mass in exact integer micro-tokens via
       * floor division, one round-6 division per report row. */
-    val q132 =
-      s"""WITH corpus AS (
+    /** The q132/q134 per-document soft-weight CTE block — the
+      * reinsertion corpus (lang carried), the shared CC chain, and
+      * `w(doc_id, lang, n_tok, csize, eff_micro)`. */
+    private val softDocCtes =
+      s"""corpus AS (
          |  SELECT doc_id, lang, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 7 = 0
@@ -7383,16 +7448,50 @@ object Pipeline {
          |cs AS (SELECT label, count(*) AS csize FROM reach GROUP BY label),
          |ns AS (SELECT node, csize FROM reach JOIN cs USING (label)),
          |w AS (
-         |  SELECT c.lang, CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tok,
-         |    coalesce(ns.csize, 1) AS csize
-         |  FROM corpus c LEFT JOIN ns ON ns.node = c.doc_id)
+         |  SELECT c.doc_id, c.lang,
+         |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tok,
+         |    coalesce(ns.csize, 1) AS csize,
+         |    (CAST(len(string_split(c.text, ' ')) AS BIGINT) * 1000000)
+         |      // coalesce(ns.csize, 1) AS eff_micro
+         |  FROM corpus c LEFT JOIN ns ON ns.node = c.doc_id)""".stripMargin
+
+    val q132 =
+      s"""WITH $softDocCtes
          |SELECT lang, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_weighted_down,
          |  CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
-         |  CAST(sum((n_tok * 1000000) // csize) AS BIGINT) AS eff_tokens_micro,
-         |  round(CAST(sum((n_tok * 1000000) // csize) AS DOUBLE)
+         |  CAST(sum(eff_micro) AS BIGINT) AS eff_tokens_micro,
+         |  round(CAST(sum(eff_micro) AS DOUBLE)
          |    / (CAST(sum(n_tok) AS DOUBLE) * 1000000), 6) AS retention
          |FROM w GROUP BY lang ORDER BY lang""".stripMargin
+
+    /** q134 — q126's rate/membership arithmetic verbatim with the
+      * language masses swapped to [[softDocCtes]]' effective
+      * micro-tokens; the same `temp:` draw keeps membership consistent
+      * with q123/q126. */
+    val q134 =
+      s"""WITH $softDocCtes,
+         |tot AS (
+         |  SELECT lang, count(*) AS n_docs_l, CAST(sum(n_tok) AS BIGINT) AS raw_l,
+         |    CAST(sum(eff_micro) AS BIGINT) AS eff_l
+         |  FROM w GROUP BY lang),
+         |t2 AS (SELECT *, CAST(round(round(sqrt(eff_l / 1000000.0), 6) * 1000000, 0) AS BIGINT) AS sqrt_micro FROM tot),
+         |g AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS denom,
+         |  CAST(sum(eff_l) AS BIGINT) AS eff_total FROM t2),
+         |r AS (
+         |  SELECT lang, n_docs_l, raw_l, eff_l,
+         |    CAST(round(round(least(1.0,
+         |      (((eff_total * 7) // 8)::DOUBLE / eff_l) * (sqrt_micro::DOUBLE / denom)),
+         |      6) * 1000000, 0) AS BIGINT) AS rate_micro
+         |  FROM t2, g)
+         |SELECT r.lang, CAST(max(n_docs_l) AS BIGINT) AS n_docs,
+         |  max(raw_l) AS raw_tokens, max(eff_l) AS eff_tokens_micro,
+         |  max(rate_micro) AS rate_micro,
+         |  CAST(sum(CASE WHEN ${ph("'temp:' || CAST(w.doc_id AS VARCHAR)")} % 1000000
+         |    < rate_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN ${ph("'temp:' || CAST(w.doc_id AS VARCHAR)")} % 1000000
+         |    < rate_micro THEN w.eff_micro ELSE 0 END) AS BIGINT) AS eff_kept_micro
+         |FROM r JOIN w USING (lang) GROUP BY r.lang ORDER BY r.lang""".stripMargin
 
     /** q133 — hybrid-RRF twin: q57's BM25 expression per query (terms
       * = the query doc's distinct tokens) with per-term weights
@@ -7562,6 +7661,7 @@ object Pipeline {
       "q131_banding_sweep" -> q131,
       "q132_soft_dedup_weights" -> q132,
       "q133_hybrid_rrf" -> q133,
+      "q134_weighted_budget_mix" -> q134,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

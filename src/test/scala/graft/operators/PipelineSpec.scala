@@ -2104,6 +2104,37 @@ class PipelineSpec extends SparkSpec {
     assert(checked > 0, "no dense rank-1 rows surfaced — fusion inert")
   }
 
+  test("q134: weighted budget mix — rates re-derived from effective masses, caps coherent") {
+    val rows = Pipeline.q134WeightedBudgetMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // full driver-side re-derivation of every language's rate from the
+    // report's own effective masses (the q126 rounding idiom)
+    val sqrtMicro = rows.map { case (lang, _, _, eff, _, _, _) =>
+      lang -> BigDecimal(BigDecimal(math.sqrt(eff / 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.toMap
+    val denom = sqrtMicro.values.sum.toDouble
+    val effTotal = rows.map(_._4).sum
+    val bMicro = effTotal * 7 / 8
+    rows.foreach { case (lang, nDocs, raw, eff, rate, nKept, effKept) =>
+      val expect = BigDecimal(BigDecimal(
+        math.min(1.0, (bMicro.toDouble / eff) * (sqrtMicro(lang) / denom)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(rate == expect, s"$lang: rate $rate != re-derived $expect")
+      assert(eff <= raw * 1000000L, s"$lang: effective exceeds raw")
+      assert(nKept <= nDocs && effKept <= eff)
+      if (rate == 1000000L) assert(nKept == nDocs, s"$lang: saturated but cut")
+    }
+    // both cap paths must be live on this corpus: some language
+    // saturates (its whole mass fits) and some is genuinely cut
+    assert(rows.exists(_._5 == 1000000L), "no saturated language")
+    assert(rows.exists(_._5 < 1000000L), "no cut language — budget inert")
+  }
+
   test("q132: soft-dedup weights reconcile with q50's cluster histogram") {
     val rows = Pipeline.q132SoftDedupWeights(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
