@@ -898,11 +898,29 @@ object Pipeline {
     * IVF serve into the same (query_id, doc_id, rank) interface; the
     * fusion join carries ≤ 2·legK rows per query. */
   def q133HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val q = docs(spark, dir).filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("text"))
+      .join(pqVectors(spark, dir).select(col("vec_id"), col("e")),
+        col("query_id") === col("vec_id"))
+      .select(col("query_id"), col("text"), col("e").as("qe"))
+    hybridRrfServe(spark, dir, q)
+  }
+
+  /** The query-parameterized hybrid serve behind [[q133HybridRrf]]
+    * and the streaming face ([[graft.streaming.Retrieve]]): rank
+    * `queries(query_id, text, qe)` against the `dir` corpus — sparse
+    * BM25 leg over the documents table, dense cosine leg over the
+    * embeddings table, integer RRF fusion. Any query relation works
+    * (q133 draws its queries FROM the corpus; a streaming micro-batch
+    * arrives from outside); self-matches are excluded by id. */
+  private[graft] def hybridRrfServe(spark: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
     val d = docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
-    val qterms = d.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("query_id"), explode(array_distinct(col("toks"))).as("t"))
+    val qterms = queries
+      .select(col("query_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
       .persist(NarrowCacheLevel)
     val qvocab = qterms.select(col("t")).distinct()
     // corpus postings restricted to the query vocabulary before the
@@ -933,8 +951,8 @@ object Pipeline {
       .filter(col("srk") <= HybridLegK)
       .select(col("query_id"), col("doc_id"), col("srk"))
     val e = pqVectors(spark, dir)
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val q = queries.select(col("query_id"),
+      transform(col("qe"), x => x.cast("double")).as("qe"))
     val dense = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** Streaming hybrid retrieval — the ONLINE face of q133's two-leg
+  * RRF serving stack: a stream of queries (id, text, embedding)
+  * served against the static corpus, each micro-batch ranked and
+  * fused exactly as the batch operator ranks it.
+  *
+  * WHY `foreachBatch` and not a continuous transform: retrieval
+  * serving is request/response — per-query top-k ranking (the
+  * `row_number` cut inside each leg and the fused cut) is a
+  * PER-REQUEST computation over a bounded candidate set, not a
+  * continuous aggregation over the stream's history. A micro-batch
+  * is precisely a bounded query set; serving it with the shared
+  * batch derivation gives stream/batch parity BY CONSTRUCTION (one
+  * definition, asserted in RetrieveSpec) and zero cross-batch state
+  * (no store, no watermark, nothing to recover — a restarted serving
+  * job re-serves only unanswered requests). The stateful-streaming
+  * machinery is for facts that ACCUMULATE (dedup digests, manifests,
+  * windows); a query's answer depends only on the query and the
+  * corpus version, so state would be pure liability.
+  *
+  * Scale posture (100 TB): the corpus sides are the batch legs' own —
+  * at rest, the sparse leg's vocabulary restriction is q86's
+  * inverted-index postings filter and the dense leg swaps in
+  * q118/q130's IVF serve (same (query_id, doc_id, rank) interface);
+  * per micro-batch the stream side contributes only ≤|batch| rows to
+  * every join and the ranking windows partition by query_id — bounded
+  * work per request, independent of corpus size beyond the legs' own
+  * serve costs. */
+object Retrieve {
+
+  /** Serve ONE micro-batch of queries `(query_id, text, qe)` against
+    * the `dir` corpus — bind partially and pass to `foreachBatch`:
+    * `.foreachBatch { (b, id) => sink(Retrieve.hybridServe(dir)(b, id)) }`.
+    * Output: `(query_id, rk, doc_id, rrf_micro, sparse_rank,
+    * dense_rank)`, q133's exact schema and semantics (integer RRF at
+    * k = 60, leg depth 20, fused depth 10, self-matches excluded by
+    * id). */
+  def hybridServe(dir: String)(batch: DataFrame, batchId: Long): DataFrame =
+    graft.operators.Pipeline.hybridRrfServe(batch.sparkSession, dir, batch)
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class RetrieveSpec extends SparkSpec {
+
+  test("streaming hybrid serve equals q133 across split installments, stateless") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // the q133 query set streamed as EXTERNAL requests: same ids, so
+    // the self-exclusion makes stream output == the batch oracle query
+    val queries = graft.Tables.spread(graft.Tables.documents(spark, sfDir))
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("text"))
+      .join(graft.Tables.spread(graft.Tables.embeddings(spark, sfDir))
+        .selectExpr("vec_id as query_id",
+          "transform(embedding, x -> cast(x as double)) as qe"),
+        "query_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Double](2)))
+      .sortBy(_._1)
+    assert(queries.length == 10)
+    val in = MemoryStream[(Long, String, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Long, Int, Int)]
+    val query = in.toDF().toDF("query_id", "text", "qe")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        got ++= Retrieve.hybridServe(sfDir)(b, id).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+            r.getInt(4), r.getInt(5)))
+        ()
+      }
+      .start()
+    try {
+      // two installments: answers must not depend on batch boundaries
+      in.addData(queries.take(4)); query.processAllAvailable()
+      in.addData(queries.drop(4)); query.processAllAvailable()
+      val batch = graft.operators.Pipeline.q133HybridRrf(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getInt(4), r.getInt(5))).toSet
+      assert(got.toSet == batch,
+        s"stream/batch diverged: ${got.toSet.diff(batch)} vs ${batch.diff(got.toSet)}")
+      assert(got.size == batch.size, "duplicate answers across installments")
+      // retrieval serving holds NO state — nothing to recover, nothing
+      // to evict; a restarted job re-serves only unanswered requests
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "hybrid serving must not hold state")
+    } finally query.stop()
+  }
+}
