@@ -324,6 +324,10 @@ object SparkEntry {
     // q126's token-budget mix with language masses in q132's
     // duplicate-discounted effective micro-tokens — dedup-aware mixing
     "q134_weighted_budget_mix" -> (Pipeline.q134WeightedBudgetMix _),
+    // known-item retrieval eval: planted twins with asymmetric
+    // modality coverage grade sparse vs dense vs hybrid — integer
+    // MRR/hits, the measured argument for the second leg
+    "q135_retrieval_eval" -> (Pipeline.q135RetrievalEval _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

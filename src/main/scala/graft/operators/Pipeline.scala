@@ -918,6 +918,16 @@ object Pipeline {
     val d = docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val sparse = sparseLeg(queries, d)
+    val dense = denseLeg(queries, pqVectors(spark, dir))
+    rrfFuse(sparse, dense)
+  }
+
+  /** The sparse (per-query BM25) leg over a tokenized corpus
+    * `d(doc_id, toks, dl)`: `(query_id, doc_id, srk ≤ HybridLegK)`.
+    * Per-term weights round to integer micro-units BEFORE the per-doc
+    * sum (order-free across partitions). */
+  private def sparseLeg(queries: DataFrame, d: DataFrame): DataFrame = {
     val qterms = queries
       .select(col("query_id"),
         explode(array_distinct(split(col("text"), " "))).as("t"))
@@ -941,27 +951,37 @@ object Pipeline {
           / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
       .select(col("doc_id"), col("t"),
         round(col("w") * 1000000).cast("long").as("w_micro"))
-    val byQ = Window.partitionBy(col("query_id"))
-    val sparse = wmicro.join(broadcast(qterms), "t")
+    wmicro.join(broadcast(qterms), "t")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w_micro")).as("s_micro"))
-      .withColumn("srk",
-        row_number().over(byQ.orderBy(col("s_micro").desc, col("doc_id"))))
+      .withColumn("srk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("s_micro").desc, col("doc_id"))))
       .filter(col("srk") <= HybridLegK)
       .select(col("query_id"), col("doc_id"), col("srk"))
-    val e = pqVectors(spark, dir)
+  }
+
+  /** The dense (exact round-6 cosine) leg over `e(vec_id, e)`:
+    * `(query_id, doc_id, drk ≤ HybridLegK)`. */
+  private def denseLeg(queries: DataFrame, e: DataFrame): DataFrame = {
     val q = queries.select(col("query_id"),
       transform(col("qe"), x => x.cast("double")).as("qe"))
-    val dense = e.crossJoin(broadcast(q))
+    e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         round(vecCosine(col("qe"), col("e")), 6).as("c6"))
-      .withColumn("drk",
-        row_number().over(byQ.orderBy(col("c6").desc, col("doc_id"))))
+      .withColumn("drk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("c6").desc, col("doc_id"))))
       .filter(col("drk") <= HybridLegK)
       .select(col("query_id"), col("doc_id"), col("drk"))
-    val out = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+  }
+
+  /** Integer RRF fusion of the two leg rankings: full outer on
+    * (query, doc), `Σ 10^6 div (RrfK + rank)` per present leg, fused
+    * top-[[HybridTopK]]. */
+  private def rrfFuse(sparse: DataFrame, dense: DataFrame): DataFrame = {
+    val byQ = Window.partitionBy(col("query_id"))
+    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         coalesce(col("srk"), lit(0)).as("sparse_rank"),
         coalesce(col("drk"), lit(0)).as("dense_rank"))
@@ -977,7 +997,76 @@ object Pipeline {
       .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_micro"),
         col("sparse_rank"), col("dense_rank"))
       .orderBy(col("query_id"), col("rk"))
-    out
+  }
+
+  /** L3/L4 — KNOWN-ITEM RETRIEVAL EVALUATION: the q114 honest-audit
+    * pattern applied to the q133 serving stack. The corpus plants
+    * twins with DELIBERATELY asymMETRIC modality coverage — every
+    * `%33` document gets a text twin (3 appended tokens) at id+10^6,
+    * but only the `%99` subset also gets an embedding twin (the q51
+    * ±0.2% perturbation) — and each `%33` base document queries for
+    * its own twin. Per method (sparse BM25 leg / dense cosine leg /
+    * RRF hybrid): queries, twins found within the method's serve
+    * depth, hits@1, and MRR in integer micro-units. The asymmetry is
+    * the point: the dense leg CANNOT find a twin that was never
+    * embedded, the sparse leg can — and the fused ranking keeps the
+    * union without giving up rank-1s, which is the measured argument
+    * for running two legs at all (the table a deployment reads before
+    * paying for the second leg). All metrics are exact integers
+    * (rank arithmetic, `10^6 div rank` reciprocals, floor-div mean);
+    * the legs and fusion are byte-for-byte the q133 serve
+    * ([[sparseLeg]]/[[denseLeg]]/[[rrfFuse]] shared).
+    *
+    * Scale posture: q133's serve bounds; the eval adds one ≤|queries|
+    * twin-lookup join per method and three 1-row aggregates. Like
+    * q114's exact top-5, the planted-twin audit is the OFFLINE
+    * harness — run on a seeded sample against the production index. */
+  def q135RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(spark, dir).select(col("doc_id"), col("text"))
+    val dPlant = d0
+      .unionByName(d0.filter(col("doc_id") % 33 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" extra token tail")).as("text")))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val e0 = Tables.spread(Tables.embeddings(spark, dir))
+    val base = e0.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    // the q51/dupEmbeddings perturbation, planted only at %99 (the
+    // two-step select keeps the lambda's vec_id bound to the ORIGINAL
+    // id — the lateral-alias phase-shift hazard documented there)
+    val pert = e0.filter(col("vec_id") % 99 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") * (lit(1.0) + lit(0.002) * ((col("vec_id") + i) % 3 - 1))).as("e"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("e"))
+    val ePlant = base.unionByName(pert)
+    val queries = d0.filter(col("doc_id") % 33 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+      .join(base.select(col("vec_id").as("query_id"), col("e").as("qe")),
+        "query_id")
+      .persist(NarrowCacheLevel)
+    val sparse = sparseLeg(queries, dPlant).persist(NarrowCacheLevel)
+    val dense = denseLeg(queries, ePlant).persist(NarrowCacheLevel)
+    val fused = rrfFuse(sparse, dense)
+    def evalMethod(rel: DataFrame, rankName: String, method: String,
+        depth: Int): DataFrame =
+      queries.select(col("query_id"))
+        .join(rel.filter(col("doc_id") === col("query_id") + 1000000L)
+          .select(col("query_id"), col(rankName).as("trk")),
+          Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          count(col("trk")).as("n_found"),
+          sum(when(col("trk") === 1, 1L).otherwise(0L)).as("hits_at_1"),
+          sum(when(col("trk").isNotNull, expr("1000000 DIV trk"))
+            .otherwise(0L)).as("rr_sum"))
+        .select(lit(method).as("method"), lit(depth).cast("int").as("depth"),
+          col("n_queries"), col("n_found"), col("hits_at_1"),
+          expr("rr_sum DIV n_queries").as("mrr_micro"))
+    evalMethod(sparse, "srk", "sparse", HybridLegK)
+      .unionByName(evalMethod(dense, "drk", "dense", HybridLegK))
+      .unionByName(evalMethod(fused, "rk", "hybrid", HybridTopK))
+      .orderBy(col("method"))
   }
 
   /** Pipeline — duplicate-aware SOFT dedup weights: instead of
@@ -7572,6 +7661,107 @@ object Pipeline {
          |FROM ranked WHERE rk <= 10
          |ORDER BY query_id, rk""".stripMargin
 
+    /** q135 — known-item eval twin: q133's leg CTEs over the planted
+      * corpora (text twins at %33, embedding twins only at %99 — the
+      * q51 perturbation, 1-based lambda index), twin-rank lookups per
+      * method, integer MRR/hit rollups. */
+    val q135 =
+      s"""WITH dd0 AS (SELECT doc_id, text FROM documents),
+         |dpl AS (
+         |  SELECT doc_id, text FROM dd0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' extra token tail' FROM dd0 WHERE doc_id % 33 = 0),
+         |dd AS (
+         |  SELECT doc_id, len(toks) AS dl, toks
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM dpl)),
+         |qids AS (
+         |  -- a query needs BOTH modalities (text + embedding); at some
+         |  -- SFs the embeddings table is smaller than documents, so the
+         |  -- intersection is the query universe (the engine's join)
+         |  SELECT doc_id AS query_id FROM dd0
+         |  JOIN embeddings ON doc_id = vec_id WHERE doc_id % 33 = 0),
+         |qt AS (
+         |  SELECT d.doc_id AS query_id, unnest(list_distinct(d.toks)) AS t
+         |  FROM dd d JOIN qids ON d.doc_id = qids.query_id),
+         |qv AS (SELECT DISTINCT t FROM qt),
+         |st AS (SELECT count(*)::DOUBLE AS nn, avg(dl) AS avgdl FROM dd),
+         |tf AS (
+         |  SELECT doc_id, dl, t, count(*)::DOUBLE AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM dd) u
+         |  WHERE t IN (SELECT t FROM qv)
+         |  GROUP BY doc_id, dl, t),
+         |dfr AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+         |wm AS (
+         |  SELECT doc_id, t, CAST(round(
+         |    ln(1.0 + (nn - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+         |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) * 1000000) AS BIGINT) AS w_micro
+         |  FROM tf JOIN dfr USING (t), st),
+         |sp0 AS (
+         |  SELECT q.query_id, w.doc_id, CAST(sum(w.w_micro) AS BIGINT) AS s_micro
+         |  FROM wm w JOIN qt q USING (t) WHERE w.doc_id <> q.query_id
+         |  GROUP BY q.query_id, w.doc_id),
+         |sp AS (SELECT query_id, doc_id, srk FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY s_micro DESC, doc_id) AS srk FROM sp0)
+         |  WHERE srk <= 20),
+         |e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |epl AS (
+         |  SELECT vec_id, e FROM e0
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(embedding, (x, i) ->
+         |      x::DOUBLE * (1.0 + 0.002 * ((vec_id + i - 1) % 3 - 1)))
+         |  FROM embeddings WHERE vec_id % 99 = 0),
+         |q2 AS (SELECT e0.vec_id AS query_id, e0.e AS qe
+         |  FROM e0 JOIN qids ON e0.vec_id = qids.query_id),
+         |dn0 AS (
+         |  SELECT query_id, v.vec_id AS doc_id, round(${cos("q2.qe", "v.e")}, 6) AS c6
+         |  FROM epl v JOIN q2 ON v.vec_id <> q2.query_id),
+         |dn AS (SELECT query_id, doc_id, drk FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY c6 DESC, doc_id) AS drk FROM dn0)
+         |  WHERE drk <= 20),
+         |fused AS (
+         |  SELECT coalesce(sp.query_id, dn.query_id) AS query_id,
+         |    coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+         |    coalesce(srk, 0) AS sparse_rank, coalesce(drk, 0) AS dense_rank
+         |  FROM sp FULL OUTER JOIN dn
+         |    ON sp.query_id = dn.query_id AND sp.doc_id = dn.doc_id),
+         |scf AS (
+         |  SELECT query_id, doc_id,
+         |    (CASE WHEN sparse_rank > 0 THEN 1000000 // (60 + sparse_rank) ELSE 0 END
+         |      + CASE WHEN dense_rank > 0 THEN 1000000 // (60 + dense_rank) ELSE 0 END) AS rrf_micro
+         |  FROM fused),
+         |hy AS (SELECT query_id, doc_id, rk FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_micro DESC, doc_id) AS rk FROM scf)
+         |  WHERE rk <= 10),
+         |tw_s AS (SELECT q.query_id, sp.srk AS trk FROM qids q
+         |  LEFT JOIN sp ON sp.query_id = q.query_id AND sp.doc_id = q.query_id + 1000000),
+         |tw_d AS (SELECT q.query_id, dn.drk AS trk FROM qids q
+         |  LEFT JOIN dn ON dn.query_id = q.query_id AND dn.doc_id = q.query_id + 1000000),
+         |tw_h AS (SELECT q.query_id, hy.rk AS trk FROM qids q
+         |  LEFT JOIN hy ON hy.query_id = q.query_id AND hy.doc_id = q.query_id + 1000000),
+         |m_s AS (SELECT 'sparse' AS method, 20 AS depth, count(*) AS n_queries,
+         |  count(trk) AS n_found,
+         |  CAST(sum(CASE WHEN trk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+         |  CAST(sum(CASE WHEN trk IS NOT NULL THEN 1000000 // trk ELSE 0 END)
+         |    // count(*) AS BIGINT) AS mrr_micro FROM tw_s),
+         |m_d AS (SELECT 'dense' AS method, 20 AS depth, count(*) AS n_queries,
+         |  count(trk) AS n_found,
+         |  CAST(sum(CASE WHEN trk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+         |  CAST(sum(CASE WHEN trk IS NOT NULL THEN 1000000 // trk ELSE 0 END)
+         |    // count(*) AS BIGINT) AS mrr_micro FROM tw_d),
+         |m_h AS (SELECT 'hybrid' AS method, 10 AS depth, count(*) AS n_queries,
+         |  count(trk) AS n_found,
+         |  CAST(sum(CASE WHEN trk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+         |  CAST(sum(CASE WHEN trk IS NOT NULL THEN 1000000 // trk ELSE 0 END)
+         |    // count(*) AS BIGINT) AS mrr_micro FROM tw_h)
+         |SELECT method, CAST(depth AS INT) AS depth, n_queries, n_found,
+         |  hits_at_1, mrr_micro
+         |FROM (SELECT * FROM m_s UNION ALL SELECT * FROM m_d UNION ALL SELECT * FROM m_h)
+         |ORDER BY method""".stripMargin
+
     /** q131 — the banding-sweep twin: the shared [[minhashSigCtes]]
       * signatures, exact ground truth via VALUE-ordered prefix
       * filtering at t = 1/2 (the prefix theorem holds under any shared
@@ -7680,6 +7870,7 @@ object Pipeline {
       "q132_soft_dedup_weights" -> q132,
       "q133_hybrid_rrf" -> q133,
       "q134_weighted_budget_mix" -> q134,
+      "q135_retrieval_eval" -> q135,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

@@ -2104,6 +2104,33 @@ class PipelineSpec extends SparkSpec {
     assert(checked > 0, "no dense rank-1 rows surfaced — fusion inert")
   }
 
+  test("q135: retrieval eval — query universe, twin accounting, union bound") {
+    import org.apache.spark.sql.functions.col
+    val rows = Pipeline.q135RetrievalEval(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == Set("sparse", "dense", "hybrid"))
+    assert(rows("sparse")._1 == 20 && rows("dense")._1 == 20 && rows("hybrid")._1 == 10)
+    // one query universe: documents ∩ embeddings at %33
+    val docIds = graft.Tables.spread(graft.Tables.documents(spark, sfDir))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val vecIds = graft.Tables.spread(graft.Tables.embeddings(spark, sfDir))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val qids = (docIds & vecIds).filter(_ % 33 == 0)
+    rows.values.foreach { case (_, nq, nf, h1, mrr) =>
+      assert(nq == qids.size.toLong, s"query universe $nq != ${qids.size}")
+      assert(nf <= nq && h1 <= nf && mrr <= 1000000L)
+      assert((mrr > 0) == (nf > 0))
+    }
+    // every ±0.2% embedding twin must surface in the exact-cosine
+    // top-20 — the dense leg's found count IS the planted-vector count
+    val vectorTwins = qids.count(_ % 99 == 0).toLong
+    assert(rows("dense")._3 == vectorTwins,
+      s"dense found ${rows("dense")._3} != planted ${vectorTwins}")
+    // fused candidates are a subset of the legs' union
+    assert(rows("hybrid")._3 <= rows("sparse")._3 + rows("dense")._3)
+  }
+
   test("q134: weighted budget mix — rates re-derived from effective masses, caps coherent") {
     val rows = Pipeline.q134WeightedBudgetMix(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
