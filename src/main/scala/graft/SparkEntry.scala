@@ -328,6 +328,9 @@ object SparkEntry {
     // modality coverage grade sparse vs dense vs hybrid — integer
     // MRR/hits, the measured argument for the second leg
     "q135_retrieval_eval" -> (Pipeline.q135RetrievalEval _),
+    // the fusion-weight knob table: weighted RRF over the q135
+    // fixture — where MRR peaks is where a deployment fixes weights
+    "q136_fusion_weights" -> (Pipeline.q136FusionWeights _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -979,7 +979,14 @@ object Pipeline {
   /** Integer RRF fusion of the two leg rankings: full outer on
     * (query, doc), `Σ 10^6 div (RrfK + rank)` per present leg, fused
     * top-[[HybridTopK]]. */
-  private def rrfFuse(sparse: DataFrame, dense: DataFrame): DataFrame = {
+  private def rrfFuse(sparse: DataFrame, dense: DataFrame): DataFrame =
+    rrfFuseWeighted(sparse, dense, 1, 1)
+
+  /** Weighted RRF: `rrf_micro = ws·(10^6 div (k+srk)) + wd·(10^6 div
+    * (k+drk))` — ws = wd = 1 is q133's plain fusion; any positive
+    * scaling of (ws, wd) yields the identical ranking. */
+  private def rrfFuseWeighted(sparse: DataFrame, dense: DataFrame,
+      ws: Int, wd: Int): DataFrame = {
     val byQ = Window.partitionBy(col("query_id"))
     sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
@@ -987,9 +994,9 @@ object Pipeline {
         coalesce(col("drk"), lit(0)).as("dense_rank"))
       .withColumn("rrf_micro",
         (when(col("sparse_rank") > 0,
-          expr(s"1000000 DIV ($RrfK + sparse_rank)")).otherwise(lit(0))
+          expr(s"$ws * (1000000 DIV ($RrfK + sparse_rank))")).otherwise(lit(0))
           + when(col("dense_rank") > 0,
-            expr(s"1000000 DIV ($RrfK + dense_rank)")).otherwise(lit(0)))
+            expr(s"$wd * (1000000 DIV ($RrfK + dense_rank))")).otherwise(lit(0)))
           .cast("long"))
       .withColumn("rk",
         row_number().over(byQ.orderBy(col("rrf_micro").desc, col("doc_id"))))
@@ -1022,6 +1029,28 @@ object Pipeline {
     * q114's exact top-5, the planted-twin audit is the OFFLINE
     * harness — run on a seeded sample against the production index. */
   def q135RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val (queries, dPlant, ePlant) = retrievalEvalFixture(spark, dir)
+    val sparse = sparseLeg(queries, dPlant).persist(NarrowCacheLevel)
+    val dense = denseLeg(queries, ePlant).persist(NarrowCacheLevel)
+    val fused = rrfFuse(sparse, dense)
+    def evalMethod(rel: DataFrame, rankName: String, method: String,
+        depth: Int): DataFrame =
+      twinEval(queries, rel, rankName)
+        .select(lit(method).as("method"), lit(depth).cast("int").as("depth"),
+          col("n_queries"), col("n_found"), col("hits_at_1"), col("mrr_micro"))
+    evalMethod(sparse, "srk", "sparse", HybridLegK)
+      .unionByName(evalMethod(dense, "drk", "dense", HybridLegK))
+      .unionByName(evalMethod(fused, "rk", "hybrid", HybridTopK))
+      .orderBy(col("method"))
+  }
+
+  /** The q135/q136 evaluation fixture: `(queries, dPlant, ePlant)` —
+    * queries = documents ∩ embeddings at %33 (a query needs BOTH
+    * modalities), text twins planted at %33 under id+10^6, embedding
+    * twins (the q51 ±0.2% perturbation) only at the %99 subset — the
+    * deliberate modality-coverage asymmetry the eval measures. */
+  private def retrievalEvalFixture(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val d0 = docs(spark, dir).select(col("doc_id"), col("text"))
     val dPlant = d0
       .unionByName(d0.filter(col("doc_id") % 33 === 0)
@@ -1046,27 +1075,64 @@ object Pipeline {
       .join(base.select(col("vec_id").as("query_id"), col("e").as("qe")),
         "query_id")
       .persist(NarrowCacheLevel)
+    (queries, dPlant, ePlant)
+  }
+
+  /** One-row twin-retrieval metrics of a ranked relation
+    * `(query_id, doc_id, <rankCol>)` against the planted id+10^6
+    * truth: `(n_queries, n_found, hits_at_1, mrr_micro)`, all exact
+    * integers (`10^6 div rank` reciprocals, floor-div mean). */
+  private def twinEval(queries: DataFrame, rel: DataFrame,
+      rankCol: String): DataFrame =
+    queries.select(col("query_id"))
+      .join(rel.filter(col("doc_id") === col("query_id") + 1000000L)
+        .select(col("query_id"), col(rankCol).as("trk")),
+        Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        count(col("trk")).as("n_found"),
+        sum(when(col("trk") === 1, 1L).otherwise(0L)).as("hits_at_1"),
+        sum(when(col("trk").isNotNull, expr("1000000 DIV trk"))
+          .otherwise(0L)).as("rr_sum"))
+      .select(col("n_queries"), col("n_found"), col("hits_at_1"),
+        expr("rr_sum DIV n_queries").as("mrr_micro"))
+
+  /** The q136 fusion-weight grid, in quarters `(w_sparse, w_dense)`:
+    * the two pure legs, plain RRF (2,2 — a positive scaling of q133's
+    * 1+1, so the RANKING is identical), and the two asymmetric
+    * blends. */
+  private[operators] val FusionWeights =
+    Seq((4, 0), (3, 1), (2, 2), (1, 3), (0, 4))
+
+  /** L3/L4 — the FUSION-WEIGHT knob table: q135 measured plain RRF
+    * demoting single-leg rank-1s under modality-coverage asymmetry
+    * (a doc at rank ~2 in BOTH legs outscores a dense-only rank-1);
+    * the standard production answer is WEIGHTED RRF —
+    * `score = w_s·10^6 div (60+srk) + w_d·10^6 div (60+drk)` — and
+    * this table measures the whole weight grid on q135's planted
+    * known-item fixture, the q114/q131 knob-table pattern applied to
+    * the fusion stage. Weights are integer QUARTERS, so every score
+    * stays exact int64 and (2,2) provably reproduces plain RRF's
+    * ranking (positive scaling). The legs compute ONCE; each grid row
+    * re-ranks the same ≤ 2·legK-per-query fused relation — the knob
+    * costs |grid| bounded re-ranks, not |grid| serves.
+    *
+    * Per row: the weight pair, queries, twins found in the fused
+    * top-10, hits@1, and integer micro-MRR — a deployment reads where
+    * MRR peaks and fixes its weights there, exactly as q114 fixes
+    * nprobe and q131 fixes the banding. */
+  def q136FusionWeights(spark: SparkSession, dir: String): DataFrame = {
+    val (queries, dPlant, ePlant) = retrievalEvalFixture(spark, dir)
     val sparse = sparseLeg(queries, dPlant).persist(NarrowCacheLevel)
     val dense = denseLeg(queries, ePlant).persist(NarrowCacheLevel)
-    val fused = rrfFuse(sparse, dense)
-    def evalMethod(rel: DataFrame, rankName: String, method: String,
-        depth: Int): DataFrame =
-      queries.select(col("query_id"))
-        .join(rel.filter(col("doc_id") === col("query_id") + 1000000L)
-          .select(col("query_id"), col(rankName).as("trk")),
-          Seq("query_id"), "left")
-        .agg(count(lit(1)).as("n_queries"),
-          count(col("trk")).as("n_found"),
-          sum(when(col("trk") === 1, 1L).otherwise(0L)).as("hits_at_1"),
-          sum(when(col("trk").isNotNull, expr("1000000 DIV trk"))
-            .otherwise(0L)).as("rr_sum"))
-        .select(lit(method).as("method"), lit(depth).cast("int").as("depth"),
+    sparse.count(); dense.count()
+    val rows = FusionWeights.map { case (ws, wd) =>
+      twinEval(queries, rrfFuseWeighted(sparse, dense, ws, wd), "rk")
+        .select(lit(ws).cast("int").as("w_sparse_q"),
+          lit(wd).cast("int").as("w_dense_q"),
           col("n_queries"), col("n_found"), col("hits_at_1"),
-          expr("rr_sum DIV n_queries").as("mrr_micro"))
-    evalMethod(sparse, "srk", "sparse", HybridLegK)
-      .unionByName(evalMethod(dense, "drk", "dense", HybridLegK))
-      .unionByName(evalMethod(fused, "rk", "hybrid", HybridTopK))
-      .orderBy(col("method"))
+          col("mrr_micro"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("w_sparse_q").desc)
   }
 
   /** Pipeline — duplicate-aware SOFT dedup weights: instead of
@@ -7661,12 +7727,12 @@ object Pipeline {
          |FROM ranked WHERE rk <= 10
          |ORDER BY query_id, rk""".stripMargin
 
-    /** q135 — known-item eval twin: q133's leg CTEs over the planted
-      * corpora (text twins at %33, embedding twins only at %99 — the
-      * q51 perturbation, 1-based lambda index), twin-rank lookups per
-      * method, integer MRR/hit rollups. */
-    val q135 =
-      s"""WITH dd0 AS (SELECT doc_id, text FROM documents),
+    /** The shared q135/q136 leg CTE block: planted corpora (text
+      * twins %33, embedding twins %99), both-modality query universe,
+      * sparse/dense leg rankings `sp`/`dn` and the unfused outer-join
+      * `fused(query_id, doc_id, sparse_rank, dense_rank)`. */
+    private val retrievalEvalCtes =
+      s"""dd0 AS (SELECT doc_id, text FROM documents),
          |dpl AS (
          |  SELECT doc_id, text FROM dd0
          |  UNION ALL
@@ -7726,7 +7792,47 @@ object Pipeline {
          |    coalesce(sp.doc_id, dn.doc_id) AS doc_id,
          |    coalesce(srk, 0) AS sparse_rank, coalesce(drk, 0) AS dense_rank
          |  FROM sp FULL OUTER JOIN dn
-         |    ON sp.query_id = dn.query_id AND sp.doc_id = dn.doc_id),
+         |    ON sp.query_id = dn.query_id AND sp.doc_id = dn.doc_id)""".stripMargin
+
+    /** q136 — the fusion-weight grid twin: the shared leg CTEs, one
+      * weighted re-rank + twin rollup per (w_sparse, w_dense) pair. */
+    val q136 = {
+      val cfg = Seq((4, 0), (3, 1), (2, 2), (1, 3), (0, 4)).map { case (ws, wd) =>
+        s"""sc_${ws}_$wd AS (
+           |  SELECT query_id, doc_id,
+           |    ($ws * (CASE WHEN sparse_rank > 0 THEN 1000000 // (60 + sparse_rank) ELSE 0 END)
+           |      + $wd * (CASE WHEN dense_rank > 0 THEN 1000000 // (60 + dense_rank) ELSE 0 END)) AS rrf_micro
+           |  FROM fused),
+           |hy_${ws}_$wd AS (SELECT query_id, doc_id, rk FROM (
+           |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rrf_micro DESC, doc_id) AS rk FROM sc_${ws}_$wd)
+           |  WHERE rk <= 10),
+           |tw_${ws}_$wd AS (SELECT q.query_id, h.rk AS trk FROM qids q
+           |  LEFT JOIN hy_${ws}_$wd h ON h.query_id = q.query_id AND h.doc_id = q.query_id + 1000000),
+           |m_${ws}_$wd AS (SELECT $ws AS w_sparse_q, $wd AS w_dense_q,
+           |  count(*) AS n_queries, count(trk) AS n_found,
+           |  CAST(sum(CASE WHEN trk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+           |  CAST(sum(CASE WHEN trk IS NOT NULL THEN 1000000 // trk ELSE 0 END)
+           |    // count(*) AS BIGINT) AS mrr_micro FROM tw_${ws}_$wd)""".stripMargin
+      }.mkString(",\n")
+      val unions = Seq((4, 0), (3, 1), (2, 2), (1, 3), (0, 4))
+        .map { case (ws, wd) => s"SELECT * FROM m_${ws}_$wd" }
+        .mkString(" UNION ALL ")
+      s"""WITH $retrievalEvalCtes,
+         |$cfg
+         |SELECT CAST(w_sparse_q AS INT) AS w_sparse_q,
+         |  CAST(w_dense_q AS INT) AS w_dense_q,
+         |  n_queries, n_found, hits_at_1, mrr_micro
+         |FROM ($unions)
+         |ORDER BY w_sparse_q DESC""".stripMargin
+    }
+
+    /** q135 — known-item eval twin: q133's leg CTEs over the planted
+      * corpora (text twins at %33, embedding twins only at %99 — the
+      * q51 perturbation, 1-based lambda index), twin-rank lookups per
+      * method, integer MRR/hit rollups. */
+    val q135 =
+      s"""WITH $retrievalEvalCtes,
          |scf AS (
          |  SELECT query_id, doc_id,
          |    (CASE WHEN sparse_rank > 0 THEN 1000000 // (60 + sparse_rank) ELSE 0 END
@@ -7871,6 +7977,7 @@ object Pipeline {
       "q133_hybrid_rrf" -> q133,
       "q134_weighted_budget_mix" -> q134,
       "q135_retrieval_eval" -> q135,
+      "q136_fusion_weights" -> q136,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

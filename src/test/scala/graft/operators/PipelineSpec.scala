@@ -2131,6 +2131,29 @@ class PipelineSpec extends SparkSpec {
     assert(rows("hybrid")._3 <= rows("sparse")._3 + rows("dense")._3)
   }
 
+  test("q136: fusion-weight grid — (2,2) is plain RRF, pure weights match their legs") {
+    val grid = Pipeline.q136FusionWeights(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(grid.keySet == Set((4, 0), (3, 1), (2, 2), (1, 3), (0, 4)))
+    val q135r = Pipeline.q135RetrievalEval(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    // (2,2) is a positive scaling of plain RRF — identical ranking,
+    // identical metrics to q135's hybrid row
+    assert(grid((2, 2)) == q135r("hybrid"),
+      s"(2,2) ${grid((2, 2))} != plain RRF ${q135r("hybrid")}")
+    // a pure weight ranks zero-scored other-leg docs below every
+    // positive score, so its fused top-10 is the leg's own top-10:
+    // hits@1 match the leg, found counts are bounded by the leg's @20
+    assert(grid((4, 0))._3 == q135r("sparse")._3, "(4,0) hits@1 != sparse leg")
+    assert(grid((0, 4))._3 == q135r("dense")._3, "(0,4) hits@1 != dense leg")
+    assert(grid((4, 0))._2 <= q135r("sparse")._2 && grid((0, 4))._2 <= q135r("dense")._2)
+    grid.values.foreach { case (nq, nf, h1, mrr) =>
+      assert(nq == grid.head._2._1 && nf <= nq && h1 <= nf && mrr <= 1000000L)
+    }
+  }
+
   test("q134: weighted budget mix — rates re-derived from effective masses, caps coherent") {
     val rows = Pipeline.q134WeightedBudgetMix(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
