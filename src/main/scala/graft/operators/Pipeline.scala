@@ -1044,11 +1044,22 @@ object Pipeline {
       .orderBy(col("method"))
   }
 
+  /** The evaluation QUERY PANEL is bounded: the first
+    * [[EvalPanelCap]] %33 ids (`doc_id < 33·cap`). An audit whose
+    * panel grew WITH the corpus would make the exact dense leg
+    * O(n²/33) — the sf1 probe measured exactly that (15.6× at 10×
+    * data) before the cap; a bounded panel makes the audit cost
+    * O(panel × serve), corpus-size-independent beyond the legs' own
+    * scans. At the three gate SFs the cap exceeds the whole stratum,
+    * so it binds only beyond them. */
+  private val EvalPanelCap = 64L
+
   /** The q135/q136 evaluation fixture: `(queries, dPlant, ePlant)` —
-    * queries = documents ∩ embeddings at %33 (a query needs BOTH
-    * modalities), text twins planted at %33 under id+10^6, embedding
-    * twins (the q51 ±0.2% perturbation) only at the %99 subset — the
-    * deliberate modality-coverage asymmetry the eval measures. */
+    * queries = the bounded panel of documents ∩ embeddings at %33 (a
+    * query needs BOTH modalities), text twins planted at %33 under
+    * id+10^6, embedding twins (the q51 ±0.2% perturbation) only at
+    * the %99 subset — the deliberate modality-coverage asymmetry the
+    * eval measures. */
   private def retrievalEvalFixture(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val d0 = docs(spark, dir).select(col("doc_id"), col("text"))
@@ -1070,7 +1081,8 @@ object Pipeline {
           x.cast("double") * (lit(1.0) + lit(0.002) * ((col("vec_id") + i) % 3 - 1))).as("e"))
       .select((col("vec_id") + 1000000L).as("vec_id"), col("e"))
     val ePlant = base.unionByName(pert)
-    val queries = d0.filter(col("doc_id") % 33 === 0)
+    val queries = d0
+      .filter(col("doc_id") % 33 === 0 && col("doc_id") < 33L * EvalPanelCap)
       .select(col("doc_id").as("query_id"), col("text"))
       .join(base.select(col("vec_id").as("query_id"), col("e").as("qe")),
         "query_id")
@@ -7743,9 +7755,12 @@ object Pipeline {
          |qids AS (
          |  -- a query needs BOTH modalities (text + embedding); at some
          |  -- SFs the embeddings table is smaller than documents, so the
-         |  -- intersection is the query universe (the engine's join)
+         |  -- intersection is the query universe (the engine's join).
+         |  -- The panel is BOUNDED (first 64 %33 ids) so the audit cost
+         |  -- never grows with the corpus (the engine's EvalPanelCap)
          |  SELECT doc_id AS query_id FROM dd0
-         |  JOIN embeddings ON doc_id = vec_id WHERE doc_id % 33 = 0),
+         |  JOIN embeddings ON doc_id = vec_id
+         |  WHERE doc_id % 33 = 0 AND doc_id < 2112),
          |qt AS (
          |  SELECT d.doc_id AS query_id, unnest(list_distinct(d.toks)) AS t
          |  FROM dd d JOIN qids ON d.doc_id = qids.query_id),

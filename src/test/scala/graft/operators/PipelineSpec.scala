@@ -2116,7 +2116,8 @@ class PipelineSpec extends SparkSpec {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     val vecIds = graft.Tables.spread(graft.Tables.embeddings(spark, sfDir))
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
-    val qids = (docIds & vecIds).filter(_ % 33 == 0)
+    // the bounded audit panel: first 64 %33 ids (EvalPanelCap)
+    val qids = (docIds & vecIds).filter(id => id % 33 == 0 && id < 2112)
     rows.values.foreach { case (_, nq, nf, h1, mrr) =>
       assert(nq == qids.size.toLong, s"query universe $nq != ${qids.size}")
       assert(nf <= nq && h1 <= nf && mrr <= 1000000L)
