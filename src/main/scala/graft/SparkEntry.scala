@@ -331,6 +331,9 @@ object SparkEntry {
     // the fusion-weight knob table: weighted RRF over the q135
     // fixture — where MRR peaks is where a deployment fixes weights
     "q136_fusion_weights" -> (Pipeline.q136FusionWeights _),
+    // curriculum export: q122's shards with shortest-first within-shard
+    // order, certified by the order-sensitive manifest checksum
+    "q137_curriculum_manifest" -> (Pipeline.q137CurriculumManifest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -5351,6 +5351,45 @@ object Pipeline {
       .orderBy(col("shard"))
   }
 
+  /** Pipeline — CURRICULUM shard ordering: q122's deterministic
+    * export with a curriculum stage — within each shard, documents
+    * order by (length tier ASC, shuffle key, id), the
+    * shortest-first curriculum a staged training schedule reads
+    * (length is the classic difficulty proxy; any integer tier column
+    * substitutes without a plan change). Shard ASSIGNMENT is
+    * untouched — q122's hash membership, so shards stay
+    * token-balanced in expectation and a curriculum re-export moves
+    * zero bytes between shards; only the within-shard ORDER changes,
+    * which the order-sensitive checksum (q122's
+    * `Σ pos·(key mod P) mod P` in decimal(38,0)) certifies. Manifest
+    * per shard adds the tier span (`n_tiers`, `first_tier`,
+    * `last_tier`): a trainer validates "easy first" from the manifest
+    * alone. Same ONE hash exchange + in-partition sort as q122 — the
+    * curriculum costs one extra leading sort key, nothing else. */
+  def q137CurriculumManifest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"),
+      shardKey(col("doc_id")).as("sk"))
+      .withColumn("tier",
+        least(lit(9L), expr("n_toks DIV 64")).cast("int"))
+    val assigned = d
+      .withColumn("shard", pmod(col("sk"), lit(NumShards)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("tier"), col("sk"), col("doc_id"))))
+    assigned
+      .withColumn("term", pmod(col("pos") * pmod(col("sk"), lit(P)), lit(P)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("tier")).as("n_tiers"),
+        min(col("tier")).as("first_tier"),
+        max(col("tier")).as("last_tier"),
+        (sum(col("term").cast("decimal(38,0)")) % lit(P)).cast("long")
+          .as("order_checksum"))
+      .orderBy(col("shard"))
+  }
+
   /** Pipeline — EPOCH orderings: the q122 manifest for training epochs
     * 0 and 1 side by side, each from its own seeded shuffle key
     * ([[shardKey]](id, seed)) — the multi-epoch training contract: a
@@ -7074,6 +7113,27 @@ object Pipeline {
          |  CAST(max(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS head_doc_id
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin
 
+    /** q137 — q122's manifest with the curriculum tier as the leading
+      * within-shard sort key and the tier span in the rollup. */
+    val q137 =
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    ${ph("'shard:' || CAST(doc_id AS VARCHAR)")} AS sk
+         |  FROM documents),
+         |t AS (SELECT *, CAST(least(9, n_toks // 64) AS INT) AS tier FROM d),
+         |a AS (
+         |  SELECT doc_id, n_toks, sk, tier, CAST(sk % 8 AS INT) AS shard,
+         |    row_number() OVER (PARTITION BY sk % 8 ORDER BY tier, sk, doc_id) AS pos
+         |  FROM t)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT tier) AS BIGINT) AS n_tiers,
+         |  CAST(min(tier) AS INT) AS first_tier,
+         |  CAST(max(tier) AS INT) AS last_tier,
+         |  CAST(CAST(sum((pos * (sk % $P)) % $P) AS HUGEINT) % $P AS BIGINT)
+         |    AS order_checksum
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
     /** q129 — the q122 manifest body instantiated per epoch prefix
       * (`shard:` / `shard1:`), unioned. */
     val q129 = {
@@ -7993,6 +8053,7 @@ object Pipeline {
       "q134_weighted_budget_mix" -> q134,
       "q135_retrieval_eval" -> q135,
       "q136_fusion_weights" -> q136,
+      "q137_curriculum_manifest" -> q137,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

@@ -2378,6 +2378,53 @@ class PipelineSpec extends SparkSpec {
     assert(t.min > 0 && t.max < 3 * t.min, s"token skew: ${t.toSeq}")
   }
 
+  test("q137 curriculum manifest: local re-derivation, q122 membership, order moved") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val P = 2147483647L
+    val corpus = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val keyed = corpus.map { case (id, text) =>
+      val toks = text.split(" ", -1).length.toLong
+      (id, toks, math.min(9L, toks / 64).toInt, h60("shard:" + id))
+    }
+    // the curriculum order: (tier asc, key, id) — tiers must be
+    // nondecreasing by construction, and the checksum must match the
+    // engine's over exactly this order
+    val expected = keyed.groupBy(_._4 % 8).map { case (shard, ds) =>
+      val ordered = ds.sortBy { case (id, _, tier, sk) => (tier, sk, id) }
+      assert(ordered.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+      val checksum = ordered.zipWithIndex
+        .map { case ((_, _, _, sk), i) => BigInt(i + 1) * (sk % P) % P }
+        .sum % P
+      shard.toInt -> ((ds.length.toLong, ds.map(_._2).sum,
+        ds.map(_._3).distinct.length.toLong, ds.map(_._3).min,
+        ds.map(_._3).max, checksum.toLong))
+    }
+    val rows = Pipeline.q137CurriculumManifest(spark, sfDir).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, toks, nt, ft, lt, ck) = expected(r.getInt(0))
+      assert(r.getLong(1) == n && r.getLong(2) == toks, s"shard ${r.getInt(0)} membership")
+      assert(r.getLong(3) == nt && r.getInt(4) == ft && r.getInt(5) == lt,
+        s"shard ${r.getInt(0)} tier span")
+      assert(r.getLong(6) == ck, s"shard ${r.getInt(0)} curriculum checksum")
+    }
+    // assignment is q122's: membership identical, only ORDER moved —
+    // and somewhere it genuinely moved (a multi-tier shard re-sorts)
+    val q122r = Pipeline.q122ShardManifest(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { r =>
+      val (n, toks, _) = q122r(r.getInt(0))
+      assert(r.getLong(1) == n && r.getLong(2) == toks,
+        s"shard ${r.getInt(0)}: curriculum changed MEMBERSHIP")
+    }
+    assert(rows.exists(r => r.getLong(6) != q122r(r.getInt(0))._3),
+      "curriculum never changed any shard's order")
+  }
+
   test("q125 packed shards: local packing re-derivation in shuffled order, q122 consistency") {
     def h60(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
