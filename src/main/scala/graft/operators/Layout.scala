@@ -195,6 +195,19 @@ object Layout {
     * the manifest and writing the shards share one shuffle at 100 TB. */
   def writeShards(docs: DataFrame, idCol: String,
       path: String, numShards: Int = 8): Unit =
+    writeShardsOrdered(docs, idCol, path, numShards, Seq.empty)
+
+  /** [[writeShards]] with CURRICULUM columns leading the within-shard
+    * order (q137's export materialized): rows lay down as
+    * (shard, curriculum…, key, id). An empty `curriculum` is exactly
+    * [[writeShards]]' shuffled order; a length tier (or any integer
+    * difficulty proxy) makes the bytes at rest easy-first per shard —
+    * the trainer reads the curriculum by reading the file. Same
+    * one-exchange plan; the partition column still LEADS the task
+    * sort so the partitionBy writer adds no unstable re-sort (the
+    * ordering bug this module documents). */
+  def writeShardsOrdered(docs: DataFrame, idCol: String, path: String,
+      numShards: Int, curriculum: Seq[Column]): Unit =
     docs.withColumn("sk", Pipeline.shardKey(col(idCol)))
       .withColumn("shard", pmod(col("sk"), lit(numShards.toLong)).cast("int"))
       .repartition(col("shard"))
@@ -203,7 +216,8 @@ object Layout {
       // otherwise, destroying the (key, id) order this write exists to
       // lay down; with the child already ordered (shard, key, id) the
       // required ordering is satisfied as a prefix and no sort is added
-      .sortWithinPartitions(col("shard"), col("sk"), col(idCol))
+      .sortWithinPartitions(
+        (col("shard") +: curriculum) ++ Seq(col("sk"), col(idCol)): _*)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(path)
 

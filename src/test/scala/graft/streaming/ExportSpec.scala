@@ -206,6 +206,42 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("curriculum shards at rest: file order is tier-ascending and recomputes q137's checksum") {
+    import org.apache.spark.sql.functions.{col, expr, least, lit, size, split}
+    val P = 2147483647L
+    val out = java.nio.file.Files.createTempDirectory("graft_curr_").toString
+    try {
+      val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+        .withColumn("tier", least(lit(9L),
+          expr("size(split(text, ' ')) DIV 64")).cast("int"))
+      graft.operators.Layout.writeShardsOrdered(
+        d, "doc_id", out, 8, Seq(col("tier")))
+      val manifest = graft.operators.Pipeline
+        .q137CurriculumManifest(spark, sfDir).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(6)))).toMap
+      manifest.foreach { case (shard, (nDocs, checksum)) =>
+        val dir = new java.io.File(s"$out/shard=$shard")
+        val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"shard $shard: ${files.length} files")
+        val rows = spark.read.parquet(files.head.getAbsolutePath)
+          .select("doc_id", "sk", "tier").collect()
+        assert(rows.length == nDocs)
+        // the bytes at rest ARE the curriculum: tiers never decrease
+        rows.map(_.getInt(2)).sliding(2).foreach {
+          case Array(a, b) => assert(a <= b, s"shard $shard tier order broke")
+          case _ =>
+        }
+        // and the manifest's order-sensitive checksum certifies it
+        val ck = rows.zipWithIndex.map { case (r, i) =>
+          BigInt(i + 1) * (r.getLong(1) % P) % P }.sum % P
+        assert(ck.toLong == checksum, s"shard $shard curriculum checksum")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
   test("shardAssign is stateless and key-identical to the batch derivation") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
