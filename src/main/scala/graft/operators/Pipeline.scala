@@ -913,14 +913,19 @@ object Pipeline {
     * embeddings table, integer RRF fusion. Any query relation works
     * (q133 draws its queries FROM the corpus; a streaming micro-batch
     * arrives from outside); self-matches are excluded by id. */
+  /** `ws`/`wd` are the SERVE-TIME fusion weights (quarters or any
+    * positive ints — only the ratio matters): q136 measures the grid,
+    * this serves the chosen point, the q114→q118 measurement→serve
+    * symmetry applied to the fusion stage. Defaults are q133's plain
+    * RRF. */
   private[graft] def hybridRrfServe(spark: SparkSession, dir: String,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, ws: Int = 1, wd: Int = 1): DataFrame = {
     val d = docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
     val sparse = sparseLeg(queries, d)
     val dense = denseLeg(queries, pqVectors(spark, dir))
-    rrfFuse(sparse, dense)
+    rrfFuseWeighted(sparse, dense, ws, wd)
   }
 
   /** The sparse (per-query BM25) leg over a tokenized corpus
@@ -951,7 +956,7 @@ object Pipeline {
           / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
       .select(col("doc_id"), col("t"),
         round(col("w") * 1000000).cast("long").as("w_micro"))
-    wmicro.join(broadcast(qterms), "t")
+    val leg = wmicro.join(broadcast(qterms), "t")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w_micro")).as("s_micro"))
@@ -959,14 +964,22 @@ object Pipeline {
         .orderBy(col("s_micro").desc, col("doc_id"))))
       .filter(col("srk") <= HybridLegK)
       .select(col("query_id"), col("doc_id"), col("srk"))
+    // snapshot-and-release (the annRecallSweep discipline): the leg is
+    // ≤ legK rows per query — a bounded local relation — so the
+    // corpus-sized qterms/tf residents free HERE instead of lingering
+    // for the session (a leaked persist reads as GC pressure on every
+    // LATER query in a shared session, not on this one)
+    snapshotAndFree(leg, qterms, tf)
   }
 
   /** The dense (exact round-6 cosine) leg over `e(vec_id, e)`:
-    * `(query_id, doc_id, drk ≤ HybridLegK)`. */
+    * `(query_id, doc_id, drk ≤ HybridLegK)` — returned as a bounded
+    * LOCAL relation (snapshot), so q136's five re-fusions re-rank it
+    * for free instead of re-scanning the corpus per grid row. */
   private def denseLeg(queries: DataFrame, e: DataFrame): DataFrame = {
     val q = queries.select(col("query_id"),
       transform(col("qe"), x => x.cast("double")).as("qe"))
-    e.crossJoin(broadcast(q))
+    val leg = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         round(vecCosine(col("qe"), col("e")), 6).as("c6"))
@@ -974,6 +987,20 @@ object Pipeline {
         .orderBy(col("c6").desc, col("doc_id"))))
       .filter(col("drk") <= HybridLegK)
       .select(col("query_id"), col("doc_id"), col("drk"))
+    snapshotAndFree(leg)
+  }
+
+  /** Collect a BOUNDED relation into a local snapshot, release the
+    * given resident relations, and return the snapshot as a
+    * LocalRelation DataFrame — the annRecallSweep discipline as a
+    * helper. Callers must only pass relations whose row count is
+    * bounded by construction (legK·|queries|, ≤|lang| reports…). */
+  private def snapshotAndFree(bounded: DataFrame,
+      residents: DataFrame*): DataFrame = {
+    val snapshot = bounded.collect()
+    residents.foreach(_.unpersist(blocking = false))
+    bounded.sparkSession.createDataFrame(
+      java.util.Arrays.asList(snapshot: _*), bounded.schema)
   }
 
   /** Integer RRF fusion of the two leg rankings: full outer on
@@ -1030,18 +1057,21 @@ object Pipeline {
     * harness — run on a seeded sample against the production index. */
   def q135RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
     val (queries, dPlant, ePlant) = retrievalEvalFixture(spark, dir)
-    val sparse = sparseLeg(queries, dPlant).persist(NarrowCacheLevel)
-    val dense = denseLeg(queries, ePlant).persist(NarrowCacheLevel)
+    // the legs come back as bounded local snapshots (legK·|panel|)
+    val sparse = sparseLeg(queries, dPlant)
+    val dense = denseLeg(queries, ePlant)
     val fused = rrfFuse(sparse, dense)
     def evalMethod(rel: DataFrame, rankName: String, method: String,
         depth: Int): DataFrame =
       twinEval(queries, rel, rankName)
         .select(lit(method).as("method"), lit(depth).cast("int").as("depth"),
           col("n_queries"), col("n_found"), col("hits_at_1"), col("mrr_micro"))
-    evalMethod(sparse, "srk", "sparse", HybridLegK)
+    val out = evalMethod(sparse, "srk", "sparse", HybridLegK)
       .unionByName(evalMethod(dense, "drk", "dense", HybridLegK))
       .unionByName(evalMethod(fused, "rk", "hybrid", HybridTopK))
       .orderBy(col("method"))
+    // 3-row report: snapshot, release the fixture's query panel
+    snapshotAndFree(out, queries)
   }
 
   /** The evaluation QUERY PANEL is bounded: the first
@@ -1134,9 +1164,10 @@ object Pipeline {
     * nprobe and q131 fixes the banding. */
   def q136FusionWeights(spark: SparkSession, dir: String): DataFrame = {
     val (queries, dPlant, ePlant) = retrievalEvalFixture(spark, dir)
-    val sparse = sparseLeg(queries, dPlant).persist(NarrowCacheLevel)
-    val dense = denseLeg(queries, ePlant).persist(NarrowCacheLevel)
-    sparse.count(); dense.count()
+    // legs are bounded local snapshots: the five grid rows re-rank
+    // them for free — the knob costs |grid| re-ranks, not serves
+    val sparse = sparseLeg(queries, dPlant)
+    val dense = denseLeg(queries, ePlant)
     val rows = FusionWeights.map { case (ws, wd) =>
       twinEval(queries, rrfFuseWeighted(sparse, dense, ws, wd), "rk")
         .select(lit(ws).cast("int").as("w_sparse_q"),
@@ -1144,7 +1175,8 @@ object Pipeline {
           col("n_queries"), col("n_found"), col("hits_at_1"),
           col("mrr_micro"))
     }
-    rows.reduce(_ unionByName _).orderBy(col("w_sparse_q").desc)
+    val out = rows.reduce(_ unionByName _).orderBy(col("w_sparse_q").desc)
+    snapshotAndFree(out, queries)
   }
 
   /** Pipeline — duplicate-aware SOFT dedup weights: instead of
@@ -1258,7 +1290,8 @@ object Pipeline {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("keep"), col("eff_micro")).otherwise(0L)).as("eff_kept_micro"))
       .orderBy(col("lang"))
-    out
+    // ≤|lang| report: snapshot, release the per-doc weight resident
+    snapshotAndFree(out, w)
   }
 
   /** L2 — the LSH BANDING knob table: the q114/q128 recall/efficiency

@@ -37,7 +37,12 @@ object Retrieve {
     * Output: `(query_id, rk, doc_id, rrf_micro, sparse_rank,
     * dense_rank)`, q133's exact schema and semantics (integer RRF at
     * k = 60, leg depth 20, fused depth 10, self-matches excluded by
-    * id). */
-  def hybridServe(dir: String)(batch: DataFrame, batchId: Long): DataFrame =
-    graft.operators.Pipeline.hybridRrfServe(batch.sparkSession, dir, batch)
+    * id). `ws`/`wd` are the serve-time FUSION WEIGHTS — the knob
+    * q136's grid measures (defaults = plain RRF); a deployment reads
+    * the grid, fixes its weights, and serves them here without
+    * touching either leg. */
+  def hybridServe(dir: String, ws: Int = 1, wd: Int = 1)
+      (batch: DataFrame, batchId: Long): DataFrame =
+    graft.operators.Pipeline.hybridRrfServe(batch.sparkSession, dir, batch,
+      ws, wd)
 }

@@ -7,6 +7,32 @@ import org.apache.spark.sql.functions._
 
 class RetrieveSpec extends SparkSpec {
 
+  test("weighted serve: positive scaling preserves the ranking, a pure weight serves its leg") {
+    import org.apache.spark.sql.functions.col
+    val queries = graft.Tables.spread(graft.Tables.documents(spark, sfDir))
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("text"))
+      .join(graft.Tables.spread(graft.Tables.embeddings(spark, sfDir))
+        .selectExpr("vec_id as query_id",
+          "transform(embedding, x -> cast(x as double)) as qe"),
+        "query_id")
+    def serve(ws: Int, wd: Int) =
+      graft.operators.Pipeline.hybridRrfServe(spark, sfDir, queries, ws, wd)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getInt(4), r.getInt(5)))
+    val plain = serve(1, 1)
+    val scaled = serve(2, 2)
+    // (2,2) is a positive scaling: identical rows, doubled scores
+    assert(plain.map(t => (t._1, t._2, t._3, t._5, t._6)).toSeq ==
+      scaled.map(t => (t._1, t._2, t._3, t._5, t._6)).toSeq)
+    assert(plain.map(_._4 * 2).toSeq == scaled.map(_._4).toSeq)
+    // (0,4) serves the dense leg: the fused rank IS the dense rank
+    serve(0, 4).foreach { case (q, rk, doc, _, _, drk) =>
+      assert(drk == rk, s"query $q doc $doc: fused rank $rk != dense rank $drk")
+    }
+  }
+
   test("streaming hybrid serve equals q133 across split installments, stateless") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
