@@ -334,6 +334,9 @@ object SparkEntry {
     // curriculum export: q122's shards with shortest-first within-shard
     // order, certified by the order-sensitive manifest checksum
     "q137_curriculum_manifest" -> (Pipeline.q137CurriculumManifest _),
+    // the production hybrid: BM25 from the inverted index at rest +
+    // dense from the IVF index at radius 1, integer RRF fusion
+    "q138_hybrid_at_rest" -> (Pipeline.q138HybridAtRest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -928,15 +928,20 @@ object Pipeline {
     rrfFuseWeighted(sparse, dense, ws, wd)
   }
 
+  /** Per-query distinct-token relation `(query_id, t)` — persisted;
+    * [[bm25MicroLeg]] releases it. */
+  private def queryTerms(queries: DataFrame): DataFrame =
+    queries
+      .select(col("query_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      .persist(NarrowCacheLevel)
+
   /** The sparse (per-query BM25) leg over a tokenized corpus
     * `d(doc_id, toks, dl)`: `(query_id, doc_id, srk ≤ HybridLegK)`.
     * Per-term weights round to integer micro-units BEFORE the per-doc
     * sum (order-free across partitions). */
   private def sparseLeg(queries: DataFrame, d: DataFrame): DataFrame = {
-    val qterms = queries
-      .select(col("query_id"),
-        explode(array_distinct(split(col("text"), " "))).as("t"))
-      .persist(NarrowCacheLevel)
+    val qterms = queryTerms(queries)
     val qvocab = qterms.select(col("t")).distinct()
     // corpus postings restricted to the query vocabulary before the
     // one (doc, term) exchange; feeds df AND scoring
@@ -948,6 +953,34 @@ object Pipeline {
     tf.count()
     val stats = d.agg(count(lit(1)).cast("double").as("nn"),
       avg(col("dl")).as("avgdl"))
+    bm25MicroLeg(qterms, tf, stats)
+  }
+
+  /** The sparse leg served from an inverted index AT REST (q86's
+    * posture applied to the per-query leg): postings filter to the
+    * query vocabulary — a pushed-down predicate on the sorted
+    * bucketed term key — and corpus stats ride the one-row sidecar;
+    * no tokenization, no corpus scan. Postings hold the complete
+    * per-term lists, so document frequency computed from the FILTERED
+    * relation equals the corpus df and the leg is row-identical to
+    * [[sparseLeg]] over the same corpus. */
+  private def sparseLegFromPostings(queries: DataFrame, postings: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val qterms = queryTerms(queries)
+    val qvocab = qterms.select(col("t")).distinct()
+    val tf = postings.join(broadcast(qvocab), "t")
+      .select(col("doc_id"), col("dl"), col("t"), col("tf"))
+      .persist(NarrowCacheLevel)
+    tf.count()
+    bm25MicroLeg(qterms, tf, stats)
+  }
+
+  /** Shared BM25 scoring behind [[sparseLeg]] and
+    * [[sparseLegFromPostings]]: micro-unit per-term weights, integer
+    * per-(query, doc) sums, top-[[HybridLegK]] per query; releases the
+    * callers' `qterms`/`tf` residents via [[snapshotAndFree]]. */
+  private def bm25MicroLeg(qterms: DataFrame, tf: DataFrame,
+      stats: DataFrame): DataFrame = {
     val df_ = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
     val wmicro = tf.join(broadcast(df_), "t").crossJoin(broadcast(stats))
       .withColumn("w",
@@ -1001,6 +1034,58 @@ object Pipeline {
     residents.foreach(_.unpersist(blocking = false))
     bounded.sparkSession.createDataFrame(
       java.util.Arrays.asList(snapshot: _*), bounded.schema)
+  }
+
+  /** The dense leg served from the persisted IVF INDEX (q85/q118's
+    * members relation) at a probe radius: candidates from the
+    * cluster-bucketed join — O(occupancy × probes) per query, never a
+    * corpus scan — ranked by round-6 cosine to `(query_id, doc_id,
+    * drk ≤ HybridLegK)`. The q133 exact leg's production form: the
+    * candidate set is IVF-pruned, so a true neighbour outside the
+    * probed clusters is invisible — exactly the recall q114/q128
+    * price. */
+  private def denseLegFromIndex(members: DataFrame,
+      probeRadius: Int): DataFrame = {
+    val q = probeExpand(
+      members.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("cluster"), col("mask")),
+      probeRadius)
+    val leg = members.join(broadcast(q), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(vecCosine(col("qe"), col("e")), 6).as("c6"))
+      .withColumn("drk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("c6").desc, col("doc_id"))))
+      .filter(col("drk") <= HybridLegK)
+      .select(col("query_id"), col("doc_id"), col("drk"))
+    snapshotAndFree(leg)
+  }
+
+  /** L3/L4 — the PRODUCTION hybrid: both legs served from indexes AT
+    * REST — BM25 from the persisted inverted index (postings filtered
+    * on the bucketed term key, stats sidecar; row-identical to the
+    * in-session leg) and the dense leg from the persisted IVF index at
+    * probe radius 1 (bounded candidates, the q114-priced recall trade)
+    * — fused by plain integer RRF. q133 is this query's exact-dense
+    * reference; the deltas between the two outputs are precisely what
+    * IVF pruning costs the fused ranking, and both serve knobs (nprobe
+    * via [[probeExpand]], fusion weights via [[rrfFuseWeighted]]) turn
+    * WITHOUT touching either index. Build-if-absent with corpus
+    * fingerprints (the q85/q86 discipline): a serve pays lookups, not
+    * builds. */
+  def q138HybridAtRest(spark: SparkSession, dir: String): DataFrame = {
+    val members = spark.table(ensureIvfIndex(spark, dir))
+    val inv = invIndexTable(dir)
+    val corpus = docs(spark, dir)
+    ensureCurrent(spark, inv, corpusFingerprint(corpus))(
+      buildInvIndex(spark, inv, corpus))
+    val queries = corpus.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val sparse = sparseLegFromPostings(queries, spark.table(inv),
+      spark.table(inv + "_stats"))
+    val dense = denseLegFromIndex(members, probeRadius = 1)
+    rrfFuse(sparse, dense)
   }
 
   /** Integer RRF fusion of the two leg rankings: full outer on
@@ -7832,6 +7917,81 @@ object Pipeline {
          |FROM ranked WHERE rk <= 10
          |ORDER BY query_id, rk""".stripMargin
 
+    /** q138 — the at-rest hybrid twin: q133's sparse CTEs verbatim
+      * (index-served postings are row-identical to tokenization — the
+      * q86==q57 property), the dense leg swapped to IVF radius-1
+      * candidates (q118's `cent` + [[fineClusterCtes]] + probe
+      * expansion), same integer RRF fusion and output shape. */
+    val q138 =
+      s"""WITH dd AS (
+         |  SELECT doc_id, len(toks) AS dl, toks
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |qt AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS t
+         |  FROM dd WHERE doc_id < 10),
+         |qv AS (SELECT DISTINCT t FROM qt),
+         |st AS (SELECT count(*)::DOUBLE AS nn, avg(dl) AS avgdl FROM dd),
+         |tfp AS (
+         |  SELECT doc_id, dl, t, count(*)::DOUBLE AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM dd) u
+         |  WHERE t IN (SELECT t FROM qv)
+         |  GROUP BY doc_id, dl, t),
+         |dfr AS (SELECT t, count(*)::DOUBLE AS df FROM tfp GROUP BY t),
+         |wmm AS (
+         |  SELECT doc_id, t, CAST(round(
+         |    ln(1.0 + (nn - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+         |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) * 1000000) AS BIGINT) AS w_micro
+         |  FROM tfp JOIN dfr USING (t), st),
+         |sp0 AS (
+         |  SELECT q.query_id, w.doc_id, CAST(sum(w.w_micro) AS BIGINT) AS s_micro
+         |  FROM wmm w JOIN qt q USING (t) WHERE w.doc_id <> q.query_id
+         |  GROUP BY q.query_id, w.doc_id),
+         |sp AS (SELECT query_id, doc_id, srk FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY s_micro DESC, doc_id) AS srk FROM sp0)
+         |  WHERE srk <= 20),
+         |cent AS (
+         |  SELECT label, list(cavg ORDER BY pos) AS cvec FROM (
+         |    SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 6) AS cavg
+         |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i)
+         |  GROUP BY label),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |${fineClusterCtes("e")},
+         |q0 AS (SELECT vec_id AS query_id, e AS qe, cluster, mask
+         |  FROM m WHERE vec_id < 10),
+         |qp AS (
+         |  SELECT query_id, qe,
+         |    unnest(list_prepend(cluster, list_transform(
+         |      list_filter(generate_series(0, 31), j -> (mask & CAST(2**j AS BIGINT)) != 0),
+         |      j -> xor(cluster, CAST(2**j AS BIGINT))))) AS cluster
+         |  FROM q0),
+         |dn0 AS (
+         |  SELECT query_id, m.vec_id AS doc_id, round(${cos("qe", "m.e")}, 6) AS c6
+         |  FROM m JOIN qp USING (cluster) WHERE m.vec_id <> query_id),
+         |dn AS (SELECT query_id, doc_id, drk FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY c6 DESC, doc_id) AS drk FROM dn0)
+         |  WHERE drk <= 20),
+         |fused AS (
+         |  SELECT coalesce(sp.query_id, dn.query_id) AS query_id,
+         |    coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+         |    coalesce(srk, 0) AS sparse_rank, coalesce(drk, 0) AS dense_rank
+         |  FROM sp FULL OUTER JOIN dn
+         |    ON sp.query_id = dn.query_id AND sp.doc_id = dn.doc_id),
+         |scf AS (
+         |  SELECT query_id, doc_id, sparse_rank, dense_rank,
+         |    CAST(CASE WHEN sparse_rank > 0 THEN 1000000 // (60 + sparse_rank) ELSE 0 END
+         |      + CASE WHEN dense_rank > 0 THEN 1000000 // (60 + dense_rank) ELSE 0 END
+         |      AS BIGINT) AS rrf_micro
+         |  FROM fused),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_micro DESC, doc_id) AS rk FROM scf)
+         |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, rrf_micro,
+         |  CAST(sparse_rank AS INT) AS sparse_rank,
+         |  CAST(dense_rank AS INT) AS dense_rank
+         |FROM ranked WHERE rk <= 10
+         |ORDER BY query_id, rk""".stripMargin
+
     /** The shared q135/q136 leg CTE block: planted corpora (text
       * twins %33, embedding twins %99), both-modality query universe,
       * sparse/dense leg rankings `sp`/`dn` and the unfused outer-join
@@ -8087,6 +8247,7 @@ object Pipeline {
       "q135_retrieval_eval" -> q135,
       "q136_fusion_weights" -> q136,
       "q137_curriculum_manifest" -> q137,
+      "q138_hybrid_at_rest" -> q138,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

@@ -2132,6 +2132,35 @@ class PipelineSpec extends SparkSpec {
     assert(rows("hybrid")._3 <= rows("sparse")._3 + rows("dense")._3)
   }
 
+  test("q138: at-rest hybrid — fusion arithmetic, sparse leg identical, IVF leg only prunes") {
+    def collect6(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    val rest = collect6(Pipeline.q138HybridAtRest(spark, sfDir))
+    val exact = collect6(Pipeline.q133HybridRrf(spark, sfDir))
+    assert(rest.map(_._1).distinct.length == 10)
+    rest.foreach { case (q, _, doc, rrf, srk, drk) =>
+      assert(doc != q && srk <= 20 && drk <= 20 && (srk > 0 || drk > 0))
+      val expect = (if (srk > 0) 1000000L / (60 + srk) else 0L) +
+        (if (drk > 0) 1000000L / (60 + drk) else 0L)
+      assert(rrf == expect, s"query $q doc $doc fusion arithmetic")
+    }
+    // the index-served sparse leg is ROW-IDENTICAL to the in-session
+    // one (q86==q57 property): where both outputs surface a (query,
+    // doc) with a sparse rank, the ranks agree
+    val exactBy = exact.map(t => (t._1, t._3) -> t).toMap
+    rest.foreach { case (q, _, doc, _, srk, drk) =>
+      exactBy.get((q, doc)).foreach { case (_, _, _, _, esrk, edrk) =>
+        if (srk > 0 && esrk > 0)
+          assert(srk == esrk, s"query $q doc $doc: sparse rank moved at rest")
+        // IVF candidates ⊆ the exact leg's universe: fewer competitors,
+        // so a doc surviving the pruning can only rank BETTER or equal
+        if (drk > 0 && edrk > 0)
+          assert(drk <= edrk, s"query $q doc $doc: IVF rank $drk > exact $edrk")
+      }
+    }
+  }
+
   test("q136: fusion-weight grid — (2,2) is plain RRF, pure weights match their legs") {
     val grid = Pipeline.q136FusionWeights(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3),
