@@ -1044,14 +1044,18 @@ object Pipeline {
     * candidate set is IVF-pruned, so a true neighbour outside the
     * probed clusters is invisible — exactly the recall q114/q128
     * price. */
-  private def denseLegFromIndex(members: DataFrame,
-      probeRadius: Int): DataFrame = {
-    val q = probeExpand(
-      members.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("e").as("qe"),
-          col("cluster"), col("mask")),
+  private def denseLegFromIndex(members: DataFrame, routing: DataFrame,
+      queries: DataFrame, probeRadius: Int): DataFrame = {
+    // stored-routing assignment: EXTERNAL query vectors land exactly
+    // where the build would have put them (routeThroughIndex is the
+    // shared lookup/append assignment), so a corpus vector re-queried
+    // under a novel id probes its own home cluster
+    val routed = probeExpand(
+      routeThroughIndex(routing,
+        queries.select(col("query_id"),
+          transform(col("qe"), x => x.cast("double")).as("qe")), "qe"),
       probeRadius)
-    val leg = members.join(broadcast(q), Seq("cluster"))
+    val leg = members.join(broadcast(routed), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         round(vecCosine(col("qe"), col("e")), 6).as("c6"))
@@ -1060,6 +1064,26 @@ object Pipeline {
       .filter(col("drk") <= HybridLegK)
       .select(col("query_id"), col("doc_id"), col("drk"))
     snapshotAndFree(leg)
+  }
+
+  /** The at-rest hybrid serve for ANY query relation `(query_id,
+    * text, qe)` — both legs from banked indexes, both knobs
+    * serve-time: the entry point a production retrieval deployment
+    * binds per request batch ([[graft.streaming.Retrieve]]'s at-rest
+    * face; q138 is this applied to the benchmark panel). */
+  private[graft] def hybridServeAtRest(spark: SparkSession, dir: String,
+      queries: DataFrame, ws: Int = 1, wd: Int = 1,
+      probeRadius: Int = 1): DataFrame = {
+    val idx = ensureIvfIndex(spark, dir)
+    val inv = invIndexTable(dir)
+    val corpus = docs(spark, dir)
+    ensureCurrent(spark, inv, corpusFingerprint(corpus))(
+      buildInvIndex(spark, inv, corpus))
+    val sparse = sparseLegFromPostings(queries, spark.table(inv),
+      spark.table(inv + "_stats"))
+    val dense = denseLegFromIndex(spark.table(idx),
+      spark.table(idx + "_routing"), queries, probeRadius)
+    rrfFuseWeighted(sparse, dense, ws, wd)
   }
 
   /** L3/L4 — the PRODUCTION hybrid: both legs served from indexes AT
@@ -1075,17 +1099,11 @@ object Pipeline {
     * fingerprints (the q85/q86 discipline): a serve pays lookups, not
     * builds. */
   def q138HybridAtRest(spark: SparkSession, dir: String): DataFrame = {
-    val members = spark.table(ensureIvfIndex(spark, dir))
-    val inv = invIndexTable(dir)
-    val corpus = docs(spark, dir)
-    ensureCurrent(spark, inv, corpusFingerprint(corpus))(
-      buildInvIndex(spark, inv, corpus))
-    val queries = corpus.filter(col("doc_id") < 10)
+    val queries = docs(spark, dir).filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"), col("text"))
-    val sparse = sparseLegFromPostings(queries, spark.table(inv),
-      spark.table(inv + "_stats"))
-    val dense = denseLegFromIndex(members, probeRadius = 1)
-    rrfFuse(sparse, dense)
+      .join(pqVectors(spark, dir)
+        .select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
+    hybridServeAtRest(spark, dir, queries)
   }
 
   /** Integer RRF fusion of the two leg rankings: full outer on

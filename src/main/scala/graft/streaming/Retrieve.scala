@@ -45,4 +45,21 @@ object Retrieve {
       (batch: DataFrame, batchId: Long): DataFrame =
     graft.operators.Pipeline.hybridRrfServe(batch.sparkSession, dir, batch,
       ws, wd)
+
+  /** The AT-REST serving face (q138's entry point per request batch):
+    * both legs from the banked indexes — postings filtered on the
+    * bucketed term key, dense candidates from the stored IVF routing
+    * at `probeRadius` — so a micro-batch pays INDEX LOOKUPS, never a
+    * corpus tokenization or scan. External query vectors route
+    * through the index's stored centroid/mask decisions
+    * (`routeThroughIndex`, the lookup/append assignment), landing
+    * exactly where the build would have put them; a corpus document
+    * re-queried under a novel id finds itself at dense rank 1. This
+    * is the form a long-running serving job binds: `hybridServe`
+    * re-derives the legs from raw tables (right for ad-hoc or
+    * index-less corpora); this one assumes the nightly build. */
+  def hybridServeAtRest(dir: String, ws: Int = 1, wd: Int = 1,
+      probeRadius: Int = 1)(batch: DataFrame, batchId: Long): DataFrame =
+    graft.operators.Pipeline.hybridServeAtRest(batch.sparkSession, dir,
+      batch, ws, wd, probeRadius)
 }

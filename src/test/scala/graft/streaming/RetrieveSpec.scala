@@ -33,6 +33,51 @@ class RetrieveSpec extends SparkSpec {
     }
   }
 
+  test("at-rest serve: novel-id queries route through the stored index and find themselves") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // corpus documents re-queried under NOVEL ids (+5M): the index has
+    // never seen these ids, only the content
+    val queries = graft.Tables.spread(graft.Tables.documents(spark, sfDir))
+      .filter(col("doc_id") < 6)
+      .select(col("doc_id"), col("text"))
+      .join(graft.Tables.spread(graft.Tables.embeddings(spark, sfDir))
+        .selectExpr("vec_id as doc_id",
+          "transform(embedding, x -> cast(x as double)) as qe"), "doc_id")
+      .collect()
+      .map(r => (r.getLong(0) + 5000000L, r.getString(1), r.getSeq[Double](2)))
+    val in = MemoryStream[(Long, String, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Int, Int)]
+    val query = in.toDF().toDF("query_id", "text", "qe")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        got ++= Retrieve.hybridServeAtRest(sfDir)(b, id).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getInt(4), r.getInt(5)))
+        ()
+      }
+      .start()
+    try {
+      in.addData(queries.take(3)); query.processAllAvailable()
+      in.addData(queries.drop(3)); query.processAllAvailable()
+      assert(query.lastProgress.stateOperators.isEmpty, "serving must hold no state")
+      val byQ = got.groupBy(_._1)
+      assert(byQ.size == queries.length)
+      queries.foreach { case (qid, _, _) =>
+        // the stored routing lands the identical vector in its own home
+        // cluster, so the original document is a candidate and its
+        // cosine 1.0 tops the dense leg
+        val self = byQ(qid).find(_._3 == qid - 5000000L)
+        assert(self.nonEmpty, s"query $qid: original doc not retrieved")
+        assert(self.get._5 == 1, s"query $qid: original doc dense rank ${self.get._5}")
+        // and an identical-text query surfaces it on the sparse leg too
+        assert(self.get._4 > 0, s"query $qid: original doc missing from sparse leg")
+      }
+    } finally query.stop()
+  }
+
   test("streaming hybrid serve equals q133 across split installments, stateless") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
