@@ -337,6 +337,9 @@ object SparkEntry {
     // the production hybrid: BM25 from the inverted index at rest +
     // dense from the IVF index at radius 1, integer RRF fusion
     "q138_hybrid_at_rest" -> (Pipeline.q138HybridAtRest _),
+    // the known-item eval under IVF pruning: what candidate pruning
+    // costs twin recall/MRR — q114's price measured against a task
+    "q139_pruned_eval" -> (Pipeline.q139PrunedEval _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

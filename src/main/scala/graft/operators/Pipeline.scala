@@ -1223,6 +1223,50 @@ object Pipeline {
     (queries, dPlant, ePlant)
   }
 
+  /** L3/L4 — the known-item eval UNDER IVF PRUNING: q135's planted
+    * fixture served the way production serves the dense leg —
+    * fine-cluster candidate pruning at probe radius 1 over the PLANTED
+    * embedding corpus (the index such a deployment would build; the
+    * planted twins are index members like any other ingest), sparse
+    * leg unchanged. Read beside q135: the dense/hybrid row deltas are
+    * what candidate pruning costs known-item recall and MRR — the
+    * EVAL-side complement of q114's recall-per-candidate table (q114
+    * prices pruning against the exact top-5; this prices it against a
+    * task: find the planted twin). */
+  def q139PrunedEval(spark: SparkSession, dir: String): DataFrame = {
+    val (queries, dPlant, ePlant) = retrievalEvalFixture(spark, dir)
+    val sparse = sparseLeg(queries, dPlant)
+    val members = mapSideFineClusters(ePlant,
+      labelCentroids(spark, dir), ClusterTargetOccupancy)
+      .persist(CacheLevel)
+    members.count()
+    val q = probeExpand(
+      members.join(queries.select(col("query_id")),
+          col("vec_id") === col("query_id"))
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("cluster"), col("mask")),
+      1)
+    val leg = members.join(broadcast(q), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(vecCosine(col("qe"), col("e")), 6).as("c6"))
+      .withColumn("drk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("c6").desc, col("doc_id"))))
+      .filter(col("drk") <= HybridLegK)
+      .select(col("query_id"), col("doc_id"), col("drk"))
+    val denseP = snapshotAndFree(leg, members)
+    val fused = rrfFuse(sparse, denseP)
+    def evalMethod(rel: DataFrame, rankName: String, method: String,
+        depth: Int): DataFrame =
+      twinEval(queries, rel, rankName)
+        .select(lit(method).as("method"), lit(depth).cast("int").as("depth"),
+          col("n_queries"), col("n_found"), col("hits_at_1"), col("mrr_micro"))
+    val out = evalMethod(denseP, "drk", "dense_ivf", HybridLegK)
+      .unionByName(evalMethod(fused, "rk", "hybrid_ivf", HybridTopK))
+      .orderBy(col("method"))
+    snapshotAndFree(out, queries)
+  }
+
   /** One-row twin-retrieval metrics of a ranked relation
     * `(query_id, doc_id, <rankCol>)` against the planted id+10^6
     * truth: `(n_queries, n_found, hits_at_1, mrr_micro)`, all exact
@@ -8113,6 +8157,67 @@ object Pipeline {
          |ORDER BY w_sparse_q DESC""".stripMargin
     }
 
+    /** q139 — the pruned-eval twin: the shared leg CTEs, the dense
+      * side re-derived over the PLANTED corpus via `cent` +
+      * [[fineClusterCtes]]("epl") + the radius-1 probe expansion, then
+      * the q135 twin rollups for the two pruned methods. */
+    val q139 =
+      s"""WITH $retrievalEvalCtes,
+         |cent AS (
+         |  SELECT label, list(cavg ORDER BY pos) AS cvec FROM (
+         |    SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 6) AS cavg
+         |    FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i)
+         |  GROUP BY label),
+         |${fineClusterCtes("epl")},
+         |q0 AS (SELECT m.vec_id AS query_id, m.e AS qe, m.cluster, m.mask
+         |  FROM m JOIN qids ON m.vec_id = qids.query_id),
+         |qp AS (
+         |  SELECT query_id, qe,
+         |    unnest(list_prepend(cluster, list_transform(
+         |      list_filter(generate_series(0, 31), j -> (mask & CAST(2**j AS BIGINT)) != 0),
+         |      j -> xor(cluster, CAST(2**j AS BIGINT))))) AS cluster
+         |  FROM q0),
+         |dnp0 AS (
+         |  SELECT query_id, m.vec_id AS doc_id, round(${cos("qe", "m.e")}, 6) AS c6
+         |  FROM m JOIN qp USING (cluster) WHERE m.vec_id <> query_id),
+         |dnp AS (SELECT query_id, doc_id, drk FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY c6 DESC, doc_id) AS drk FROM dnp0)
+         |  WHERE drk <= 20),
+         |fusedp AS (
+         |  SELECT coalesce(sp.query_id, dnp.query_id) AS query_id,
+         |    coalesce(sp.doc_id, dnp.doc_id) AS doc_id,
+         |    coalesce(srk, 0) AS sparse_rank, coalesce(drk, 0) AS dense_rank
+         |  FROM sp FULL OUTER JOIN dnp
+         |    ON sp.query_id = dnp.query_id AND sp.doc_id = dnp.doc_id),
+         |scp AS (
+         |  SELECT query_id, doc_id,
+         |    (CASE WHEN sparse_rank > 0 THEN 1000000 // (60 + sparse_rank) ELSE 0 END
+         |      + CASE WHEN dense_rank > 0 THEN 1000000 // (60 + dense_rank) ELSE 0 END) AS rrf_micro
+         |  FROM fusedp),
+         |hyp AS (SELECT query_id, doc_id, rk FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_micro DESC, doc_id) AS rk FROM scp)
+         |  WHERE rk <= 10),
+         |tw_dp AS (SELECT q.query_id, dnp.drk AS trk FROM qids q
+         |  LEFT JOIN dnp ON dnp.query_id = q.query_id AND dnp.doc_id = q.query_id + 1000000),
+         |tw_hp AS (SELECT q.query_id, hyp.rk AS trk FROM qids q
+         |  LEFT JOIN hyp ON hyp.query_id = q.query_id AND hyp.doc_id = q.query_id + 1000000),
+         |m_dp AS (SELECT 'dense_ivf' AS method, 20 AS depth, count(*) AS n_queries,
+         |  count(trk) AS n_found,
+         |  CAST(sum(CASE WHEN trk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+         |  CAST(sum(CASE WHEN trk IS NOT NULL THEN 1000000 // trk ELSE 0 END)
+         |    // count(*) AS BIGINT) AS mrr_micro FROM tw_dp),
+         |m_hp AS (SELECT 'hybrid_ivf' AS method, 10 AS depth, count(*) AS n_queries,
+         |  count(trk) AS n_found,
+         |  CAST(sum(CASE WHEN trk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+         |  CAST(sum(CASE WHEN trk IS NOT NULL THEN 1000000 // trk ELSE 0 END)
+         |    // count(*) AS BIGINT) AS mrr_micro FROM tw_hp)
+         |SELECT method, CAST(depth AS INT) AS depth, n_queries, n_found,
+         |  hits_at_1, mrr_micro
+         |FROM (SELECT * FROM m_dp UNION ALL SELECT * FROM m_hp)
+         |ORDER BY method""".stripMargin
+
     /** q135 — known-item eval twin: q133's leg CTEs over the planted
       * corpora (text twins at %33, embedding twins only at %99 — the
       * q51 perturbation, 1-based lambda index), twin-rank lookups per
@@ -8266,6 +8371,7 @@ object Pipeline {
       "q136_fusion_weights" -> q136,
       "q137_curriculum_manifest" -> q137,
       "q138_hybrid_at_rest" -> q138,
+      "q139_pruned_eval" -> q139,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

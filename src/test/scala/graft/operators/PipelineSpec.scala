@@ -2161,6 +2161,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q139: pruned eval — structural bounds, radius-1 lossless on twins vs q135") {
+    val pruned = Pipeline.q139PrunedEval(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    assert(pruned.keySet == Set("dense_ivf", "hybrid_ivf"))
+    val exact = Pipeline.q135RetrievalEval(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    pruned.values.foreach { case (nq, nf, h1, mrr) =>
+      assert(nq == exact("dense")._1, "query universes differ")
+      assert(nf <= nq && h1 <= nf && mrr <= 1000000L)
+    }
+    // the measured claim on this corpus: a ±0.2% twin lands within one
+    // sub-bucket flip of its original, so radius-1 pruning loses NO
+    // twin the exact leg found — the dense metrics are identical
+    assert(pruned("dense_ivf") == exact("dense"),
+      s"radius-1 pruning moved the twin metrics: ${pruned("dense_ivf")} vs ${exact("dense")}")
+    // the pruned hybrid can differ from exact only through deep-leg
+    // candidate differences — never by losing a found twin entirely
+    assert(pruned("hybrid_ivf")._2 >= exact("dense")._2,
+      "pruned hybrid found fewer twins than its own dense leg")
+  }
+
   test("q136: fusion-weight grid — (2,2) is plain RRF, pure weights match their legs") {
     val grid = Pipeline.q136FusionWeights(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3),
