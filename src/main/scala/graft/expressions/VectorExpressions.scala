@@ -265,12 +265,30 @@ case class CentroidArgmax(child: Expression,
   * early exit on the first hit; the set rides as ONE reference object
   * (the [[CentroidArgmax]] discipline), so generated code size is
   * independent of |set|. Null array → null; null elements are skipped
-  * (a null gram cannot match). */
+  * (a null gram cannot match).
+  *
+  * The `Array[Long]` field defeats case-class structural equality
+  * (arrays compare by reference), which would make two structurally
+  * identical predicates never `semanticEquals` and so never share
+  * subexpressions (ADVICE r17); `equals`/`hashCode` are therefore
+  * content-based (`java.util.Arrays`), with the hash computed once —
+  * a 2^18-element set must not be re-hashed on every canonicalization
+  * probe. Sortedness is the CALLER's contract (validated once in
+  * [[VectorFunctions.anySortedSetMember]], the one construction path)
+  * rather than a constructor `require`: Catalyst `copy()`s expressions
+  * freely during tree transforms, and an O(|set|) check per copy is
+  * real cost for a plan-literal this size. */
 case class AnySortedSetMember(child: Expression, set: Array[Long])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(set.nonEmpty, "empty membership set")
-  require((1 until set.length).forall(i => set(i - 1) < set(i)),
-    "set must be ascending-sorted and duplicate-free (the binary-search contract)")
+
+  override def equals(other: Any): Boolean = other match {
+    case a: AnySortedSetMember =>
+      child == a.child && java.util.Arrays.equals(set, a.set)
+    case _ => false
+  }
+  @transient override lazy val hashCode: Int =
+    31 * child.hashCode + java.util.Arrays.hashCode(set)
 
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def nullable: Boolean = child.nullable
@@ -345,8 +363,13 @@ object VectorFunctions {
 
   /** Codegen'd "any element ∈ sorted literal set" for `array<long>`
     * (see [[AnySortedSetMember]]). `set` must be ascending-sorted and
-    * duplicate-free. */
-  def anySortedSetMember(a: Column, set: Array[Long]): Column =
+    * duplicate-free — validated HERE, once per construction, not in
+    * the expression's constructor (which Catalyst re-runs per
+    * `copy()` during tree transforms). */
+  def anySortedSetMember(a: Column, set: Array[Long]): Column = {
+    require((1 until set.length).forall(i => set(i - 1) < set(i)),
+      "set must be ascending-sorted and duplicate-free (the binary-search contract)")
     SqlBridge.column(AnySortedSetMember(
       SqlBridge.expression(a.cast("array<long>")), set))
+  }
 }

@@ -128,28 +128,36 @@ object Layout {
   }
 
   /** One-row corpus-FINGERPRINT sidecar of a banked artifact (ADVICE
-    * r15): `(n_rows, content_hash)` of the corpus the artifact was
-    * built from, at `<name>_fingerprint`. The build-if-absent sites
-    * compare the live corpus against it and rebuild on mismatch — a
-    * regenerated corpus retrains instead of silently serving stale
-    * codes. See [[graft.operators.Pipeline.corpusFingerprint]] for the
-    * hash discipline. */
+    * r15): `(n_rows, content_hash, content_sum)` of the corpus the
+    * artifact was built from, at `<name>_fingerprint`. The
+    * build-if-absent sites compare the live corpus against it and
+    * rebuild on mismatch — a regenerated corpus retrains instead of
+    * silently serving stale codes. See
+    * [[graft.operators.Pipeline.corpusFingerprint]] for the hash
+    * discipline (the sum accumulator is ADVICE r17's fix for XOR's
+    * pairwise duplicate cancellation). */
   def writeFingerprint(spark: SparkSession, name: String,
-      fp: (Long, Long)): Unit = {
+      fp: (Long, Long, Long)): Unit = {
     dropManagedTable(spark, name + "_fingerprint")
     import spark.implicits._
-    Seq(fp).toDF("n_rows", "content_hash")
+    Seq(fp).toDF("n_rows", "content_hash", "content_sum")
       .write.mode(SaveMode.Overwrite).saveAsTable(name + "_fingerprint")
   }
 
   /** The stored corpus fingerprint of a banked artifact — None when
-    * the artifact predates fingerprinting or does not exist (both mean
+    * the artifact predates fingerprinting, does not exist, or was
+    * written by the pre-triple (two-column) format (all mean
     * "rebuild"). */
   def readFingerprint(spark: SparkSession,
-      name: String): Option[(Long, Long)] =
+      name: String): Option[(Long, Long, Long)] = {
     if (!spark.catalog.tableExists(name + "_fingerprint")) None
-    else spark.table(name + "_fingerprint").collect().headOption
-      .map(r => (r.getLong(0), r.getLong(1)))
+    else {
+      val t = spark.table(name + "_fingerprint")
+      if (t.columns.length < 3) None
+      else t.collect().headOption
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+  }
 
   /** Drop `name` AND scrub its warehouse directory: the default
     * in-memory catalog forgets table METADATA at session end but the

@@ -259,6 +259,15 @@ class LayoutSpec extends SparkSpec {
     val schema = Tables.embeddings(spark, sfDir).schema
     spark.createDataFrame(java.util.Arrays.asList(halved: _*), schema)
       .write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+    // the session-scoped ensure MEMO (ADVICE r17) deliberately skips
+    // the fingerprint scan on repeat calls: an in-session regenerate
+    // is only picked up after invalidateEnsured (the catalog-version
+    // bump analog); cross-session detection needs no invalidation
+    // because a fresh session starts with an empty memo
+    Pipeline.trainedPqSeeds(spark, dir)
+    assert(codebookFiles() == files1,
+      "memoized ensure must not rescan within a session")
+    Pipeline.invalidateEnsured(spark)
     val seeds3 = Pipeline.trainedPqSeeds(spark, dir)
     val fp3 = Layout.readFingerprint(spark, idx)
     assert(fp3 != fp1, "fingerprint must track the regenerated corpus")

@@ -2310,12 +2310,13 @@ class PipelineSpec extends SparkSpec {
       (0 to t.length - 3).map(i => hashMod(t.slice(i, i + 3).mkString(" "))).toSet
     }
     val sets = docs.map { case (id, t) => id -> hs(t) }.toMap
+    // the exact integer form of jaccard >= 1/2 (ADVICE r17): no
+    // rounding on either engine, so brute force and harness agree on
+    // borderline pairs by construction
     val bruteTruth = (for {
       a <- docs.map(_._1); b <- docs.map(_._1) if a < b
-      inter = (sets(a) & sets(b)).size.toDouble
-      j = BigDecimal(inter / (sets(a).size + sets(b).size - inter))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      if j >= 0.5
+      inter = (sets(a) & sets(b)).size
+      if 3 * inter >= sets(a).size + sets(b).size
     } yield (a, b)).toSet
     assert(bruteTruth.contains((1L, 2L)) && bruteTruth.contains((1L, 3L)),
       "fixture lost its planted near-dups")
