@@ -107,6 +107,31 @@ object Layout {
     codebook.write.mode(SaveMode.Overwrite).saveAsTable(name)
   }
 
+  /** The learned BPE merge table AT REST (VERDICT r17 §next-2 — the
+    * last trained artifact without a persisted form): one row per
+    * merge, `(it, lhs, rhs, pair_count, tokens_after)`, replayed in
+    * `it` order by every apply site. Train-once discipline: the
+    * learner is deterministic per corpus (count-desc-then-lexicographic
+    * argmax), so the stored table equals a retrain bit-exactly
+    * (LayoutSpec) and banking changes no oracle row. One file — the
+    * table is ≤|vocabulary| rows of strings, driver-bounded by
+    * construction. */
+  def writeMerges(spark: SparkSession,
+      merges: Seq[(Int, String, String, Long, Long)], name: String): Unit = {
+    dropManagedTable(spark, name)
+    import spark.implicits._
+    merges.toDF("it", "lhs", "rhs", "pair_count", "tokens_after")
+      .coalesce(1).write.mode(SaveMode.Overwrite).saveAsTable(name)
+  }
+
+  /** The banked merge table, in learned (`it`) order — the exact shape
+    * [[writeMerges]] stored. */
+  def readMerges(spark: SparkSession,
+      name: String): Seq[(Int, String, String, Long, Long)] =
+    spark.table(name).orderBy(col("it")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+
   /** The three relations of a persisted PQ index:
     * (codes, codebook, stats). */
   def readPqIndex(spark: SparkSession,

@@ -3812,15 +3812,41 @@ object Pipeline {
     * DISJOINT pairs per pass (merges whose tokens don't overlap
     * commute, so a disjoint batch is order-equivalent to m sequential
     * passes) — the documented scale path; the per-pass machinery here
-    * is unchanged by batching. */
-  def q100BpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val (rounds, _, release) = bpeLearnRounds(base)
-    release()
-    import spark.implicits._
-    rounds.toDF("it", "lhs", "rhs", "pair_count", "tokens_after")
-      .orderBy(col("it"))
+    * is unchanged by batching.
+    *
+    * The merge table is BANKED at rest ([[ensureBpeMerges]] — the
+    * codebook/index fingerprint discipline): the first caller per
+    * (session, corpus version) pays the training passes; every later
+    * q100/q104/streaming-tokenizer consumer reads the ≤m-row stored
+    * table. */
+  def q100BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensureBpeMerges(spark, dir)).orderBy(col("it"))
+
+  /** Managed-table name of the banked BPE merge table for `dir`. */
+  private[graft] def bpeMergesTable(dir: String): String =
+    "graft_bpe_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Build-if-absent-or-stale for the banked BPE merge table of `dir`
+    * (VERDICT r17 §next-2: PQ codebooks, IVF memberships, and the
+    * inverted index already bank with fingerprints; the tokenizer was
+    * the last trained artifact re-learned per session). The learner is
+    * [[bpeLearnRounds]] verbatim, so the stored rows equal a retrain
+    * bit-exactly (LayoutSpec) and q100's oracle is unchanged; q104 and
+    * the streaming tokenizer ([[graft.streaming.Tokenize]]) replay the
+    * stored table instead of re-learning — at 100 TB that's the
+    * difference between m training passes per consumer and ONE ≤m-row
+    * table read. Returns the table name. */
+  private[graft] def ensureBpeMerges(spark: SparkSession,
+      dir: String): String = {
+    val tbl = bpeMergesTable(dir)
+    val corpus = docs(spark, dir)
+    ensureCurrent(spark, tbl, corpusFingerprint(corpus)) {
+      val (rounds, _, release) = bpeLearnRounds(
+        corpus.select(col("doc_id"), split(col("text"), " ").as("toks")))
+      release()
+      Layout.writeMerges(spark, rounds, tbl)
+    }
+    tbl
   }
 
   /** Greedy pairwise-DISJOINT prefix filter over a ranked
@@ -3966,28 +3992,36 @@ object Pipeline {
     * asymmetry across languages is a real mixing input (a tokenizer
     * that compresses one language 2× worse silently halves its
     * effective share of a token budget), which is why this rollup sits
-    * beside q54's mixing quotas. One extra ≤|lang|-row aggregate over
-    * the learn loop's final relation — the loop itself is q100's,
-    * unchanged. */
+    * beside q54's mixing quotas.
+    *
+    * Reads the BANKED merge table ([[ensureBpeMerges]] — the learner
+    * runs at most once per corpus version) and replays it in learned
+    * order through the shared greedy fold ([[bpeMergePass]]) in ONE
+    * map-side projection: sequential replay of the stored merges
+    * rewrites every document exactly as the learn loop's per-round
+    * rewrites did (each round WAS one [[bpeMergePass]] of its chosen
+    * pair), so the rollup is unchanged while the per-round pair-count
+    * scans, argmax snapshots, and intermediate persists disappear from
+    * this query — before/after token totals come from a single
+    * ≤|lang|-row aggregate over one corpus scan. */
   def q104TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
-      split(col("text"), " ").as("toks"))
-    val (_, finalToks, release) = bpeLearnRounds(
-      d.select(col("doc_id"), col("toks")))
-    val out = d.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("toks")).cast("long")).as("tokens_before"))
-      .join(finalToks.join(d.select(col("doc_id"), col("lang")), "doc_id")
-        .groupBy(col("lang"))
-        .agg(sum(size(col("toks")).cast("long")).as("tokens_after")), "lang")
+    val merges = Layout.readMerges(spark, ensureBpeMerges(spark, dir))
+      .map(m => (m._2, m._3))
+    val out = docs(spark, dir)
+      .select(col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("lang"), size(col("toks")).cast("long").as("nb"),
+        size(bpeApplyMerges(col("toks"), merges)).cast("long").as("na"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("tokens_before"),
+        sum(col("na")).as("tokens_after"))
       .select(col("lang"), col("n_docs"), col("tokens_before"),
         col("tokens_after"),
         round(col("tokens_before").cast("double") / col("tokens_after"), 6)
           .as("compression"))
       .orderBy(col("lang"))
-    // ≤|lang| rows: snapshot, then release the loop's persisted corpus
+    // ≤|lang| rows: snapshot (keeps the report a LocalRelation, the
+    // composed-consumer discipline every bounded report follows)
     val snapshot = out.collect()
-    release()
     spark.createDataFrame(
       java.util.Arrays.asList(snapshot: _*), out.schema)
   }

@@ -36,4 +36,17 @@ object Tokenize {
           case (c, (l, r)) => Pipeline.bpeMergePass(c, l, r)
         })
       .withColumn("n_toks", size(col("toks")))
+
+  /** [[applyMerges]] bound to the BANKED merge table of `dir`
+    * ([[graft.operators.Pipeline.ensureBpeMerges]] — train-once,
+    * fingerprint-guarded): the table is read ONCE at composition time
+    * and rides the plan as literals, so micro-batches pay zero lookups
+    * — the same static-side snapshot contract as the decontamination
+    * gate's eval set; a retrained vocabulary means re-composing the
+    * query. */
+  def applyBankedMerges(docs: DataFrame, textCol: String,
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    applyMerges(docs, textCol,
+      graft.operators.Layout.readMerges(spark,
+        Pipeline.ensureBpeMerges(spark, dir)).map(m => (m._2, m._3)))
 }

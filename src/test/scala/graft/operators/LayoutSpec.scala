@@ -279,6 +279,52 @@ class LayoutSpec extends SparkSpec {
           transform(col("embedding"), x => x.cast("double")).as("e"))))
   }
 
+  test("banked BPE merges: stored equals deterministic retrain, unchanged skips, regenerate retrains") {
+    // a private corpus dir the test owns (the codebook test's
+    // discipline — the shared per-SF table must stay pristine)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Tables.documents(spark, sfDir).write.parquet(dir + "/documents.parquet")
+    val tbl = Pipeline.bpeMergesTable(dir)
+    def mergeFiles(): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName).toSet
+    }
+    val stored = Layout.readMerges(spark, Pipeline.ensureBpeMerges(spark, dir))
+    assert(stored.nonEmpty, "learner found no merges on the fixture corpus")
+    assert(Layout.readFingerprint(spark, tbl).isDefined,
+      "build must record a corpus fingerprint")
+    // bit-exact vs a fresh deterministic retrain on the same corpus
+    val base = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val (retrained, _, release) = Pipeline.bpeLearnRounds(base)
+    release()
+    assert(stored == retrained,
+      "stored merge table must equal a deterministic retrain bit-exactly")
+    // unchanged corpus → no rebuild (same files at rest)
+    val files1 = mergeFiles()
+    Pipeline.invalidateEnsured(spark) // force a real fingerprint compare
+    Layout.readMerges(spark, Pipeline.ensureBpeMerges(spark, dir))
+    assert(mergeFiles() == files1, "unchanged corpus must not rebuild")
+    // regenerate IN PLACE (halved corpus) → fingerprint mismatch retrains
+    val halved = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0).collect()
+    val schema = Tables.documents(spark, sfDir).schema
+    spark.createDataFrame(java.util.Arrays.asList(halved: _*), schema)
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    Pipeline.invalidateEnsured(spark)
+    val retrainedHalf = Layout.readMerges(
+      spark, Pipeline.ensureBpeMerges(spark, dir))
+    assert(mergeFiles() != files1, "regenerated corpus must rebuild")
+    val (expectHalf, _, releaseHalf) = Pipeline.bpeLearnRounds(
+      Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), split(col("text"), " ").as("toks")))
+    releaseHalf()
+    assert(retrainedHalf == expectHalf,
+      "retrain must be the regenerated corpus's own training output")
+  }
+
   test("indexAppend: new vectors land in their routed buckets, serve finds them, layout invariant holds") {
     import spark.implicits._
     val shared = Pipeline.ivfIndexTable(sfDir)
