@@ -263,7 +263,7 @@ object Pipeline {
         array((0 until NumMinhash).map(h => col(s"m$h")): _*).as("msig"))
   }
 
-  private def verifiedNearDupPairs(corpus: DataFrame): DataFrame = {
+  private[graft] def verifiedNearDupPairs(corpus: DataFrame): DataFrame = {
     val base = shingleHashSets(corpus).persist(CacheLevel)
     val sigs = minhashSigs(base)
     val bands = sigs.select(col("doc_id"),

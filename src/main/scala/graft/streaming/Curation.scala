@@ -127,16 +127,33 @@ object Curation {
     *
     * Statefulness: the first FOUR stages are pure map-side column
     * logic (zero state — decontamination's eval set rides the plan as
-    * a literal), so the ONLY state the composition holds is the dedup
-    * stage's watermark-bounded canonical digests — one 16-byte digest
-    * per kept document inside the horizon, RocksDB-backed like every
-    * dedup gate. Append mode end to end. At 100 TB ingest this is the
-    * order that minimizes both state and compute: markup (the
+    * a literal), so the composition holds exactly ONE watermark-bounded
+    * stateful operator PER ENABLED DEDUP STAGE: the canonical-digest
+    * state always (one 16-byte digest per kept in-horizon document),
+    * plus the near-dup signature state when `nearDup` is on — two
+    * state operators total, spec-asserted, both RocksDB-backed like
+    * every dedup gate. Append mode end to end. At 100 TB ingest this
+    * is the order that minimizes both state and compute: markup (the
     * bulkiest bytes) drops at the first map, gated documents never
-    * reach the state store. */
+    * reach the state store.
+    *
+    * `nearDup` (VERDICT r17 §next-1) closes the last q113 stage
+    * without a streaming face in the composition: with it off, a
+    * lightly-edited re-crawl page sails through the canonical digest
+    * and waits for the nightly batch funnel (q113 stage 3, LSH+verify)
+    * — with it on, the page collapses onto the original's
+    * [[Dedup.nearDupSignature]] AT INGEST. The stage sits after the
+    * exact stage (exact collapse is free of collision risk, so the
+    * signature state only ever holds canonical-distinct survivors);
+    * `nearDupHistory` ([[Dedup.historicalNearSignatures]]) is its
+    * stateless history bootstrap, exactly as `history` is the exact
+    * stage's. */
   def ingestGate(pages: DataFrame, htmlCol: String, eventTimeCol: String,
       horizon: String, evalGrams: Option[DataFrame] = None,
-      history: Option[DataFrame] = None): DataFrame = {
+      history: Option[DataFrame] = None, nearDup: Boolean = false,
+      nearDupHistory: Option[DataFrame] = None): DataFrame = {
+    require(nearDup || nearDupHistory.isEmpty,
+      "nearDupHistory bootstraps the near-dup stage - enable nearDup")
     val scrubbed =
       piiScrub(qualityGate(markupExtract(pages, htmlCol), "text"), "text")
     val cleared = evalGrams.fold(scrubbed)(decontamGate(scrubbed, "text", _))
@@ -146,8 +163,12 @@ object Curation {
     // FRESH stream doesn't re-admit history while its state store
     // warms up; stream-internal duplicates still hit the same
     // watermark-bounded state
-    history.fold(Dedup.dedupNormalized(cleared, "text", eventTimeCol, horizon))(
-      Dedup.dedupNormalizedBootstrapped(cleared, "text", eventTimeCol, horizon, _))
+    val exact =
+      history.fold(Dedup.dedupNormalized(cleared, "text", eventTimeCol, horizon))(
+        Dedup.dedupNormalizedBootstrapped(cleared, "text", eventTimeCol, horizon, _))
+    if (!nearDup) exact
+    else Dedup.dedupNearSignature(exact, "text", eventTimeCol, horizon,
+      nearDupHistory)
   }
 
   /** Stateless temperature-mix gate — the streaming face of q123:
@@ -175,17 +196,20 @@ object Curation {
     * let a mixed-out first arrival resurrect its duplicate — and the
     * shard route last, on exactly the documents a trainer will read.
     * Mix and route are both stateless map logic, so the composition
-    * still holds exactly ONE stateful operator (the dedup digests);
-    * bind the result to a `partitionBy("shard")` sink and the stream
-    * writes training shards directly. */
+    * still holds exactly one stateful operator per enabled dedup stage
+    * (the canonical digests; plus the near-dup signatures when
+    * `nearDup` is on); bind the result to a `partitionBy("shard")`
+    * sink and the stream writes training shards directly. */
   def ingestToShards(pages: DataFrame, htmlCol: String,
       eventTimeCol: String, horizon: String,
       evalGrams: Option[DataFrame] = None,
       mixRates: Option[Map[String, Long]] = None,
       idCol: String = "doc_id", langCol: String = "lang",
-      numShards: Int = 8, history: Option[DataFrame] = None): DataFrame = {
-    val gated =
-      ingestGate(pages, htmlCol, eventTimeCol, horizon, evalGrams, history)
+      numShards: Int = 8, history: Option[DataFrame] = None,
+      nearDup: Boolean = false,
+      nearDupHistory: Option[DataFrame] = None): DataFrame = {
+    val gated = ingestGate(pages, htmlCol, eventTimeCol, horizon, evalGrams,
+      history, nearDup, nearDupHistory)
     val mixed = mixRates.fold(gated)(mixGate(gated, idCol, langCol, _))
     Export.shardAssign(mixed, idCol, "text", numShards)
   }

@@ -603,6 +603,130 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("near-dup ingest gate: lightly-edited re-crawl drops at ingest, one state op per dedup stage") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // a 30-token page, a one-token mid-document edit of it (the
+    // re-crawl copy a canonical digest structurally misses), a case
+    // variant (the exact stage's job), and a distinct page
+    val base = Seq.tabulate(30)(i => s"tok$i").mkString(" ")
+    val edited = Seq.tabulate(30)(i => if (i == 12) "edit0" else s"tok$i")
+      .mkString(" ")
+    val distinct = Seq.tabulate(30)(i => s"zzz$i").mkString(" ")
+    // fixture sanity, via the SHARED derivation: the edit collapses
+    // onto base's signature, the distinct page does not
+    val sigs = Seq(base, edited, distinct).toDF("text")
+      .select(Dedup.nearDupSignature(col("text"))).as[Long].collect()
+    assert(sigs(0) == sigs(1) && sigs(0) != sigs(2), "fixture drifted")
+    val in = MemoryStream[(Long, String, Long)] // (doc_id, html, epoch sec)
+    val pages = in.toDF().toDF("doc_id", "html", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = Curation.ingestGate(pages, "html", "ts", "10 minutes",
+      nearDup = true)
+    val query = out.writeStream.format("memory").queryName("neardup_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, s"<p>$base</p>", 1L),
+        (2L, s"<p>${base.toUpperCase}</p>", 2L), // exact stage drops it
+        (3L, s"<p>$edited</p>", 3L),             // near stage drops it
+        (4L, s"<p>$distinct</p>", 4L))           // genuinely new: kept
+      query.processAllAvailable()
+      val got = spark.table("neardup_mem").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(got == Set(1L, 4L), s"got $got")
+      // exactly one stateful operator per enabled dedup stage — the
+      // documented bound. Exact-stage state: 3 digests (base, edited,
+      // distinct — the case variant collapsed); near-stage state: 2
+      // signatures (base, distinct — edited collapsed). Dropped
+      // documents cost only the stage that admitted them.
+      val ops = query.lastProgress.stateOperators
+      assert(ops.length == 2, s"state ops: ${ops.length}")
+      assert(ops.map(_.numRowsTotal).sum == 5,
+        s"state rows: ${ops.map(_.numRowsTotal).toSeq}")
+      // batch q113 parity on the same corpus: the page the gate
+      // dropped as a near-dup is exactly a pair the nightly funnel's
+      // LSH+verify stage (q113 stage 3 / q24's derivation) confirms —
+      // the gate catches AT INGEST what batch would catch at night
+      val batchPairs = graft.operators.Pipeline.verifiedNearDupPairs(
+          Seq((1L, base), (3L, edited), (4L, distinct)).toDF("doc_id", "text"))
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(batchPairs == Set((1L, 3L)), s"batch pairs: $batchPairs")
+    } finally query.stop()
+  }
+
+  test("near-dup history bootstrap: paraphrase of an already-ingested batch page drops statelessly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val histDoc = Seq.tabulate(30)(i => s"old$i").mkString(" ")
+    val histEdit = Seq.tabulate(30)(i => if (i == 1) "new1" else s"old$i")
+      .mkString(" ")
+    val fresh = Seq.tabulate(30)(i => s"fresh$i").mkString(" ")
+    // both artifacts a nightly batch persists beside the corpus: the
+    // exact stage's canonical digests AND the near stage's signatures
+    val corpus = Seq(histDoc).toDF("text")
+    val exactHist = Dedup.historicalDigests(corpus, "text")
+    val nearHist = Dedup.historicalNearSignatures(corpus, "text")
+    val in = MemoryStream[(Long, String, Long)]
+    val pages = in.toDF().toDF("doc_id", "html", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = Curation.ingestGate(pages, "html", "ts", "10 minutes",
+      history = Some(exactHist), nearDup = true,
+      nearDupHistory = Some(nearHist))
+    val query = out.writeStream.format("memory").queryName("nearboot_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, s"<p>$histEdit</p>", 1L), // paraphrase of HISTORY: dropped
+        (2L, s"<p>$fresh</p>", 2L))    // genuinely new: kept
+      query.processAllAvailable()
+      val got = spark.table("nearboot_mem").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(got == Set(2L), s"got $got")
+      // both bootstrap joins are stateless: two state ops (one per
+      // stage). The paraphrase is canonical-DISTINCT from history, so
+      // it passes the exact stage (costing one digest there) and dies
+      // at the near stage's stateless history anti-join — exact holds
+      // 2 rows (paraphrase + fresh), near holds only the kept fresh
+      // doc; history itself never enters either store
+      val ops = query.lastProgress.stateOperators
+      assert(ops.length == 2, s"state ops: ${ops.length}")
+      assert(ops.map(_.numRowsTotal).sum == 3,
+        s"state rows: ${ops.map(_.numRowsTotal).toSeq}")
+    } finally query.stop()
+  }
+
+  test("near-dup gate stage agrees with a batch keep-first over the same signatures") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // arrival order IS doc_id order, so streaming keep-first must
+    // equal the batch min-id-per-signature rule — the batch/stream
+    // parity contract every dedup twin in this suite carries
+    val docs = Seq(
+      1L -> Seq.tabulate(30)(i => s"tok$i").mkString(" "),
+      2L -> Seq.tabulate(30)(i => if (i == 12) "edit0" else s"tok$i").mkString(" "),
+      3L -> Seq.tabulate(30)(i => s"zzz$i").mkString(" "),
+      4L -> Seq.tabulate(30)(i => s"qqq$i").mkString(" "))
+    val batch = docs.toDF("doc_id", "text")
+    val batchKept = batch
+      .withColumn("sig", Dedup.nearDupSignature(col("text")))
+      .withColumn("keep", col("doc_id") ===
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))))
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val in = MemoryStream[(Long, String, Long)]
+    val stream = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val query = Dedup.dedupNearSignature(stream, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("nearparity_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.map { case (id, t) => (id, t, id) }: _*)
+      query.processAllAvailable()
+      val streamKept = spark.table("nearparity_mem").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(streamKept == batchKept, s"$streamKept vs $batchKept")
+      assert(batchKept == Set(1L, 3L, 4L), s"fixture drifted: $batchKept")
+    } finally query.stop()
+  }
+
   test("windowed OOV rate against a static vocabulary: exact counts per closed window") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val vocab = Seq("alpha", "beta", "gamma").toDF("token")
