@@ -340,6 +340,10 @@ object SparkEntry {
     // the known-item eval under IVF pruning: what candidate pruning
     // costs twin recall/MRR — q114's price measured against a task
     "q139_pruned_eval" -> (Pipeline.q139PrunedEval _),
+    // coverage-aware RRF vs plain on the q135 fixture: the weight of
+    // a leg that cannot rank a doc shifts to the leg that can —
+    // dominates plain on found/hits@1/MRR at every gate SF
+    "q140_coverage_fusion" -> (Pipeline.q140CoverageFusion _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -966,15 +966,22 @@ object Pipeline {
     * positive ints — only the ratio matters): q136 measures the grid,
     * this serves the chosen point, the q114→q118 measurement→serve
     * symmetry applied to the fusion stage. Defaults are q133's plain
-    * RRF. */
+    * RRF. `coverage = true` swaps the fusion stage for the
+    * coverage-aware rule ([[rrfFuseCoverage]], graded by q140; `ws`/
+    * `wd` are then unused — the rule derives its weights from dense
+    * corpus membership) — the fusion knob's third position, serve-time
+    * like the other two. */
   private[graft] def hybridRrfServe(spark: SparkSession, dir: String,
-      queries: DataFrame, ws: Int = 1, wd: Int = 1): DataFrame = {
+      queries: DataFrame, ws: Int = 1, wd: Int = 1,
+      coverage: Boolean = false): DataFrame = {
     val d = docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
     val sparse = sparseLeg(queries, d)
     val dense = denseLeg(queries, pqVectors(spark, dir))
-    rrfFuseWeighted(sparse, dense, ws, wd)
+    if (coverage)
+      rrfFuseCoverage(sparse, dense, pqVectors(spark, dir).select(col("vec_id")))
+    else rrfFuseWeighted(sparse, dense, ws, wd)
   }
 
   /** Per-query distinct-token relation `(query_id, t)` — persisted;
@@ -1122,7 +1129,7 @@ object Pipeline {
     * face; q138 is this applied to the benchmark panel). */
   private[graft] def hybridServeAtRest(spark: SparkSession, dir: String,
       queries: DataFrame, ws: Int = 1, wd: Int = 1,
-      probeRadius: Int = 1): DataFrame = {
+      probeRadius: Int = 1, coverage: Boolean = false): DataFrame = {
     val idx = ensureIvfIndex(spark, dir)
     val inv = invIndexTable(dir)
     val corpus = docs(spark, dir)
@@ -1132,7 +1139,10 @@ object Pipeline {
       spark.table(inv + "_stats"))
     val dense = denseLegFromIndex(spark.table(idx),
       spark.table(idx + "_routing"), queries, probeRadius)
-    rrfFuseWeighted(sparse, dense, ws, wd)
+    // the at-rest dense corpus membership IS the index member list
+    if (coverage)
+      rrfFuseCoverage(sparse, dense, spark.table(idx).select(col("vec_id")))
+    else rrfFuseWeighted(sparse, dense, ws, wd)
   }
 
   /** L3/L4 — the PRODUCTION hybrid: both legs served from indexes AT
@@ -1176,6 +1186,81 @@ object Pipeline {
           expr(s"$ws * (1000000 DIV ($RrfK + sparse_rank))")).otherwise(lit(0))
           + when(col("dense_rank") > 0,
             expr(s"$wd * (1000000 DIV ($RrfK + dense_rank))")).otherwise(lit(0)))
+          .cast("long"))
+      .withColumn("rk",
+        row_number().over(byQ.orderBy(col("rrf_micro").desc, col("doc_id"))))
+      .filter(col("rk") <= HybridTopK)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_micro"),
+        col("sparse_rank"), col("dense_rank"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Weight a leg's evidence carries for a document the OTHER leg's
+    * corpus cannot rank, and the dense leg's own weight, in
+    * [[rrfFuseCoverage]]. 128 makes the dominance PROVABLE at the
+    * serve constants (RrfK = 60, legK = 20): reciprocal values
+    * `10^6 div (60+r)` for r ≤ 20 are ≥ 158 apart, so a discounted
+    * baseline contribution (≤ 16393 + the tie tip) can never cross a
+    * 128-weighted rank gap (128·158 = 20224 > 16394) — the
+    * covered-doc sparse baseline orders only exact leg-rank ties,
+    * never reorders distinct ones. */
+  private val CoverageShiftWeight = 128
+
+  /** COVERAGE-AWARE RRF (VERDICT r17 §next-3 — q135 measured plain
+    * RRF's hits@1 collapse under modality-coverage asymmetry; q136's
+    * static grid could recover one axis only by surrendering the
+    * other): fuse ranks with each leg's weight conditioned on whether
+    * the doc is IN the dense leg's corpus at all —
+    *
+    *  - dense evidence: full weight W (+1 integer tie tip — between
+    *    equal-rank witnesses, the leg that actually covers the doc
+    *    wins the tie);
+    *  - sparse evidence for a doc the dense corpus CANNOT rank (never
+    *    embedded): full weight W — the absent leg's weight shifts to
+    *    the only possible witness, so single-modality docs compete at
+    *    rank parity instead of half mass;
+    *  - sparse evidence for a doc the dense corpus COVERS but did not
+    *    rank: baseline weight 1 — a covering leg's silence is
+    *    negative evidence, so mere presence in both legs no longer
+    *    outscores a confident single-leg rank-1 (the exact mechanism
+    *    of q135's collapse: under plain RRF the WEAKEST both-legs doc,
+    *    2·f(20) = 28168, outscored every single-leg rank-1, f(1) =
+    *    16393).
+    *
+    * All integer (micro-reciprocals × int weights + a +1 tip), so the
+    * DuckDB twin hash-matches. Measured on the q135 fixture (q140):
+    * found/hits@1/MRR dominate plain RRF at ALL THREE gate SFs, and
+    * at sf0.1 (27 found, 21 hits@1) it beats every q136 static point
+    * on one axis without losing the other — the brief's acceptance
+    * bar. `denseCorpusIds(vec_id)` is the dense corpus membership
+    * (the embeddings relation at serve time; the index members at
+    * rest); the coverage flag costs ONE semi-join of the corpus ids
+    * against the bounded candidate set (broadcast probe side), the
+    * fused relation itself stays ≤ 2·legK rows per query. */
+  private def rrfFuseCoverage(sparse: DataFrame, dense: DataFrame,
+      denseCorpusIds: DataFrame): DataFrame = {
+    val w = CoverageShiftWeight
+    val byQ = Window.partitionBy(col("query_id"))
+    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("srk"), lit(0)).as("sparse_rank"),
+        coalesce(col("drk"), lit(0)).as("dense_rank"))
+    // coverage flag: corpus ids semi-joined against the BOUNDED
+    // candidate id set (broadcast probe), then broadcast back — the
+    // corpus is scanned once and only candidate ids return
+    val covered = denseCorpusIds.select(col("vec_id").as("doc_id")).distinct()
+      .join(broadcast(fused.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .withColumn("dense_covered", lit(true))
+    fused.join(broadcast(covered), Seq("doc_id"), "left")
+      .withColumn("rrf_micro",
+        (when(col("sparse_rank") > 0,
+          when(coalesce(col("dense_covered"), lit(false)), lit(1))
+            .otherwise(lit(w)).cast("long")
+            * expr(s"1000000 DIV ($RrfK + sparse_rank)")).otherwise(lit(0L))
+          + when(col("dense_rank") > 0,
+            expr(s"$w * (1000000 DIV ($RrfK + dense_rank)) + 1"))
+            .otherwise(lit(0L)))
           .cast("long"))
       .withColumn("rk",
         row_number().over(byQ.orderBy(col("rrf_micro").desc, col("doc_id"))))
@@ -1372,6 +1457,40 @@ object Pipeline {
           col("mrr_micro"))
     }
     val out = rows.reduce(_ unionByName _).orderBy(col("w_sparse_q").desc)
+    snapshotAndFree(out, queries)
+  }
+
+  /** L3/L4 — COVERAGE-AWARE fusion graded by the known-item harness
+    * (VERDICT r17 §next-3): q135 measured plain RRF demoting
+    * single-leg rank-1s under modality-coverage asymmetry, q136's
+    * static grid showed every fixed weight trades one axis for the
+    * other (hits@1 back only by surrendering found-in-depth); this
+    * query grades the DERIVED fix — [[rrfFuseCoverage]], where the
+    * weight of a leg that cannot rank a doc shifts to the leg that
+    * can — beside plain RRF on the SAME fixture, legs computed once.
+    * Two rows (`hybrid_rrf` = q135's hybrid row verbatim,
+    * `hybrid_coverage`), same exact-integer metric columns. Measured:
+    * coverage dominates plain on found, hits@1 AND MRR at all three
+    * gate SFs (sf0.1: 27/21/377322 vs 27/3/222950), and beats every
+    * q136 grid point on at least one axis without losing the other —
+    * asserted relationally in PipelineSpec. Scale posture: q135's
+    * (bounded panel, snapshot legs, one extra corpus-ids semi-join
+    * for the coverage flag). */
+  def q140CoverageFusion(spark: SparkSession, dir: String): DataFrame = {
+    val (queries, dPlant, ePlant) = retrievalEvalFixture(spark, dir)
+    val sparse = sparseLeg(queries, dPlant)
+    val dense = denseLeg(queries, ePlant)
+    val plain = rrfFuse(sparse, dense)
+    val cov = rrfFuseCoverage(sparse, dense, ePlant.select(col("vec_id")))
+    def evalMethod(rel: DataFrame, method: String): DataFrame =
+      twinEval(queries, rel, "rk")
+        .select(lit(method).as("method"),
+          lit(HybridTopK).cast("int").as("depth"),
+          col("n_queries"), col("n_found"), col("hits_at_1"),
+          col("mrr_micro"))
+    val out = evalMethod(cov, "hybrid_coverage")
+      .unionByName(evalMethod(plain, "hybrid_rrf"))
+      .orderBy(col("method"))
     snapshotAndFree(out, queries)
   }
 
@@ -8246,6 +8365,52 @@ object Pipeline {
          |ORDER BY w_sparse_q DESC""".stripMargin
     }
 
+    /** q140 — the coverage-aware fusion twin: the shared leg CTEs, a
+      * dense-corpus membership flag on the fused relation, then the
+      * plain and coverage scores ranked and rolled up by the q135
+      * twin-metric shape. The coverage rule mirrors
+      * [[rrfFuseCoverage]] exactly: weight 128 on dense evidence
+      * (+1 tie tip) and on sparse evidence for docs OUTSIDE the
+      * embedded corpus, baseline 1 for covered docs the dense leg
+      * declined to rank. */
+    val q140 = {
+      def ranked(src: String, name: String) =
+        s"""hy_$name AS (SELECT query_id, doc_id, rk FROM (
+           |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rrf_micro DESC, doc_id) AS rk FROM $src)
+           |  WHERE rk <= 10),
+           |tw_$name AS (SELECT q.query_id, h.rk AS trk FROM qids q
+           |  LEFT JOIN hy_$name h ON h.query_id = q.query_id AND h.doc_id = q.query_id + 1000000),
+           |m_$name AS (SELECT '$name' AS method, 10 AS depth,
+           |  count(*) AS n_queries, count(trk) AS n_found,
+           |  CAST(sum(CASE WHEN trk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+           |  CAST(sum(CASE WHEN trk IS NOT NULL THEN 1000000 // trk ELSE 0 END)
+           |    // count(*) AS BIGINT) AS mrr_micro FROM tw_$name)""".stripMargin
+      s"""WITH $retrievalEvalCtes,
+         |fcov AS (
+         |  SELECT f.*, (f.doc_id IN (SELECT vec_id FROM epl)) AS dense_covered
+         |  FROM fused f),
+         |sc_plain AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(CASE WHEN sparse_rank > 0 THEN 1000000 // (60 + sparse_rank) ELSE 0 END
+         |      + CASE WHEN dense_rank > 0 THEN 1000000 // (60 + dense_rank) ELSE 0 END
+         |      AS BIGINT) AS rrf_micro
+         |  FROM fused),
+         |sc_cov AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(CASE WHEN sparse_rank > 0 THEN
+         |        (CASE WHEN dense_covered THEN 1 ELSE 128 END) * (1000000 // (60 + sparse_rank)) ELSE 0 END
+         |      + CASE WHEN dense_rank > 0 THEN 128 * (1000000 // (60 + dense_rank)) + 1 ELSE 0 END
+         |      AS BIGINT) AS rrf_micro
+         |  FROM fcov),
+         |${ranked("sc_plain", "hybrid_rrf")},
+         |${ranked("sc_cov", "hybrid_coverage")}
+         |SELECT method, CAST(depth AS INT) AS depth,
+         |  n_queries, n_found, hits_at_1, mrr_micro
+         |FROM (SELECT * FROM m_hybrid_coverage UNION ALL SELECT * FROM m_hybrid_rrf)
+         |ORDER BY method""".stripMargin
+    }
+
     /** q139 — the pruned-eval twin: the shared leg CTEs, the dense
       * side re-derived over the PLANTED corpus via `cent` +
       * [[fineClusterCtes]]("epl") + the radius-1 probe expansion, then
@@ -8460,6 +8625,7 @@ object Pipeline {
       "q137_curriculum_manifest" -> q137,
       "q138_hybrid_at_rest" -> q138,
       "q139_pruned_eval" -> q139,
+      "q140_coverage_fusion" -> q140,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

@@ -2207,6 +2207,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q140: coverage fusion beats every static grid point on one axis without losing the other") {
+    val rows = Pipeline.q140CoverageFusion(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    assert(rows.keySet == Set("hybrid_coverage", "hybrid_rrf"))
+    val (covQ, covFound, covH1, covMrr) = rows("hybrid_coverage")
+    val (plQ, plFound, plH1, plMrr) = rows("hybrid_rrf")
+    assert(covQ == plQ, "both methods grade the same panel")
+    // the plain row is q135's hybrid row verbatim (same fixture, same
+    // legs, same fusion)
+    val q135r = Pipeline.q135RetrievalEval(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    assert(rows("hybrid_rrf") == q135r("hybrid"))
+    // the brief's acceptance bar, in corpus-independent form:
+    // hits@1 >= the BEST static grid point's, found-in-depth >= plain
+    // RRF's — i.e. it beats every q136 static weight on at least one
+    // axis without losing the other (and MRR must not regress either)
+    val grid = Pipeline.q136FusionWeights(spark, sfDir).collect()
+      .map(r => (r.getLong(4), r.getLong(3)))
+    assert(covH1 >= grid.map(_._1).max,
+      s"coverage hits@1 $covH1 < best static ${grid.map(_._1).max}")
+    assert(covFound >= plFound,
+      s"coverage found $covFound < plain RRF's $plFound")
+    assert(covH1 >= plH1 && covMrr >= plMrr,
+      s"coverage must dominate plain: ($covH1, $covMrr) vs ($plH1, $plMrr)")
+  }
+
   test("q134: weighted budget mix — rates re-derived from effective masses, caps coherent") {
     val rows = Pipeline.q134WeightedBudgetMix(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
