@@ -227,8 +227,92 @@ object Layout {
     * plan shape as the manifest query, which is the point: computing
     * the manifest and writing the shards share one shuffle at 100 TB. */
   def writeShards(docs: DataFrame, idCol: String,
-      path: String, numShards: Int = 8): Unit =
+      path: String, numShards: Int = 8,
+      manifestTextCol: Option[String] = None): Unit = {
     writeShardsOrdered(docs, idCol, path, numShards, Seq.empty)
+    // optional manifest SIDECAR (`<path>/_manifest`): the q122 rows
+    // for the export just written — the artifact [[appendShards]]
+    // merges against, so an append never re-reads the world to learn
+    // per-shard counts and checksums
+    manifestTextCol.foreach { textCol =>
+      Pipeline.shardManifestOf(docs, idCol, textCol, numShards)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(path + "/_manifest")
+    }
+  }
+
+  /** INCREMENTAL shard export (VERDICT r17 §next-7 — production
+    * appends a day's new documents to an existing export instead of
+    * re-exporting the world): `newDocs` route to their shards by the
+    * SAME hash membership as the original export
+    * ([[graft.operators.Pipeline.shardKey]] mod `numShards` — so a
+    * half-then-half append lands every document in exactly the shard
+    * a full export would, ExportSpec), lay down as one appended file
+    * per touched shard in the same (shard, key, id) task order, and
+    * the manifest sidecar MERGES commutatively: per touched shard,
+    * counts and token totals add, the order-sensitive checksum gains
+    * `Σ (n_old + i)·(key mod P) mod P` over the appended rows in
+    * their within-file order (positions continue where the resident
+    * rows end), and untouched shards' rows — including an epoch-0
+    * append's checksums — are byte-identical. Replay contract of an
+    * appended shard: files in append order (resident first), rows in
+    * file order; the merged checksum certifies exactly that
+    * permutation, recomputable from the bytes at rest (ExportSpec).
+    *
+    * Scale posture: the append pays ONE hash exchange + in-partition
+    * sort over the NEW documents only (the writeShards plan on the
+    * delta) plus a ≤numShards-row manifest merge — cost proportional
+    * to the day's ingest, never the corpus. Plain (key, id) order
+    * only: a curriculum export re-sorts within shards by tier, which
+    * an append cannot preserve file-locally — re-export (q137's
+    * writeShardsOrdered) is the curriculum path. */
+  def appendShards(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, numShards: Int = 8): Unit = {
+    val spark = newDocs.sparkSession
+    val P = graft.functions.TextFunctions.P
+    val old = spark.read.parquet(path + "/_manifest")
+    // delta rows at rest: the writeShards plan over the new docs only
+    newDocs.withColumn("sk", Pipeline.shardKey(col(idCol)))
+      .withColumn("shard", pmod(col("sk"), lit(numShards.toLong)).cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("sk"), col(idCol))
+      .write.mode(SaveMode.Append).partitionBy("shard").parquet(path)
+    // manifest merge: delta positions continue after the resident rows
+    val delta = newDocs
+      .select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_toks"),
+        Pipeline.shardKey(col(idCol)).as("sk"))
+      .withColumn("shard", pmod(col("sk"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos0", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("sk"), col("doc_id"))))
+      .join(old.select(col("shard"), col("n_docs").as("old_n")),
+        Seq("shard"), "left")
+      .withColumn("pos", col("pos0") + coalesce(col("old_n"), lit(0L)))
+      .withColumn("term", pmod(col("pos") * pmod(col("sk"), lit(P)), lit(P)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("d_docs"), sum(col("n_toks")).as("d_tokens"),
+        (sum(col("term").cast("decimal(38,0)")) % lit(P)).cast("long")
+          .as("d_checksum"),
+        max(when(col("pos0") === 1, col("doc_id"))).as("d_head"))
+    val merged = old.join(delta, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("n_tokens"), lit(0L)) + coalesce(col("d_tokens"), lit(0L)))
+          .as("n_tokens"),
+        pmod(coalesce(col("order_checksum"), lit(0L))
+          + coalesce(col("d_checksum"), lit(0L)), lit(P)).as("order_checksum"),
+        coalesce(col("head_doc_id"), col("d_head")).as("head_doc_id"))
+      .orderBy(col("shard"))
+    // read-modify-write: materialize BEFORE overwriting the source
+    // (the replaceStats discipline — the plan reads the table being
+    // replaced)
+    val rows = merged.collect().toSeq
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), merged.schema)
+      .write.mode(SaveMode.Overwrite).parquet(path + "/_manifest")
+  }
 
   /** [[writeShards]] with CURRICULUM columns leading the within-shard
     * order (q137's export materialized): rows lay down as

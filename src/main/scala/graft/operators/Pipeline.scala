@@ -5720,12 +5720,23 @@ object Pipeline {
     pmod(portableHash(concat(lit("temp:"), idCol.cast("string"))),
       lit(1000000L))
 
-  def q122ShardManifest(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_toks"),
-      shardKey(col("doc_id")).as("sk"))
+  def q122ShardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifestOf(docs(spark, dir), "doc_id", "text", NumShards.toInt)
+
+  /** The corpus-parameterized q122 manifest derivation — ONE
+    * definition shared by the oracle query, [[Layout.writeShards]]'
+    * manifest sidecar, and [[Layout.appendShards]]' reconcile spec,
+    * so an export's stored manifest can never drift from the audit
+    * query's. Positions are the (key, id) within-shard order; the
+    * checksum is the order-sensitive `Σ pos·(key mod P) mod P` carried
+    * in decimal(38,0). */
+  private[graft] def shardManifestOf(d0: DataFrame, idCol: String,
+      textCol: String, numShards: Int): DataFrame = {
+    val d = d0.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_toks"),
+      shardKey(col(idCol)).as("sk"))
     val assigned = d
-      .withColumn("shard", pmod(col("sk"), lit(NumShards)).cast("int"))
+      .withColumn("shard", pmod(col("sk"), lit(numShards.toLong)).cast("int"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("sk"), col("doc_id"))))
     assigned

@@ -242,6 +242,90 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("appendShards: half-then-half equals full membership, manifests reconcile, untouched shards keep checksums") {
+    import org.apache.spark.sql.functions.col
+    val P = 2147483647L
+    val out = java.nio.file.Files.createTempDirectory("graft_appx_").toString
+    try {
+      val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      val first = d.filter(col("doc_id") % 2 === 0)
+      val second = d.filter(col("doc_id") % 2 === 1)
+      graft.operators.Layout.writeShards(first, "doc_id", out,
+        manifestTextCol = Some("text"))
+      val before = spark.read.parquet(out + "/_manifest").collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))).toMap
+      Thread.sleep(1100) // mtime tick: replay order is append order
+      graft.operators.Layout.appendShards(second, "doc_id", "text", out)
+      // 1. membership: the appended export holds exactly the full
+      // export's per-shard document sets (hash membership is
+      // append-invariant)
+      val gotMembers = spark.read.parquet(out)
+        .select("shard", "doc_id").collect()
+        .groupBy(_.getInt(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val wantMembers = graft.operators.Pipeline
+        .shardManifestOf(d, "doc_id", "text", 8) // membership truth via
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val fullAssign = d.select(col("doc_id"),
+          org.apache.spark.sql.functions.pmod(
+            graft.operators.Pipeline.shardKey(col("doc_id")), org.apache.spark.sql.functions.lit(8L))
+            .cast("int").as("shard")).collect()
+        .groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+      assert(gotMembers == fullAssign, "membership differs from a full export")
+      assert(wantMembers.forall { case (s, n) => gotMembers(s).size.toLong == n })
+      // 2. manifests reconcile: the MERGED sidecar equals a manifest
+      // recomputed from the bytes at rest, positions taken from file
+      // replay order (resident file first, appended file second)
+      val after = spark.read.parquet(out + "/_manifest").collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))).toMap
+      after.foreach { case (shard, (nDocs, nToks, checksum, headId)) =>
+        val files = new java.io.File(s"$out/shard=$shard")
+          .listFiles().filter(_.getName.endsWith(".parquet"))
+          .sortBy(_.lastModified)
+        val rows = files.toSeq.flatMap(f =>
+          spark.read.parquet(f.getAbsolutePath)
+            .select("doc_id", "sk", "text").collect())
+        assert(rows.length.toLong == nDocs, s"shard $shard count")
+        assert(rows.head.getLong(0) == headId, s"shard $shard head")
+        assert(rows.map(_.getString(2).split(" ", -1).length.toLong).sum
+          == nToks, s"shard $shard tokens")
+        val ck = rows.zipWithIndex.map { case (r, i) =>
+          BigInt(i + 1) * (r.getLong(1) % P) % P }.sum % P
+        assert(ck.toLong == checksum, s"shard $shard merged checksum")
+      }
+      // 3. an append touching a strict subset of shards preserves the
+      // untouched shards' manifest rows byte-for-byte (epoch-0 case)
+      val spare = d.filter(col("doc_id") % 2 === 0).limit(200)
+        .withColumn("shard", org.apache.spark.sql.functions.pmod(
+          graft.operators.Pipeline.shardKey(
+            col("doc_id") + org.apache.spark.sql.functions.lit(5000000L)),
+          org.apache.spark.sql.functions.lit(8L)).cast("int"))
+        .collect()
+      val oneShard = spare.filter(_.getInt(2) == spare.head.getInt(2))
+        .map(r => (r.getLong(0) + 5000000L, r.getString(1)))
+      import spark.implicits._
+      val touched = spare.head.getInt(2)
+      Thread.sleep(1100)
+      graft.operators.Layout.appendShards(
+        oneShard.toSeq.toDF("doc_id", "text"), "doc_id", "text", out)
+      val third = spark.read.parquet(out + "/_manifest").collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))).toMap
+      third.foreach { case (shard, row) =>
+        if (shard != touched)
+          assert(row == after(shard), s"untouched shard $shard row moved")
+        else assert(row._1 == after(shard)._1 + oneShard.length,
+          s"touched shard $shard count")
+      }
+      assert(before.nonEmpty && before.keySet == after.keySet)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
   test("shardAssign is stateless and key-identical to the batch derivation") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
