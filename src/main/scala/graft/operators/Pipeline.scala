@@ -1640,6 +1640,40 @@ object Pipeline {
   def q131BandingSweep(spark: SparkSession, dir: String): DataFrame =
     bandingSweep(nearDocs(spark, dir))
 
+  /** The SAMPLED-STRATUM form of [[bandingSweep]]'s truth harness
+    * (VERDICT r17 §next-5 — the scaladoc promised "a sampled stratum
+    * at extreme scale"; this is that harness as code): restrict the
+    * audit to a deterministic hash-drawn document stratum
+    * (`md5("stratum:"‖doc_id) mod stratumMod = 0`) and run the
+    * UNCHANGED sweep over it. This measures the full sweep's recall
+    * correctly because every per-pair quantity is corpus-independent:
+    * a pair's exact jaccard, its MinHash signature, and its band
+    * collisions depend only on the two documents (df-ordering affects
+    * prefix EFFICIENCY, never the verified set), so the stratum's
+    * truth pairs are an unbiased ~1/mod² sample of the full truth and
+    * band hits are sampled with them — recall_stratum estimates
+    * recall_full with binomial error sqrt(r(1−r)/n_truth_stratum)
+    * (PipelineSpec pins the estimate inside a 99% CI of the exact
+    * recall; PLANS.md §r18 documents when each form applies). At
+    * 100 TB the full prefix-filter truth join is the cost ceiling of
+    * the audit — the stratum cuts BOTH its explode and its verify by
+    * mod², while the gate oracle (q131) retains the exact full-corpus
+    * form at the gate SFs. */
+  private[graft] def bandingSweepSampled(corpus: DataFrame,
+      stratumMod: Int): DataFrame = {
+    require(stratumMod >= 1, "positive stratum modulus")
+    bandingSweep(corpus.filter(
+      pmod(portableHash(concat(lit("stratum:"), col("doc_id").cast("string"))),
+        lit(stratumMod.toLong)) === 0))
+  }
+
+  /** [[bandingSweepSampled]] over q131's own corpus — the sweep a
+    * deployment actually runs at extreme scale, spec-pinned against
+    * the exact form. */
+  private[graft] def q131SampledSweep(spark: SparkSession, dir: String,
+      stratumMod: Int): DataFrame =
+    bandingSweepSampled(nearDocs(spark, dir), stratumMod)
+
   /** Corpus-parameterized harness behind [[q131BandingSweep]] (the
     * spec drives it with a constructed fixture). */
   private[operators] def bandingSweep(corpus: DataFrame): DataFrame = {

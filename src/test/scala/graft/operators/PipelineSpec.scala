@@ -2313,6 +2313,34 @@ class PipelineSpec extends SparkSpec {
     assert(q24n <= rows.head._3, s"q24 found $q24n pairs > truth ${rows.head._3}")
   }
 
+  test("q131 sampled stratum: recall estimate within a 99% CI of the exact recall at sf0.1") {
+    // the brief's bar is sf0.1 — the SF where the stratum holds enough
+    // truth pairs for the CI to mean something
+    val dir = "/root/testdata/sf0.1"
+    val exact = Pipeline.q131BandingSweep(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(5))))
+      .toMap
+    // mod 2 ⇒ ~half the documents, ~quarter of the truth pairs — the
+    // truth join's explode and verify both shrink by mod²
+    val sampled = Pipeline.q131SampledSweep(spark, dir, 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(4),
+        r.getDouble(5)))).toMap
+    assert(sampled.keySet == exact.keySet)
+    sampled.foreach { case (cfg, (nTruthS, _, estRecall)) =>
+      val (nTruthFull, exactRecall) = exact(cfg)
+      assert(nTruthS > 0 && nTruthS < nTruthFull,
+        s"$cfg: stratum truth $nTruthS vs full $nTruthFull")
+      // binomial 99% CI on the stratum estimate (z = 2.576), floored
+      // at one pair's worth of mass for tiny strata — the harness's
+      // stated accuracy contract
+      val p = math.max(estRecall, exactRecall)
+      val ci = math.max(2.576 * math.sqrt(p * (1.0 - p) / nTruthS.toDouble),
+        1.5 / nTruthS.toDouble)
+      assert(math.abs(estRecall - exactRecall) <= ci,
+        s"$cfg: |${estRecall} - ${exactRecall}| > CI $ci (n_s=$nTruthS)")
+    }
+  }
+
   test("q131 harness: exact truth equals brute-force all-pairs Jaccard on a fixture") {
     import spark.implicits._
     val P = 2147483647L
