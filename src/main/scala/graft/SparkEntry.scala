@@ -344,6 +344,10 @@ object SparkEntry {
     // a leg that cannot rank a doc shifts to the leg that can —
     // dominates plain on found/hits@1/MRR at every gate SF
     "q140_coverage_fusion" -> (Pipeline.q140CoverageFusion _),
+    // incremental-export manifest algebra: two ingest waves, appended
+    // vs full-re-export order checksums per shard — the oracle face
+    // of Layout.appendShards' commutative sidecar merge
+    "q141_append_manifest" -> (Pipeline.q141AppendManifest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -4027,14 +4027,21 @@ object Pipeline {
     out.result()
   }
 
-  /** Apply a pairwise-disjoint merge batch in ONE rewrite projection:
-    * the [[bpeMergePass]] folds nest left-to-right, but disjointness
-    * makes the nesting order immaterial — the corpus is SCANNED once
-    * per batch instead of once per merge. Compute per row is
-    * O(batch · tokens); keep batches at the tens-to-hundreds scale
-    * (the expression tree grows linearly with the batch). */
+  /** Apply a merge SEQUENCE in one rewrite projection — since r18 the
+    * native codegen'd expression
+    * ([[graft.expressions.BpeExpressions]]: one compiled greedy pass
+    * per merge over an in-place token buffer, O(tokens) per merge,
+    * bit-identical to nesting [[bpeMergePass]] folds left-to-right —
+    * scalacheck-pinned in BpeExpressionsSpec). The HOF fold rebuilt
+    * its accumulator array per token (O(tokens²) interpreted
+    * allocation per merge), which q104's sf1 probe measured as the
+    * apply path's whole cost; the merge table now rides as three
+    * reference objects, so a 30k-merge production vocabulary is three
+    * arrays, not 30k expression nodes — the batch-size note on
+    * [[bpeLearnBatchedRounds]] about expression-tree growth no longer
+    * constrains the apply side. */
   def bpeApplyMerges(toks: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(toks) { case (c, (l, r)) => bpeMergePass(c, l, r) }
+    graft.expressions.BpeFunctions.bpeApplyAll(toks, merges)
 
   /** BATCHED BPE learning — the production-vocabulary form of
     * [[q100BpeMerges]]'s loop (VERDICT r15 §next-6): each round counts
@@ -4126,7 +4133,8 @@ object Pipeline {
         case Some(top) =>
           val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
           val next = cur
-            .select(col("doc_id"), bpeMergePass(col("toks"), l, r).as("toks"))
+            .select(col("doc_id"),
+              bpeApplyMerges(col("toks"), Seq((l, r))).as("toks"))
             .persist(CacheLevel)
           val after =
             next.agg(sum(size(col("toks")).cast("long"))).collect()(0).getLong(0)
@@ -5781,6 +5789,54 @@ object Pipeline {
         (sum(col("term").cast("decimal(38,0)")) % lit(P)).cast("long")
           .as("order_checksum"),
         max(when(col("pos") === 1, col("doc_id"))).as("head_doc_id"))
+      .orderBy(col("shard"))
+  }
+
+  /** L5 — INCREMENTAL-EXPORT manifest algebra (q141, the oracle face
+    * of [[Layout.appendShards]]): split the corpus into two ingest
+    * waves (`doc_id % 2` — "yesterday's export" and "today's
+    * append"), and report per shard BOTH manifests a deployment
+    * compares — the APPENDED order's (wave ASC, then the (key, id)
+    * within-wave order, positions continuing across the wave
+    * boundary: exactly the bytes appendShards lays down and the
+    * arithmetic its sidecar merge computes) and the FULL re-export's
+    * (q122's (key, id) order). The row certifies cross-engine the
+    * whole append contract: membership columns (n_docs, n_tokens) are
+    * wave-split-invariant — hash routing doesn't care when a document
+    * arrived — the head document is the first wave's, and the two
+    * order-sensitive checksums differ precisely because an append
+    * preserves resident bytes instead of re-shuffling them
+    * (`order_equal` makes the comparison a column). ExportSpec ties
+    * the implementation to this oracle: appendShards' merged sidecar
+    * on the same half-then-half split equals this query's appended
+    * checksums bit-for-bit. Same ONE hash exchange as q122, two
+    * in-partition sorts. */
+  def q141AppendManifest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        shardKey(col("doc_id")).as("sk"))
+      .withColumn("wave", (col("doc_id") % 2).cast("int"))
+      .withColumn("shard", pmod(col("sk"), lit(NumShards)).cast("int"))
+    val byShard = Window.partitionBy(col("shard"))
+    val both = d
+      .withColumn("pos_a", row_number().over(
+        byShard.orderBy(col("wave"), col("sk"), col("doc_id"))))
+      .withColumn("pos_f", row_number().over(
+        byShard.orderBy(col("sk"), col("doc_id"))))
+    both
+      .withColumn("term_a", pmod(col("pos_a") * pmod(col("sk"), lit(P)), lit(P)))
+      .withColumn("term_f", pmod(col("pos_f") * pmod(col("sk"), lit(P)), lit(P)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        (sum(col("term_a").cast("decimal(38,0)")) % lit(P)).cast("long")
+          .as("checksum_appended"),
+        (sum(col("term_f").cast("decimal(38,0)")) % lit(P)).cast("long")
+          .as("checksum_full"),
+        max(when(col("pos_a") === 1, col("doc_id"))).as("head_appended"),
+        max(when(col("pos_f") === 1, col("doc_id"))).as("head_full"))
+      .withColumn("order_equal",
+        col("checksum_appended") === col("checksum_full"))
       .orderBy(col("shard"))
   }
 
@@ -7546,6 +7602,33 @@ object Pipeline {
          |  CAST(max(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS head_doc_id
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin
 
+    /** q141 — the append-manifest twin: q122's key/shard derivation,
+      * one position per ordering (appended = wave-then-(key,id), full
+      * = (key,id)), both order-sensitive checksums in one rollup. */
+    val q141 =
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    ${ph("'shard:' || CAST(doc_id AS VARCHAR)")} AS sk,
+         |    CAST(doc_id % 2 AS INT) AS wave
+         |  FROM documents),
+         |a AS (
+         |  SELECT doc_id, n_toks, sk, CAST(sk % 8 AS INT) AS shard,
+         |    row_number() OVER (PARTITION BY sk % 8 ORDER BY wave, sk, doc_id) AS pos_a,
+         |    row_number() OVER (PARTITION BY sk % 8 ORDER BY sk, doc_id) AS pos_f
+         |  FROM d)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum((pos_a * (sk % $P)) % $P) AS HUGEINT) % $P AS BIGINT)
+         |    AS checksum_appended,
+         |  CAST(CAST(sum((pos_f * (sk % $P)) % $P) AS HUGEINT) % $P AS BIGINT)
+         |    AS checksum_full,
+         |  CAST(max(CASE WHEN pos_a = 1 THEN doc_id END) AS BIGINT) AS head_appended,
+         |  CAST(max(CASE WHEN pos_f = 1 THEN doc_id END) AS BIGINT) AS head_full,
+         |  (CAST(CAST(sum((pos_a * (sk % $P)) % $P) AS HUGEINT) % $P AS BIGINT)
+         |    = CAST(CAST(sum((pos_f * (sk % $P)) % $P) AS HUGEINT) % $P AS BIGINT))
+         |    AS order_equal
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
     /** q137 — q122's manifest with the curriculum tier as the leading
       * within-shard sort key and the tier span in the rollup. */
     val q137 =
@@ -8671,6 +8754,7 @@ object Pipeline {
       "q138_hybrid_at_rest" -> q138,
       "q139_pruned_eval" -> q139,
       "q140_coverage_fusion" -> q140,
+      "q141_append_manifest" -> q141,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

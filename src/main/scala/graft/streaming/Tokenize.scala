@@ -17,24 +17,25 @@ import org.apache.spark.sql.functions._
   * the fold is map-side, and every emitted row is final — append mode,
   * no state beyond source offsets.
   *
-  * Scale posture: the gate inlines the merge list as chained folds —
-  * right for the handful of merges the oracle-checked learner emits
-  * per pass. A production tokenizer with a 30k-merge vocabulary
-  * applies ranks with the standard pair-priority algorithm inside one
-  * map stage instead of 30k chained expressions; the gate's CONTRACT
-  * (same greedy left-to-right semantics, same merge order, stateless
-  * map-side apply) is what carries over, and the spec pins it against
-  * the batch fold. */
+  * Scale posture (r18): the merge table rides as reference objects
+  * inside ONE codegen'd expression
+  * ([[graft.expressions.BpeApplyAll]]) — a 30k-merge production
+  * vocabulary is three arrays and one compiled loop, not 30k chained
+  * expressions; per-document cost is O(merges · tokens) with zero
+  * per-token allocation, and the spec pins the semantics against the
+  * reference HOF fold. */
 object Tokenize {
 
   /** Tokenize a document stream with a learned merge table (append
-    * mode): docs.* + `toks` (merged token list) + `n_toks`. */
+    * mode): docs.* + `toks` (merged token list) + `n_toks`. Since r18
+    * the apply is the native codegen'd expression
+    * ([[graft.operators.Pipeline.bpeApplyMerges]] →
+    * `graft.expressions.BpeApplyAll`) — same greedy semantics,
+    * compiled, vocabulary as reference objects. */
   def applyMerges(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame =
     docs.withColumn("toks",
-        merges.foldLeft(split(col(textCol), " ")) {
-          case (c, (l, r)) => Pipeline.bpeMergePass(c, l, r)
-        })
+        Pipeline.bpeApplyMerges(split(col(textCol), " "), merges))
       .withColumn("n_toks", size(col("toks")))
 
   /** [[applyMerges]] bound to the BANKED merge table of `dir`

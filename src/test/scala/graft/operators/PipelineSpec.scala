@@ -2207,6 +2207,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q141: membership is wave-split-invariant, full order equals q122, appended order moved") {
+    val rows = Pipeline.q141AppendManifest(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    val q122 = Pipeline.q122ShardManifest(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(rows.keySet == q122.keySet)
+    rows.foreach { case (shard,
+        (nDocs, nToks, ckA, ckF, headA, headF, orderEq)) =>
+      val (eDocs, eToks, eCk, eHead) = q122(shard)
+      // membership columns can't see WHEN a document arrived
+      assert(nDocs == eDocs && nToks == eToks, s"shard $shard membership")
+      // the full-re-export ordering IS q122's
+      assert(ckF == eCk && headF == eHead, s"shard $shard full order")
+      assert(orderEq == (ckA == ckF))
+      assert(headA % 2 == 0, s"shard $shard head must be a wave-0 doc")
+    }
+    // an append preserves resident bytes instead of re-shuffling, so
+    // SOME shard's appended order must differ from the re-export's
+    assert(rows.values.exists(!_._7), "every shard order-equal: fixture degenerate")
+  }
+
   test("q140: coverage fusion beats every static grid point on one axis without losing the other") {
     val rows = Pipeline.q140CoverageFusion(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),

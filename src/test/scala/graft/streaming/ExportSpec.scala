@@ -280,6 +280,13 @@ class ExportSpec extends SparkSpec {
       val after = spark.read.parquet(out + "/_manifest").collect()
         .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4)))).toMap
+      // the merged sidecar IS q141's appended manifest: the oracle
+      // query computes the same even-then-odd wave arithmetic, so the
+      // implementation is tied to the cross-engine-certified algebra
+      val q141 = graft.operators.Pipeline.q141AppendManifest(spark, sfDir)
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(5)))).toMap
+      assert(after == q141, s"sidecar $after vs q141 $q141")
       after.foreach { case (shard, (nDocs, nToks, checksum, headId)) =>
         val files = new java.io.File(s"$out/shard=$shard")
           .listFiles().filter(_.getName.endsWith(".parquet"))
