@@ -270,7 +270,19 @@ object Layout {
       path: String, numShards: Int = 8): Unit = {
     val spark = newDocs.sparkSession
     val P = graft.functions.TextFunctions.P
-    val old = spark.read.parquet(path + "/_manifest")
+    // bootstrap: an export IS a sequence of appends — with no sidecar
+    // yet (fresh path, e.g. the first micro-batch of the streaming
+    // writer), the resident manifest is empty and this append founds
+    // the export
+    val manifestPath = new org.apache.hadoop.fs.Path(path + "/_manifest")
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old =
+      if (fs.exists(manifestPath)) spark.read.parquet(path + "/_manifest")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "shard INT, n_docs BIGINT, n_tokens BIGINT, " +
+            "order_checksum BIGINT, head_doc_id BIGINT"))
     // delta rows at rest: the writeShards plan over the new docs only
     newDocs.withColumn("sk", Pipeline.shardKey(col(idCol)))
       .withColumn("shard", pmod(col("sk"), lit(numShards.toLong)).cast("int"))
@@ -312,6 +324,39 @@ object Layout {
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), merged.schema)
       .write.mode(SaveMode.Overwrite).parquet(path + "/_manifest")
+  }
+
+  /** COMPACT an appended export back to the canonical one-file-per-
+    * shard, (key, id)-ordered form — the lifecycle closer for
+    * [[appendShards]]: many append waves accumulate one file per
+    * touched shard per wave (a small-files problem at daily cadence),
+    * and the streaming writer's documented replay window can
+    * double-append a batch whose files committed but whose manifest
+    * didn't. Compaction repairs both: rows DEDUPLICATE by id (an
+    * append never legitimately re-adds an id — [[appendShards]]' hash
+    * membership is id-determined), the survivors re-export through
+    * the [[writeShards]] plan, and the sidecar resets to the full
+    * re-export's manifest (order checksums return to q122's
+    * (key, id) form — exactly the q141 `checksum_full` column).
+    * The rewrite stages beside the export and swaps in atomically-ish
+    * (delete + rename), so a reader never sees half of each.
+    * Cost: one full read + the writeShards exchange — the operation a
+    * deployment schedules weekly against daily appends. */
+  def compactShards(spark: SparkSession, path: String, idCol: String,
+      textCol: String, numShards: Int = 8): Unit = {
+    val resident = spark.read.parquet(path)
+      .drop("shard", "sk").dropDuplicates(idCol)
+    // the rewrite streams corpus→tmp distributed (no driver
+    // materialization — the staging dir is DIFFERENT from the read
+    // target, so the lazy read is safe until the swap below)
+    val tmp = path + ".compact.tmp"
+    writeShards(resident, idCol, tmp, numShards, Some(textCol))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path))
+    ()
   }
 
   /** [[writeShards]] with CURRICULUM columns leading the within-shard

@@ -51,4 +51,44 @@ object Export {
         sum(col("n_toks")).as("n_tokens"),
         (sum(pmod(col("sk"), lit(TextFunctions.P)).cast("decimal(38,0)"))
           % lit(TextFunctions.P)).cast("long").as("key_digest"))
+
+  /** STREAM-MAINTAINED training export at rest — each micro-batch
+    * appends to the shard files AND the positional manifest sidecar
+    * through the one shared increment
+    * ([[graft.operators.Layout.appendShards]]), so the export a
+    * stream builds is at every commit point byte-contract-identical
+    * to a batch append sequence of the same waves: per-shard files in
+    * arrival order, (key, id) order within each, positions continuing
+    * across waves, the merged order-sensitive checksum certifying the
+    * replay (the q141 algebra — ExportSpec reconciles the streamed
+    * export's sidecar against the bytes at rest). The first batch
+    * FOUNDS the export (appendShards bootstraps an empty manifest).
+    *
+    * Delivery: micro-batches replay through
+    * [[Sinks.deliverOnce]] markers — a fully-delivered batch never
+    * re-appends across restarts (proven in ExportSpec). The honest
+    * window: a crash AFTER the parquet job committed but BEFORE the
+    * manifest+marker wrote re-appends that one batch on restart —
+    * duplicate rows the manifest-vs-bytes reconcile detects and
+    * [[graft.operators.Layout.compactShards]] repairs (dedup by id +
+    * canonical re-export + fresh manifest), the same
+    * at-least-once-then-audit contract as the fan-out sink.
+    *
+    * State: NONE on the stream side (assignment is map logic; the
+    * manifest lives at rest beside the data) — source offsets and the
+    * marker dir are the whole recovery story. */
+  def appendShardsWriter(docs: DataFrame, idCol: String, textCol: String,
+      path: String, checkpointDir: String, numShards: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sinks.deliverOnce(s"$checkpointDir/delivered", batchId) {
+          if (!batch.isEmpty)
+            graft.operators.Layout.appendShards(
+              batch, idCol, textCol, path, numShards)
+        }
+        ()
+      }
 }

@@ -333,6 +333,98 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("appendShardsWriter: a streamed export equals the batch append sequence of the same waves") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_sexp_")
+    val out = s"$root/export"; val outBatch = s"$root/export_batch"
+    val ckpt = s"$root/ckpt"
+    try {
+      import spark.implicits._
+      val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val (w0, w1) = d.partition(_._1 % 2 == 0)
+      val in = MemoryStream[(Long, String)]
+      val query = Export.appendShardsWriter(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", out, ckpt).start()
+      try {
+        in.addData(w0.toSeq: _*); query.processAllAvailable()
+        in.addData(w1.toSeq: _*); query.processAllAvailable()
+      } finally query.stop()
+      // the batch form of the same two waves
+      import spark.implicits._
+      graft.operators.Layout.appendShards(
+        w0.toSeq.toDF("doc_id", "text"), "doc_id", "text", outBatch)
+      Thread.sleep(1100)
+      graft.operators.Layout.appendShards(
+        w1.toSeq.toDF("doc_id", "text"), "doc_id", "text", outBatch)
+      def manifest(p: String) = spark.read.parquet(p + "/_manifest").collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))).toMap
+      assert(manifest(out) == manifest(outBatch),
+        "streamed sidecar != batch append sequence's")
+      // and the sidecar reconciles against the streamed BYTES at rest
+      val P = 2147483647L
+      manifest(out).foreach { case (shard, (nDocs, _, checksum, headId)) =>
+        val files = new java.io.File(s"$out/shard=$shard")
+          .listFiles().filter(_.getName.endsWith(".parquet"))
+          .sortBy(_.lastModified)
+        val rows = files.toSeq.flatMap(f =>
+          spark.read.parquet(f.getAbsolutePath).select("doc_id", "sk").collect())
+        assert(rows.length.toLong == nDocs && rows.head.getLong(0) == headId)
+        val ck = rows.zipWithIndex.map { case (r, i) =>
+          BigInt(i + 1) * (r.getLong(1) % P) % P }.sum % P
+        assert(ck.toLong == checksum, s"shard $shard streamed checksum")
+      }
+      // delivered-batch markers exist: the replay-skip contract
+      assert(new java.io.File(s"$ckpt/delivered").listFiles()
+        .exists(_.getName.endsWith(".done")))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("compactShards: dedupes a double-append, resets order to canonical, one file per shard") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_cmp_").toString + "/exp"
+    try {
+      val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+        .filter(col("doc_id") < 2000)
+      graft.operators.Layout.appendShards(d, "doc_id", "text", out)
+      Thread.sleep(1100)
+      // simulate the documented replay window: the same wave appends twice
+      graft.operators.Layout.appendShards(d, "doc_id", "text", out)
+      val doubled = spark.read.parquet(out).count()
+      assert(doubled == 2 * d.count(), "fixture: double-append expected")
+      graft.operators.Layout.compactShards(spark, out, "doc_id", "text")
+      // membership repaired to distinct ids
+      val got = spark.read.parquet(out).select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      val want = d.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, "compaction must dedup to the distinct corpus")
+      // manifest reset to the canonical full-export form (q122's
+      // (key, id) order over the distinct corpus), one file per shard
+      val fresh = graft.operators.Pipeline
+        .shardManifestOf(d, "doc_id", "text", 8).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))).toMap
+      val sidecar = spark.read.parquet(out + "/_manifest").collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))).toMap
+      assert(sidecar == fresh, "compacted sidecar must be the canonical manifest")
+      sidecar.keys.foreach { shard =>
+        val files = new java.io.File(s"$out/shard=$shard")
+          .listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"shard $shard: ${files.length} files after compaction")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out).getParentFile).deleteRecursively()
+    }
+  }
+
   test("shardAssign is stateless and key-identical to the batch derivation") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
