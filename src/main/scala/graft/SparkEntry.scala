@@ -348,6 +348,10 @@ object SparkEntry {
     // vs full-re-export order checksums per shard — the oracle face
     // of Layout.appendShards' commutative sidecar merge
     "q141_append_manifest" -> (Pipeline.q141AppendManifest _),
+    // the near-dup ingest gate's capacity audit: 16-bit signature
+    // occupancy by distinct canonical digest — the measured
+    // false-collapse curve the horizon is sized from
+    "q142_gate_capacity" -> (Pipeline.q142GateCapacity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -134,6 +134,84 @@ case class BpeApplyAll(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Native Catalyst expression for the 16-bit SimHash vote fold over an
+  * `array<long>` token-hash column — the signature every SimHash
+  * consumer keys on (batch q28, the streaming `dedupSimhash` /
+  * near-dup ingest gates, the q142 capacity audit). The HOF form
+  * (nested `aggregate` over `transform(sequence(0,15))`) evaluates
+  * interpreted and walks the token array SIXTEEN times with closure
+  * dispatch per element; this is one compiled pass accumulating all
+  * 16 bit votes. Bit test `(x >> b) & 1` equals the HOF's exact
+  * double-division test for the non-negative < 2^31 hashes every
+  * caller feeds ([[graft.functions.TextFunctions.portableHashMod]]);
+  * a NULL element votes −1 on every bit, exactly the HOF's
+  * `when(null).otherwise(-1)` fallthrough (parity is
+  * scalacheck-pinned in BpeExpressionsSpec). */
+case class Simhash16(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash16"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](16)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        var b = 0
+        while (b < 16) { votes(b) -= 1; b += 1 }
+      } else {
+        val x = arr.getLong(i)
+        var b = 0
+        while (b < 16) {
+          votes(b) += (if (((x >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 16) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val x = ctx.freshName("x")
+      val sig = ctx.freshName("sig")
+      s"""
+         |final int $n = $a.numElements();
+         |int[] $votes = new int[16];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    for (int $b = 0; $b < 16; $b++) { $votes[$b] -= 1; }
+         |  } else {
+         |    final long $x = $a.getLong($i);
+         |    for (int $b = 0; $b < 16; $b++) {
+         |      $votes[$b] += ((($x >> $b) & 1L) == 1L) ? 1 : -1;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 16; $b++) {
+         |  if ($votes[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash16 =
+    copy(child = newChild)
+}
+
 object BpeFunctions {
   /** Codegen'd full-merge-table BPE apply over an `array<string>`
     * column (see [[BpeApplyAll]]): bit-identical to chaining
@@ -143,4 +221,11 @@ object BpeFunctions {
   def bpeApplyAll(toks: Column, merges: Seq[(String, String)]): Column =
     if (merges.isEmpty) toks
     else SqlBridge.column(BpeApplyAll(SqlBridge.expression(toks), merges.toList))
+
+  /** Codegen'd 16-bit SimHash over an `array<long>` token-hash column
+    * (see [[Simhash16]]): one compiled pass over the tokens instead
+    * of the HOF form's sixteen interpreted walks. */
+  def simhash16Native(tokenHashes: Column): Column =
+    SqlBridge.column(Simhash16(
+      SqlBridge.expression(tokenHashes.cast("array<long>"))))
 }

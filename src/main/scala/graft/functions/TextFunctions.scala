@@ -121,10 +121,23 @@ object TextFunctions {
 
   /** 16-bit SimHash over a (multiset) token-hash array: bit b is set when
     * the frequency-weighted ±1 vote of bit b across token hashes is
-    * positive. Bit test `(x div 2^b) mod 2` avoids variable-shift
+    * positive. Since r18 this delegates to the native codegen'd
+    * expression ([[graft.expressions.Simhash16]] — one compiled pass
+    * accumulating all 16 bit votes, where the HOF form walked the
+    * token array sixteen times interpreted); the vote semantics are
+    * unchanged and scalacheck-pinned against the HOF reference
+    * ([[simhash16Hof]]) in BpeExpressionsSpec, so every consumer
+    * (q28, the streaming dedup/ingest gates, q142) keys on the
+    * identical signature. */
+  def simhash16(tokenHashes: Column): Column =
+    graft.expressions.BpeFunctions.simhash16Native(tokenHashes)
+
+  /** The original HOF vote fold — the REFERENCE derivation the native
+    * expression is pinned against (and the form the DuckDB twins
+    * mirror). Bit test `(x div 2^b) mod 2` avoids variable-shift
     * builtins (exact for x < 2^31, b ≤ 15 — the double division has a
     * ≤31-bit significand). */
-  def simhash16(tokenHashes: Column): Column =
+  private[graft] def simhash16Hof(tokenHashes: Column): Column =
     aggregate(
       transform(sequence(lit(0), lit(15)), b => {
         val votes = aggregate(tokenHashes, lit(0L), (acc, x) =>

@@ -5792,6 +5792,48 @@ object Pipeline {
       .orderBy(col("shard"))
   }
 
+  /** L2/L4 — NEAR-DUP GATE CAPACITY AUDIT (q142): the streaming
+    * ingest gate's near-dup stage collapses on a 16-bit SimHash
+    * ([[graft.streaming.Dedup.nearDupSignature]] — THE shared
+    * derivation, so this audit measures exactly the key the gate
+    * keys), and its scaladoc documents the 2^16 signature space as
+    * the capacity knob; this query turns that caveat into MEASURED
+    * numbers a deployment sizes the horizon from. Per signature
+    * occupancy class (distinct CANONICAL digests per signature —
+    * same-digest docs are the exact stage's rightful drops, so the
+    * near stage's error unit is the digest): signature count, doc
+    * count, and `n_false_drops` = Σ (digests − 1) — the distinct
+    * documents a keep-first gate would WRONGLY collapse if the whole
+    * corpus shared one horizon. The audit's honest finding on the
+    * driver corpus: collisions are STRUCTURAL, not birthday — the
+    * synthetic documents draw from a shared token distribution, so
+    * bit votes concentrate and occupancy reaches 60+ digests per
+    * signature at sf0.1 (~60% of distinct docs would collapse under
+    * a full-corpus horizon, vs the ~2% a 5k²/2·2^16 birthday bound
+    * predicts). That gap is exactly why a deployment runs THIS audit
+    * on its own corpus instead of trusting the birthday arithmetic:
+    * the gate is safe only when the HORIZON keeps in-horizon distinct
+    * documents small relative to the measured (not theoretical)
+    * collision curve — or when the signature widens / the gate is
+    * reserved for streams with genuine near-dup density (where
+    * collapse is the point). One hash exchange on the signature +
+    * a ≤|classes|-row rollup. */
+  def q142GateCapacity(spark: SparkSession, dir: String): DataFrame = {
+    val c = docs(spark, dir).select(
+      md5(graft.functions.TextFunctions.canonicalText(col("text"))
+        .cast("binary")).as("digest"),
+      graft.streaming.Dedup.nearDupSignature(col("text")).as("sig"))
+    c.groupBy(col("sig"))
+      .agg(count_distinct(col("digest")).as("nd"), count(lit(1)).as("ndocs"))
+      .groupBy(col("nd"))
+      .agg(count(lit(1)).as("n_signatures"),
+        sum(col("ndocs")).as("n_docs"),
+        sum(col("nd") - 1).as("n_false_drops"))
+      .select(col("nd").cast("int").as("digests_per_sig"),
+        col("n_signatures"), col("n_docs"), col("n_false_drops"))
+      .orderBy(col("digests_per_sig"))
+  }
+
   /** L5 — INCREMENTAL-EXPORT manifest algebra (q141, the oracle face
     * of [[Layout.appendShards]]): split the corpus into two ingest
     * waves (`doc_id % 2` — "yesterday's export" and "today's
@@ -7629,6 +7671,31 @@ object Pipeline {
          |    AS order_equal
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin
 
+    /** q142 — the gate-capacity twin: canonical digest + the gate's
+      * canonical-token simhash per doc (q91's canonical chain + q28's
+      * simhash fold), signature occupancy by DISTINCT digest, then
+      * the occupancy histogram. */
+    val q142 = {
+      val canon =
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      s"""WITH c AS (
+         |  SELECT md5($canon) AS digest,
+         |    CAST(list_sum(list_transform(generate_series(0, 15), b ->
+         |      CASE WHEN list_sum(list_transform(
+         |          list_transform(string_split($canon, ' '), t -> ${phm("t")}),
+         |          x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN CAST(2**b AS BIGINT) ELSE 0 END)) AS BIGINT) AS sig
+         |  FROM documents),
+         |s AS (
+         |  SELECT sig, count(DISTINCT digest) AS nd, count(*) AS ndocs
+         |  FROM c GROUP BY sig)
+         |SELECT CAST(nd AS INT) AS digests_per_sig,
+         |  count(*) AS n_signatures,
+         |  CAST(sum(ndocs) AS BIGINT) AS n_docs,
+         |  CAST(sum(nd - 1) AS BIGINT) AS n_false_drops
+         |FROM s GROUP BY nd ORDER BY nd""".stripMargin
+    }
+
     /** q137 — q122's manifest with the curriculum tier as the leading
       * within-shard sort key and the tier span in the rollup. */
     val q137 =
@@ -8755,6 +8822,7 @@ object Pipeline {
       "q139_pruned_eval" -> q139,
       "q140_coverage_fusion" -> q140,
       "q141_append_manifest" -> q141,
+      "q142_gate_capacity" -> q142,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

@@ -148,9 +148,13 @@ object Dedup {
     * collapse needs no pairwise comparison (the only shape an
     * unbounded stream admits), and the 16-bit space is the capacity
     * knob — size the horizon so distinct in-horizon documents stay
-    * well under 2^16, or a hash collision drops a distinct document;
-    * pairwise-VERIFIED near-dup (and the recall/precision audit)
-    * stays the batch operator's job (q24/q113/q131). State is one
+    * small against the MEASURED collision curve (q142, the audit for
+    * exactly this key: on vocabulary-concentrated corpora collisions
+    * are structural, far above the birthday bound — run the audit on
+    * your corpus before enabling the stage), or a collision drops a
+    * distinct document; pairwise-VERIFIED near-dup (and the
+    * recall/precision audit) stays the batch operator's job
+    * (q24/q113/q131). State is one
     * signature per kept in-horizon document, watermark-evicted,
     * RocksDB-backed like every dedup gate; history rides the plan,
     * never the store. */

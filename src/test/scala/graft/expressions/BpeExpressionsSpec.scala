@@ -87,6 +87,33 @@ class BpeExpressionsSpec extends SparkSpec {
       .head().getSeq[String](0) == Seq("a", "b"))
   }
 
+  test("simhash16: native expression equals the HOF vote fold on random hash multisets") {
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(20260818L)
+    // hashes drawn from portableHashMod's range [0, 2^31), with
+    // repeats (multiset votes) and tie-prone tiny arrays
+    val rows = Seq.fill(400)(
+      Seq.fill(rnd.nextInt(40) + 1)(math.abs(rnd.nextLong()) % 2147483647L))
+    val got = rows.toDF("hs").select(
+      TextFunctions.simhash16(col("hs")).as("native"),
+      TextFunctions.simhash16Hof(col("hs")).as("hof")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"${r.getLong(0)} vs ${r.getLong(1)}"))
+    // edges: empty array (all votes 0 -> sig 0), single hash
+    val edges = Seq(Seq.empty[Long], Seq(0L), Seq(2147483646L))
+    val e = edges.toDF("hs").select(
+      TextFunctions.simhash16(col("hs")).as("n"),
+      TextFunctions.simhash16Hof(col("hs")).as("h")).collect()
+    e.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // the documented null-element contract: votes -1 on every bit,
+    // the HOF's when(null).otherwise(-1) fallthrough
+    val withNull = Seq(Tuple1(Seq[java.lang.Long](65535L, null)))
+      .toDF("hs").select(
+        TextFunctions.simhash16(col("hs")).as("n"),
+        TextFunctions.simhash16Hof(col("hs")).as("h")).collect()
+    assert(withNull.head.getLong(0) == withNull.head.getLong(1))
+  }
+
   test("structurally equal instances compare equal (subexpression sharing)") {
     val a = BpeApplyAll(
       org.apache.spark.sql.catalyst.expressions.Literal.create(

@@ -2207,6 +2207,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q142: occupancy histogram equals a full driver-side re-derivation of the gate key") {
+    val rows = Pipeline.q142GateCapacity(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // independent re-derivation: canonical md5 + the canonical-token
+    // 16-bit simhash, per doc, driver-side (MessageDigest arithmetic)
+    val P = 2147483647L
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def canon(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    def sig(s: String): Long = {
+      val hs = canon(s).split(" ", -1).map(t => ((h60(t) % P) + P) % P)
+      (0 until 16).map { b =>
+        val votes = hs.map(x => if (((x >> b) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) 1L << b else 0L
+      }.sum
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val bySig = docs.map(t => (sig(t), canon(t))).groupBy(_._1)
+    val want = bySig.values
+      .map(g => (g.map(_._2).distinct.length, g.length))
+      .groupBy(_._1).map { case (nd, gs) =>
+        nd -> ((gs.size.toLong, gs.map(_._2.toLong).sum, (nd - 1).toLong * gs.size))
+      }
+    assert(rows == want, s"$rows vs $want")
+    // totals reconcile: every doc in exactly one signature class
+    assert(rows.values.map(_._2).sum == docs.length.toLong)
+  }
+
   test("q141: membership is wave-split-invariant, full order equals q122, appended order moved") {
     val rows = Pipeline.q141AppendManifest(spark, sfDir).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
