@@ -352,6 +352,10 @@ object SparkEntry {
     // occupancy by distinct canonical digest — the measured
     // false-collapse curve the horizon is sized from
     "q142_gate_capacity" -> (Pipeline.q142GateCapacity _),
+    // the gate's signature-WIDTH knob table: false collapse vs
+    // planted edited-copy recall per width — fix nearDupBits where
+    // false collapse dies while recall survives
+    "q143_gate_width_sweep" -> (Pipeline.q143WidthSweep _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -134,39 +134,43 @@ case class BpeApplyAll(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
-/** Native Catalyst expression for the 16-bit SimHash vote fold over an
-  * `array<long>` token-hash column — the signature every SimHash
-  * consumer keys on (batch q28, the streaming `dedupSimhash` /
-  * near-dup ingest gates, the q142 capacity audit). The HOF form
-  * (nested `aggregate` over `transform(sequence(0,15))`) evaluates
-  * interpreted and walks the token array SIXTEEN times with closure
+/** Native Catalyst expression for the `bits`-wide SimHash vote fold
+  * over an `array<long>` token-hash column — the signature every
+  * SimHash consumer keys on (batch q28 and the streaming
+  * `dedupSimhash` / near-dup ingest gates at 16 bits; q143's
+  * signature-WIDTH knob table sweeps it). The HOF form (nested
+  * `aggregate` over `transform(sequence(0,15))`) evaluates
+  * interpreted and walks the token array once PER BIT with closure
   * dispatch per element; this is one compiled pass accumulating all
-  * 16 bit votes. Bit test `(x >> b) & 1` equals the HOF's exact
+  * bit votes. Bit test `(x >> b) & 1` equals the HOF's exact
   * double-division test for the non-negative < 2^31 hashes every
-  * caller feeds ([[graft.functions.TextFunctions.portableHashMod]]);
-  * a NULL element votes −1 on every bit, exactly the HOF's
+  * caller feeds ([[graft.functions.TextFunctions.portableHashMod]] —
+  * which also bounds the usable width at 31 bits, the `require`); a
+  * NULL element votes −1 on every bit, exactly the HOF's
   * `when(null).otherwise(-1)` fallthrough (parity is
   * scalacheck-pinned in BpeExpressionsSpec). */
-case class Simhash16(child: Expression)
+case class SimhashBits(child: Expression, bits: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits >= 1 && bits <= 31,
+    "width must fit portableHashMod's 31-bit hash range")
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = child.nullable
-  override def prettyName: String = "simhash16"
+  override def prettyName: String = s"simhash$bits"
 
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val votes = new Array[Int](16)
+    val votes = new Array[Int](bits)
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) {
         var b = 0
-        while (b < 16) { votes(b) -= 1; b += 1 }
+        while (b < bits) { votes(b) -= 1; b += 1 }
       } else {
         val x = arr.getLong(i)
         var b = 0
-        while (b < 16) {
+        while (b < bits) {
           votes(b) += (if (((x >> b) & 1L) == 1L) 1 else -1)
           b += 1
         }
@@ -175,7 +179,7 @@ case class Simhash16(child: Expression)
     }
     var sig = 0L
     var b = 0
-    while (b < 16) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    while (b < bits) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
 
@@ -189,26 +193,26 @@ case class Simhash16(child: Expression)
       val sig = ctx.freshName("sig")
       s"""
          |final int $n = $a.numElements();
-         |int[] $votes = new int[16];
+         |int[] $votes = new int[$bits];
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) {
-         |    for (int $b = 0; $b < 16; $b++) { $votes[$b] -= 1; }
+         |    for (int $b = 0; $b < $bits; $b++) { $votes[$b] -= 1; }
          |  } else {
          |    final long $x = $a.getLong($i);
-         |    for (int $b = 0; $b < 16; $b++) {
+         |    for (int $b = 0; $b < $bits; $b++) {
          |      $votes[$b] += ((($x >> $b) & 1L) == 1L) ? 1 : -1;
          |    }
          |  }
          |}
          |long $sig = 0L;
-         |for (int $b = 0; $b < 16; $b++) {
+         |for (int $b = 0; $b < $bits; $b++) {
          |  if ($votes[$b] > 0) $sig |= (1L << $b);
          |}
          |${ev.value} = $sig;
        """.stripMargin
     })
 
-  override protected def withNewChildInternal(newChild: Expression): Simhash16 =
+  override protected def withNewChildInternal(newChild: Expression): SimhashBits =
     copy(child = newChild)
 }
 
@@ -222,10 +226,14 @@ object BpeFunctions {
     if (merges.isEmpty) toks
     else SqlBridge.column(BpeApplyAll(SqlBridge.expression(toks), merges.toList))
 
-  /** Codegen'd 16-bit SimHash over an `array<long>` token-hash column
-    * (see [[Simhash16]]): one compiled pass over the tokens instead
-    * of the HOF form's sixteen interpreted walks. */
+  /** Codegen'd `bits`-wide SimHash over an `array<long>` token-hash
+    * column (see [[SimhashBits]]): one compiled pass over the tokens
+    * instead of the HOF form's per-bit interpreted walks. */
+  def simhashBits(tokenHashes: Column, bits: Int): Column =
+    SqlBridge.column(SimhashBits(
+      SqlBridge.expression(tokenHashes.cast("array<long>")), bits))
+
+  /** The 16-bit form — the batch q28 / streaming-gate default. */
   def simhash16Native(tokenHashes: Column): Column =
-    SqlBridge.column(Simhash16(
-      SqlBridge.expression(tokenHashes.cast("array<long>"))))
+    simhashBits(tokenHashes, 16)
 }

@@ -5834,6 +5834,60 @@ object Pipeline {
       .orderBy(col("digests_per_sig"))
   }
 
+  /** The signature widths [[q143WidthSweep]] prices (16 = the gate's
+    * q28-aligned default; 31 = the portableHashMod ceiling). */
+  private[graft] val GateWidths = Seq(16, 20, 24, 31)
+
+  /** L2/L4 — the gate signature WIDTH knob table (q143): q142
+    * measured the 16-bit key's false-collapse curve and found it
+    * structural (far above birthday on vocabulary-concentrated
+    * corpora); this table prices the fix — widening the signature
+    * ([[graft.streaming.Dedup.nearDupSignatureAt]]'s `bits`) — on the
+    * two axes the gate trades: per width, the distinct canonical
+    * documents that would still FALSELY collapse under a full-corpus
+    * horizon (q142's metric at that width) against the share of
+    * PLANTED lightly-edited copies (the q50/q111 "+ extra token tail"
+    * mutation on the %11 stratum) the gate still catches. The
+    * q114/q131/q136 knob-table pattern applied to the gate: a
+    * deployment reads where false collapse dies while edited-copy
+    * recall survives, fixes `nearDupBits` there, and the same
+    * [[graft.expressions.SimhashBits]] vote fold serves it. All
+    * counts exact integers (a digest determines its signature, so
+    * Σ distinct-digests-per-signature IS the distinct digest total);
+    * the two shares are per-row round-6 of integer ratios. Planted
+    * collapse needs NO join: twin text is a derivation of the base
+    * row, so the pair compares inside one projection. Per width: one
+    * signature-keyed exchange + two bounded aggregates. */
+  def q143WidthSweep(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    val rows = GateWidths.map { bits =>
+      val c = base.select(
+        md5(graft.functions.TextFunctions.canonicalText(col("text"))
+          .cast("binary")).as("digest"),
+        graft.streaming.Dedup.nearDupSignatureAt(col("text"), bits).as("sig"))
+      val falseAgg = c.groupBy(col("sig"))
+        .agg(count_distinct(col("digest")).as("nd"))
+        .agg(sum(col("nd")).as("n_base_digests"),
+          sum(col("nd") - 1).as("n_false_drops"))
+      val plantedAgg = base.filter(col("doc_id") % 11 === 0)
+        .select((graft.streaming.Dedup.nearDupSignatureAt(col("text"), bits)
+          === graft.streaming.Dedup.nearDupSignatureAt(
+            concat(col("text"), lit(" extra token tail")), bits))
+          .cast("long").as("collapsed"))
+        .agg(count(lit(1)).as("n_planted"),
+          sum(col("collapsed")).as("n_planted_collapsed"))
+      falseAgg.crossJoin(plantedAgg)
+        .select(lit(bits).cast("int").as("bits"),
+          col("n_base_digests"), col("n_false_drops"),
+          col("n_planted"), col("n_planted_collapsed"),
+          round(col("n_false_drops").cast("double") / col("n_base_digests"), 6)
+            .as("false_drop_share"),
+          round(col("n_planted_collapsed").cast("double") / col("n_planted"), 6)
+            .as("planted_recall"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("bits"))
+  }
+
   /** L5 — INCREMENTAL-EXPORT manifest algebra (q141, the oracle face
     * of [[Layout.appendShards]]): split the corpus into two ingest
     * waves (`doc_id % 2` — "yesterday's export" and "today's
@@ -7696,6 +7750,48 @@ object Pipeline {
          |FROM s GROUP BY nd ORDER BY nd""".stripMargin
     }
 
+    /** q143 — the width-sweep twin: the q142 canonical-simhash fold
+      * at parameterized width, one false-collapse + one
+      * planted-recall aggregate per width, unioned. */
+    val q143 = {
+      val canonOf = (e: String) =>
+        s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      def sim(e: String, bits: Int) =
+        s"""CAST(list_sum(list_transform(generate_series(0, ${bits - 1}), b ->
+           |      CASE WHEN list_sum(list_transform(
+           |          list_transform(string_split(${canonOf(e)}, ' '), t -> ${phm("t")}),
+           |          x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           |      THEN CAST(2**b AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+      val widths = Seq(16, 20, 24, 31)
+      val ctes = widths.map { w =>
+        s"""c_$w AS (
+           |  SELECT md5(${canonOf("text")}) AS digest, ${sim("text", w)} AS sig
+           |  FROM documents),
+           |f_$w AS (
+           |  SELECT CAST(sum(nd) AS BIGINT) AS n_base_digests,
+           |    CAST(sum(nd - 1) AS BIGINT) AS n_false_drops
+           |  FROM (SELECT sig, count(DISTINCT digest) AS nd FROM c_$w GROUP BY sig)),
+           |p_$w AS (
+           |  SELECT count(*) AS n_planted,
+           |    CAST(sum(CASE WHEN ${sim("text", w)} =
+           |      ${sim("text || ' extra token tail'", w)} THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_planted_collapsed
+           |  FROM documents WHERE doc_id % 11 = 0),
+           |row_$w AS (
+           |  SELECT $w AS bits, n_base_digests, n_false_drops, n_planted,
+           |    n_planted_collapsed,
+           |    round(n_false_drops::DOUBLE / n_base_digests, 6) AS false_drop_share,
+           |    round(n_planted_collapsed::DOUBLE / n_planted, 6) AS planted_recall
+           |  FROM f_$w, p_$w)""".stripMargin
+      }.mkString(",\n")
+      val unions = widths.map(w => s"SELECT * FROM row_$w").mkString(" UNION ALL ")
+      s"""WITH $ctes
+         |SELECT CAST(bits AS INT) AS bits, n_base_digests, n_false_drops,
+         |  n_planted, n_planted_collapsed, false_drop_share, planted_recall
+         |FROM ($unions)
+         |ORDER BY bits""".stripMargin
+    }
+
     /** q137 — q122's manifest with the curriculum tier as the leading
       * within-shard sort key and the tier span in the rollup. */
     val q137 =
@@ -8823,6 +8919,7 @@ object Pipeline {
       "q140_coverage_fusion" -> q140,
       "q141_append_manifest" -> q141,
       "q142_gate_capacity" -> q142,
+      "q143_gate_width_sweep" -> q143,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

@@ -147,11 +147,15 @@ object Curation {
     * signature state only ever holds canonical-distinct survivors);
     * `nearDupHistory` ([[Dedup.historicalNearSignatures]]) is its
     * stateless history bootstrap, exactly as `history` is the exact
-    * stage's. */
+    * stage's; `nearDupBits` is the signature-WIDTH knob (q142 measures
+    * the 16-bit key's false-collapse curve, q143 prices width against
+    * edited-copy recall — fix the width from that table before
+    * enabling the stage on a vocabulary-concentrated corpus). */
   def ingestGate(pages: DataFrame, htmlCol: String, eventTimeCol: String,
       horizon: String, evalGrams: Option[DataFrame] = None,
       history: Option[DataFrame] = None, nearDup: Boolean = false,
-      nearDupHistory: Option[DataFrame] = None): DataFrame = {
+      nearDupHistory: Option[DataFrame] = None,
+      nearDupBits: Int = 16): DataFrame = {
     require(nearDup || nearDupHistory.isEmpty,
       "nearDupHistory bootstraps the near-dup stage - enable nearDup")
     val scrubbed =
@@ -168,7 +172,7 @@ object Curation {
         Dedup.dedupNormalizedBootstrapped(cleared, "text", eventTimeCol, horizon, _))
     if (!nearDup) exact
     else Dedup.dedupNearSignature(exact, "text", eventTimeCol, horizon,
-      nearDupHistory)
+      nearDupHistory, nearDupBits)
   }
 
   /** Stateless temperature-mix gate — the streaming face of q123:

@@ -118,10 +118,20 @@ object Dedup {
     * (DedupSpec), the [[graft.functions.TextFunctions.canonicalText]]
     * discipline. */
   private[graft] def nearDupSignature(text: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    simhash16(transform(
+      : org.apache.spark.sql.Column = nearDupSignatureAt(text, 16)
+
+  /** [[nearDupSignature]] at a chosen WIDTH — the gate's capacity
+    * knob, priced by q143's width table (wider = fewer structural
+    * false collapses on vocabulary-concentrated corpora, weaker
+    * lightly-edited-copy recall; 16 is the q28-aligned default, 31 is
+    * the [[graft.functions.TextFunctions.portableHashMod]] ceiling).
+    * Same canonical-token vote fold at every width
+    * ([[graft.expressions.SimhashBits]]). */
+  private[graft] def nearDupSignatureAt(text: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column =
+    graft.expressions.BpeFunctions.simhashBits(transform(
       split(graft.functions.TextFunctions.canonicalText(text), " "),
-      t => portableHashMod(t)))
+      t => portableHashMod(t)), bits)
 
   /** The historical near-dup signatures of an already-ingested batch
     * corpus — the [[historicalDigests]] analog for the near-dup gate
@@ -129,8 +139,9 @@ object Dedup {
     * the artifact a nightly job persists beside the corpus so a FRESH
     * stream drops paraphrases of history statelessly. */
   def historicalNearSignatures(corpus: DataFrame,
-      textCol: String): DataFrame =
-    corpus.select(nearDupSignature(col(textCol)).as("near_sig")).distinct()
+      textCol: String, bits: Int = 16): DataFrame =
+    corpus.select(nearDupSignatureAt(col(textCol), bits).as("near_sig"))
+      .distinct()
 
   /** NEAR-DUP dedup stage for the composed ingest gate (VERDICT r17
     * §next-1 — the last q113 stage without a streaming face in the
@@ -160,8 +171,9 @@ object Dedup {
     * never the store. */
   def dedupNearSignature(docs: DataFrame, textCol: String,
       eventTimeCol: String, horizon: String,
-      history: Option[DataFrame] = None): DataFrame = {
-    val signed = docs.withColumn("near_sig", nearDupSignature(col(textCol)))
+      history: Option[DataFrame] = None, bits: Int = 16): DataFrame = {
+    val signed = docs.withColumn("near_sig",
+      nearDupSignatureAt(col(textCol), bits))
     history.fold(signed)(h =>
         signed.join(h.select(col("near_sig")), Seq("near_sig"), "left_anti"))
       .withWatermark(eventTimeCol, horizon)

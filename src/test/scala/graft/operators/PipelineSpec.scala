@@ -2241,6 +2241,29 @@ class PipelineSpec extends SparkSpec {
     assert(rows.values.map(_._2).sum == docs.length.toLong)
   }
 
+  test("q143: width sweep — both collapse counts monotone in bits, 16-bit row equals q142's totals") {
+    val rows = Pipeline.q143WidthSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Pipeline.GateWidths)
+    // denominators are width-independent
+    assert(rows.map(_._2).distinct.length == 1)
+    assert(rows.map(_._4).distinct.length == 1 && rows.head._4 > 0)
+    // sig at width w is the low-w-bit prefix of the wider signature
+    // (per-bit votes don't see the width), so equality at a wider
+    // width IMPLIES equality at a narrower one — both collapse
+    // counts must be monotone non-increasing in bits
+    rows.sliding(2).foreach { case Array(narrow, wide) =>
+      assert(wide._3 <= narrow._3, s"false drops not monotone: $rows")
+      assert(wide._5 <= narrow._5, s"planted collapse not monotone: $rows")
+    }
+    // the 16-bit row IS q142's audit: same key, same corpus, same unit
+    val q142Total = Pipeline.q142GateCapacity(spark, sfDir).collect()
+      .map(_.getLong(3)).sum
+    assert(rows.head._3 == q142Total,
+      s"16-bit false drops ${rows.head._3} != q142 total $q142Total")
+  }
+
   test("q141: membership is wave-split-invariant, full order equals q122, appended order moved") {
     val rows = Pipeline.q141AppendManifest(spark, sfDir).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
