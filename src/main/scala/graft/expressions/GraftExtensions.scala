@@ -26,6 +26,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `unpack_frame(binary)` → array<int>
   *    ([[UnpackFrame]]: the reference's 16-byte LE wire frame; NULL on
   *    the length guard)
+  *  - `simhash(array<bigint>, bits)` → bigint
+  *    ([[SimhashBits]]: the one-pass SimHash vote fold every dedup
+  *    gate keys on; `bits` must be an integer LITERAL ≤ 31 — the
+  *    width is compiled into the expression, exactly as the Column
+  *    API's)
   *
   * Injection is idempotent per session build and makes no session
   * mutable-state assumptions — exactly the contract
@@ -58,5 +63,19 @@ object GraftExtensions {
         SortedIntersectSize(a(0), a(1)) }),
     (FunctionIdentifier("unpack_frame"),
       new ExpressionInfo(classOf[UnpackFrame].getName, "unpack_frame"),
-      es => { val a = arity("unpack_frame", 1)(es); UnpackFrame(a(0)) }))
+      es => { val a = arity("unpack_frame", 1)(es); UnpackFrame(a(0)) }),
+    (FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimhashBits].getName, "simhash"),
+      es => {
+        val a = arity("simhash", 2)(es)
+        val bits = a(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+              org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new IllegalArgumentException(
+            "simhash width must be an INTEGER LITERAL (it compiles into the expression)")
+        }
+        SimhashBits(org.apache.spark.sql.catalyst.expressions.Cast(a(0),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)), bits)
+      }))
 }

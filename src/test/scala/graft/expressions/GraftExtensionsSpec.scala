@@ -29,7 +29,8 @@ class GraftExtensionsSpec extends SparkSpec {
           |  sorted_intersect_size(array(1L, 3L, 7L, 9L),
           |                        array(3L, 4L, 9L, 12L)) AS s,
           |  unpack_frame(X'0100FF00DC05000000000000000000FF') AS f,
-          |  unpack_frame(X'0102') AS torn
+          |  unpack_frame(X'0102') AS torn,
+          |  simhash(array(7L), 16) AS sh
           |""".stripMargin).head()
       assert(r.getDouble(0) == 32.0)
       assert(r.isNullAt(1), "length mismatch must be NULL, not truncation")
@@ -38,6 +39,12 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(frame == Seq(1, 255, 1500, 0, 0, 0, 0, 0xFF00),
         s"frame: $frame")
       assert(r.isNullAt(4), "non-16-byte payloads must hit the guard")
+      // a single hash's set bits ARE its signature (every vote is +1
+      // on its set bits, -1 elsewhere)
+      assert(r.getLong(5) == 7L, s"simhash: ${r.getLong(5)}")
+      // the width must be a literal: it compiles into the expression
+      intercept[Exception](ext.sql(
+        "SELECT simhash(array(1L), cast(rand() * 16 as int))").collect())
       // arity errors surface at analysis, not as a wrong answer
       val e = intercept[Exception](ext.sql("SELECT vec_dot(array(1.0d))").head())
       assert(e.getMessage.contains("vec_dot"), e.getMessage)

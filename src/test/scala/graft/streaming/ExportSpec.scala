@@ -102,6 +102,38 @@ class ExportSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest-to-shards with the near-dup stage: edited re-crawl never reaches a shard, two state ops") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // the DedupSpec fixture: the pos-12 'edit0' variant collapses onto
+    // base's 16-bit canonical signature (fixture-sanity asserted there)
+    val base = Seq.tabulate(30)(i => s"tok$i").mkString(" ")
+    val edited = Seq.tabulate(30)(i => if (i == 12) "edit0" else s"tok$i")
+      .mkString(" ")
+    val distinct = Seq.tabulate(30)(i => s"zzz$i").mkString(" ")
+    val in = MemoryStream[(Long, String, String, Long)]
+    val pages = in.toDF().toDF("doc_id", "lang", "html", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = Curation.ingestToShards(pages, "html", "ts", "10 minutes",
+      nearDup = true)
+    val query = out.writeStream.format("memory").queryName("i2s_near_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "en", s"<p>$base</p>", 1L),     // survives, shard-routed
+        (2L, "en", s"<p>$edited</p>", 2L),   // near stage drops it
+        (3L, "en", s"<p>$distinct</p>", 3L)) // survives
+      query.processAllAvailable()
+      val got = spark.table("i2s_near_mem").collect()
+        .map(r => r.getAs[Long]("doc_id")).toSet
+      assert(got == Set(1L, 3L), s"got $got")
+      // the whole page→shard chain holds exactly one state op per
+      // enabled dedup stage — the documented bound, end to end
+      assert(query.lastProgress.stateOperators.length == 2)
+    } finally query.stop()
+  }
+
   test("running manifest survives a RocksDB restart: recovered counts converge to the full-corpus truth") {
     import scala.jdk.CollectionConverters._
     def h60(s: String): Long = {
