@@ -169,6 +169,44 @@ object Dedup {
     * signature per kept in-horizon document, watermark-evicted,
     * RocksDB-backed like every dedup gate; history rides the plan,
     * never the store. */
+  /** BANDED near-dup dedup — the RECALL lever q143's width table
+    * shows the single-signature gate lacks (edited-copy recall ≤ 0.5
+    * at every width on the driver corpus): compute one
+    * `bands·bandBits`-wide signature and drop a document when ANY
+    * band (a `bandBits`-bit slice) was already seen — the LSH OR-
+    * banding construction (q131's knob) applied to the streaming
+    * gate. A light edit that flips bits in one band still collapses
+    * through the other(s): with per-band match probability p, banded
+    * recall is 1 − (1 − p)^bands, bought with ~bands× the false-
+    * collapse rate and `bands` state operators (one watermark-bounded
+    * `dropDuplicatesWithinWatermark` per band, spec-asserted).
+    *
+    * Registration semantics, stated honestly: band b's state
+    * registers the band-b keys of documents that SURVIVED bands
+    * 0..b−1 (a doc dropped at an earlier band never registers its
+    * later bands). Every kept document registers ALL its bands, so
+    * arrivals always test against the full band set of every keeper;
+    * what is NOT registered is the unmatched bands of already-dropped
+    * duplicates — the same non-transitivity every LSH gate accepts.
+    * Defaults: 2 bands × 15 bits (the portableHashMod ceiling is
+    * bands·bandBits ≤ 31). */
+  def dedupNearBanded(docs: DataFrame, textCol: String,
+      eventTimeCol: String, horizon: String, bands: Int = 2,
+      bandBits: Int = 15): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 31,
+      "bands * bandBits must fit portableHashMod's 31-bit hash range")
+    val signed = docs.withColumn("near_sig_full",
+      nearDupSignatureAt(col(textCol), bands * bandBits))
+    (0 until bands).foldLeft(signed) { (d, b) =>
+      d.withColumn(s"near_band_$b",
+          shiftright(col("near_sig_full"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)))
+        .withWatermark(eventTimeCol, horizon)
+        .dropDuplicatesWithinWatermark(s"near_band_$b")
+        .drop(s"near_band_$b")
+    }.drop("near_sig_full")
+  }
+
   def dedupNearSignature(docs: DataFrame, textCol: String,
       eventTimeCol: String, horizon: String,
       history: Option[DataFrame] = None, bits: Int = 16): DataFrame = {

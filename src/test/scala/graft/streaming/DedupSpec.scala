@@ -694,6 +694,48 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("banded near-dup gate: catches an edit the full signature misses, one state op per band") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Seq.tabulate(30)(i => s"tok$i").mkString(" ")
+    // pos-0 'edit1': the full 30-bit signature DIFFERS from base's but
+    // the low band matches — the single-signature gate misses it, the
+    // banded gate catches it (fixture verified against the shared
+    // derivation below)
+    val editBandCatch = ("edit1" +: Seq.tabulate(29)(i => s"tok${i + 1}"))
+      .mkString(" ")
+    // pos-0 'edit9': NEITHER band matches — passes even banded
+    // (banding is a recall lever, not a catch-all)
+    val editPass = ("edit9" +: Seq.tabulate(29)(i => s"tok${i + 1}"))
+      .mkString(" ")
+    val distinct = Seq.tabulate(30)(i => s"zzz$i").mkString(" ")
+    // fixture sanity via the shared derivation
+    val sigs = Seq(base, editBandCatch, editPass, distinct).toDF("text")
+      .select(Dedup.nearDupSignatureAt(col("text"), 30)).as[Long].collect()
+    def bandsOf(s: Long) = (s & 0x7FFFL, (s >> 15) & 0x7FFFL)
+    val (b0, b1) = bandsOf(sigs(0))
+    assert(sigs(1) != sigs(0) && bandsOf(sigs(1))._1 == b0,
+      "fixture drifted: band-catch edit")
+    assert(bandsOf(sigs(2))._1 != b0 && bandsOf(sigs(2))._2 != b1,
+      "fixture drifted: pass edit")
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val query = Dedup.dedupNearBanded(docs, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("nearband_mem")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, base, 1L), (2L, editBandCatch, 2L),
+        (3L, editPass, 3L), (4L, distinct, 4L))
+      query.processAllAvailable()
+      val got = spark.table("nearband_mem").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(got == Set(1L, 3L, 4L), s"got $got")
+      // one watermark-bounded state operator per band
+      val ops = query.lastProgress.stateOperators
+      assert(ops.length == 2, s"state ops: ${ops.length}")
+    } finally query.stop()
+  }
+
   test("near-dup gate stage agrees with a batch keep-first over the same signatures") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // arrival order IS doc_id order, so streaming keep-first must
