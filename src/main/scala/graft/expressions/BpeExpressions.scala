@@ -224,7 +224,11 @@ object BpeFunctions {
     * allocation. Empty table → the input column unchanged. */
   def bpeApplyAll(toks: Column, merges: Seq[(String, String)]): Column =
     if (merges.isEmpty) toks
-    else SqlBridge.column(BpeApplyAll(SqlBridge.expression(toks), merges.toList))
+    else SqlBridge.column(BpeApplyAll(
+      // the cast makes a wrongly-typed column an ANALYSIS error (the
+      // simhashBits discipline) instead of a ClassCastException deep
+      // in generated code
+      SqlBridge.expression(toks.cast("array<string>")), merges.toList))
 
   /** Codegen'd `bits`-wide SimHash over an `array<long>` token-hash
     * column (see [[SimhashBits]]): one compiled pass over the tokens

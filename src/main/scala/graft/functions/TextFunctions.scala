@@ -122,7 +122,7 @@ object TextFunctions {
   /** 16-bit SimHash over a (multiset) token-hash array: bit b is set when
     * the frequency-weighted ±1 vote of bit b across token hashes is
     * positive. Since r18 this delegates to the native codegen'd
-    * expression ([[graft.expressions.Simhash16]] — one compiled pass
+    * expression ([[graft.expressions.SimhashBits]] at 16 — one compiled pass
     * accumulating all 16 bit votes, where the HOF form walked the
     * token array sixteen times interpreted); the vote semantics are
     * unchanged and scalacheck-pinned against the HOF reference

@@ -236,6 +236,7 @@ object Layout {
     // per-shard counts and checksums
     manifestTextCol.foreach { textCol =>
       Pipeline.shardManifestOf(docs, idCol, textCol, numShards)
+        .withColumn("n_shards", lit(numShards))
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(path + "/_manifest")
     }
@@ -271,18 +272,43 @@ object Layout {
     val spark = newDocs.sparkSession
     val P = graft.functions.TextFunctions.P
     // bootstrap: an export IS a sequence of appends — with no sidecar
-    // yet (fresh path, e.g. the first micro-batch of the streaming
-    // writer), the resident manifest is empty and this append founds
-    // the export
+    // AND no resident data (fresh path, e.g. the first micro-batch of
+    // the streaming writer), the resident manifest is empty and this
+    // append FOUNDS the export. A path that holds shard data but no
+    // sidecar (a manifest-less writeShards, a curriculum export) must
+    // fail loudly instead of silently founding a delta-only manifest
+    // that ignores every resident row (review r18).
     val manifestPath = new org.apache.hadoop.fs.Path(path + "/_manifest")
+    val rootPath = new org.apache.hadoop.fs.Path(path)
     val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old =
-      if (fs.exists(manifestPath)) spark.read.parquet(path + "/_manifest")
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "shard INT, n_docs BIGINT, n_tokens BIGINT, " +
-            "order_checksum BIGINT, head_doc_id BIGINT"))
+      if (fs.exists(manifestPath)) {
+        val m = spark.read.parquet(path + "/_manifest")
+        // the resident modulus is the append's contract: a mismatched
+        // numShards would route documents to shards a full export
+        // would never place them in (review r18)
+        if (m.columns.contains("n_shards")) {
+          val resident = m.select(col("n_shards")).head().getInt(0)
+          require(resident == numShards,
+            s"export at $path was written with $resident shards; " +
+              s"appendShards was called with $numShards")
+        }
+        m.select("shard", "n_docs", "n_tokens", "order_checksum",
+          "head_doc_id")
+      } else {
+        require(!fs.exists(rootPath) ||
+          fs.listStatus(rootPath).forall(
+            _.getPath.getName.startsWith("_")),
+          s"export at $path holds shard data but no _manifest sidecar " +
+            "- write it with writeShards(manifestTextCol = Some(...)) " +
+            "or compact first; appending blindly would found a " +
+            "delta-only manifest that ignores every resident row")
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "shard INT, n_docs BIGINT, n_tokens BIGINT, " +
+              "order_checksum BIGINT, head_doc_id BIGINT"))
+      }
     // delta rows at rest: the writeShards plan over the new docs only
     newDocs.withColumn("sk", Pipeline.shardKey(col(idCol)))
       .withColumn("shard", pmod(col("sk"), lit(numShards.toLong)).cast("int"))
@@ -323,6 +349,7 @@ object Layout {
     val rows = merged.collect().toSeq
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), merged.schema)
+      .withColumn("n_shards", lit(numShards))
       .write.mode(SaveMode.Overwrite).parquet(path + "/_manifest")
   }
 
@@ -344,13 +371,26 @@ object Layout {
     * deployment schedules weekly against daily appends. */
   def compactShards(spark: SparkSession, path: String, idCol: String,
       textCol: String, numShards: Int = 8): Unit = {
+    // the resident sidecar's modulus wins over the parameter: a
+    // compaction preserves the export's hash membership by definition
+    // (review r18 — nothing else at rest records the shard count)
+    val manifestPath = new org.apache.hadoop.fs.Path(path + "/_manifest")
+    val mfs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shards =
+      if (!mfs.exists(manifestPath)) numShards
+      else {
+        val m = spark.read.parquet(path + "/_manifest")
+        if (m.columns.contains("n_shards"))
+          m.select(col("n_shards")).head().getInt(0)
+        else numShards
+      }
     val resident = spark.read.parquet(path)
       .drop("shard", "sk").dropDuplicates(idCol)
     // the rewrite streams corpus→tmp distributed (no driver
     // materialization — the staging dir is DIFFERENT from the read
     // target, so the lazy read is safe until the swap below)
     val tmp = path + ".compact.tmp"
-    writeShards(resident, idCol, tmp, numShards, Some(textCol))
+    writeShards(resident, idCol, tmp, shards, Some(textCol))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)

@@ -812,7 +812,16 @@ object Pipeline {
     * unchanged, because a fresh session starts with an empty memo). */
   private val ensuredMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Set[String]]())
+      java.util.Set[String]]())
+
+  /** Per-presence-table build locks: two threads ensuring the SAME
+    * artifact serialize (a concurrent dropManagedTable + saveAsTable
+    * race would corrupt it — review r18), while ensures of different
+    * artifacts never block each other. Keyed globally by table name;
+    * cross-session contention on one name is harmless
+    * serialization. */
+  private val ensureLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Forget this session's ensure memo: the next ensure per artifact
     * re-runs the fingerprint compare (and rebuild on mismatch). Specs
@@ -834,18 +843,29 @@ object Pipeline {
     * index (q86). */
   private def ensureCurrent(spark: SparkSession, presence: String,
       fp: => (Long, Long, Long))(build: => Unit): Unit = {
+    // concurrent set per session; double-checked under a per-presence
+    // lock so concurrent ensures of one artifact (a streaming serve's
+    // micro-batch racing a batch query — the memo's own use case)
+    // build at most once, and ensures of DIFFERENT artifacts never
+    // serialize (review r18)
     val seen = ensuredMemo.synchronized {
       ensuredMemo.computeIfAbsent(spark,
-        _ => scala.collection.mutable.Set.empty[String])
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
     }
     if (!seen.contains(presence)) {
-      val f = fp
-      if (!spark.catalog.tableExists(presence) ||
-          !Layout.readFingerprint(spark, presence).contains(f)) {
-        build
-        Layout.writeFingerprint(spark, presence, f)
+      val lock = ensureLocks.computeIfAbsent(presence, _ => new Object)
+      lock.synchronized {
+        if (!seen.contains(presence)) {
+          val f = fp
+          if (!spark.catalog.tableExists(presence) ||
+              !Layout.readFingerprint(spark, presence).contains(f)) {
+            build
+            Layout.writeFingerprint(spark, presence, f)
+          }
+          seen.add(presence)
+          ()
+        }
       }
-      seen.synchronized { seen += presence; () }
     }
   }
 
@@ -5859,20 +5879,40 @@ object Pipeline {
     * row, so the pair compares inside one projection. Per width: one
     * signature-keyed exchange + two bounded aggregates. */
   def q143WidthSweep(spark: SparkSession, dir: String): DataFrame = {
+    // the width-w signature is the LOW w BITS of the widest one
+    // (per-bit votes don't see the width — the property the spec
+    // asserts), so the expensive canonical-split-hash-vote fold runs
+    // ONCE at the 31-bit ceiling and every narrower width is a mask
+    // over the persisted per-doc relation — one corpus scan for the
+    // false-collapse side and one for the planted side, instead of
+    // two per width (review r18: 6 avoided corpus scans here, the
+    // difference between 8 and 2 at the 100 TB posture this section
+    // advertises)
+    val widest = GateWidths.max
+    def maskOf(bits: Int) = lit((1L << bits) - 1)
     val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    val c = base.select(
+      md5(graft.functions.TextFunctions.canonicalText(col("text"))
+        .cast("binary")).as("digest"),
+      graft.streaming.Dedup.nearDupSignatureAt(col("text"), widest)
+        .as("sig")).persist(NarrowCacheLevel)
+    c.count()
+    val planted = base.filter(col("doc_id") % 11 === 0)
+      .select(
+        graft.streaming.Dedup.nearDupSignatureAt(col("text"), widest)
+          .as("sa"),
+        graft.streaming.Dedup.nearDupSignatureAt(
+          concat(col("text"), lit(" extra token tail")), widest).as("sb"))
+      .persist(NarrowCacheLevel)
+    planted.count()
     val rows = GateWidths.map { bits =>
-      val c = base.select(
-        md5(graft.functions.TextFunctions.canonicalText(col("text"))
-          .cast("binary")).as("digest"),
-        graft.streaming.Dedup.nearDupSignatureAt(col("text"), bits).as("sig"))
-      val falseAgg = c.groupBy(col("sig"))
+      val falseAgg = c.groupBy(col("sig").bitwiseAND(maskOf(bits)))
         .agg(count_distinct(col("digest")).as("nd"))
         .agg(sum(col("nd")).as("n_base_digests"),
           sum(col("nd") - 1).as("n_false_drops"))
-      val plantedAgg = base.filter(col("doc_id") % 11 === 0)
-        .select((graft.streaming.Dedup.nearDupSignatureAt(col("text"), bits)
-          === graft.streaming.Dedup.nearDupSignatureAt(
-            concat(col("text"), lit(" extra token tail")), bits))
+      val plantedAgg = planted
+        .select((col("sa").bitwiseAND(maskOf(bits))
+          === col("sb").bitwiseAND(maskOf(bits)))
           .cast("long").as("collapsed"))
         .agg(count(lit(1)).as("n_planted"),
           sum(col("collapsed")).as("n_planted_collapsed"))
@@ -5885,7 +5925,9 @@ object Pipeline {
           round(col("n_planted_collapsed").cast("double") / col("n_planted"), 6)
             .as("planted_recall"))
     }
-    rows.reduce(_ unionByName _).orderBy(col("bits"))
+    val out = rows.reduce(_ unionByName _).orderBy(col("bits"))
+    // 4 report rows: snapshot, release the two per-doc residents
+    snapshotAndFree(out, c, planted)
   }
 
   /** L5 — INCREMENTAL-EXPORT manifest algebra (q141, the oracle face

@@ -211,9 +211,10 @@ object Curation {
       idCol: String = "doc_id", langCol: String = "lang",
       numShards: Int = 8, history: Option[DataFrame] = None,
       nearDup: Boolean = false,
-      nearDupHistory: Option[DataFrame] = None): DataFrame = {
+      nearDupHistory: Option[DataFrame] = None,
+      nearDupBits: Int = 16): DataFrame = {
     val gated = ingestGate(pages, htmlCol, eventTimeCol, horizon, evalGrams,
-      history, nearDup, nearDupHistory)
+      history, nearDup, nearDupHistory, nearDupBits)
     val mixed = mixRates.fold(gated)(mixGate(gated, idCol, langCol, _))
     Export.shardAssign(mixed, idCol, "text", numShards)
   }

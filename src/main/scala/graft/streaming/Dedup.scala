@@ -169,6 +169,18 @@ object Dedup {
     * signature per kept in-horizon document, watermark-evicted,
     * RocksDB-backed like every dedup gate; history rides the plan,
     * never the store. */
+  def dedupNearSignature(docs: DataFrame, textCol: String,
+      eventTimeCol: String, horizon: String,
+      history: Option[DataFrame] = None, bits: Int = 16): DataFrame = {
+    val signed = docs.withColumn("near_sig",
+      nearDupSignatureAt(col(textCol), bits))
+    history.fold(signed)(h =>
+        signed.join(h.select(col("near_sig")), Seq("near_sig"), "left_anti"))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("near_sig")
+      .drop("near_sig")
+  }
+
   /** BANDED near-dup dedup — the RECALL lever q143's width table
     * shows the single-signature gate lacks (edited-copy recall ≤ 0.5
     * at every width on the driver corpus): compute one
@@ -205,18 +217,6 @@ object Dedup {
         .dropDuplicatesWithinWatermark(s"near_band_$b")
         .drop(s"near_band_$b")
     }.drop("near_sig_full")
-  }
-
-  def dedupNearSignature(docs: DataFrame, textCol: String,
-      eventTimeCol: String, horizon: String,
-      history: Option[DataFrame] = None, bits: Int = 16): DataFrame = {
-    val signed = docs.withColumn("near_sig",
-      nearDupSignatureAt(col(textCol), bits))
-    history.fold(signed)(h =>
-        signed.join(h.select(col("near_sig")), Seq("near_sig"), "left_anti"))
-      .withWatermark(eventTimeCol, horizon)
-      .dropDuplicatesWithinWatermark("near_sig")
-      .drop("near_sig")
   }
 
   /** Embedding near-dup streaming dedup: keep the first document per

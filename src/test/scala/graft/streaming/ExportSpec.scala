@@ -418,6 +418,35 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("appendShards guards: sidecar-less resident data and a mismatched modulus both fail loudly") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_guard_")
+    try {
+      val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+        .filter(col("doc_id") < 500)
+      // a manifest-less export (the pre-r18 writeShards form): blind
+      // appending would found a delta-only manifest ignoring every
+      // resident row — must refuse
+      val bare = s"$root/bare"
+      graft.operators.Layout.writeShards(d, "doc_id", bare)
+      val e1 = intercept[IllegalArgumentException](
+        graft.operators.Layout.appendShards(d, "doc_id", "text", bare))
+      assert(e1.getMessage.contains("no _manifest sidecar"))
+      // a manifested export appended with the wrong modulus would
+      // route docs to shards a full export never places them in
+      val good = s"$root/good"
+      graft.operators.Layout.writeShards(d, "doc_id", good,
+        manifestTextCol = Some("text"))
+      val e2 = intercept[IllegalArgumentException](
+        graft.operators.Layout.appendShards(d, "doc_id", "text", good,
+          numShards = 16))
+      assert(e2.getMessage.contains("was written with 8 shards"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("compactShards: dedupes a double-append, resets order to canonical, one file per shard") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft_cmp_").toString + "/exp"
