@@ -54,7 +54,12 @@ object ServeSplit {
           .write.format("noop").mode("overwrite").save()
         val cold = once()
         val warm = math.min(once(), once())
-        println(s"""{"q":"$name","sf":"$sfDir","cold_sec":${fmt(cold)},"warm_sec":${fmt(warm)},"build_share":${fmt((cold - warm) / cold)}}""")
+        // clamp to [0, 1] (ADVICE r18): warm-run jitter above cold, or a
+        // cold that rounds to ~0, must not print a negative/NaN share
+        val share =
+          if (cold <= 0.0) 0.0
+          else math.max(0.0, math.min(1.0, (cold - warm) / cold))
+        println(s"""{"q":"$name","sf":"$sfDir","cold_sec":${fmt(cold)},"warm_sec":${fmt(warm)},"build_share":${fmt(share)}}""")
       } finally spark.stop()
     }
   }

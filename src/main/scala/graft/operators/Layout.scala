@@ -239,7 +239,64 @@ object Layout {
         .withColumn("n_shards", lit(numShards))
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(path + "/_manifest")
+      // wave sidecar: the founding write is wave 0 — see [[appendShards]]
+      writeWaves(docs.sparkSession, path,
+        listShardFiles(docs.sparkSession, path).map((0, _)))
     }
+  }
+
+  /** Per-export-path append locks (ADVICE r18): two same-JVM callers
+    * mutating one export's sidecars serialize — the read-modify-write
+    * manifest merge is not otherwise atomic. CROSS-PROCESS writers are
+    * the caller's contract: an export has a SINGLE writer (the
+    * streaming writer's foreachBatch is serial by construction; a
+    * deployment with several batch jobs appending to one export must
+    * serialize them externally, e.g. via its scheduler). */
+  private val exportLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withExportLock[T](path: String)(body: => T): T =
+    exportLocks.computeIfAbsent(path, _ => new Object)
+      .synchronized(body)
+
+  /** The parquet part files of every `shard=N/` directory under an
+    * export, as bare file names (Spark part names carry a job UUID, so
+    * names are globally unique), with modification times. */
+  private def listShardFiles(spark: SparkSession,
+      path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .flatMap(d => fs.listStatus(d.getPath).toSeq)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(s => (s.getModificationTime, s.getPath.getName))
+      .map(_.getPath.getName)
+  }
+
+  /** Overwrite the `_waves` sidecar: one `(wave, file)` row per part
+    * file, the at-rest record of per-file APPEND ORDER (ADVICE r18 —
+    * replay order used to be recoverable only from mtime, ambiguous
+    * for the streaming writer's sub-second micro-batches on
+    * 1s-granularity filesystems). Replay of a shard = its files in
+    * wave order (one file per shard per wave), rows in file order —
+    * exactly the permutation the manifest checksum certifies. */
+  private def writeWaves(spark: SparkSession, path: String,
+      rows: Seq[(Int, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("wave", "file").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path + "/_waves")
+  }
+
+  /** The `(wave, file)` append-order sidecar of an export — empty for
+    * exports predating the sidecar (callers fall back to mtime). */
+  def readWaves(spark: SparkSession, path: String): Seq[(Int, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path + "/_waves")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else spark.read.parquet(path + "/_waves").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq.sortBy(_._1)
   }
 
   /** INCREMENTAL shard export (VERDICT r17 §next-7 — production
@@ -259,6 +316,15 @@ object Layout {
     * appended shard: files in append order (resident first), rows in
     * file order; the merged checksum certifies exactly that
     * permutation, recomputable from the bytes at rest (ExportSpec).
+    * Append order is RECORDED at rest (ADVICE r18): every wave's part
+    * files land in the `_waves` sidecar with a monotone wave counter,
+    * so replay order is derivable from the manifest directory alone —
+    * never from mtime, which sub-second micro-batches make ambiguous.
+    * Concurrency (ADVICE r18): same-JVM appends (and compactions) on
+    * one path serialize on a per-path lock; across processes an export
+    * has a SINGLE writer by contract — the read-modify-write sidecar
+    * merge cannot be made atomic against writers this module can't
+    * see, so a multi-job deployment serializes appends externally.
     *
     * Scale posture: the append pays ONE hash exchange + in-partition
     * sort over the NEW documents only (the writeShards plan on the
@@ -268,7 +334,7 @@ object Layout {
     * an append cannot preserve file-locally — re-export (q137's
     * writeShardsOrdered) is the curriculum path. */
   def appendShards(newDocs: DataFrame, idCol: String, textCol: String,
-      path: String, numShards: Int = 8): Unit = {
+      path: String, numShards: Int = 8): Unit = withExportLock(path) {
     val spark = newDocs.sparkSession
     val P = graft.functions.TextFunctions.P
     // bootstrap: an export IS a sequence of appends — with no sidecar
@@ -309,12 +375,24 @@ object Layout {
             "shard INT, n_docs BIGINT, n_tokens BIGINT, " +
               "order_checksum BIGINT, head_doc_id BIGINT"))
       }
+    // wave accounting (ADVICE r18): resident files before the delta
+    // write; a pre-sidecar export's residents seed wave 0 in mtime
+    // order (one-time best effort — every later wave is exact)
+    val residentFiles = listShardFiles(spark, path)
+    val oldWaves = readWaves(spark, path) match {
+      case w if w.nonEmpty => w
+      case _ => residentFiles.zipWithIndex.map { case (f, i) => (i, f) }
+    }
+    val nextWave = oldWaves.map(_._1).maxOption.map(_ + 1).getOrElse(0)
     // delta rows at rest: the writeShards plan over the new docs only
     newDocs.withColumn("sk", Pipeline.shardKey(col(idCol)))
       .withColumn("shard", pmod(col("sk"), lit(numShards.toLong)).cast("int"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("sk"), col(idCol))
       .write.mode(SaveMode.Append).partitionBy("shard").parquet(path)
+    val appended = listShardFiles(spark, path)
+      .filterNot(residentFiles.toSet)
+    writeWaves(spark, path, oldWaves ++ appended.map((nextWave, _)))
     // manifest merge: delta positions continue after the resident rows
     val delta = newDocs
       .select(col(idCol).as("doc_id"),
@@ -365,12 +443,18 @@ object Layout {
     * the [[writeShards]] plan, and the sidecar resets to the full
     * re-export's manifest (order checksums return to q122's
     * (key, id) form — exactly the q141 `checksum_full` column).
-    * The rewrite stages beside the export and swaps in atomically-ish
-    * (delete + rename), so a reader never sees half of each.
+    * The rewrite stages beside the export and swaps in via two CHECKED
+    * renames (ADVICE r18: never delete the live export before its
+    * replacement is in place — Hadoop rename reports failure by
+    * returning false, and an unchecked delete-then-rename destroys the
+    * export on any rename failure): live moves aside, the compacted
+    * copy installs, only then does the old copy delete. A crash
+    * between the renames leaves the full export at
+    * `<path>.compact.old` — recoverable, never destroyed.
     * Cost: one full read + the writeShards exchange — the operation a
     * deployment schedules weekly against daily appends. */
   def compactShards(spark: SparkSession, path: String, idCol: String,
-      textCol: String, numShards: Int = 8): Unit = {
+      textCol: String, numShards: Int = 8): Unit = withExportLock(path) {
     // the resident sidecar's modulus wins over the parameter: a
     // compaction preserves the export's hash membership by definition
     // (review r18 — nothing else at rest records the shard count)
@@ -393,10 +477,87 @@ object Layout {
     writeShards(resident, idCol, tmp, shards, Some(textCol))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(path))
+    val live = new org.apache.hadoop.fs.Path(path)
+    val staged = new org.apache.hadoop.fs.Path(tmp)
+    val aside = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    if (fs.exists(aside)) fs.delete(aside, true)
+    require(fs.rename(live, aside),
+      s"compactShards: could not move the live export aside ($path); " +
+        "nothing was modified")
+    require(fs.rename(staged, live),
+      s"compactShards: could not install the compacted copy at $path; " +
+        s"the original export is intact at $aside")
+    fs.delete(aside, true)
     ()
+  }
+
+  /** STANDING manifest-vs-bytes reconcile audit (VERDICT r18 §next-4):
+    * recompute every shard's counts, token totals, and order-sensitive
+    * checksum FROM THE BYTES AT REST — replay order from the `_waves`
+    * sidecar (mtime fallback for pre-sidecar exports), positions
+    * continuing across waves exactly as [[appendShards]] lays them
+    * down — and join the `_manifest` sidecar, flagging divergence as
+    * columns:
+    *
+    *  - `counts_equal` / `checksum_equal`: false when bytes exist the
+    *    manifest doesn't count (replay window (a) — crash after the
+    *    parquet commit, before the manifest);
+    *  - `ids_unique`: false when a batch replayed into BOTH bytes and
+    *    manifest (replay window (b) — crash after the manifest, before
+    *    the deliverOnce marker): counts and checksums reconcile
+    *    CLEANLY there, and distinct-id comparison is the only catch
+    *    (ADVICE r18) — an append never legitimately re-adds an id.
+    *
+    * Any false flag → run [[compactShards]] (dedup by id + canonical
+    * re-export + fresh manifest), then this audit returns all-true.
+    * This is the query a deployment SCHEDULES between appends and
+    * trainer reads; q146 is its oracle face (the planted replay
+    * fixture, cross-engine certified). Cost: one full read of the
+    * export + one shard exchange — the audit's price is a scan, never
+    * a rewrite. */
+  def reconcileShards(spark: SparkSession, path: String, idCol: String,
+      textCol: String): DataFrame = {
+    val P = graft.functions.TextFunctions.P
+    val waves = readWaves(spark, path) match {
+      case w if w.nonEmpty => w
+      case _ => listShardFiles(spark, path).zipWithIndex
+        .map { case (f, i) => (i, f) } // legacy: mtime order, one file/wave
+    }
+    val waveOf: Map[String, Int] = waves.map(_.swap).toMap
+    val rows = spark.read.parquet(path)
+      // a file the sidecar doesn't know (replay window (a): bytes
+      // committed, crash before the wave/manifest write) sorts LAST —
+      // it is by construction the latest append
+      .withColumn("wave", coalesce(element_at(typedLit(waveOf),
+        element_at(split(input_file_name(), "/"), -1)),
+        lit(Int.MaxValue)))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("wave"), col("sk"), col(idCol))))
+    val bytes = rows
+      .withColumn("term", pmod(col("pos") * pmod(col("sk"), lit(P)), lit(P)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs_bytes"),
+        countDistinct(col(idCol)).as("n_distinct_ids"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens_bytes"),
+        (sum(col("term").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          % lit(P)).cast("long").as("checksum_bytes"))
+    val manifest = spark.read.parquet(path + "/_manifest")
+      .select(col("shard"), col("n_docs").as("n_docs_manifest"),
+        col("n_tokens").as("n_tokens_manifest"),
+        col("order_checksum").as("checksum_manifest"))
+    manifest.join(bytes, Seq("shard"), "full_outer")
+      .select(col("shard"), col("n_docs_manifest"), col("n_docs_bytes"),
+        col("n_distinct_ids"), col("n_tokens_manifest"),
+        col("n_tokens_bytes"), col("checksum_manifest"),
+        col("checksum_bytes"),
+        (col("n_docs_manifest") <=> col("n_docs_bytes") &&
+          col("n_tokens_manifest") <=> col("n_tokens_bytes"))
+          .as("counts_equal"),
+        (col("checksum_manifest") <=> col("checksum_bytes"))
+          .as("checksum_equal"),
+        (col("n_distinct_ids") <=> col("n_docs_bytes")).as("ids_unique"))
+      .orderBy(col("shard"))
   }
 
   /** [[writeShards]] with CURRICULUM columns leading the within-shard

@@ -66,10 +66,17 @@ object Export {
     *
     * Delivery: micro-batches replay through
     * [[Sinks.deliverOnce]] markers — a fully-delivered batch never
-    * re-appends across restarts (proven in ExportSpec). The honest
-    * window: a crash AFTER the parquet job committed but BEFORE the
-    * manifest+marker wrote re-appends that one batch on restart —
-    * duplicate rows the manifest-vs-bytes reconcile detects and
+    * re-appends across restarts (proven in ExportSpec). TWO honest
+    * replay windows (ADVICE r18), both repaired by the same audit:
+    * (a) a crash AFTER the parquet job committed but BEFORE the
+    * manifest+marker wrote re-appends that batch with rows in bytes
+    * the manifest doesn't count — the checksum/count reconcile flags
+    * it; (b) a crash AFTER the manifest wrote but BEFORE the marker
+    * re-appends the batch into BOTH bytes and manifest, leaving them
+    * CONSISTENT — counts and checksums reconcile cleanly, and only a
+    * duplicate-aware check (manifest n_docs vs count(DISTINCT id) per
+    * shard — [[graft.operators.Layout.reconcileShards]]'s `ids_unique`
+    * column) catches it. Either way
     * [[graft.operators.Layout.compactShards]] repairs (dedup by id +
     * canonical re-export + fresh manifest), the same
     * at-least-once-then-audit contract as the fan-out sink.

@@ -15,6 +15,19 @@ object ExportSpec {
   * export and the order-independent running manifest. */
 class ExportSpec extends SparkSpec {
 
+  /** A shard's part files in REPLAY order — from the `_waves` sidecar
+    * (ADVICE r18: append order is recorded at rest; mtime is ambiguous
+    * for sub-second appends, so these tests no longer sleep between
+    * waves to make it observable). */
+  private def filesInReplayOrder(path: String,
+      shard: Int): Seq[java.io.File] = {
+    val order = graft.operators.Layout.readWaves(spark, path)
+      .map(_._2).zipWithIndex.toMap
+    new java.io.File(s"$path/shard=$shard").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .sortBy(f => order(f.getName)).toSeq
+  }
+
   test("streaming shard router: running manifest converges to the batch export's membership") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -287,7 +300,6 @@ class ExportSpec extends SparkSpec {
       val before = spark.read.parquet(out + "/_manifest").collect()
         .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4)))).toMap
-      Thread.sleep(1100) // mtime tick: replay order is append order
       graft.operators.Layout.appendShards(second, "doc_id", "text", out)
       // 1. membership: the appended export holds exactly the full
       // export's per-shard document sets (hash membership is
@@ -320,10 +332,8 @@ class ExportSpec extends SparkSpec {
           r.getLong(3), r.getLong(5)))).toMap
       assert(after == q141, s"sidecar $after vs q141 $q141")
       after.foreach { case (shard, (nDocs, nToks, checksum, headId)) =>
-        val files = new java.io.File(s"$out/shard=$shard")
-          .listFiles().filter(_.getName.endsWith(".parquet"))
-          .sortBy(_.lastModified)
-        val rows = files.toSeq.flatMap(f =>
+        val files = filesInReplayOrder(out, shard)
+        val rows = files.flatMap(f =>
           spark.read.parquet(f.getAbsolutePath)
             .select("doc_id", "sk", "text").collect())
         assert(rows.length.toLong == nDocs, s"shard $shard count")
@@ -346,7 +356,6 @@ class ExportSpec extends SparkSpec {
         .map(r => (r.getLong(0) + 5000000L, r.getString(1)))
       import spark.implicits._
       val touched = spare.head.getInt(2)
-      Thread.sleep(1100)
       graft.operators.Layout.appendShards(
         oneShard.toSeq.toDF("doc_id", "text"), "doc_id", "text", out)
       val third = spark.read.parquet(out + "/_manifest").collect()
@@ -388,7 +397,6 @@ class ExportSpec extends SparkSpec {
       import spark.implicits._
       graft.operators.Layout.appendShards(
         w0.toSeq.toDF("doc_id", "text"), "doc_id", "text", outBatch)
-      Thread.sleep(1100)
       graft.operators.Layout.appendShards(
         w1.toSeq.toDF("doc_id", "text"), "doc_id", "text", outBatch)
       def manifest(p: String) = spark.read.parquet(p + "/_manifest").collect()
@@ -399,10 +407,8 @@ class ExportSpec extends SparkSpec {
       // and the sidecar reconciles against the streamed BYTES at rest
       val P = 2147483647L
       manifest(out).foreach { case (shard, (nDocs, _, checksum, headId)) =>
-        val files = new java.io.File(s"$out/shard=$shard")
-          .listFiles().filter(_.getName.endsWith(".parquet"))
-          .sortBy(_.lastModified)
-        val rows = files.toSeq.flatMap(f =>
+        val files = filesInReplayOrder(out, shard)
+        val rows = files.flatMap(f =>
           spark.read.parquet(f.getAbsolutePath).select("doc_id", "sk").collect())
         assert(rows.length.toLong == nDocs && rows.head.getLong(0) == headId)
         val ck = rows.zipWithIndex.map { case (r, i) =>
@@ -454,12 +460,32 @@ class ExportSpec extends SparkSpec {
       val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
         .filter(col("doc_id") < 2000)
       graft.operators.Layout.appendShards(d, "doc_id", "text", out)
-      Thread.sleep(1100)
       // simulate the documented replay window: the same wave appends twice
       graft.operators.Layout.appendShards(d, "doc_id", "text", out)
       val doubled = spark.read.parquet(out).count()
       assert(doubled == 2 * d.count(), "fixture: double-append expected")
+      // the standing reconcile audit sees exactly window (b)'s shape:
+      // bytes and manifest CONSISTENT (the replay wrote both), so counts
+      // and checksums reconcile cleanly — only the duplicate-aware
+      // distinct-id column catches it (ADVICE r18)
+      val audit = graft.operators.Layout
+        .reconcileShards(spark, out, "doc_id", "text").collect()
+      audit.foreach { r =>
+        assert(r.getAs[Boolean]("counts_equal") &&
+          r.getAs[Boolean]("checksum_equal"),
+          s"window (b) must reconcile cleanly: $r")
+        assert(!r.getAs[Boolean]("ids_unique"),
+          s"duplicate ids must flag: $r")
+      }
       graft.operators.Layout.compactShards(spark, out, "doc_id", "text")
+      // compaction clears every flag
+      val clean = graft.operators.Layout
+        .reconcileShards(spark, out, "doc_id", "text").collect()
+      clean.foreach { r =>
+        assert(r.getAs[Boolean]("counts_equal") &&
+          r.getAs[Boolean]("checksum_equal") &&
+          r.getAs[Boolean]("ids_unique"), s"post-compaction flag: $r")
+      }
       // membership repaired to distinct ids
       val got = spark.read.parquet(out).select("doc_id").collect()
         .map(_.getLong(0)).sorted.toSeq
@@ -480,6 +506,57 @@ class ExportSpec extends SparkSpec {
           .listFiles().filter(_.getName.endsWith(".parquet"))
         assert(files.length == 1, s"shard $shard: ${files.length} files after compaction")
       }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out).getParentFile).deleteRecursively()
+    }
+  }
+
+  test("reconcileShards: a bytes-only replay (window a) flags counts and checksum on exactly the touched shard") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_rca_").toString + "/exp"
+    try {
+      val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+        .filter(col("doc_id") < 500)
+      graft.operators.Layout.writeShards(d, "doc_id", out,
+        manifestTextCol = Some("text"))
+      // clean export: every flag true
+      graft.operators.Layout.reconcileShards(spark, out, "doc_id", "text")
+        .collect().foreach { r =>
+          assert(r.getAs[Boolean]("counts_equal") &&
+            r.getAs[Boolean]("checksum_equal") &&
+            r.getAs[Boolean]("ids_unique"), s"clean export flagged: $r")
+        }
+      // plant window (a): a batch whose parquet committed but whose
+      // manifest never wrote — bytes the sidecar doesn't count
+      // (simulated by duplicating a part file under a fresh name the
+      // _waves sidecar has never seen)
+      val shardDir = new java.io.File(s"$out/shard=0")
+      val part = shardDir.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(shardDir,
+          "part-99999-replayed.snappy.parquet").toPath)
+      val audit = graft.operators.Layout
+        .reconcileShards(spark, out, "doc_id", "text").collect()
+        .map(r => r.getInt(0) -> r).toMap
+      assert(!audit(0).getAs[Boolean]("counts_equal") &&
+        !audit(0).getAs[Boolean]("ids_unique"),
+        s"window (a) must flag shard 0: ${audit(0)}")
+      audit.filter { case (k, _) => k != 0 }.values.foreach { r =>
+        assert(r.getAs[Boolean]("counts_equal") &&
+          r.getAs[Boolean]("checksum_equal") &&
+          r.getAs[Boolean]("ids_unique"),
+          s"untouched shard flagged: $r")
+      }
+      // the repair clears it
+      graft.operators.Layout.compactShards(spark, out, "doc_id", "text")
+      graft.operators.Layout.reconcileShards(spark, out, "doc_id", "text")
+        .collect().foreach { r =>
+          assert(r.getAs[Boolean]("counts_equal") &&
+            r.getAs[Boolean]("checksum_equal") &&
+            r.getAs[Boolean]("ids_unique"), s"post-repair flag: $r")
+        }
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(out).getParentFile).deleteRecursively()
