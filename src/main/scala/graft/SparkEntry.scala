@@ -356,6 +356,11 @@ object SparkEntry {
     // planted edited-copy recall per width — fix nearDupBits where
     // false collapse dies while recall survives
     "q143_gate_width_sweep" -> (Pipeline.q143WidthSweep _),
+    // the BANDED gate knob table: per (bands, bandBits) config the
+    // one-hop false-collapse ceiling vs any-band planted recall —
+    // prices the recall lever q143 proved necessary, and ingestGate
+    // serves the chosen config (nearDupBands) with per-band bootstrap
+    "q144_banded_gate_sweep" -> (Pipeline.q144BandedGateSweep _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

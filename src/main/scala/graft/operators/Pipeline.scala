@@ -5930,6 +5930,108 @@ object Pipeline {
     snapshotAndFree(out, c, planted)
   }
 
+  /** The (bands, bandBits) configurations [[q144BandedGateSweep]]
+    * prices. (1, 16) is the single-signature gate's default width —
+    * the row that reconciles with q143's bits = 16 row (spec-pinned);
+    * (2, 8) splits the SAME 16 bits into the OR-banding form; (2, 15)
+    * is [[graft.streaming.Dedup.dedupNearBanded]]'s default; (3, 10)
+    * and (4, 7) walk the recall-vs-collapse trade further. Every
+    * config fits the portableHashMod 31-bit ceiling. */
+  private[graft] val GateBandConfigs =
+    Seq((1, 16), (2, 8), (2, 15), (3, 10), (4, 7))
+
+  /** L2/L4 — the BANDED gate knob table (q144, VERDICT r18 §next-1):
+    * q143 proved the single-signature ingest gate is a low-recall
+    * instrument at EVERY width (planted edited-copy recall ≤ 0.5 on
+    * the driver corpus), and [[graft.streaming.Dedup.dedupNearBanded]]
+    * is the recall lever — OR-banding, drop when ANY `bandBits`-bit
+    * band was seen. This table prices its (bands, bandBits) points on
+    * the same two axes as q143, so the lever ships WITH its audit
+    * (the q142→q143→knob discipline): per config,
+    *
+    *  - false collapse at a full-corpus horizon, by the ORDER-FREE
+    *    one-hop rule: a distinct canonical digest collapses when ANY
+    *    of its bands is shared with a SMALLER digest. Exact for
+    *    bands = 1 (every non-minimum digest of a signature group has
+    *    a smaller sharer — reconciles with q143's Σ(nd−1), asserted
+    *    in the spec); for bands > 1 an upper bound on keep-first
+    *    drops (a doc dropped at one band never registers its other
+    *    bands, so some one-hop collisions never materialize — the
+    *    honest direction for a capacity audit to err);
+    *  - planted edited-copy recall: the q143 "+ extra token tail"
+    *    mutation on the %11 stratum collapses iff ANY band survives
+    *    the edit (pairwise, order-free, exact).
+    *
+    * A deployment reads where recall rises faster than false collapse
+    * (the OR-banding S-curve), fixes `(nearDupBands, nearDupBits)`
+    * there, and [[graft.streaming.Curation.ingestGate]] serves exactly
+    * that config with one state operator per band and a per-band
+    * history bootstrap ([[graft.streaming.Dedup.historicalNearBandKeys]]).
+    *
+    * Plan shape: the per-bit votes don't see the width (q143's
+    * masking property), so the expensive canonical-split-hash-vote
+    * fold runs ONCE at the 31-bit ceiling per side — every config's
+    * band keys are shift/mask column math over the two persisted
+    * per-doc relations; per config one (b, key) exchange + a bounded
+    * digest rollup. Never all-pairs, never a join wider than the
+    * band-group relation. */
+  def q144BandedGateSweep(spark: SparkSession, dir: String): DataFrame = {
+    val widest = 31
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    // one row per DISTINCT canonical digest (the gate's error unit —
+    // same-digest copies are the exact stage's rightful drops); the
+    // signature is digest-determined, so the pair-distinct is a
+    // digest-distinct
+    val c = base.select(
+        md5(graft.functions.TextFunctions.canonicalText(col("text"))
+          .cast("binary")).as("digest"),
+        graft.streaming.Dedup.nearDupSignatureAt(col("text"), widest)
+          .as("sig"))
+      .distinct().persist(NarrowCacheLevel)
+    c.count()
+    val planted = base.filter(col("doc_id") % 11 === 0)
+      .select(
+        graft.streaming.Dedup.nearDupSignatureAt(col("text"), widest)
+          .as("sa"),
+        graft.streaming.Dedup.nearDupSignatureAt(
+          concat(col("text"), lit(" extra token tail")), widest).as("sb"))
+      .persist(NarrowCacheLevel)
+    planted.count()
+    val rows = GateBandConfigs.map { case (bands, bits) =>
+      def bandKey(sig: Column, b: Int): Column =
+        shiftright(sig, b * bits).bitwiseAND(lit((1L << bits) - 1))
+      val bandRel = c.select(col("digest"),
+        posexplode(array((0 until bands).map(b => bandKey(col("sig"), b)): _*))
+          .as(Seq("b", "k")))
+      val grpMin = bandRel.groupBy(col("b"), col("k"))
+        .agg(min(col("digest")).as("mn"))
+      val falseAgg = bandRel.join(grpMin, Seq("b", "k"))
+        .groupBy(col("digest"))
+        .agg(max(when(col("mn") < col("digest"), 1L).otherwise(0L)).as("coll"))
+        .agg(count(lit(1)).as("n_base_digests"),
+          sum(col("coll")).as("n_false_collapsed"))
+      val plantedAgg = planted
+        .select(when((0 until bands)
+            .map(b => bandKey(col("sa"), b) === bandKey(col("sb"), b))
+            .reduce(_ || _), 1L).otherwise(0L).as("collapsed"))
+        .agg(count(lit(1)).as("n_planted"),
+          sum(col("collapsed")).as("n_planted_collapsed"))
+      falseAgg.crossJoin(plantedAgg)
+        .select(lit(bands).cast("int").as("bands"),
+          lit(bits).cast("int").as("band_bits"),
+          col("n_base_digests"), col("n_false_collapsed"),
+          round(col("n_false_collapsed").cast("double")
+            / col("n_base_digests"), 6).as("false_collapse_share"),
+          col("n_planted"), col("n_planted_collapsed"),
+          round(col("n_planted_collapsed").cast("double")
+            / col("n_planted"), 6).as("planted_recall"))
+    }
+    val out = rows.reduce(_ unionByName _)
+      .orderBy(col("bands"), col("band_bits"))
+    // 5 report rows: snapshot, release the two per-doc residents
+    snapshotAndFree(out, c, planted)
+  }
+
   /** L5 — INCREMENTAL-EXPORT manifest algebra (q141, the oracle face
     * of [[Layout.appendShards]]): split the corpus into two ingest
     * waves (`doc_id % 2` — "yesterday's export" and "today's
@@ -7834,6 +7936,68 @@ object Pipeline {
          |ORDER BY bits""".stripMargin
     }
 
+    /** q144 — the banded-gate knob twin: the q143 canonical-simhash
+      * fold ONCE at the 31-bit ceiling per side, then per (bands,
+      * bandBits) config pure shift/mask band keys, the one-hop
+      * smaller-digest collapse rule, and the any-band planted
+      * collapse, unioned. */
+    val q144 = {
+      val canonOf = (e: String) =>
+        s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      def sim(e: String) =
+        s"""CAST(list_sum(list_transform(generate_series(0, 30), b ->
+           |      CASE WHEN list_sum(list_transform(
+           |          list_transform(string_split(${canonOf(e)}, ' '), t -> ${phm("t")}),
+           |          x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           |      THEN CAST(2**b AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+      val configs = Seq((1, 16), (2, 8), (2, 15), (3, 10), (4, 7))
+      val ctes = configs.zipWithIndex.map { case ((bands, bits), i) =>
+        val mask = (1L << bits) - 1
+        val anyBand = (0 until bands).map(b =>
+          s"((sa >> ${b * bits}) & $mask) = ((sb >> ${b * bits}) & $mask)")
+          .mkString(" OR ")
+        s"""bk_$i AS (
+           |  SELECT digest, b, (sig >> (b * $bits)) & $mask AS k
+           |  FROM c, generate_series(0, ${bands - 1}) t(b)),
+           |mn_$i AS (SELECT b, k, min(digest) AS mn FROM bk_$i GROUP BY b, k),
+           |fc_$i AS (
+           |  SELECT count(*) AS n_base_digests,
+           |    CAST(sum(coll) AS BIGINT) AS n_false_collapsed
+           |  FROM (SELECT digest, max(CASE WHEN mn < digest THEN 1 ELSE 0 END) AS coll
+           |        FROM bk_$i JOIN mn_$i USING (b, k) GROUP BY digest)),
+           |p_$i AS (
+           |  SELECT count(*) AS n_planted,
+           |    CAST(sum(CASE WHEN $anyBand THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_planted_collapsed
+           |  FROM pl),
+           |row_$i AS (
+           |  SELECT $bands AS bands, $bits AS band_bits, n_base_digests,
+           |    n_false_collapsed,
+           |    round(n_false_collapsed::DOUBLE / n_base_digests, 6)
+           |      AS false_collapse_share,
+           |    n_planted, n_planted_collapsed,
+           |    round(n_planted_collapsed::DOUBLE / n_planted, 6)
+           |      AS planted_recall
+           |  FROM fc_$i, p_$i)""".stripMargin
+      }.mkString(",\n")
+      val unions = configs.indices.map(i => s"SELECT * FROM row_$i")
+        .mkString(" UNION ALL ")
+      s"""WITH c AS (
+         |  SELECT DISTINCT md5(${canonOf("text")}) AS digest,
+         |    ${sim("text")} AS sig
+         |  FROM documents),
+         |pl AS (
+         |  SELECT ${sim("text")} AS sa,
+         |    ${sim("text || ' extra token tail'")} AS sb
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |$ctes
+         |SELECT CAST(bands AS INT) AS bands, CAST(band_bits AS INT) AS band_bits,
+         |  n_base_digests, n_false_collapsed, false_collapse_share,
+         |  n_planted, n_planted_collapsed, planted_recall
+         |FROM ($unions)
+         |ORDER BY bands, band_bits""".stripMargin
+    }
+
     /** q137 — q122's manifest with the curriculum tier as the leading
       * within-shard sort key and the tier span in the rollup. */
     val q137 =
@@ -8962,6 +9126,7 @@ object Pipeline {
       "q141_append_manifest" -> q141,
       "q142_gate_capacity" -> q142,
       "q143_gate_width_sweep" -> q143,
+      "q144_banded_gate_sweep" -> q144,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

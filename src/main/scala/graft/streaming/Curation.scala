@@ -150,14 +150,40 @@ object Curation {
     * stage's; `nearDupBits` is the signature-WIDTH knob (q142 measures
     * the 16-bit key's false-collapse curve, q143 prices width against
     * edited-copy recall — fix the width from that table before
-    * enabling the stage on a vocabulary-concentrated corpus). */
+    * enabling the stage on a vocabulary-concentrated corpus).
+    *
+    * `nearDupBands` (VERDICT r18 §next-1) composes the BANDED recall
+    * lever into the gate: at bands > 1 the near stage becomes
+    * [[Dedup.dedupNearBanded]] — `nearDupBits` is then the PER-BAND
+    * width, the stage holds one watermark-bounded state operator PER
+    * BAND (1 + bands total for the composition, spec-asserted), and
+    * `nearDupHistory` must be the per-band artifact
+    * ([[Dedup.historicalNearBandKeys]] at the same config). q144's
+    * knob table prices every (bands, bandBits) point — q143 showed
+    * the single-signature gate is a low-recall instrument at every
+    * width, so a deployment that wants edited-copy recall at ingest
+    * reads q144 and turns THIS knob. */
   def ingestGate(pages: DataFrame, htmlCol: String, eventTimeCol: String,
       horizon: String, evalGrams: Option[DataFrame] = None,
       history: Option[DataFrame] = None, nearDup: Boolean = false,
       nearDupHistory: Option[DataFrame] = None,
-      nearDupBits: Int = 16): DataFrame = {
+      nearDupBits: Int = 16, nearDupBands: Int = 1): DataFrame = {
     require(nearDup || nearDupHistory.isEmpty,
       "nearDupHistory bootstraps the near-dup stage - enable nearDup")
+    require(nearDupBands >= 1, "nearDupBands >= 1")
+    // the history artifact's shape must match the enabled stage: the
+    // single-signature stage bootstraps from (near_sig), the banded
+    // stage from (band, near_band) — a mismatched artifact means the
+    // nightly job and the gate disagree about the config
+    nearDupHistory.foreach { h =>
+      val want =
+        if (nearDupBands == 1) Seq("near_sig") else Seq("band", "near_band")
+      require(want.forall(h.columns.contains),
+        s"nearDupHistory must carry ${want.mkString("(", ", ", ")")} for " +
+          s"nearDupBands = $nearDupBands - derive it with " +
+          (if (nearDupBands == 1) "historicalNearSignatures"
+           else "historicalNearBandKeys"))
+    }
     val scrubbed =
       piiScrub(qualityGate(markupExtract(pages, htmlCol), "text"), "text")
     val cleared = evalGrams.fold(scrubbed)(decontamGate(scrubbed, "text", _))
@@ -171,8 +197,11 @@ object Curation {
       history.fold(Dedup.dedupNormalized(cleared, "text", eventTimeCol, horizon))(
         Dedup.dedupNormalizedBootstrapped(cleared, "text", eventTimeCol, horizon, _))
     if (!nearDup) exact
-    else Dedup.dedupNearSignature(exact, "text", eventTimeCol, horizon,
-      nearDupHistory, nearDupBits)
+    else if (nearDupBands == 1)
+      Dedup.dedupNearSignature(exact, "text", eventTimeCol, horizon,
+        nearDupHistory, nearDupBits)
+    else Dedup.dedupNearBanded(exact, "text", eventTimeCol, horizon,
+      nearDupBands, nearDupBits, nearDupHistory)
   }
 
   /** Stateless temperature-mix gate — the streaming face of q123:
@@ -212,9 +241,9 @@ object Curation {
       numShards: Int = 8, history: Option[DataFrame] = None,
       nearDup: Boolean = false,
       nearDupHistory: Option[DataFrame] = None,
-      nearDupBits: Int = 16): DataFrame = {
+      nearDupBits: Int = 16, nearDupBands: Int = 1): DataFrame = {
     val gated = ingestGate(pages, htmlCol, eventTimeCol, horizon, evalGrams,
-      history, nearDup, nearDupHistory, nearDupBits)
+      history, nearDup, nearDupHistory, nearDupBits, nearDupBands)
     val mixed = mixRates.fold(gated)(mixGate(gated, idCol, langCol, _))
     Export.shardAssign(mixed, idCol, "text", numShards)
   }

@@ -181,6 +181,27 @@ object Dedup {
       .drop("near_sig")
   }
 
+  /** The historical BAND KEYS of an already-ingested batch corpus —
+    * [[historicalNearSignatures]]' analog for the BANDED gate stage
+    * (VERDICT r18 §next-1: the banded lever had no history bootstrap):
+    * one distinct `(band, near_band)` row per corpus document per
+    * band, derived through the identical slice arithmetic the gate
+    * applies ([[dedupNearBanded]]), so a FRESH stream drops a lightly
+    * edited copy of history at whichever band survives the edit —
+    * statelessly, before the state store warms up. The artifact a
+    * nightly batch persists beside the corpus; its size is
+    * `bands · |distinct keys|`, bounded by `bands · 2^bandBits`. */
+  def historicalNearBandKeys(corpus: DataFrame, textCol: String,
+      bands: Int = 2, bandBits: Int = 15): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 31,
+      "bands * bandBits must fit portableHashMod's 31-bit hash range")
+    val sig = nearDupSignatureAt(col(textCol), bands * bandBits)
+    corpus.select(posexplode(array((0 until bands).map(b =>
+        shiftright(sig, b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*))
+        .as(Seq("band", "near_band")))
+      .distinct()
+  }
+
   /** BANDED near-dup dedup — the RECALL lever q143's width table
     * shows the single-signature gate lacks (edited-copy recall ≤ 0.5
     * at every width on the driver corpus): compute one
@@ -191,7 +212,11 @@ object Dedup {
     * through the other(s): with per-band match probability p, banded
     * recall is 1 − (1 − p)^bands, bought with ~bands× the false-
     * collapse rate and `bands` state operators (one watermark-bounded
-    * `dropDuplicatesWithinWatermark` per band, spec-asserted).
+    * `dropDuplicatesWithinWatermark` per band, spec-asserted). The
+    * (bands, bandBits) point is PRICED by q144's knob table (false
+    * collapse at the full-corpus horizon vs planted edited-copy
+    * recall, per config — bands = 1 reconciles with q143's width
+    * rows); fix the config from that table before enabling.
     *
     * Registration semantics, stated honestly: band b's state
     * registers the band-b keys of documents that SURVIVED bands
@@ -201,18 +226,28 @@ object Dedup {
     * what is NOT registered is the unmatched bands of already-dropped
     * duplicates — the same non-transitivity every LSH gate accepts.
     * Defaults: 2 bands × 15 bits (the portableHashMod ceiling is
-    * bands·bandBits ≤ 31). */
+    * bands·bandBits ≤ 31).
+    *
+    * `history` ([[historicalNearBandKeys]] at the SAME (bands,
+    * bandBits)) bootstraps every band: band b's arrivals anti-join the
+    * history's band-b keys STATELESSLY before its stateful stage —
+    * history rides the plan (broadcast when it fits), never the
+    * store, exactly the [[dedupNormalizedBootstrapped]] contract. */
   def dedupNearBanded(docs: DataFrame, textCol: String,
       eventTimeCol: String, horizon: String, bands: Int = 2,
-      bandBits: Int = 15): DataFrame = {
+      bandBits: Int = 15, history: Option[DataFrame] = None): DataFrame = {
     require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 31,
       "bands * bandBits must fit portableHashMod's 31-bit hash range")
     val signed = docs.withColumn("near_sig_full",
       nearDupSignatureAt(col(textCol), bands * bandBits))
     (0 until bands).foldLeft(signed) { (d, b) =>
-      d.withColumn(s"near_band_$b",
-          shiftright(col("near_sig_full"), b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1)))
+      val keyed = d.withColumn(s"near_band_$b",
+        shiftright(col("near_sig_full"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)))
+      history.fold(keyed)(h =>
+          keyed.join(h.filter(col("band") === b)
+            .select(col("near_band").as(s"near_band_$b")),
+            Seq(s"near_band_$b"), "left_anti"))
         .withWatermark(eventTimeCol, horizon)
         .dropDuplicatesWithinWatermark(s"near_band_$b")
         .drop(s"near_band_$b")

@@ -2264,6 +2264,36 @@ class PipelineSpec extends SparkSpec {
       s"16-bit false drops ${rows.head._3} != q142 total $q142Total")
   }
 
+  test("q144: banded sweep — (1,16) reconciles with q143's 16-bit row, banding trades collapse for recall") {
+    val rows = Pipeline.q144BandedGateSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6)))).toMap
+    assert(rows.keySet == Pipeline.GateBandConfigs.toSet)
+    // denominators are config-independent
+    assert(rows.values.map(_._1).toSeq.distinct.length == 1)
+    assert(rows.values.map(_._3).toSeq.distinct.length == 1 &&
+      rows.values.head._3 > 0)
+    // bands = 1 IS the single-signature gate: the one-hop collapse
+    // rule is exact there (every non-min digest of a signature group
+    // has a smaller sharer), so the row must equal q143's bits = 16
+    // row on all four counts
+    val q143r = Pipeline.q143WidthSweep(spark, sfDir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows((1, 16)) == q143r(16),
+      s"(1,16) ${rows((1, 16))} != q143@16 ${q143r(16)}")
+    // OR-banding at the same 16 total bits: a full-signature match
+    // implies both band matches, so (2,8) collapse counts dominate
+    // (1,16)'s on BOTH axes — the recall is what the lever buys, the
+    // false collapse is what it costs
+    assert(rows((2, 8))._4 >= rows((1, 16))._4, "banding must not lose recall")
+    assert(rows((2, 8))._2 >= rows((1, 16))._2)
+    // (4,7) splits (2,8)'s band 0 further: a band-0(8) match implies a
+    // band-0(7) match, and a 28-bit full match implies everything —
+    // the only other provable nesting in the grid
+    assert(rows((4, 7))._4 >= rows((1, 16))._4)
+  }
+
   test("q141: membership is wave-split-invariant, full order equals q122, appended order moved") {
     val rows = Pipeline.q141AppendManifest(spark, sfDir).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),

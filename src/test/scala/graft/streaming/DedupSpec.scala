@@ -736,6 +736,112 @@ class DedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("composed banded gate: parity with the standalone stage, one state op per band plus the exact stage") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the standalone banded fixture, wrapped as pages: base, an edit
+    // only the banded stage catches, an edit even banding misses, a
+    // case variant (the exact stage's drop), and a distinct page
+    val base = Seq.tabulate(30)(i => s"tok$i").mkString(" ")
+    val editBandCatch = ("edit1" +: Seq.tabulate(29)(i => s"tok${i + 1}"))
+      .mkString(" ")
+    val editPass = ("edit9" +: Seq.tabulate(29)(i => s"tok${i + 1}"))
+      .mkString(" ")
+    val distinct = Seq.tabulate(30)(i => s"zzz$i").mkString(" ")
+    val in = MemoryStream[(Long, String, Long)]
+    val pages = in.toDF().toDF("doc_id", "html", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = Curation.ingestGate(pages, "html", "ts", "10 minutes",
+      nearDup = true, nearDupBits = 15, nearDupBands = 2)
+    val query = out.writeStream.format("memory").queryName("bandgate_mem")
+      .outputMode("append").start()
+    try {
+      // one micro-batch per document: keep-FIRST within a single batch
+      // is partition-order luck, across batches it is the contract
+      Seq(
+        (1L, s"<p>$base</p>", 1L),
+        (2L, s"<p>${base.toUpperCase}</p>", 2L), // exact stage drops it
+        (3L, s"<p>$editBandCatch</p>", 3L),      // banded stage drops it
+        (4L, s"<p>$editPass</p>", 4L),           // passes even banding
+        (5L, s"<p>$distinct</p>", 5L)
+      ).foreach { row => in.addData(row); query.processAllAvailable() }
+      val got = spark.table("bandgate_mem").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(got == Set(1L, 4L, 5L), s"got $got")
+      // PARITY with the standalone stage on the post-exact stream:
+      // dedupNearBanded over the canonical-distinct survivors keeps
+      // exactly the same ids (the composition adds nothing to the
+      // banded semantics)
+      val standaloneIn = MemoryStream[(Long, String, Long)]
+      val sq = Dedup.dedupNearBanded(
+          standaloneIn.toDF().toDF("doc_id", "text", "sec")
+            .withColumn("ts", col("sec").cast("timestamp")),
+          "text", "ts", "10 minutes")
+        .writeStream.format("memory").queryName("bandalone_mem")
+        .outputMode("append").start()
+      try {
+        Seq((1L, base, 1L), (3L, editBandCatch, 3L),
+          (4L, editPass, 4L), (5L, distinct, 5L))
+          .foreach { row => standaloneIn.addData(row); sq.processAllAvailable() }
+        val alone = spark.table("bandalone_mem").collect()
+          .map(_.getAs[Long]("doc_id")).toSet
+        assert(alone == got, s"composed $got vs standalone $alone")
+      } finally sq.stop()
+      // exactly 1 + bands watermark-bounded state operators: the
+      // canonical-digest stage plus one per band (spec contract of
+      // ingestGate's nearDupBands)
+      val ops = query.lastProgress.stateOperators
+      assert(ops.length == 3, s"state ops: ${ops.length}")
+    } finally query.stop()
+  }
+
+  test("banded history bootstrap: a band-matching edit of batch history drops statelessly; shape guard holds") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val histDoc = Seq.tabulate(30)(i => s"tok$i").mkString(" ")
+    // band-0 of the 30-bit signature survives this edit (the standalone
+    // fixture's property, re-verified below)
+    val histEdit = ("edit1" +: Seq.tabulate(29)(i => s"tok${i + 1}"))
+      .mkString(" ")
+    val fresh = Seq.tabulate(30)(i => s"fresh$i").mkString(" ")
+    val sigs = Seq(histDoc, histEdit).toDF("text")
+      .select(Dedup.nearDupSignatureAt(col("text"), 30)).as[Long].collect()
+    assert(sigs(0) != sigs(1) && (sigs(0) & 0x7FFFL) == (sigs(1) & 0x7FFFL),
+      "fixture drifted")
+    val corpus = Seq(histDoc).toDF("text")
+    val exactHist = Dedup.historicalDigests(corpus, "text")
+    val bandHist = Dedup.historicalNearBandKeys(corpus, "text")
+    val in = MemoryStream[(Long, String, Long)]
+    val pages = in.toDF().toDF("doc_id", "html", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = Curation.ingestGate(pages, "html", "ts", "10 minutes",
+      history = Some(exactHist), nearDup = true,
+      nearDupHistory = Some(bandHist), nearDupBits = 15, nearDupBands = 2)
+    val query = out.writeStream.format("memory").queryName("bandboot_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, s"<p>$histEdit</p>", 1L), // band-matches HISTORY: dropped
+        (2L, s"<p>$fresh</p>", 2L))    // genuinely new: kept
+      query.processAllAvailable()
+      val got = spark.table("bandboot_mem").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(got == Set(2L), s"got $got")
+      // all three bootstrap joins are STATELESS: 1 + 2 state ops; the
+      // edit passes the exact stage (1 digest), dies at band 0's
+      // history anti-join (no band state), fresh registers both bands
+      val ops = query.lastProgress.stateOperators
+      assert(ops.length == 3, s"state ops: ${ops.length}")
+      assert(ops.map(_.numRowsTotal).sum == 4,
+        s"state rows: ${ops.map(_.numRowsTotal).toSeq}")
+    } finally query.stop()
+    // shape guard: a single-signature artifact handed to the banded
+    // stage (or vice versa) must fail loudly at composition time
+    val wrong = Dedup.historicalNearSignatures(corpus, "text")
+    val e = intercept[IllegalArgumentException](
+      Curation.ingestGate(pages, "html", "ts", "10 minutes",
+        nearDup = true, nearDupHistory = Some(wrong), nearDupBands = 2))
+    assert(e.getMessage.contains("historicalNearBandKeys"))
+  }
+
   test("near-dup gate stage agrees with a batch keep-first over the same signatures") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // arrival order IS doc_id order, so streaming keep-first must
