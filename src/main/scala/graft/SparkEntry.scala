@@ -361,6 +361,10 @@ object SparkEntry {
     // prices the recall lever q143 proved necessary, and ingestGate
     // serves the chosen config (nearDupBands) with per-band bootstrap
     "q144_banded_gate_sweep" -> (Pipeline.q144BandedGateSweep _),
+    // the composed IVF-PQ index at rest serving EXTERNAL queries:
+    // routing-sidecar assignment + banked codes/codebook — row-identical
+    // to q107, so the hash match certifies the whole banked round-trip
+    "q145_ivfpq_routed" -> (Pipeline.q145IvfPqRouted _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

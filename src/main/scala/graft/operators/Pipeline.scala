@@ -920,20 +920,15 @@ object Pipeline {
     * knob tables and the serving surface are in 1:1 correspondence.
     *
     * Scale posture: q118's serve bounds verbatim (broadcast query side
-    * ≤ (1 + b_c) rows per query, candidates O(occupancy × probes))
-    * plus kMeansCentroids' bounded O(n·k·d) map-side Lloyd pass. The
-    * in-session membership mirrors q31; the at-rest form needs no new
-    * code — [[mapSideFineClustersWithRouting]] and
-    * [[graft.operators.Layout.writeIvfIndex]] are centroid-agnostic,
-    * so a deployment banks the trained index exactly as q85 banks the
-    * label one. */
-  def q130TrainedCoarseAnn(spark: SparkSession, dir: String): DataFrame = {
-    val e = pqVectors(spark, dir)
-    val members = mapSideFineClusters(e, kMeansCentroids(e),
-      ClusterTargetOccupancy).persist(CacheLevel)
-    members.count()
-    annServe(members, probeRadius = 1)
-  }
+    * ≤ (1 + b_c) rows per query, candidates O(occupancy × probes)).
+    * The trained index is BANKED ([[ensureTrainedIvfIndex]], VERDICT
+    * r18 §next-2 — the Lloyd pass + membership, 0.42 of this query's
+    * cost, used to be re-paid every serve): warm serves read the
+    * cluster-bucketed membership like q85/q118, and the kMeans
+    * training runs once per (session, corpus version). */
+  def q130TrainedCoarseAnn(spark: SparkSession, dir: String): DataFrame =
+    annServe(spark.table(ensureTrainedIvfIndex(spark, dir)),
+      probeRadius = 1)
 
   /** RRF rank constant (Cormack et al. 2009's k = 60, the de-facto
     * standard), per-leg candidate depth, and fused result depth for
@@ -4575,6 +4570,71 @@ object Pipeline {
 
   // ---------------------------------------- q107: IVF-PQ composed
 
+  /** Managed-table name for the COMPOSED IVF-PQ index of a corpus dir
+    * (VERDICT r18 §next-2): fine-cluster membership + raw vectors +
+    * 4-int PQ codes as ONE cluster-bucketed relation, routing sidecar
+    * at `<name>_routing` (the [[Layout.writeIvfIndex]] layout with a
+    * `codes` column). */
+  private[graft] def ivfPqIndexTable(dir: String): String =
+    "graft_ivfpq_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+
+  /** Build-if-absent-or-stale for the COMPOSED IVF-PQ index (VERDICT
+    * r18 §next-2 — q107/q120/q121 used to re-derive membership AND
+    * codes in-session on every serve, re-paying ~0.4 of the build per
+    * query): ONE banked artifact carrying everything the composed
+    * serves need — `(vec_id, e, cluster, mask, codes)` bucketed on
+    * `cluster` (serve joins exchange-free on the bucketed key, the
+    * q85 property) plus the `_routing` sidecar (≤64 rows — external
+    * queries assign through it, [[q145IvfPqRouted]]). The PQ codebook
+    * banks through its own ensure ([[trainedPqSeeds]]), so codes here
+    * and every query lookup table share the identical trained
+    * codewords. Build = the q107 in-session derivation verbatim
+    * (deterministic per corpus, so banking changes no oracle row —
+    * the q103 precedent); fingerprinted against the embeddings corpus
+    * like every banked artifact. */
+  private[graft] def ensureIvfPqIndex(spark: SparkSession,
+      dir: String): String = {
+    val idx = ivfPqIndexTable(dir)
+    ensureCurrent(spark, idx, corpusFingerprint(pqVectors(spark, dir))) {
+      val e = pqVectors(spark, dir)
+      val seeds = trainedPqSeeds(spark, dir)
+      val (codesCol, _) = pqCodeColumns(seeds)
+      val (members, routing) = mapSideFineClustersWithRouting(e,
+        labelCentroids(spark, dir), ClusterTargetOccupancy)
+      Layout.writeIvfIndex(members.withColumn("codes", codesCol),
+        routing, idx, IvfIndexBuckets)
+    }
+    idx
+  }
+
+  /** Managed-table name for the TRAINED-COARSE IVF index (q130's
+    * router at rest). */
+  private[graft] def trainedIvfIndexTable(dir: String): String =
+    "graft_tcivf_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+
+  /** Build-if-absent-or-stale for the TRAINED-COARSE IVF index
+    * (VERDICT r18 §next-2's q130 half: the Lloyd-trained membership —
+    * 0.42 of the query's cost — was re-derived every serve): the
+    * label-free [[kMeansCentroids]] router subdivided to the same
+    * target occupancy, banked through the identical
+    * [[Layout.writeIvfIndex]] layout (the helpers are
+    * centroid-agnostic by design — this ensure is the "deployment
+    * banks the trained index exactly as q85 banks the label one" the
+    * q130 scaladoc promised). */
+  private[graft] def ensureTrainedIvfIndex(spark: SparkSession,
+      dir: String): String = {
+    val idx = trainedIvfIndexTable(dir)
+    ensureCurrent(spark, idx, corpusFingerprint(pqVectors(spark, dir))) {
+      val e = pqVectors(spark, dir)
+      val (members, routing) = mapSideFineClustersWithRouting(e,
+        kMeansCentroids(e), ClusterTargetOccupancy)
+      Layout.writeIvfIndex(members, routing, idx, IvfIndexBuckets)
+    }
+    idx
+  }
+
   /** L3 — IVF-PQ, the two pruning axes COMPOSED: the q31 coarse stage
     * prunes CANDIDATES (each query ranks only its fine cluster's
     * inverted list — O(1) rows at any corpus size), and the q101 PQ
@@ -4591,29 +4651,38 @@ object Pipeline {
     * candidate list, so the PQ-induced rank error is read off the
     * result.
     *
-    * Scale posture (100 TB): one membership relation persisted (the
-    * q31 single-persist shape) feeding the code projection, the query
-    * routing, and the exact-flag join; codes are a map-side projection
-    * OF that relation (no second encode pass, no join); the ADC join
-    * is cluster-equi with a BROADCAST query side — never a corpus
-    * exchange; both rankings window per query over O(1) candidate
-    * rows. */
+    * Scale posture (100 TB): the composed index is BANKED
+    * ([[ensureIvfPqIndex]], VERDICT r18 §next-2 — membership and codes
+    * used to be re-derived in-session per serve): the serve reads the
+    * cluster-bucketed members relation (codes, raw vectors, and masks
+    * in one exchange-free scan) and the ≤17-row stored codebook; the
+    * ADC join is cluster-equi with a BROADCAST query side — never a
+    * corpus exchange; both rankings window per query over O(1)
+    * candidate rows. Warm serve pays table lookups, never a build
+    * (ServeSplit measures the split). */
   def q107IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
-    val e = pqVectors(spark, dir)
-    val members = mapSideFineClusters(e,
-      labelCentroids(spark, dir), ClusterTargetOccupancy)
-      .persist(CacheLevel)
-    members.count()
+    val members = spark.table(ensureIvfPqIndex(spark, dir))
     val seeds = trainedPqSeeds(spark, dir)
-    val (codesCol, _) = pqCodeColumns(seeds)
-    val coded = members.select(col("vec_id"), col("cluster"),
-      codesCol.as("codes"))
-    val queries = members.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("cluster"),
-        pqQueryTableCol(seeds).as("tq"))
-    val k = seeds.length
+    ivfPqServe(members.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("cluster"),
+          pqQueryTableCol(seeds).as("tq")),
+      members, seeds.length)
+  }
+
+  /** The composed IVF-PQ serve tail shared by q107 (member queries),
+    * q120 (probe-expanded queries), and q145 (routing-assigned
+    * external queries): ADC-rank the banked codes of each query's
+    * probed cluster(s) against its broadcast lookup table, flag
+    * against the exact rounded-L2 top-5 of the SAME candidate set.
+    * `queries` carries `(qid, qe, cluster, tq)` — one row per (query,
+    * probe); `members` is the banked `(vec_id, e, cluster, codes)`
+    * relation. */
+  private def ivfPqServe(queries: DataFrame, members: DataFrame,
+      k: Int): DataFrame = {
     val byQ = Window.partitionBy(col("qid"))
-    val top = coded.join(broadcast(queries), Seq("cluster"))
+    val top = members.select(col("vec_id"), col("cluster"), col("codes"))
+      .join(broadcast(queries.select(col("qid"), col("tq"), col("cluster"))),
+        Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         (0 until PqSubspaces).map(s =>
@@ -4622,24 +4691,44 @@ object Pipeline {
       .withColumn("rk", row_number().over(
         byQ.orderBy(col("adc_micro"), col("vec_id"))))
       .filter(col("rk") <= TopK)
-    val exact = members.join(
-        broadcast(queries.select(col("qid"), col("qe"), col("cluster"))),
+    val exact = members.select(col("vec_id"), col("e"), col("cluster"))
+      .join(broadcast(queries.select(col("qid"), col("qe"), col("cluster"))),
         Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), l2sq6(col("e"), col("qe")).as("d6"))
       .withColumn("xr", row_number().over(byQ.orderBy(col("d6"), col("vec_id"))))
       .filter(col("xr") <= TopK)
       .select(col("qid"), col("vec_id"), lit(true).as("in_exact_top5"))
-    val out = top.join(exact, Seq("qid", "vec_id"), "left")
+    top.join(exact, Seq("qid", "vec_id"), "left")
       .select(col("qid"), col("rk").cast("int").as("rk"), col("vec_id"),
         col("adc_micro"),
         coalesce(col("in_exact_top5"), lit(false)).as("in_exact_top5"))
       .orderBy(col("qid"), col("rk"))
-    // ≤ queries·k rows: snapshot, then release the membership
-    val snapshot = out.collect()
-    members.unpersist(blocking = false)
-    spark.createDataFrame(
-      java.util.Arrays.asList(snapshot: _*), out.schema)
+  }
+
+  /** L3 — the composed index serving EXTERNAL queries (q145): q107's
+    * query vectors assigned through the banked ROUTING sidecar
+    * ([[routeThroughIndex]] — nearest stored centroid + stored mask)
+    * instead of looked up in the membership, which is how a production
+    * deployment serves vectors that are NOT corpus members. For member
+    * vectors the routing assignment equals the build assignment (the
+    * denseLegFromIndex contract), so the result is row-identical to
+    * q107 and the oracle twin IS q107's — the hash match certifies the
+    * whole banked round-trip (membership + codes + codebook + routing)
+    * end to end. Serve cost: one ≤64-row routing collect + q107's
+    * bounded serve tail; zero corpus passes outside the bucketed
+    * candidate scan. */
+  def q145IvfPqRouted(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensureIvfPqIndex(spark, dir)
+    val members = spark.table(idx)
+    val seeds = trainedPqSeeds(spark, dir)
+    val external = members.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val routed = routeThroughIndex(spark.table(idx + "_routing"),
+        external, "qe")
+      .select(col("qid"), col("qe"), col("cluster"),
+        pqQueryTableCol(seeds).as("tq"))
+    ivfPqServe(routed, members, seeds.length)
   }
 
   // ---------------------- q120: multi-probe IVF-PQ (the full stack)
@@ -4667,20 +4756,13 @@ object Pipeline {
     * identical candidates, so the flag isolates quantization error
     * from partition recall exactly as q107's does.
     *
-    * Scale posture: q107's — ONE persisted membership, candidate
-    * lists O(occupancy × probes) per query, queries broadcast, the
-    * ≤ queries·k result sort — plus nothing: the probe expansion is a
-    * Generate on ≤10 rows. */
+    * Scale posture: q107's — the BANKED composed index
+    * ([[ensureIvfPqIndex]]), candidate lists O(occupancy × probes) per
+    * query, queries broadcast, the ≤ queries·k result sort — plus
+    * nothing: the probe expansion is a Generate on ≤10 rows. */
   def q120MultiProbeIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = pqVectors(spark, dir)
-    val members = mapSideFineClusters(e,
-      labelCentroids(spark, dir), ClusterTargetOccupancy)
-      .persist(CacheLevel)
-    members.count()
+    val members = spark.table(ensureIvfPqIndex(spark, dir))
     val seeds = trainedPqSeeds(spark, dir)
-    val (codesCol, _) = pqCodeColumns(seeds)
-    val coded = members.select(col("vec_id"), col("cluster"),
-      codesCol.as("codes"))
     // the ADC table derives from the RAW query vector — once per
     // query, before the expansion, then carried per probe row
     val probed = probeExpand(
@@ -4688,37 +4770,7 @@ object Pipeline {
         .select(col("vec_id").as("qid"), col("e").as("qe"),
           pqQueryTableCol(seeds).as("tq"), col("cluster"), col("mask")),
       1)
-    val k = seeds.length
-    val byQ = Window.partitionBy(col("qid"))
-    val top = coded.join(
-        broadcast(probed.select(col("qid"), col("tq"), col("cluster"))),
-        Seq("cluster"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        (0 until PqSubspaces).map(s =>
-            element_at(col("tq"), col("codes")(s) + lit(s * k) + 1))
-          .reduce(_ + _).as("adc_micro"))
-      .withColumn("rk", row_number().over(
-        byQ.orderBy(col("adc_micro"), col("vec_id"))))
-      .filter(col("rk") <= TopK)
-    val exact = members.select(col("vec_id"), col("e"), col("cluster"))
-      .join(broadcast(probed.select(col("qid"), col("qe"), col("cluster"))),
-        Seq("cluster"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), l2sq6(col("e"), col("qe")).as("d6"))
-      .withColumn("xr", row_number().over(byQ.orderBy(col("d6"), col("vec_id"))))
-      .filter(col("xr") <= TopK)
-      .select(col("qid"), col("vec_id"), lit(true).as("in_exact_top5"))
-    val out = top.join(exact, Seq("qid", "vec_id"), "left")
-      .select(col("qid"), col("rk").cast("int").as("rk"), col("vec_id"),
-        col("adc_micro"),
-        coalesce(col("in_exact_top5"), lit(false)).as("in_exact_top5"))
-      .orderBy(col("qid"), col("rk"))
-    // ≤ queries·k rows: snapshot, then release the membership
-    val snapshot = out.collect()
-    members.unpersist(blocking = false)
-    spark.createDataFrame(
-      java.util.Arrays.asList(snapshot: _*), out.schema)
+    ivfPqServe(probed, members, seeds.length)
   }
 
   // ------------------------------- q109: residual IVF-PQ composed
@@ -4774,57 +4826,53 @@ object Pipeline {
     * codewords), same integer ADC, same oracle skeleton with the
     * encode CTEs pointed at the residual relation.
     *
-    * Scale posture: identical to q107 plus one broadcast join against
-    * the ≤64-row centroid relation to form residuals — map-side, paid
-    * once inside the persisted relation's lineage. */
+    * Scale posture: q107's banked-index serve plus one broadcast join
+    * against the ≤64-row routing sidecar to form residuals — map-side,
+    * over the bucketed scan. */
   def q109IvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
-    val e = pqVectors(spark, dir)
-    val cents = labelCentroids(spark, dir)
-    val members = mapSideFineClusters(e, cents, ClusterTargetOccupancy)
-      .persist(CacheLevel)
-    members.count()
+    val (coded, queries, k) = residualServeRelations(spark, dir)
+    ivfPqServe(queries.drop("mask"), coded, k)
+  }
+
+  /** The residual serve's two relations, derived from the BANKED
+    * composed index (VERDICT r18 §next-2 — membership and centroids
+    * come from rest; only the cheap map-side residual encode runs
+    * in-plan, against the banked residual codebook): `coded` =
+    * `(vec_id, e RAW, cluster, codes RESIDUAL)` — ADC ranks residual
+    * codes, the exact flag ranks raw vectors (basis-invariant within
+    * a cell: ‖v−q‖ = ‖r_v−r_q‖) — and `queries` = `(qid, qe RAW,
+    * cluster, mask, tq RESIDUAL)` for the ≤10-query panel. The
+    * centroid relation is the index's own `_routing` sidecar (the
+    * collected [[labelCentroids]] rows at rest — no recompute). */
+  private def residualServeRelations(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, Int) = {
+    val idx = ensureIvfPqIndex(spark, dir)
+    val members = spark.table(idx)
+    val cents = spark.table(idx + "_routing")
+      .select(col("label").cast("long").as("label"),
+        col("cvec").cast("array<double>").as("cvec"))
     val withRes = members
       .withColumn("label", expr("cluster div 4294967296"))
-      .join(broadcast(cents.select(col("label").cast("long").as("label"),
-        col("cvec").cast("array<double>").as("cvec"))), "label")
+      .join(broadcast(cents), "label")
       .withColumn("r", zip_with(col("e"), col("cvec"), (a, b) => a - b))
     val seeds = trainedResidualPqSeeds(spark, dir,
       withRes.select(col("vec_id"), col("r").as("e")))
     val (codesCol, _) = pqCodeColumns(seeds)
-    val coded = withRes.select(col("vec_id"), col("cluster"), col("r").as("e"))
-      .select(col("vec_id"), col("cluster"), codesCol.as("codes"))
+    // the rename dance binds the encode/table expressions (which read
+    // `e`/`qe`) to the RESIDUAL while the output keeps the raw vector
+    // under the serve tail's expected name
+    val coded = withRes
+      .select(col("vec_id"), col("cluster"), col("e").as("raw"),
+        col("r").as("e"))
+      .withColumn("codes", codesCol)
+      .select(col("vec_id"), col("cluster"), col("raw").as("e"), col("codes"))
     val queries = withRes.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("r").as("qe"), col("cluster"))
-      .select(col("qid"), col("cluster"), pqQueryTableCol(seeds).as("tq"))
-    val k = seeds.length
-    val byQ = Window.partitionBy(col("qid"))
-    val top = coded.join(broadcast(queries), Seq("cluster"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        (0 until PqSubspaces).map(s =>
-            element_at(col("tq"), col("codes")(s) + lit(s * k) + 1))
-          .reduce(_ + _).as("adc_micro"))
-      .withColumn("rk", row_number().over(
-        byQ.orderBy(col("adc_micro"), col("vec_id"))))
-      .filter(col("rk") <= TopK)
-    val exact = members.join(
-        broadcast(members.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("qid"), col("e").as("qe"), col("cluster"))),
-        Seq("cluster"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), l2sq6(col("e"), col("qe")).as("d6"))
-      .withColumn("xr", row_number().over(byQ.orderBy(col("d6"), col("vec_id"))))
-      .filter(col("xr") <= TopK)
-      .select(col("qid"), col("vec_id"), lit(true).as("in_exact_top5"))
-    val out = top.join(exact, Seq("qid", "vec_id"), "left")
-      .select(col("qid"), col("rk").cast("int").as("rk"), col("vec_id"),
-        col("adc_micro"),
-        coalesce(col("in_exact_top5"), lit(false)).as("in_exact_top5"))
-      .orderBy(col("qid"), col("rk"))
-    val snapshot = out.collect()
-    members.unpersist(blocking = false)
-    spark.createDataFrame(
-      java.util.Arrays.asList(snapshot: _*), out.schema)
+      .select(col("vec_id").as("qid"), col("e").as("rawq"),
+        col("r").as("qe"), col("cluster"), col("mask"))
+      .withColumn("tq", pqQueryTableCol(seeds))
+      .select(col("qid"), col("rawq").as("qe"), col("cluster"),
+        col("mask"), col("tq"))
+    (coded, queries, seeds.length)
   }
 
   /** L3 — MULTI-PROBE RESIDUAL IVF-PQ (q109 at nprobe > 1): the
@@ -4842,67 +4890,14 @@ object Pipeline {
     * vectors over the probed candidate set (basis-invariant within
     * the shared cell: `‖v−q‖ = ‖r_v−r_q‖`).
     *
-    * Scale posture: q109's — one persisted membership, one broadcast
-    * centroid join inside its lineage — plus the Generate on ≤10
-    * query rows; candidates stay O(occupancy × probes). */
+    * Scale posture: q109's banked-index serve plus the Generate on
+    * ≤10 query rows; candidates stay O(occupancy × probes). ONE
+    * residual ADC table per query, computed BEFORE the probe
+    * expansion — valid across every probed sub-bucket (same coarse
+    * cell). */
   def q121MultiProbeResidual(spark: SparkSession, dir: String): DataFrame = {
-    val e = pqVectors(spark, dir)
-    val cents = labelCentroids(spark, dir)
-    val members = mapSideFineClusters(e, cents, ClusterTargetOccupancy)
-      .persist(CacheLevel)
-    members.count()
-    val withRes = members
-      .withColumn("label", expr("cluster div 4294967296"))
-      .join(broadcast(cents.select(col("label").cast("long").as("label"),
-        col("cvec").cast("array<double>").as("cvec"))), "label")
-      .withColumn("r", zip_with(col("e"), col("cvec"), (a, b) => a - b))
-    val seeds = trainedResidualPqSeeds(spark, dir,
-      withRes.select(col("vec_id"), col("r").as("e")))
-    val (codesCol, _) = pqCodeColumns(seeds)
-    val coded = withRes.select(col("vec_id"), col("cluster"), col("r").as("e"))
-      .select(col("vec_id"), col("cluster"), codesCol.as("codes"))
-    // ONE residual ADC table per query, then the probe expansion —
-    // valid across every probed sub-bucket (same coarse cell)
-    val probed = probeExpand(
-      withRes.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("qid"), col("r").as("qe"),
-          col("cluster"), col("mask"))
-        .select(col("qid"), pqQueryTableCol(seeds).as("tq"),
-          col("cluster"), col("mask")),
-      1)
-    val k = seeds.length
-    val byQ = Window.partitionBy(col("qid"))
-    val top = coded.join(broadcast(probed), Seq("cluster"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        (0 until PqSubspaces).map(s =>
-            element_at(col("tq"), col("codes")(s) + lit(s * k) + 1))
-          .reduce(_ + _).as("adc_micro"))
-      .withColumn("rk", row_number().over(
-        byQ.orderBy(col("adc_micro"), col("vec_id"))))
-      .filter(col("rk") <= TopK)
-    // exact flag on RAW vectors over the SAME probed candidate set
-    val probedRaw = probeExpand(
-      members.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("qid"), col("e").as("qe"),
-          col("cluster"), col("mask")),
-      1)
-    val exact = members.select(col("vec_id"), col("e"), col("cluster"))
-      .join(broadcast(probedRaw), Seq("cluster"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), l2sq6(col("e"), col("qe")).as("d6"))
-      .withColumn("xr", row_number().over(byQ.orderBy(col("d6"), col("vec_id"))))
-      .filter(col("xr") <= TopK)
-      .select(col("qid"), col("vec_id"), lit(true).as("in_exact_top5"))
-    val out = top.join(exact, Seq("qid", "vec_id"), "left")
-      .select(col("qid"), col("rk").cast("int").as("rk"), col("vec_id"),
-        col("adc_micro"),
-        coalesce(col("in_exact_top5"), lit(false)).as("in_exact_top5"))
-      .orderBy(col("qid"), col("rk"))
-    val snapshot = out.collect()
-    members.unpersist(blocking = false)
-    spark.createDataFrame(
-      java.util.Arrays.asList(snapshot: _*), out.schema)
+    val (coded, queries, k) = residualServeRelations(spark, dir)
+    ivfPqServe(probeExpand(queries, 1), coded, k)
   }
 
   // ------------------------------------ q106: corpus snapshot diff
@@ -9199,6 +9194,12 @@ object Pipeline {
       "q102_source_dup_matrix" -> q102,
       "q106_snapshot_diff" -> q106,
       "q107_ivf_pq_ann" -> q107,
+      // q145 serves q107's queries from the BANKED composed index via
+      // the routing sidecar — row-identical to q107 (member vectors
+      // route to their build cluster), so the oracle is q107's: the
+      // hash match certifies membership + codes + codebook + routing
+      // round-trip end to end
+      "q145_ivfpq_routed" -> q107,
       "q109_ivf_pq_residual" -> q109,
       "q110_dedup_yield" -> q110,
       "q111_cluster_keepers" -> q111,
