@@ -744,7 +744,7 @@ object Pipeline {
   /** Session-stable table name for the persisted IVF index of one
     * data directory (the sf dirs produce distinct names, so a test at
     * sf0.001 can never serve a stale sf0.01 index). */
-  private[operators] def ivfIndexTable(dir: String): String =
+  private[graft] def ivfIndexTable(dir: String): String =
     "graft_ivf_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
       .stripPrefix("_").stripSuffix("_")
 
