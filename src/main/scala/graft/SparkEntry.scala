@@ -365,6 +365,10 @@ object SparkEntry {
     // routing-sidecar assignment + banked codes/codebook — row-identical
     // to q107, so the hash match certifies the whole banked round-trip
     "q145_ivfpq_routed" -> (Pipeline.q145IvfPqRouted _),
+    // the standing manifest-vs-bytes reconcile audit, oracle-faced: a
+    // real export at rest with the consistent replay window planted —
+    // counts/checksums reconcile cleanly, only distinct-ids flags it
+    "q146_export_reconcile" -> (Pipeline.q146ExportReconcile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -6075,6 +6075,45 @@ object Pipeline {
       .orderBy(col("shard"))
   }
 
+  /** L5 — the STANDING manifest-reconcile audit's oracle face (q146,
+    * VERDICT r18 §next-4): materialize a real export at rest from the
+    * corpus (writeShards + its manifest sidecar), plant the streaming
+    * writer's SECOND replay window — the `%17` batch appends AGAIN
+    * into BOTH bytes and manifest, the crash-after-manifest-before-
+    * marker shape whose counts and checksums reconcile CLEANLY — and
+    * run [[Layout.reconcileShards]] over the bytes. The returned
+    * audit rows certify cross-engine the whole detection story:
+    * `counts_equal` and `checksum_equal` are TRUE everywhere (the
+    * consistent window is invisible to them, exactly as the Export
+    * scaladoc documents), and `ids_unique` is FALSE on precisely the
+    * shards holding a replayed document — the duplicate-aware column
+    * is the only catch, and [[Layout.compactShards]] is the repair
+    * (ExportSpec closes that loop). The DuckDB twin derives every
+    * column from `documents` alone through the q141 position algebra
+    * (replayed copies as a second wave, positions continuing), so a
+    * hash match proves the bytes at rest, the merged sidecar, AND the
+    * audit's recomputation all agree with the declared algebra.
+    *
+    * Cost: the export materialization is two writeShards-shaped
+    * writes (corpus + the %17 delta) paid per call — the audit itself
+    * is ONE read of the export + one shard exchange, the price a
+    * deployment schedules between appends and trainer reads. */
+  def q146ExportReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val path = sys.props("java.io.tmpdir") + "/graft_reconcile_" +
+      dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+        .stripPrefix("_").stripSuffix("_")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    Layout.writeShards(d, "doc_id", path, NumShards.toInt, Some("text"))
+    // the planted replay: window (b) — one batch appended into BOTH
+    // bytes and manifest (consistent, so only distinct-ids can see it)
+    Layout.appendShards(d.filter(col("doc_id") % 17 === 0),
+      "doc_id", "text", path, NumShards.toInt)
+    Layout.reconcileShards(spark, path, "doc_id", "text")
+  }
+
   /** Pipeline — CURRICULUM shard ordering: q122's deterministic
     * export with a curriculum stage — within each shard, documents
     * order by (length tier ASC, shuffle key, id), the
@@ -7864,6 +7903,41 @@ object Pipeline {
          |    AS order_equal
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin
 
+    /** q146 — the reconcile-audit twin: the export's rows ARE the
+      * corpus plus the `%17` replayed wave; positions by (wave, key,
+      * id) per shard (the q141 algebra with the replay as wave 1), so
+      * the manifest and bytes checksums coincide BY CONSTRUCTION
+      * (counts_equal / checksum_equal TRUE — the consistent replay
+      * window), and only the distinct-id column flags the touched
+      * shards. */
+    val q146 =
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    ${ph("'shard:' || CAST(doc_id AS VARCHAR)")} AS sk, 0 AS wave
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    ${ph("'shard:' || CAST(doc_id AS VARCHAR)")} AS sk, 1 AS wave
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |a AS (
+         |  SELECT doc_id, n_toks, sk, CAST(sk % 8 AS INT) AS shard,
+         |    row_number() OVER (PARTITION BY sk % 8 ORDER BY wave, sk, doc_id) AS pos
+         |  FROM d)
+         |SELECT shard,
+         |  count(*) AS n_docs_manifest,
+         |  count(*) AS n_docs_bytes,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens_manifest,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens_bytes,
+         |  CAST(CAST(sum((pos * (sk % $P)) % $P) AS HUGEINT) % $P AS BIGINT)
+         |    AS checksum_manifest,
+         |  CAST(CAST(sum((pos * (sk % $P)) % $P) AS HUGEINT) % $P AS BIGINT)
+         |    AS checksum_bytes,
+         |  TRUE AS counts_equal,
+         |  TRUE AS checksum_equal,
+         |  (count(DISTINCT doc_id) = count(*)) AS ids_unique
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
     /** q142 — the gate-capacity twin: canonical digest + the gate's
       * canonical-token simhash per doc (q91's canonical chain + q28's
       * simhash fold), signature occupancy by DISTINCT digest, then
@@ -9122,6 +9196,7 @@ object Pipeline {
       "q142_gate_capacity" -> q142,
       "q143_gate_width_sweep" -> q143,
       "q144_banded_gate_sweep" -> q144,
+      "q146_export_reconcile" -> q146,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

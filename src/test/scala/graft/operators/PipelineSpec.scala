@@ -2294,6 +2294,30 @@ class PipelineSpec extends SparkSpec {
     assert(rows((4, 7))._4 >= rows((1, 16))._4)
   }
 
+  test("q146: the consistent replay reconciles cleanly everywhere; ids_unique flags exactly the touched shards") {
+    val rows = Pipeline.q146ExportReconcile(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getAs[Boolean]("counts_equal"),
+        r.getAs[Boolean]("checksum_equal"),
+        r.getAs[Boolean]("ids_unique"),
+        r.getAs[Long]("n_docs_bytes"),
+        r.getAs[Long]("n_distinct_ids")))).toMap
+    // the shards a %17 document routes to — the replayed batch's reach
+    val touched = graft.Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 17 === 0)
+      .select(org.apache.spark.sql.functions.pmod(
+        Pipeline.shardKey(org.apache.spark.sql.functions.col("doc_id")),
+        org.apache.spark.sql.functions.lit(8L)).cast("int"))
+      .collect().map(_.getInt(0)).toSet
+    assert(touched.nonEmpty, "fixture degenerate: no replayed shard")
+    rows.foreach { case (shard, (countsEq, ckEq, idsUniq, nBytes, nDistinct)) =>
+      // window (b) is CONSISTENT: counts and checksums reconcile
+      assert(countsEq && ckEq, s"shard $shard must reconcile cleanly")
+      assert(idsUniq == !touched(shard),
+        s"shard $shard ids_unique $idsUniq, touched ${touched(shard)}")
+      assert((nBytes > nDistinct) == touched(shard))
+    }
+  }
+
   test("q141: membership is wave-split-invariant, full order equals q122, appended order moved") {
     val rows = Pipeline.q141AppendManifest(spark, sfDir).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
