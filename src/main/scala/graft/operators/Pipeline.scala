@@ -1249,9 +1249,14 @@ object Pipeline {
     * on one axis without losing the other — the brief's acceptance
     * bar. `denseCorpusIds(vec_id)` is the dense corpus membership
     * (the embeddings relation at serve time; the index members at
-    * rest); the coverage flag costs ONE semi-join of the corpus ids
-    * against the bounded candidate set (broadcast probe side), the
-    * fused relation itself stays ≤ 2·legK rows per query. */
+    * rest) — its ids must be DISTINCT by construction, which every
+    * membership relation is (a vector has one id; the planted fixture
+    * unions disjoint id ranges): re-distincting it here cost one
+    * corpus-wide exchange per fusion call, the q140 sf1 driver
+    * (VERDICT r18 §next-5). The coverage flag costs ONE semi-join of
+    * the corpus ids against the bounded candidate set (broadcast
+    * probe side); the fused relation itself stays ≤ 2·legK rows per
+    * query. */
   private def rrfFuseCoverage(sparse: DataFrame, dense: DataFrame,
       denseCorpusIds: DataFrame): DataFrame = {
     val w = CoverageShiftWeight
@@ -1262,8 +1267,10 @@ object Pipeline {
         coalesce(col("drk"), lit(0)).as("dense_rank"))
     // coverage flag: corpus ids semi-joined against the BOUNDED
     // candidate id set (broadcast probe), then broadcast back — the
-    // corpus is scanned once and only candidate ids return
-    val covered = denseCorpusIds.select(col("vec_id").as("doc_id")).distinct()
+    // corpus is scanned once (ids only, column-pruned) and only
+    // candidate ids return; the semi-join output is id-distinct
+    // because the membership input is
+    val covered = denseCorpusIds.select(col("vec_id").as("doc_id"))
       .join(broadcast(fused.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .withColumn("dense_covered", lit(true))
