@@ -275,18 +275,33 @@ object Layout {
       .map(_.getPath.getName)
   }
 
-  /** Overwrite the `_waves` sidecar: one `(wave, file)` row per part
-    * file, the at-rest record of per-file APPEND ORDER (ADVICE r18 —
-    * replay order used to be recoverable only from mtime, ambiguous
-    * for the streaming writer's sub-second micro-batches on
-    * 1s-granularity filesystems). Replay of a shard = its files in
-    * wave order (one file per shard per wave), rows in file order —
-    * exactly the permutation the manifest checksum certifies. */
+  /** Found the `_waves` sidecar (overwrite): one `(wave, file)` row
+    * per part file, the at-rest record of per-file APPEND ORDER
+    * (ADVICE r18 — replay order used to be recoverable only from
+    * mtime, ambiguous for the streaming writer's sub-second
+    * micro-batches on 1s-granularity filesystems). Replay of a shard
+    * = its files in wave order (one file per shard per wave), rows in
+    * file order — exactly the permutation the manifest checksum
+    * certifies. */
   private def writeWaves(spark: SparkSession, path: String,
       rows: Seq[(Int, String)]): Unit = {
     import spark.implicits._
     rows.toDF("wave", "file").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(path + "/_waves")
+  }
+
+  /** APPEND one wave's rows to the `_waves` sidecar — an append-only
+    * log, so a long-lived streaming export pays O(batch) bookkeeping
+    * per micro-batch instead of rewriting the whole sidecar (review
+    * r19: the rewrite was O(total files) per batch, quadratic over
+    * the export's life, and its Overwrite window was the one moment a
+    * concurrent reader could catch the sidecar missing). */
+  private def appendWaves(spark: SparkSession, path: String,
+      rows: Seq[(Int, String)]): Unit = {
+    import spark.implicits._
+    if (rows.nonEmpty)
+      rows.toDF("wave", "file").coalesce(1)
+        .write.mode(SaveMode.Append).parquet(path + "/_waves")
   }
 
   /** The `(wave, file)` append-order sidecar of an export — empty for
@@ -375,24 +390,31 @@ object Layout {
             "shard INT, n_docs BIGINT, n_tokens BIGINT, " +
               "order_checksum BIGINT, head_doc_id BIGINT"))
       }
-    // wave accounting (ADVICE r18): resident files before the delta
-    // write; a pre-sidecar export's residents seed wave 0 in mtime
-    // order (one-time best effort — every later wave is exact)
-    val residentFiles = listShardFiles(spark, path)
-    val oldWaves = readWaves(spark, path) match {
-      case w if w.nonEmpty => w
-      case _ => residentFiles.zipWithIndex.map { case (f, i) => (i, f) }
-    }
-    val nextWave = oldWaves.map(_._1).maxOption.map(_ + 1).getOrElse(0)
+    // wave accounting (ADVICE r18): the sidecar is the resident-file
+    // record (O(batch) appends — no per-batch relisting of history);
+    // a pre-sidecar export's residents seed waves 0..k−1 in mtime
+    // order, one-time best effort — every later wave is exact
+    val known = readWaves(spark, path)
+    val (seedRows, nextWave) =
+      if (known.nonEmpty) (Seq.empty[(Int, String)], known.map(_._1).max + 1)
+      else {
+        val resident = listShardFiles(spark, path)
+        (resident.zipWithIndex.map { case (f, i) => (i, f) },
+          resident.length)
+      }
     // delta rows at rest: the writeShards plan over the new docs only
     newDocs.withColumn("sk", Pipeline.shardKey(col(idCol)))
       .withColumn("shard", pmod(col("sk"), lit(numShards.toLong)).cast("int"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("sk"), col(idCol))
       .write.mode(SaveMode.Append).partitionBy("shard").parquet(path)
-    val appended = listShardFiles(spark, path)
-      .filterNot(residentFiles.toSet)
-    writeWaves(spark, path, oldWaves ++ appended.map((nextWave, _)))
+    // one post-write listing finds this wave's files; files the
+    // sidecar doesn't know (a prior crash-before-sidecar append) join
+    // this wave rather than staying unattributed — the manifest still
+    // doesn't count their rows, so the reconcile audit flags them
+    val knownFiles = (known.map(_._2) ++ seedRows.map(_._2)).toSet
+    val appended = listShardFiles(spark, path).filterNot(knownFiles)
+    appendWaves(spark, path, seedRows ++ appended.map((nextWave, _)))
     // manifest merge: delta positions continue after the resident rows
     val delta = newDocs
       .select(col(idCol).as("doc_id"),
@@ -516,7 +538,13 @@ object Layout {
     * export + one shard exchange — the audit's price is a scan, never
     * a rewrite. */
   def reconcileShards(spark: SparkSession, path: String, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame = withExportLock(path) {
+    // the whole audit runs UNDER the per-path lock and returns a
+    // ≤numShards-row snapshot: a same-JVM append racing the audit
+    // could otherwise interleave between the sidecar reads and the
+    // byte scan (half-written waves/manifest read as spurious flags —
+    // review r19); cross-process, the single-writer contract plus
+    // scheduling the audit between appends is the deployment's job
     val P = graft.functions.TextFunctions.P
     val waves = readWaves(spark, path) match {
       case w if w.nonEmpty => w
@@ -546,7 +574,7 @@ object Layout {
       .select(col("shard"), col("n_docs").as("n_docs_manifest"),
         col("n_tokens").as("n_tokens_manifest"),
         col("order_checksum").as("checksum_manifest"))
-    manifest.join(bytes, Seq("shard"), "full_outer")
+    val audit = manifest.join(bytes, Seq("shard"), "full_outer")
       .select(col("shard"), col("n_docs_manifest"), col("n_docs_bytes"),
         col("n_distinct_ids"), col("n_tokens_manifest"),
         col("n_tokens_bytes"), col("checksum_manifest"),
@@ -558,6 +586,11 @@ object Layout {
           .as("checksum_equal"),
         (col("n_distinct_ids") <=> col("n_docs_bytes")).as("ids_unique"))
       .orderBy(col("shard"))
+    // snapshot while still under the lock: the result is ≤ numShards
+    // rows, and a lazy plan would re-read the export after release
+    val snapshot = audit.collect()
+    spark.createDataFrame(
+      java.util.Arrays.asList(snapshot: _*), audit.schema)
   }
 
   /** [[writeShards]] with CURRICULUM columns leading the within-shard

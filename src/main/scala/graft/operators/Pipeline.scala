@@ -1249,14 +1249,16 @@ object Pipeline {
     * on one axis without losing the other — the brief's acceptance
     * bar. `denseCorpusIds(vec_id)` is the dense corpus membership
     * (the embeddings relation at serve time; the index members at
-    * rest) — its ids must be DISTINCT by construction, which every
-    * membership relation is (a vector has one id; the planted fixture
-    * unions disjoint id ranges): re-distincting it here cost one
-    * corpus-wide exchange per fusion call, the q140 sf1 driver
-    * (VERDICT r18 §next-5). The coverage flag costs ONE semi-join of
-    * the corpus ids against the bounded candidate set (broadcast
-    * probe side); the fused relation itself stays ≤ 2·legK rows per
-    * query. */
+    * rest); the flag needs only membership, so the corpus-wide
+    * `.distinct()` this stage used to pay per fusion call (the q140
+    * sf1 driver, VERDICT r18 §next-5) is GONE — dedup happens after
+    * the semi-join, on the ≤2·legK·|queries| candidate-bounded
+    * output, which also keeps the flag correct when the membership
+    * relation carries duplicate ids (the banked index's documented
+    * replay window leaves exactly that state until rebuild — review
+    * r19). The coverage flag costs ONE semi-join of the corpus ids
+    * against the bounded candidate set (broadcast probe side); the
+    * fused relation itself stays ≤ 2·legK rows per query. */
   private def rrfFuseCoverage(sparse: DataFrame, dense: DataFrame,
       denseCorpusIds: DataFrame): DataFrame = {
     val w = CoverageShiftWeight
@@ -1268,11 +1270,13 @@ object Pipeline {
     // coverage flag: corpus ids semi-joined against the BOUNDED
     // candidate id set (broadcast probe), then broadcast back — the
     // corpus is scanned once (ids only, column-pruned) and only
-    // candidate ids return; the semi-join output is id-distinct
-    // because the membership input is
+    // candidate ids return; the distinct runs on the candidate-
+    // bounded OUTPUT (never the corpus), so duplicate membership ids
+    // — the maintained index's replay state — can't double fused rows
     val covered = denseCorpusIds.select(col("vec_id").as("doc_id"))
       .join(broadcast(fused.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
+      .distinct()
       .withColumn("dense_covered", lit(true))
     fused.join(broadcast(covered), Seq("doc_id"), "left")
       .withColumn("rrf_micro",
@@ -6106,19 +6110,27 @@ object Pipeline {
     * is ONE read of the export + one shard exchange, the price a
     * deployment schedules between appends and trainer reads. */
   def q146ExportReconcile(spark: SparkSession, dir: String): DataFrame = {
-    val path = sys.props("java.io.tmpdir") + "/graft_reconcile_" +
-      dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
-        .stripPrefix("_").stripSuffix("_")
+    // a UNIQUE path per call (review r19: a fixed per-dir path let an
+    // overlapping gate + bench run interleave deletes mid-reconcile,
+    // and left a corpus copy in /tmp per sf) — the audit result is a
+    // bounded LocalRelation snapshot, so the export deletes after
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_reconcile_").toString + "/exp"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    val d = docs(spark, dir).select(col("doc_id"), col("text"))
-    Layout.writeShards(d, "doc_id", path, NumShards.toInt, Some("text"))
-    // the planted replay: window (b) — one batch appended into BOTH
-    // bytes and manifest (consistent, so only distinct-ids can see it)
-    Layout.appendShards(d.filter(col("doc_id") % 17 === 0),
-      "doc_id", "text", path, NumShards.toInt)
-    Layout.reconcileShards(spark, path, "doc_id", "text")
+    try {
+      val d = docs(spark, dir).select(col("doc_id"), col("text"))
+      Layout.writeShards(d, "doc_id", path, NumShards.toInt, Some("text"))
+      // the planted replay: window (b) — one batch appended into BOTH
+      // bytes and manifest (consistent, so only distinct-ids can see it)
+      Layout.appendShards(d.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", path, NumShards.toInt)
+      Layout.reconcileShards(spark, path, "doc_id", "text")
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(path)
+        .getParent, true)
+      ()
+    }
   }
 
   /** Pipeline — CURRICULUM shard ordering: q122's deterministic

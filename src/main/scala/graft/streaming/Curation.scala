@@ -171,10 +171,21 @@ object Curation {
     require(nearDup || nearDupHistory.isEmpty,
       "nearDupHistory bootstraps the near-dup stage - enable nearDup")
     require(nearDupBands >= 1, "nearDupBands >= 1")
-    // the history artifact's shape must match the enabled stage: the
-    // single-signature stage bootstraps from (near_sig), the banded
-    // stage from (band, near_band) — a mismatched artifact means the
-    // nightly job and the gate disagree about the config
+    // fail in THIS vocabulary, at composition: with bands > 1,
+    // nearDupBits is the PER-BAND width and the default 16 no longer
+    // fits 2+ bands in portableHashMod's 31-bit range (review r19 —
+    // dedupNearBanded's own require names parameters the caller
+    // never passed)
+    require(nearDupBands == 1 || nearDupBands * nearDupBits <= 31,
+      s"nearDupBands ($nearDupBands) * nearDupBits ($nearDupBits - the " +
+        "PER-BAND width when banded) must fit 31 bits; the banded " +
+        "default pairing is nearDupBands = 2, nearDupBits = 15")
+    // the history artifact's shape AND config must match the enabled
+    // stage: the single-signature stage bootstraps from (near_sig),
+    // the banded stage from (band, near_band) rows carrying their
+    // (bands, band_bits) — keys from another config never match, so a
+    // mismatch means the nightly job and the gate disagree and the
+    // bootstrap would be silently inert (review r19)
     nearDupHistory.foreach { h =>
       val want =
         if (nearDupBands == 1) Seq("near_sig") else Seq("band", "near_band")
@@ -183,6 +194,22 @@ object Curation {
           s"nearDupBands = $nearDupBands - derive it with " +
           (if (nearDupBands == 1) "historicalNearSignatures"
            else "historicalNearBandKeys"))
+      if (nearDupBands > 1) {
+        require(h.columns.contains("bands") && h.columns.contains("band_bits"),
+          "nearDupHistory predates config stamping - re-derive it with " +
+            "historicalNearBandKeys (rows carry bands/band_bits)")
+        // an EMPTY history (empty batch corpus) is vacuously fine —
+        // the anti-joins no-op
+        h.select(col("bands"), col("band_bits")).limit(1).collect()
+          .headOption.foreach { cfg =>
+            require(cfg.getInt(0) == nearDupBands &&
+              cfg.getInt(1) == nearDupBits,
+              s"nearDupHistory was derived at (bands = ${cfg.getInt(0)}, " +
+                s"bandBits = ${cfg.getInt(1)}) but the gate runs (bands = " +
+                s"$nearDupBands, bandBits = $nearDupBits) - band keys " +
+                "from one config never match another's")
+          }
+      }
     }
     val scrubbed =
       piiScrub(qualityGate(markupExtract(pages, htmlCol), "text"), "text")

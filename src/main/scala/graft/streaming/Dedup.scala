@@ -190,7 +190,12 @@ object Dedup {
     * edited copy of history at whichever band survives the edit —
     * statelessly, before the state store warms up. The artifact a
     * nightly batch persists beside the corpus; its size is
-    * `bands · |distinct keys|`, bounded by `bands · 2^bandBits`. */
+    * `bands · |distinct keys|`, bounded by `bands · 2^bandBits`. The
+    * rows CARRY their config (`bands`, `band_bits` columns): band
+    * keys from one (bands, bandBits) point are meaningless at
+    * another, and the gate verifies the artifact matches its own
+    * knobs at composition time instead of anti-joining keys that can
+    * never match (review r19). */
   def historicalNearBandKeys(corpus: DataFrame, textCol: String,
       bands: Int = 2, bandBits: Int = 15): DataFrame = {
     require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 31,
@@ -200,6 +205,8 @@ object Dedup {
         shiftright(sig, b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*))
         .as(Seq("band", "near_band")))
       .distinct()
+      .withColumn("bands", lit(bands))
+      .withColumn("band_bits", lit(bandBits))
   }
 
   /** BANDED near-dup dedup — the RECALL lever q143's width table

@@ -49,14 +49,23 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 object IndexMaintain {
 
   private def writer(rows: DataFrame, checkpointDir: String)(
-      deliver: DataFrame => Unit): DataStreamWriter[Row] =
+      deliver: DataFrame => Unit)(
+      after: DataFrame => Unit = _ => ()): DataStreamWriter[Row] =
     rows.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Sinks.deliverOnce(s"$checkpointDir/delivered", batchId) {
-          if (!batch.isEmpty) deliver(batch)
-        }
+        // the drift callback runs OUTSIDE deliverOnce, after the
+        // marker: a throwing callback (alerting code) must not strand
+        // a committed append unmarked — that retry would re-append a
+        // batch the table already holds (review r19). A callback
+        // failure now retries ONLY the callback (the marker skips the
+        // append), so the append stays exactly-once and the report is
+        // at-least-once — the right asymmetry for a tripwire.
+        val empty = batch.isEmpty
+        val delivered = Sinks.deliverOnce(s"$checkpointDir/delivered",
+          batchId) { if (!empty) deliver(batch) }
+        if (delivered && !empty) after(batch)
         ()
       }
 
@@ -67,10 +76,9 @@ object IndexMaintain {
   def ivfAppendWriter(vectors: DataFrame, name: String,
       checkpointDir: String,
       onDrift: DataFrame => Unit = _ => ()): DataStreamWriter[Row] =
-    writer(vectors, checkpointDir) { batch =>
-      Pipeline.indexAppend(batch.sparkSession, name, batch)
-      onDrift(Pipeline.indexOccupancyReport(batch.sparkSession, name))
-    }
+    writer(vectors, checkpointDir)(batch =>
+      Pipeline.indexAppend(batch.sparkSession, name, batch))(batch =>
+      onDrift(Pipeline.indexOccupancyReport(batch.sparkSession, name)))
 
   /** Keep a banked PQ index warm from a vector stream `(vec_id, e)`:
     * each micro-batch encodes through the STORED codebook and appends
@@ -80,10 +88,9 @@ object IndexMaintain {
   def pqAppendWriter(vectors: DataFrame, name: String,
       checkpointDir: String,
       onDrift: DataFrame => Unit = _ => ()): DataStreamWriter[Row] =
-    writer(vectors, checkpointDir) { batch =>
-      Pipeline.pqIndexAppend(batch.sparkSession, name, batch)
-      onDrift(Pipeline.pqIndexDriftReport(batch.sparkSession, name))
-    }
+    writer(vectors, checkpointDir)(batch =>
+      Pipeline.pqIndexAppend(batch.sparkSession, name, batch))(batch =>
+      onDrift(Pipeline.pqIndexDriftReport(batch.sparkSession, name)))
 
   /** Keep a banked inverted index warm from a document stream
     * `(doc_id, text)`: each micro-batch tokenizes through the build's
@@ -94,7 +101,6 @@ object IndexMaintain {
     * freshness is the whole story. */
   def invAppendWriter(docs: DataFrame, name: String,
       checkpointDir: String): DataStreamWriter[Row] =
-    writer(docs, checkpointDir) { batch =>
-      Pipeline.invIndexAppend(batch.sparkSession, name, batch)
-    }
+    writer(docs, checkpointDir)(batch =>
+      Pipeline.invIndexAppend(batch.sparkSession, name, batch))()
 }

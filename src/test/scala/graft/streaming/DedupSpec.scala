@@ -838,8 +838,25 @@ class DedupSpec extends SparkSpec {
     val wrong = Dedup.historicalNearSignatures(corpus, "text")
     val e = intercept[IllegalArgumentException](
       Curation.ingestGate(pages, "html", "ts", "10 minutes",
-        nearDup = true, nearDupHistory = Some(wrong), nearDupBands = 2))
+        nearDup = true, nearDupHistory = Some(wrong), nearDupBits = 15,
+        nearDupBands = 2))
     assert(e.getMessage.contains("historicalNearBandKeys"))
+    // config guard: a banded artifact from ANOTHER (bands, bandBits)
+    // point would anti-join keys that can never match — the bootstrap
+    // silently inert; the stamped config fails it loudly instead
+    val mismatched = Dedup.historicalNearBandKeys(corpus, "text",
+      bands = 2, bandBits = 8)
+    val e2 = intercept[IllegalArgumentException](
+      Curation.ingestGate(pages, "html", "ts", "10 minutes",
+        nearDup = true, nearDupHistory = Some(mismatched),
+        nearDupBits = 15, nearDupBands = 2))
+    assert(e2.getMessage.contains("never match"))
+    // width guard: enabling bands at the single-signature default
+    // width (2 x 16 > 31) fails in the gate's OWN vocabulary
+    val e3 = intercept[IllegalArgumentException](
+      Curation.ingestGate(pages, "html", "ts", "10 minutes",
+        nearDup = true, nearDupBands = 2))
+    assert(e3.getMessage.contains("nearDupBands"))
   }
 
   test("near-dup gate stage agrees with a batch keep-first over the same signatures") {
