@@ -162,7 +162,14 @@ object Curation {
     * knob table prices every (bands, bandBits) point — q143 showed
     * the single-signature gate is a low-recall instrument at every
     * width, so a deployment that wants edited-copy recall at ingest
-    * reads q144 and turns THIS knob. */
+    * reads q144 and turns THIS knob. When q144 on YOUR corpus shows
+    * every collapse config paying structural false drops (the driver
+    * corpus does), the precision-exact alternative is the VERIFIED
+    * gate ([[graft.streaming.Dedup.nearVerifiedVerdicts]] — LSH
+    * candidates + exact in-state Jaccard, zero false collapse by
+    * construction); it runs as its own stream (fMGWS cannot chain
+    * after this composition's stateful stages) and emits verdicts
+    * rather than a filtered stream. */
   def ingestGate(pages: DataFrame, htmlCol: String, eventTimeCol: String,
       horizon: String, evalGrams: Option[DataFrame] = None,
       history: Option[DataFrame] = None, nearDup: Boolean = false,

@@ -261,6 +261,169 @@ object Dedup {
     }.drop("near_sig_full")
   }
 
+  /** One registered document in a verified-gate bucket: id, sorted
+    * distinct shingle hashes (the verification payload), event-time
+    * millis (the eviction key). */
+  case class NearVerifiedEntry(docId: Long, hs: Array[Long], tsm: Long)
+
+  /** Per-bucket state of the verified gate: registered keepers, FIFO
+    * up to the cap. */
+  case class NearVerifiedState(entries: List[NearVerifiedEntry])
+
+  /** One (document, band) row entering the verified gate. */
+  case class NearBandDoc(band: Int, bucket: Long, docId: Long,
+    hs: Seq[Long], ts: java.sql.Timestamp)
+
+  /** One verdict per (document, band): `kept = false` means this
+    * band's state held a VERIFIED (exact-Jaccard) near-duplicate —
+    * `dup_of` names it. A document is a verified near-dup of history
+    * iff ANY of its band verdicts says `kept = false`. */
+  case class NearVerifiedVerdict(doc_id: Long, band: Int,
+    event_ms: Long, kept: Boolean, dup_of: Long)
+
+  /** Exact t = 1/2 Jaccard verification over two SORTED DISTINCT hash
+    * arrays — the integer form `3·|∩| ≥ |A| + |B|` (q131's exact
+    * predicate) via a two-pointer merge. */
+  private[graft] def verifiedHalfJaccard(a: Array[Long],
+      b: Seq[Long]): Boolean = {
+    var i = 0; var j = 0; var inter = 0L
+    while (i < a.length && j < b.length) {
+      val c = java.lang.Long.compare(a(i), b(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    3L * inter >= a.length.toLong + b.length.toLong
+  }
+
+  /** The fMGWS group function behind [[nearVerifiedVerdicts]]: per
+    * (band, bucket), verify arrivals (sorted (tsm, id) — keep-first
+    * is deterministic across any batching) against the registered
+    * keepers, register survivors (FIFO-capped), evict keepers the
+    * watermark has passed by the horizon. */
+  private[graft] def processNearVerifiedBucket(horizonMs: Long, cap: Int)(
+      key: (Int, Long), rows: Iterator[NearBandDoc],
+      state: org.apache.spark.sql.streaming.GroupState[NearVerifiedState])
+      : Iterator[NearVerifiedVerdict] = {
+    val wm = try state.getCurrentWatermarkMs() catch { case _: Exception => 0L }
+    def live(es: List[NearVerifiedEntry]) = es.filter(_.tsm + horizonMs > wm)
+    def rearm(es: List[NearVerifiedEntry]): Unit =
+      if (es.isEmpty) state.remove()
+      else {
+        state.update(NearVerifiedState(es))
+        try state.setTimeoutTimestamp(
+          math.max(es.map(_.tsm).min + horizonMs, wm + 1L))
+        catch { case _: UnsupportedOperationException => () } // batch mode
+      }
+    if (state.hasTimedOut) {
+      rearm(live(state.getOption.map(_.entries).getOrElse(Nil)))
+      Iterator.empty
+    } else {
+      var entries = live(state.getOption.map(_.entries).getOrElse(Nil))
+      val out = Seq.newBuilder[NearVerifiedVerdict]
+      rows.toSeq.sortBy(r => (r.ts.getTime, r.docId)).foreach { r =>
+        val tsm = r.ts.getTime
+        entries.find(e => verifiedHalfJaccard(e.hs, r.hs)) match {
+          case Some(keeper) =>
+            out += NearVerifiedVerdict(r.docId, r.band, tsm,
+              kept = false, keeper.docId)
+          case None =>
+            entries = (entries :+
+              NearVerifiedEntry(r.docId, r.hs.toArray, tsm)).takeRight(cap)
+            out += NearVerifiedVerdict(r.docId, r.band, tsm,
+              kept = true, -1L)
+        }
+      }
+      rearm(entries)
+      out.result().iterator
+    }
+  }
+
+  /** VERIFIED streaming near-dup — the answer to q144's honest
+    * finding: on vocabulary-concentrated corpora EVERY
+    * signature-collapse config (any width, any banding) pays a
+    * near-total false-collapse ceiling, because collapse trusts the
+    * signature. This gate doesn't: candidates come from an LSH band
+    * bucket (q131's md5-band-hash over the 16-hash MinHash
+    * signature — the portable-at-any-r batch derivation, map-side
+    * per row), and a
+    * candidate only DROPS after exact t = 1/2 Jaccard verification
+    * against the registered keeper's sorted shingle-hash set (q131's
+    * integer `3·|∩| ≥ |A|+|B|` predicate) — q113 stage 3's
+    * LSH+verify semantics AT INGEST, precision-exact by construction
+    * (every drop names a true ≥ 1/2-Jaccard keeper in `dup_of`).
+    *
+    * Emits one [[NearVerifiedVerdict]] per (document, band): a doc is
+    * a verified dup iff ANY band verdict has `kept = false` (bands
+    * are OR-recall, exactly q131's knob — recall per band ≈ J^r, so
+    * more bands of fewer rows buy recall and cost only CANDIDATE
+    * probes, never false drops). With bands > 1 a doc dropped by one
+    * band may still register in another's state (the groups process
+    * independently) — registration redundancy, not a correctness
+    * leak: every future match is verified regardless of which keeper
+    * it hits.
+    *
+    * State posture, stated honestly: this gate holds REAL payload —
+    * per (band, bucket), up to `bucketCap` keepers' sorted hash sets
+    * (~8 bytes per distinct shingle per keeper), watermark-evicted at
+    * the horizon and FIFO-evicted at the cap (an overflowing bucket
+    * forgets its oldest keeper and may re-admit that keeper's late
+    * dups — the capacity trade, sized by q131's bucket-occupancy
+    * shape). That is the price of verification an unbounded stream
+    * can pay ONLY because LSH bounds each arrival's comparisons to
+    * its bucket's ≤ cap keepers — never all-pairs, never a corpus
+    * join. The single stateful operator is
+    * `flatMapGroupsWithState` with event-time timeouts (chaining
+    * more stateful ops after fMGWS is unsupported by Spark — which
+    * is exactly why verdicts, not a filtered stream, are the output:
+    * the any-band reduction is the consumer's per-batch map,
+    * q113-funnel style).
+    *
+    * Defaults: 1 band × 4 rows (the q24/q131 production slice —
+    * catch heavy near-dups at J^4 per-band recall); bands·rowsPerBand
+    * ≤ 16 (the signature width). */
+  def nearVerifiedVerdicts(docs: DataFrame, idCol: String,
+      textCol: String, eventTimeCol: String, horizonMs: Long,
+      bands: Int = 1, rowsPerBand: Int = 4,
+      bucketCap: Int = 64): org.apache.spark.sql.Dataset[NearVerifiedVerdict] = {
+    require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 16,
+      "bands * rowsPerBand must fit the 16-hash MinHash signature")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val P = graft.functions.TextFunctions.P
+    // THE batch derivations, map-side: sorted distinct 3-shingle
+    // hashes (shingleHashSets), per-row 16-hash MinHash (array_min
+    // over the same universal hashes minhashSigs aggregates), md5
+    // band-hash buckets (q131's slice-join-hash)
+    val hs = array_sort(array_distinct(transform(
+      graft.functions.TextFunctions.wordShingles(
+        split(col(textCol), " "), 3),
+      s => portableHashMod(s))))
+    val msig = array((0 until 16).map(h =>
+      array_min(transform(col("hs"),
+        x => pmod(lit(2L * h + 1) * x + lit(12289L * h), lit(P))))): _*)
+    val keyed = docs
+      .select(col(idCol).cast("long").as("docId"),
+        col(eventTimeCol).cast("timestamp").as("ts"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("msig", msig)
+      .select(col("docId"), col("hs"), col("ts"),
+        posexplode(array((0 until bands).map(b =>
+            portableHashMod(array_join(transform(
+              slice(col("msig"), b * rowsPerBand + 1, rowsPerBand),
+              x => x.cast("string")), ","))): _*))
+          .as(Seq("band", "bucket")))
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("docId"), col("hs"), col("ts"))
+      .as[NearBandDoc]
+    keyed.groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        processNearVerifiedBucket(horizonMs, bucketCap))
+  }
+
   /** Embedding near-dup streaming dedup: keep the first document per
     * sign-random-projection bucket (streaming q30, completing the
     * batch/stream dedup matrix: exact, SimHash, embedding). The same

@@ -859,6 +859,141 @@ class DedupSpec extends SparkSpec {
     assert(e3.getMessage.contains("nearDupBands"))
   }
 
+  test("verified near-dup gate: stream verdicts equal an independent keep-first simulation; every drop exactly verified") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val P = 2147483647L
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def phm(s: String): Long = h60(s) % P
+    // independent re-derivation of the gate's whole key chain from
+    // MessageDigest up (no shared Spark columns): shingles → sorted
+    // distinct hashes → 16-hash MinHash → md5 band bucket
+    def hsOf(text: String): Seq[Long] =
+      text.split(" ", -1).toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSeq.distinct.map(phm).sorted
+    def bucketOf(hs: Seq[Long], band: Int, r: Int): Long =
+      phm((0 until 16).map(h => hs.map(x =>
+          ((2L * h + 1) * x + 12289L * h) % P).min)
+        .slice(band * r, band * r + r).mkString(","))
+    def inter(a: Seq[Long], b: Seq[Long]): Long = {
+      var i = 0; var j = 0; var n = 0L
+      while (i < a.length && j < b.length) {
+        val c = java.lang.Long.compare(a(i), b(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1 else j += 1
+      }
+      n
+    }
+    val base = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 120).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val corpus = base ++
+      base.filter(_._1 % 7 == 0).map { case (id, t) => (id + 1000000L, t) } ++
+      base.filter(_._1 % 11 == 0)
+        .map { case (id, t) => (id + 2000000L, t + " extra token tail") }
+    // sec starts at 1: an event at the INITIAL watermark (0) is
+    // filtered as late before any stateful operator sees it
+    val arrivals = corpus.zipWithIndex
+      .map { case ((id, t), i) => (id, t, i.toLong + 1L) }
+      .filter(a => hsOf(a._2).nonEmpty)
+    // the straight-line truth: keep-first with exact verification per
+    // (band=0, bucket), arrival order
+    val registry = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.ListBuffer[(Long, Seq[Long])]]
+    val want = scala.collection.mutable.Map.empty[Long, (Boolean, Long)]
+    arrivals.foreach { case (id, text, _) =>
+      val hs = hsOf(text)
+      val bucket = bucketOf(hs, 0, 4)
+      val entries = registry.getOrElseUpdate(bucket,
+        scala.collection.mutable.ListBuffer.empty)
+      entries.find { case (_, khs) =>
+        3L * inter(khs, hs) >= khs.length + hs.length } match {
+        case Some((keeper, _)) => want(id) = (false, keeper)
+        case None => entries += ((id, hs)); want(id) = (true, -1L)
+      }
+    }
+    assert(want.values.count(!_._1) >= base.count(_._1 % 7 == 0),
+      "fixture degenerate: identical copies (J = 1) must all drop")
+    // the stream, three installments
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val query = Dedup.nearVerifiedVerdicts(docs, "doc_id", "text", "ts",
+        horizonMs = 3600L * 1000L)
+      .writeStream.format("memory").queryName("nearver_mem")
+      .outputMode("append").start()
+    try {
+      arrivals.grouped((arrivals.size / 3).max(1)).foreach { g =>
+        in.addData(g: _*); query.processAllAvailable()
+      }
+      val got = spark.table("nearver_mem").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("kept"), r.getAs[Long]("dup_of")))).toMap
+      assert(got == want.toMap,
+        s"stream diverged from simulation: ${
+          (got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+      // PRECISION, the gate's whole point: every drop names a keeper
+      // the exact t = 1/2 predicate confirms — zero false collapse
+      val textOf = corpus.toMap
+      got.collect { case (id, (false, keeper)) =>
+        val (a, b) = (hsOf(textOf(id)), hsOf(textOf(keeper)))
+        assert(3L * inter(a, b) >= a.length + b.length,
+          s"unverified drop: $id vs $keeper")
+      }
+      assert(query.lastProgress.stateOperators.length == 1)
+    } finally query.stop()
+  }
+
+  test("verified near-dup gate: horizon eviction re-admits; bands are OR-recall with per-band verdicts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val a = Seq.tabulate(30)(i => s"tok$i").mkString(" ")
+    val filler = Seq.tabulate(30)(i => s"flr$i").mkString(" ")
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    // horizon 600 s
+    val query = Dedup.nearVerifiedVerdicts(docs, "doc_id", "text", "ts",
+        horizonMs = 600000L)
+      .writeStream.format("memory").queryName("nearevict_mem")
+      .outputMode("append").start()
+    try {
+      Seq((1L, a, 1L), (2L, a, 5L), (3L, filler, 2000L), (4L, a, 2005L))
+        .foreach { row => in.addData(row); query.processAllAvailable() }
+      val got = spark.table("nearevict_mem").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+      // 2 drops against 1's registration inside the horizon; by doc
+      // 4's batch the watermark (2000 − 600) has evicted it → re-admit
+      assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true),
+        s"got $got")
+    } finally query.stop()
+    // bands = 2: one verdict per (doc, band); an identical copy drops
+    // in EVERY band (J = 1 collides everywhere), any-band reduces
+    val in2 = MemoryStream[(Long, String, Long)]
+    val docs2 = in2.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val q2 = Dedup.nearVerifiedVerdicts(docs2, "doc_id", "text", "ts",
+        horizonMs = 600000L, bands = 2, rowsPerBand = 4)
+      .writeStream.format("memory").queryName("nearband2_mem")
+      .outputMode("append").start()
+    try {
+      Seq((1L, a, 1L), (2L, a, 2L), (3L, filler, 3L))
+        .foreach { row => in2.addData(row); q2.processAllAvailable() }
+      val rows = spark.table("nearband2_mem").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+          r.getAs[Boolean]("kept")))
+      assert(rows.groupBy(_._1).forall(_._2.length == 2),
+        s"one verdict per band expected: ${rows.toSeq}")
+      def anyBandDup(id: Long) = rows.exists(r => r._1 == id && !r._3)
+      assert(!anyBandDup(1L) && anyBandDup(2L) && !anyBandDup(3L))
+      assert(rows.count(r => r._1 == 2L && !r._3) == 2,
+        "an identical copy must drop in every band")
+    } finally q2.stop()
+  }
+
   test("near-dup gate stage agrees with a batch keep-first over the same signatures") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // arrival order IS doc_id order, so streaming keep-first must
