@@ -369,6 +369,11 @@ object SparkEntry {
     // real export at rest with the consistent replay window planted —
     // counts/checksums reconcile cleanly, only distinct-ids flags it
     "q146_export_reconcile" -> (Pipeline.q146ExportReconcile _),
+    // the VERIFIED gate's knob table: exact-truth recall/precision per
+    // (bands, rowsPerBand) prefix-band config — the gate's precision
+    // is exact by construction, so this prices the one open axis,
+    // candidate recall; (4,4) reconciles with q131's row
+    "q147_verified_gate_sweep" -> (Pipeline.q147VerifiedGateSweep _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

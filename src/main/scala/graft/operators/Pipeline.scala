@@ -1702,7 +1702,15 @@ object Pipeline {
 
   /** Corpus-parameterized harness behind [[q131BandingSweep]] (the
     * spec drives it with a constructed fixture). */
-  private[operators] def bandingSweep(corpus: DataFrame): DataFrame = {
+  private[operators] def bandingSweep(corpus: DataFrame): DataFrame =
+    bandingSweepOver(corpus, BandingConfigs)
+
+  /** [[bandingSweep]] with an explicit (bands, rowsPerBand) grid —
+    * the shared truth harness behind q131 (full-signature bandings)
+    * and q147 (the VERIFIED GATE's prefix-band configs, which use
+    * only the first bands·r hashes). */
+  private[operators] def bandingSweepOver(corpus: DataFrame,
+      configs: Seq[(Int, Int)]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = shingleHashSets(corpus).persist(CacheLevel)
@@ -1754,7 +1762,7 @@ object Pipeline {
     // hits = candidates ∩ truth (truth is exact, so the semi-join IS
     // ≥ t verification). Counts are bounded driver-side snapshots (the
     // annRecallSweep discipline: |configs| fixed report rows).
-    val rows = BandingConfigs.map { case (bC, r) =>
+    val rows = configs.map { case (bC, r) =>
       val bands = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bC - 1)), b =>
           portableHashMod(array_join(
@@ -1782,8 +1790,39 @@ object Pipeline {
         when(col("n_candidates") === 0, lit(0.0))
           .otherwise(round(col("n_hits").cast("double") / col("n_candidates"), 6))
           .as("candidate_precision"))
-      .orderBy(col("bands").desc)
+      .orderBy(col("bands").desc, col("rows_per_band"))
   }
+
+  /** The (bands, rowsPerBand) grid [[q147VerifiedGateSweep]] prices —
+    * the VERIFIED gate's own configs ([[graft.streaming.Dedup.nearVerifiedVerdicts]]
+    * uses the FIRST bands·r hashes, unlike q131's full-signature
+    * bandings): (1,4) is the gate default, (4,4) uses the whole
+    * signature and therefore IS q131's (4,4) row — the reconciliation
+    * anchor the spec pins. */
+  private[graft] val GateVerifiedConfigs =
+    Seq((1, 2), (2, 2), (1, 4), (2, 4), (4, 4))
+
+  /** L2 — the VERIFIED GATE's knob table (q147): the
+    * measurement→knob→serve arc completed for
+    * [[graft.streaming.Dedup.nearVerifiedVerdicts]]. The gate's
+    * precision is exact by construction (every drop is verified), so
+    * the ONLY thing to price is candidate RECALL per (bands,
+    * rowsPerBand) — and since the gate's buckets are q131's
+    * md5-band-hash over the signature's first bands·r hashes, the
+    * q131 truth harness measures it directly: per config, exact
+    * ≥ 1/2-Jaccard truth pairs, band-bucket candidate pairs, hits,
+    * recall, and candidate precision (the gate's verify workload per
+    * candidate). Candidates NEST three ways, all spec-asserted:
+    * across bands at fixed r (more bands ⊇ fewer), across r at fixed
+    * bands (an r-row band match implies its prefix's), and (4,4) —
+    * the full signature — reconciles bit-for-bit with q131's (4,4)
+    * row. A deployment reads recall at its (bands, rowsPerBand),
+    * sizes `bucketCap` from candidate volume per bucket, and the gate
+    * serves exactly that config. Same plan shape and cost as q131
+    * (shared [[bandingSweepOver]] harness — one prefix-filter truth
+    * join, |configs| bucket joins, never all-pairs). */
+  def q147VerifiedGateSweep(spark: SparkSession, dir: String): DataFrame =
+    bandingSweepOver(nearDocs(spark, dir), GateVerifiedConfigs)
 
   /** Serve EXTERNAL query vectors `(query_id, qe)` from a persisted
     * IVF index — the production similarity-search entry point. Query
@@ -9098,29 +9137,31 @@ object Pipeline {
          |FROM (SELECT * FROM m_s UNION ALL SELECT * FROM m_d UNION ALL SELECT * FROM m_h)
          |ORDER BY method""".stripMargin
 
-    /** q131 — the banding-sweep twin: the shared [[minhashSigCtes]]
-      * signatures, exact ground truth via VALUE-ordered prefix
-      * filtering at t = 1/2 (the prefix theorem holds under any shared
-      * global order, so the engine's df-ordered prefixes and this
-      * value-ordered form verify the SAME truth set), md5-band-hashed
-      * candidate buckets per config, hits = candidates ∩ truth. */
-    val q131 = {
-      val cfgCtes = Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (b, r) =>
-        s"""bands_$b AS (
+    /** The banding-sweep twin, parameterized by the (bands, rows)
+      * grid: the shared [[minhashSigCtes]] signatures, exact ground
+      * truth via VALUE-ordered prefix filtering at t = 1/2 (the prefix
+      * theorem holds under any shared global order, so the engine's
+      * df-ordered prefixes and this value-ordered form verify the SAME
+      * truth set), md5-band-hashed candidate buckets per config, hits
+      * = candidates ∩ truth. Behind q131 (full-signature bandings) and
+      * q147 (the verified gate's prefix-band configs). */
+    private def bandingSweepSql(configs: Seq[(Int, Int)]): String = {
+      val cfgCtes = configs.zipWithIndex.map { case ((b, r), i) =>
+        s"""bands_$i AS (
            |  SELECT doc_id, b, ${phm(s"array_to_string(list_transform(msig[$r*b+1 : $r*b+$r], x -> CAST(x AS VARCHAR)), ',')")} AS bsig
            |  FROM sig, generate_series(0, ${b - 1}) t(b)),
-           |cand_$b AS (
+           |cand_$i AS (
            |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |  FROM bands_$b x JOIN bands_$b y
+           |  FROM bands_$i x JOIN bands_$i y
            |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-           |row_$b AS (
+           |row_$i AS (
            |  SELECT $b AS bands, $r AS rows_per_band,
            |    (SELECT count(*) FROM truth) AS n_truth,
-           |    (SELECT count(*) FROM cand_$b) AS n_candidates,
-           |    (SELECT count(*) FROM (SELECT * FROM cand_$b INTERSECT SELECT * FROM truth)) AS n_hits)""".stripMargin
+           |    (SELECT count(*) FROM cand_$i) AS n_candidates,
+           |    (SELECT count(*) FROM (SELECT * FROM cand_$i INTERSECT SELECT * FROM truth)) AS n_hits)""".stripMargin
       }.mkString(",\n")
-      val unions = Seq(16, 8, 4, 2)
-        .map(b => s"SELECT * FROM row_$b").mkString(" UNION ALL ")
+      val unions = configs.indices
+        .map(i => s"SELECT * FROM row_$i").mkString(" UNION ALL ")
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
@@ -9144,8 +9185,14 @@ object Pipeline {
          |  CASE WHEN n_candidates = 0 THEN 0.0
          |    ELSE round(n_hits::DOUBLE / n_candidates, 6) END AS candidate_precision
          |FROM ($unions)
-         |ORDER BY bands DESC""".stripMargin
+         |ORDER BY bands DESC, rows_per_band""".stripMargin
     }
+
+    val q131 = bandingSweepSql(Seq((16, 1), (8, 2), (4, 4), (2, 8)))
+
+    /** q147 — the verified gate's knob-table twin: the SAME harness
+      * over the gate's prefix-band configs; (4,4) is q131's (4,4). */
+    val q147 = bandingSweepSql(Seq((1, 2), (2, 2), (1, 4), (2, 4), (4, 4)))
 
     /** q119 — q114's sweep twin with the coarse stage swapped to the
       * DERIVED Lloyd-trained centroids ([[derivedCentCtes]], q61's
@@ -9216,6 +9263,7 @@ object Pipeline {
       "q143_gate_width_sweep" -> q143,
       "q144_banded_gate_sweep" -> q144,
       "q146_export_reconcile" -> q146,
+      "q147_verified_gate_sweep" -> q147,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

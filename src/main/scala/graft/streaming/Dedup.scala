@@ -381,7 +381,11 @@ object Dedup {
     *
     * Defaults: 1 band × 4 rows (the q24/q131 production slice —
     * catch heavy near-dups at J^4 per-band recall); bands·rowsPerBand
-    * ≤ 16 (the signature width). */
+    * ≤ 16 (the signature width). q147 is THIS gate's knob table:
+    * exact-truth recall and candidate precision per (bands,
+    * rowsPerBand) prefix-band config, measured by the q131 harness on
+    * the identical bucket derivation — read it, fix the config, size
+    * `bucketCap` from its candidate volume. */
   def nearVerifiedVerdicts(docs: DataFrame, idCol: String,
       textCol: String, eventTimeCol: String, horizonMs: Long,
       bands: Int = 1, rowsPerBand: Int = 4,

@@ -2318,6 +2318,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q147: gate sweep nests across bands and rows; (4,4) reconciles with q131") {
+    val rows = Pipeline.q147VerifiedGateSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Pipeline.GateVerifiedConfigs.toSet)
+    // one exact truth, every config
+    assert(rows.values.map(_._1).toSeq.distinct.length == 1 &&
+      rows.values.head._1 > 0)
+    // candidates/hits nest across BANDS at fixed r (bands 0..b-1 are a
+    // prefix of 0..b'-1) and across R at fixed bands (an r-row band
+    // match implies its prefix slice's match)
+    def cand(k: (Int, Int)) = rows(k)._2
+    def hits(k: (Int, Int)) = rows(k)._3
+    assert(cand((2, 4)) >= cand((1, 4)) && hits((2, 4)) >= hits((1, 4)))
+    assert(cand((4, 4)) >= cand((2, 4)) && hits((4, 4)) >= hits((2, 4)))
+    assert(cand((2, 2)) >= cand((1, 2)) && hits((2, 2)) >= hits((1, 2)))
+    assert(cand((1, 2)) >= cand((1, 4)) && hits((1, 2)) >= hits((1, 4)))
+    // (4,4) uses the whole signature: it IS q131's (4,4) banding
+    val q131r = Pipeline.q131BandingSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows((4, 4)) == q131r((4, 4)),
+      s"(4,4) ${rows((4, 4))} != q131 ${q131r((4, 4))}")
+  }
+
   test("q141: membership is wave-split-invariant, full order equals q122, appended order moved") {
     val rows = Pipeline.q141AppendManifest(spark, sfDir).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
