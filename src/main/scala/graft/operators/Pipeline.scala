@@ -4768,14 +4768,31 @@ object Pipeline {
     * end to end. Serve cost: one ≤64-row routing collect + q107's
     * bounded serve tail; zero corpus passes outside the bucketed
     * candidate scan. */
-  def q145IvfPqRouted(spark: SparkSession, dir: String): DataFrame = {
+  def q145IvfPqRouted(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRoutedServe(spark, dir,
+      spark.table(ensureIvfPqIndex(spark, dir))
+        .filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("e").as("qe")))
+
+  /** The query-parameterized serve behind [[q145IvfPqRouted]] and the
+    * streaming face ([[graft.streaming.Retrieve.ivfPqServeAtRest]]):
+    * ANY `(query_id, qe)` relation — corpus members or genuinely
+    * external vectors — assigned through the banked routing sidecar
+    * and ADC-ranked against the banked codes. A query's own PQ codes
+    * are its per-subspace argmin codewords, so a corpus vector
+    * re-presented under a novel id scores the GLOBAL-minimum ADC
+    * against itself (ties only with code-identical vectors) — the
+    * find-yourself property the streaming spec pins. Serve cost per
+    * query batch: one ≤64-row routing collect (memoized ensures) +
+    * the bounded ADC tail — zero corpus passes. */
+  private[graft] def ivfPqRoutedServe(spark: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
     val idx = ensureIvfPqIndex(spark, dir)
     val members = spark.table(idx)
     val seeds = trainedPqSeeds(spark, dir)
-    val external = members.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
     val routed = routeThroughIndex(spark.table(idx + "_routing"),
-        external, "qe")
+        queries.select(col("query_id").as("qid"),
+          transform(col("qe"), x => x.cast("double")).as("qe")), "qe")
       .select(col("qid"), col("qe"), col("cluster"),
         pqQueryTableCol(seeds).as("tq"))
     ivfPqServe(routed, members, seeds.length)

@@ -62,4 +62,21 @@ object Retrieve {
       probeRadius: Int = 1)(batch: DataFrame, batchId: Long): DataFrame =
     graft.operators.Pipeline.hybridServeAtRest(batch.sparkSession, dir,
       batch, ws, wd, probeRadius)
+
+  /** The PURE-DENSE composed-ANN serving face — q145's banked IVF-PQ
+    * serve per request batch: a micro-batch of `(query_id, qe)`
+    * vectors assigns through the banked routing sidecar and ADC-ranks
+    * the banked 4-int codes (the FAISS-shaped production ANN request
+    * path; the hybrid face above is for corpora with a text leg).
+    * Output: `(qid, rk, vec_id, adc_micro, in_exact_top5)`, q145's
+    * exact schema. Same foreachBatch rationale as [[hybridServe]]:
+    * request/response, zero cross-batch state; per batch the serve
+    * pays memoized ensures + a ≤64-row routing collect + the bounded
+    * candidate ADC — never a corpus scan or re-encode. A corpus
+    * vector re-queried under a novel id scores the global-minimum
+    * ADC against itself (its codes are its own per-subspace argmins
+    * — RetrieveSpec pins it). */
+  def ivfPqServeAtRest(dir: String)(batch: DataFrame,
+      batchId: Long): DataFrame =
+    graft.operators.Pipeline.ivfPqRoutedServe(batch.sparkSession, dir, batch)
 }

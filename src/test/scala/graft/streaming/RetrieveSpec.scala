@@ -78,6 +78,57 @@ class RetrieveSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("composed-ANN serve at rest: novel-id queries find themselves at the global-minimum ADC, stateless") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // corpus vectors re-queried under NOVEL ids (+5M): the banked
+    // composed index has never seen these ids, only the content
+    val queries = graft.Tables.spread(graft.Tables.embeddings(spark, sfDir))
+      .filter(col("vec_id") < 6)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as qe")
+      .collect()
+      .map(r => (r.getLong(0) + 5000000L, r.getSeq[Double](1)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Long)]
+    val query = in.toDF().toDF("query_id", "qe")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        got ++= Retrieve.ivfPqServeAtRest(sfDir)(b, id).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        ()
+      }
+      .start()
+    try {
+      in.addData(queries.take(3)); query.processAllAvailable()
+      in.addData(queries.drop(3)); query.processAllAvailable()
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "ANN serving must hold no state")
+      val byQ = got.groupBy(_._1)
+      assert(byQ.size == queries.length)
+      queries.foreach { case (qid, _) =>
+        val rows = byQ(qid)
+        // the stored routing lands the identical vector in its own
+        // home cluster, and a query's PQ codes are its per-subspace
+        // argmin codewords — so the original is retrieved AND carries
+        // the group's minimum ADC (rank-1 ties only with
+        // code-identical vectors)
+        val self = rows.find(_._3 == qid - 5000000L)
+        assert(self.nonEmpty, s"query $qid: original vector not retrieved")
+        assert(self.get._4 == rows.map(_._4).min,
+          s"query $qid: original ADC ${self.get._4} above min ${rows.map(_._4).min}")
+      }
+      // batch parity: the same queries through the batch serve yield
+      // the identical answer set (one shared derivation)
+      val batch = graft.operators.Pipeline.ivfPqRoutedServe(spark, sfDir,
+          queries.toSeq.toDF("query_id", "qe")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got.toSet == batch,
+        s"stream/batch diverged: ${got.toSet.diff(batch)}")
+    } finally query.stop()
+  }
+
   test("streaming hybrid serve equals q133 across split installments, stateless") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
