@@ -551,14 +551,27 @@ object Layout {
       case _ => listShardFiles(spark, path).zipWithIndex
         .map { case (f, i) => (i, f) } // legacy: mtime order, one file/wave
     }
-    val waveOf: Map[String, Int] = waves.map(_.swap).toMap
+    // the file→wave map rides a BROADCAST join against the sidecar
+    // relation, not a typedLit plan literal (ADVICE r19: one literal
+    // entry per part file grows unboundedly with wave count on a
+    // long-lived daily-append export — plan serialization must not
+    // scale with the export's age; a join side scales for free).
+    // DISTINCT pairs: one partitionBy write lands the same part-file
+    // NAME in every shard directory it touches, so the sidecar holds
+    // that name once per shard — as a map literal the duplicates
+    // collapsed silently, as a join side they would multiply rows
+    import spark.implicits._
+    val waveRel = broadcast(waves.map { case (w, f) => (f, w) }.distinct
+      .toDF("file_name", "wave"))
     val rows = spark.read.parquet(path)
+      .withColumn("file_name",
+        element_at(split(input_file_name(), "/"), -1))
+      .join(waveRel, Seq("file_name"), "left")
       // a file the sidecar doesn't know (replay window (a): bytes
       // committed, crash before the wave/manifest write) sorts LAST —
       // it is by construction the latest append
-      .withColumn("wave", coalesce(element_at(typedLit(waveOf),
-        element_at(split(input_file_name(), "/"), -1)),
-        lit(Int.MaxValue)))
+      .withColumn("wave", coalesce(col("wave"), lit(Int.MaxValue)))
+      .drop("file_name")
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
           .orderBy(col("wave"), col("sk"), col(idCol))))

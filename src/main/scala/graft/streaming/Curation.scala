@@ -193,29 +193,27 @@ object Curation {
     // (bands, band_bits) — keys from another config never match, so a
     // mismatch means the nightly job and the gate disagree and the
     // bootstrap would be silently inert (review r19)
+    // the history artifact's shape AND config must match the enabled
+    // stage — keys from another config never match, so a mismatch
+    // means the nightly job and the gate disagree and the bootstrap
+    // would be silently inert. The validators live on the stages
+    // themselves (Dedup.validateSigHistory / validateBandHistory —
+    // ADVICE r19: direct stage callers deserve the same guard), so
+    // this gate-level check exists only to fail BEFORE the four
+    // stateless stages compose; the stage re-validates at its own
+    // entry. A banded check at bands = 1 or vice versa fails on the
+    // shape requires with the derive-function name in the message.
     nearDupHistory.foreach { h =>
-      val want =
-        if (nearDupBands == 1) Seq("near_sig") else Seq("band", "near_band")
-      require(want.forall(h.columns.contains),
-        s"nearDupHistory must carry ${want.mkString("(", ", ", ")")} for " +
-          s"nearDupBands = $nearDupBands - derive it with " +
-          (if (nearDupBands == 1) "historicalNearSignatures"
-           else "historicalNearBandKeys"))
-      if (nearDupBands > 1) {
-        require(h.columns.contains("bands") && h.columns.contains("band_bits"),
-          "nearDupHistory predates config stamping - re-derive it with " +
-            "historicalNearBandKeys (rows carry bands/band_bits)")
-        // an EMPTY history (empty batch corpus) is vacuously fine —
-        // the anti-joins no-op
-        h.select(col("bands"), col("band_bits")).limit(1).collect()
-          .headOption.foreach { cfg =>
-            require(cfg.getInt(0) == nearDupBands &&
-              cfg.getInt(1) == nearDupBits,
-              s"nearDupHistory was derived at (bands = ${cfg.getInt(0)}, " +
-                s"bandBits = ${cfg.getInt(1)}) but the gate runs (bands = " +
-                s"$nearDupBands, bandBits = $nearDupBits) - band keys " +
-                "from one config never match another's")
-          }
+      if (nearDupBands == 1) {
+        require(h.columns.contains("near_sig"),
+          "nearDupHistory must carry (near_sig) for nearDupBands = 1 - " +
+            "derive it with historicalNearSignatures")
+        Dedup.validateSigHistory(h, nearDupBits)
+      } else {
+        require(Seq("band", "near_band").forall(h.columns.contains),
+          "nearDupHistory must carry (band, near_band) for nearDupBands " +
+            s"= $nearDupBands - derive it with historicalNearBandKeys")
+        Dedup.validateBandHistory(h, nearDupBands, nearDupBits)
       }
     }
     val scrubbed =
@@ -236,6 +234,45 @@ object Curation {
         nearDupHistory, nearDupBits)
     else Dedup.dedupNearBanded(exact, "text", eventTimeCol, horizon,
       nearDupBands, nearDupBits, nearDupHistory)
+  }
+
+  /** The canonical ingest chain composed onto the VERIFIED near-dup
+    * gate (VERDICT r19 §next-6): the same stateless front half as
+    * [[ingestGate]] — markup extraction → quality gate → PII scrub →
+    * optional eval decontamination — feeding
+    * [[Dedup.nearVerifiedVerdicts]], the precision-exact dedup answer
+    * q144's knob table points corpora like the driver's to (every
+    * signature-collapse config pays structural false drops there;
+    * verification pays none by construction). Returns the VERDICT
+    * stream, not a filtered document stream: fMGWS is the
+    * composition's single stateful operator and Spark supports no
+    * stateful chaining after it — which is also why there is no
+    * separate exact-dedup stage here: an identical in-horizon copy
+    * has Jaccard 1 and drops at verification in every band it probes,
+    * so the verified gate subsumes the exact stage within its bucket
+    * recall (a deployment wanting belt-and-braces exact dedup runs
+    * [[ingestGate]]'s digest stage in its OWN stream downstream of
+    * the kept ids).
+    *
+    * Consume with [[Dedup.verifiedKeeps]] per micro-batch
+    * (`foreachBatch { (b, _) => val keeps = Dedup.verifiedKeeps(b)
+    * ... }`), joining kept ids back to the batch's source-of-record —
+    * the packaged any-band reduction, first-drop-wins provenance
+    * (CurationSpec runs the E2E from pages to kept shards).
+    * `history` ([[Dedup.historicalVerifiedKeepers]] at the same
+    * config) bootstraps the keeper state so batch 1 already drops
+    * near-dups of the resident corpus. */
+  def ingestGateVerified(pages: DataFrame, htmlCol: String,
+      eventTimeCol: String, horizonMs: Long, idCol: String = "doc_id",
+      evalGrams: Option[DataFrame] = None, bands: Int = 1,
+      rowsPerBand: Int = 4, bucketCap: Int = 64,
+      history: Option[DataFrame] = None)
+      : org.apache.spark.sql.Dataset[Dedup.NearVerifiedVerdict] = {
+    val scrubbed =
+      piiScrub(qualityGate(markupExtract(pages, htmlCol), "text"), "text")
+    val cleared = evalGrams.fold(scrubbed)(decontamGate(scrubbed, "text", _))
+    Dedup.nearVerifiedVerdicts(cleared, idCol, "text", eventTimeCol,
+      horizonMs, bands, rowsPerBand, bucketCap, history)
   }
 
   /** Stateless temperature-mix gate — the streaming face of q123:

@@ -137,11 +137,61 @@ object Dedup {
     * corpus — the [[historicalDigests]] analog for the near-dup gate
     * stage: one distinct [[nearDupSignature]] per corpus document,
     * the artifact a nightly job persists beside the corpus so a FRESH
-    * stream drops paraphrases of history statelessly. */
+    * stream drops paraphrases of history statelessly. The rows CARRY
+    * their width (`bits` column — review r20, the banded artifact's
+    * config-stamp discipline applied to the single-signature path):
+    * signatures from one width are meaningless at another, and the
+    * gate verifies the artifact matches its own knob at composition
+    * time instead of anti-joining keys that can never match. */
   def historicalNearSignatures(corpus: DataFrame,
       textCol: String, bits: Int = 16): DataFrame =
     corpus.select(nearDupSignatureAt(col(textCol), bits).as("near_sig"))
       .distinct()
+      .withColumn("bits", lit(bits))
+
+  /** Fail loudly when a [[historicalNearSignatures]] artifact doesn't
+    * match the gate stage's own width — the validation every entry
+    * point runs (ADVICE r19: only ingestGate checked the banded
+    * artifact, so direct [[dedupNearSignature]] callers with a
+    * mismatched width got a silently inert bootstrap). */
+  private[graft] def validateSigHistory(h: DataFrame, bits: Int): Unit = {
+    require(h.columns.contains("near_sig"),
+      "near-dup history must carry (near_sig) - derive it with " +
+        "historicalNearSignatures")
+    require(h.columns.contains("bits"),
+      "near-dup history predates width stamping - re-derive it with " +
+        "historicalNearSignatures (rows carry their bits)")
+    // an EMPTY history (empty batch corpus) is vacuously fine
+    h.select(col("bits")).limit(1).collect().headOption.foreach { cfg =>
+      require(cfg.getInt(0) == bits,
+        s"near-dup history was derived at bits = ${cfg.getInt(0)} but " +
+          s"the gate runs bits = $bits - signatures from one width " +
+          "never match another's")
+    }
+  }
+
+  /** [[validateSigHistory]]'s banded twin: fail loudly when a
+    * [[historicalNearBandKeys]] artifact doesn't match the gate's own
+    * (bands, bandBits) — run by [[dedupNearBanded]] itself, so direct
+    * callers get the same composition-time guard as
+    * [[Curation.ingestGate]] (ADVICE r19). */
+  private[graft] def validateBandHistory(h: DataFrame, bands: Int,
+      bandBits: Int): Unit = {
+    require(Seq("band", "near_band").forall(h.columns.contains),
+      "banded near-dup history must carry (band, near_band) - derive " +
+        "it with historicalNearBandKeys")
+    require(h.columns.contains("bands") && h.columns.contains("band_bits"),
+      "banded near-dup history predates config stamping - re-derive it " +
+        "with historicalNearBandKeys (rows carry bands/band_bits)")
+    h.select(col("bands"), col("band_bits")).limit(1).collect()
+      .headOption.foreach { cfg =>
+        require(cfg.getInt(0) == bands && cfg.getInt(1) == bandBits,
+          s"banded near-dup history was derived at (bands = " +
+            s"${cfg.getInt(0)}, bandBits = ${cfg.getInt(1)}) but the " +
+            s"gate runs (bands = $bands, bandBits = $bandBits) - band " +
+            "keys from one config never match another's")
+      }
+  }
 
   /** NEAR-DUP dedup stage for the composed ingest gate (VERDICT r17
     * §next-1 — the last q113 stage without a streaming face in the
@@ -172,6 +222,7 @@ object Dedup {
   def dedupNearSignature(docs: DataFrame, textCol: String,
       eventTimeCol: String, horizon: String,
       history: Option[DataFrame] = None, bits: Int = 16): DataFrame = {
+    history.foreach(validateSigHistory(_, bits))
     val signed = docs.withColumn("near_sig",
       nearDupSignatureAt(col(textCol), bits))
     history.fold(signed)(h =>
@@ -245,6 +296,7 @@ object Dedup {
       bandBits: Int = 15, history: Option[DataFrame] = None): DataFrame = {
     require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 31,
       "bands * bandBits must fit portableHashMod's 31-bit hash range")
+    history.foreach(validateBandHistory(_, bands, bandBits))
     val signed = docs.withColumn("near_sig_full",
       nearDupSignatureAt(col(textCol), bands * bandBits))
     (0 until bands).foldLeft(signed) { (d, b) =>
@@ -296,11 +348,39 @@ object Dedup {
     3L * inter >= a.length.toLong + b.length.toLong
   }
 
+  /** THE verified-gate registration fold, shared by the streaming
+    * group function ([[processNearVerifiedBucket]]) and the batch
+    * history bootstrap ([[historicalVerifiedKeepers]]) — one
+    * definition, so a bootstrapped stream holds exactly the keeper
+    * state the corpus streamed in arrival order would have built:
+    * arrivals (sorted (tsm, id) — keep-first is deterministic across
+    * any batching) verify against the registered keepers; a match
+    * drops with the keeper named, a miss registers (FIFO-capped). */
+  private[graft] def foldVerifiedArrivals(entries0: List[NearVerifiedEntry],
+      rows: Seq[NearBandDoc], cap: Int)
+      : (List[NearVerifiedEntry], Seq[NearVerifiedVerdict]) = {
+    var entries = entries0
+    val out = Seq.newBuilder[NearVerifiedVerdict]
+    rows.sortBy(r => (r.ts.getTime, r.docId)).foreach { r =>
+      val tsm = r.ts.getTime
+      entries.find(e => verifiedHalfJaccard(e.hs, r.hs)) match {
+        case Some(keeper) =>
+          out += NearVerifiedVerdict(r.docId, r.band, tsm,
+            kept = false, keeper.docId)
+        case None =>
+          entries = (entries :+
+            NearVerifiedEntry(r.docId, r.hs.toArray, tsm)).takeRight(cap)
+          out += NearVerifiedVerdict(r.docId, r.band, tsm,
+            kept = true, -1L)
+      }
+    }
+    (entries, out.result())
+  }
+
   /** The fMGWS group function behind [[nearVerifiedVerdicts]]: per
-    * (band, bucket), verify arrivals (sorted (tsm, id) — keep-first
-    * is deterministic across any batching) against the registered
-    * keepers, register survivors (FIFO-capped), evict keepers the
-    * watermark has passed by the horizon. */
+    * (band, bucket), run [[foldVerifiedArrivals]] over the batch's
+    * arrivals, evict keepers the watermark has passed by the
+    * horizon. */
   private[graft] def processNearVerifiedBucket(horizonMs: Long, cap: Int)(
       key: (Int, Long), rows: Iterator[NearBandDoc],
       state: org.apache.spark.sql.streaming.GroupState[NearVerifiedState])
@@ -319,24 +399,123 @@ object Dedup {
       rearm(live(state.getOption.map(_.entries).getOrElse(Nil)))
       Iterator.empty
     } else {
-      var entries = live(state.getOption.map(_.entries).getOrElse(Nil))
-      val out = Seq.newBuilder[NearVerifiedVerdict]
-      rows.toSeq.sortBy(r => (r.ts.getTime, r.docId)).foreach { r =>
-        val tsm = r.ts.getTime
-        entries.find(e => verifiedHalfJaccard(e.hs, r.hs)) match {
-          case Some(keeper) =>
-            out += NearVerifiedVerdict(r.docId, r.band, tsm,
-              kept = false, keeper.docId)
-          case None =>
-            entries = (entries :+
-              NearVerifiedEntry(r.docId, r.hs.toArray, tsm)).takeRight(cap)
-            out += NearVerifiedVerdict(r.docId, r.band, tsm,
-              kept = true, -1L)
-        }
-      }
+      val (entries, out) = foldVerifiedArrivals(
+        live(state.getOption.map(_.entries).getOrElse(Nil)),
+        rows.toSeq, cap)
       rearm(entries)
-      out.result().iterator
+      out.iterator
     }
+  }
+
+  /** The verified gate's keyed projection — THE batch derivations,
+    * map-side, shared by the gate stream and the history bootstrap:
+    * sorted distinct 3-shingle hashes (q131's shingleHashSets), the
+    * per-row 16-hash MinHash (array_min over the same universal
+    * hashes minhashSigs aggregates), md5 band-hash buckets (q131's
+    * slice-join-hash) over the FIRST bands·rowsPerBand hashes. One
+    * output row per (document, band): `(band, bucket, docId, hs,
+    * ts)`, [[NearBandDoc]]'s exact shape (the stream adds its
+    * watermark before binding the encoder). */
+  private[graft] def verifiedBandKeyed(docs: DataFrame, idCol: String,
+      textCol: String, eventTimeCol: String, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val P = graft.functions.TextFunctions.P
+    val hs = array_sort(array_distinct(transform(
+      graft.functions.TextFunctions.wordShingles(
+        split(col(textCol), " "), 3),
+      s => portableHashMod(s))))
+    val msig = array((0 until 16).map(h =>
+      array_min(transform(col("hs"),
+        x => pmod(lit(2L * h + 1) * x + lit(12289L * h), lit(P))))): _*)
+    docs
+      .select(col(idCol).cast("long").as("docId"),
+        col(eventTimeCol).cast("timestamp").as("ts"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("msig", msig)
+      .select(col("docId"), col("hs"), col("ts"),
+        posexplode(array((0 until bands).map(b =>
+            portableHashMod(array_join(transform(
+              slice(col("msig"), b * rowsPerBand + 1, rowsPerBand),
+              x => x.cast("string")), ","))): _*))
+          .as(Seq("band", "bucket")))
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("docId"), col("hs"), col("ts"))
+  }
+
+  /** The verified gate's HISTORY artifact (VERDICT r19 §next-1 — the
+    * one dedup stage without a bootstrap: a restarted or
+    * newly-deployed gate re-admitted every document the corpus
+    * already held until the horizon refilled): the keeper state
+    * `(band, bucket, doc_id, hs, tsm)` a batch pass over an
+    * already-ingested corpus derives — THE shared derivations
+    * ([[verifiedBandKeyed]] keys, [[foldVerifiedArrivals]]
+    * registration in id order, FIFO-capped), so feeding it through
+    * fMGWS initial state leaves the gate in exactly the state the
+    * corpus streamed through in id order would have left it
+    * (spec-asserted parity). Rows CARRY their config (`bands`,
+    * `rows_per_band`, `bucket_cap` columns) and the gate verifies the
+    * artifact matches its own knobs at composition time — the
+    * [[historicalNearBandKeys]] stamp discipline.
+    *
+    * `asOfMs` stamps every keeper's event-time (the corpus snapshot
+    * instant): history keepers obey the SAME watermark eviction as
+    * streamed ones — they verify arrivals until the stream's
+    * watermark passes `asOfMs + horizon`, then evict. That is the
+    * honest bounded-state contract (a keeper held forever is
+    * unbounded state by another name); re-derive the artifact at the
+    * next corpus snapshot, exactly as a nightly job refreshes every
+    * other history relation. Cost: one corpus pass, map-side keys,
+    * one exchange on (band, bucket); state size is the gate's own
+    * bound (≤ cap keepers' hash sets per touched bucket). */
+  def historicalVerifiedKeepers(corpus: DataFrame, idCol: String,
+      textCol: String, bands: Int = 1, rowsPerBand: Int = 4,
+      bucketCap: Int = 64, asOfMs: Long = 0L): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 16,
+      "bands * rowsPerBand must fit the 16-hash MinHash signature")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val keyed = verifiedBandKeyed(
+      corpus.withColumn("__gate_ts", timestamp_millis(lit(asOfMs))),
+      idCol, textCol, "__gate_ts", bands, rowsPerBand).as[NearBandDoc]
+    keyed.groupByKey(r => (r.band, r.bucket))
+      .flatMapGroups { (key: (Int, Long), rows: Iterator[NearBandDoc]) =>
+        val (entries, _) = foldVerifiedArrivals(Nil, rows.toSeq, bucketCap)
+        entries.iterator.map(e =>
+          (key._1, key._2, e.docId, e.hs.toSeq, e.tsm))
+      }
+      .toDF("band", "bucket", "doc_id", "hs", "tsm")
+      .withColumn("bands", lit(bands))
+      .withColumn("rows_per_band", lit(rowsPerBand))
+      .withColumn("bucket_cap", lit(bucketCap))
+  }
+
+  /** Fail loudly when a [[historicalVerifiedKeepers]] artifact doesn't
+    * match the gate's own (bands, rowsPerBand, bucketCap) — keeper
+    * state from one config lives in buckets another config never
+    * probes (bands/rows move the bucket hash) or continues a FIFO the
+    * cap would have cut differently, so a mismatch means the nightly
+    * job and the gate disagree and the bootstrap would be silently
+    * inert or silently over-retentive. */
+  private[graft] def validateVerifiedHistory(h: DataFrame, bands: Int,
+      rowsPerBand: Int, bucketCap: Int): Unit = {
+    require(Seq("band", "bucket", "doc_id", "hs", "tsm")
+        .forall(h.columns.contains),
+      "verified-gate history must carry (band, bucket, doc_id, hs, " +
+        "tsm) - derive it with historicalVerifiedKeepers")
+    require(Seq("bands", "rows_per_band", "bucket_cap")
+        .forall(h.columns.contains),
+      "verified-gate history predates config stamping - re-derive it " +
+        "with historicalVerifiedKeepers (rows carry their config)")
+    h.select(col("bands"), col("rows_per_band"), col("bucket_cap"))
+      .limit(1).collect().headOption.foreach { cfg =>
+        require(cfg.getInt(0) == bands && cfg.getInt(1) == rowsPerBand &&
+          cfg.getInt(2) == bucketCap,
+          s"verified-gate history was derived at (bands = ${cfg.getInt(0)}" +
+            s", rowsPerBand = ${cfg.getInt(1)}, bucketCap = " +
+            s"${cfg.getInt(2)}) but the gate runs (bands = $bands, " +
+            s"rowsPerBand = $rowsPerBand, bucketCap = $bucketCap) - " +
+            "keeper state from one config never matches another's")
+      }
   }
 
   /** VERIFIED streaming near-dup — the answer to q144's honest
@@ -385,48 +564,89 @@ object Dedup {
     * exact-truth recall and candidate precision per (bands,
     * rowsPerBand) prefix-band config, measured by the q131 harness on
     * the identical bucket derivation — read it, fix the config, size
-    * `bucketCap` from its candidate volume. */
+    * `bucketCap` from its candidate volume (q149 prices the cap
+    * itself: FIFO-eviction recall loss and keeper-state bytes per
+    * (config, cap) at the corpus' real bucket skew).
+    *
+    * `history` ([[historicalVerifiedKeepers]] at the SAME (bands,
+    * rowsPerBand, bucketCap)) closes the cold-start gap every other
+    * dedup stage already closed (VERDICT r19 §next-1): the corpus'
+    * keeper state loads through fMGWS INITIAL STATE, so batch 1
+    * already verifies arrivals against every resident document — a
+    * planted near-dup of history drops immediately, keeper-named,
+    * with zero warm-up. Unlike the anti-join bootstraps, this history
+    * DOES enter the store — verification needs the keepers' hash sets
+    * — which is exactly why the artifact is the gate's own bounded
+    * state shape (≤ cap keepers per bucket) and why it carries the
+    * config stamp the gate verifies at composition time. Watermark
+    * eviction applies to history keepers at their stamped `asOfMs`
+    * exactly as to streamed ones. */
   def nearVerifiedVerdicts(docs: DataFrame, idCol: String,
       textCol: String, eventTimeCol: String, horizonMs: Long,
-      bands: Int = 1, rowsPerBand: Int = 4,
-      bucketCap: Int = 64): org.apache.spark.sql.Dataset[NearVerifiedVerdict] = {
+      bands: Int = 1, rowsPerBand: Int = 4, bucketCap: Int = 64,
+      history: Option[DataFrame] = None)
+      : org.apache.spark.sql.Dataset[NearVerifiedVerdict] = {
     require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 16,
       "bands * rowsPerBand must fit the 16-hash MinHash signature")
+    history.foreach(validateVerifiedHistory(_, bands, rowsPerBand,
+      bucketCap))
     val spark = docs.sparkSession
     import spark.implicits._
-    val P = graft.functions.TextFunctions.P
-    // THE batch derivations, map-side: sorted distinct 3-shingle
-    // hashes (shingleHashSets), per-row 16-hash MinHash (array_min
-    // over the same universal hashes minhashSigs aggregates), md5
-    // band-hash buckets (q131's slice-join-hash)
-    val hs = array_sort(array_distinct(transform(
-      graft.functions.TextFunctions.wordShingles(
-        split(col(textCol), " "), 3),
-      s => portableHashMod(s))))
-    val msig = array((0 until 16).map(h =>
-      array_min(transform(col("hs"),
-        x => pmod(lit(2L * h + 1) * x + lit(12289L * h), lit(P))))): _*)
-    val keyed = docs
-      .select(col(idCol).cast("long").as("docId"),
-        col(eventTimeCol).cast("timestamp").as("ts"), hs.as("hs"))
-      .filter(size(col("hs")) > 0)
-      .withColumn("msig", msig)
-      .select(col("docId"), col("hs"), col("ts"),
-        posexplode(array((0 until bands).map(b =>
-            portableHashMod(array_join(transform(
-              slice(col("msig"), b * rowsPerBand + 1, rowsPerBand),
-              x => x.cast("string")), ","))): _*))
-          .as(Seq("band", "bucket")))
+    val keyed = verifiedBandKeyed(docs, idCol, textCol, eventTimeCol,
+        bands, rowsPerBand)
       .withWatermark("ts", s"$horizonMs milliseconds")
-      .select(col("band").cast("int").as("band"), col("bucket"),
-        col("docId"), col("hs"), col("ts"))
       .as[NearBandDoc]
-    keyed.groupByKey(r => (r.band, r.bucket))
-      .flatMapGroupsWithState(
-        org.apache.spark.sql.streaming.OutputMode.Append,
-        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
-        processNearVerifiedBucket(horizonMs, bucketCap))
+    val grouped = keyed.groupByKey(r => (r.band, r.bucket))
+    history match {
+      case None =>
+        grouped.flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+          processNearVerifiedBucket(horizonMs, bucketCap))
+      case Some(h) =>
+        // the artifact's rows fold into one NearVerifiedState per
+        // (band, bucket), entries in registration order ((tsm, id) —
+        // the bootstrap registered in id order, so FIFO continuity
+        // across the initial-state boundary is exact)
+        val initial = h
+          .select(col("band").cast("int").as("band"), col("bucket"),
+            col("doc_id").cast("long").as("docId"), col("hs"),
+            col("tsm").cast("long").as("tsm"))
+          .as[(Int, Long, Long, Seq[Long], Long)]
+          .groupByKey(r => (r._1, r._2))
+          .mapGroups { (key: (Int, Long),
+              rows: Iterator[(Int, Long, Long, Seq[Long], Long)]) =>
+            (key, NearVerifiedState(rows
+              .map(r => NearVerifiedEntry(r._3, r._4.toArray, r._5))
+              .toList.sortBy(e => (e.tsm, e.docId))))
+          }
+          .groupByKey(_._1).mapValues(_._2)
+        grouped.flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+          initial)(processNearVerifiedBucket(horizonMs, bucketCap))
+    }
   }
+
+  /** The PACKAGED any-band reduction over [[nearVerifiedVerdicts]]
+    * output (VERDICT r19 §next-6 — every consumer re-implemented the
+    * per-batch map and could get it wrong, e.g. keeping a doc one
+    * band dropped): one row per document — `kept` iff NO band
+    * verdict dropped it, `dup_of` from the FIRST dropping band
+    * (lowest band index — first-drop-wins provenance, deterministic
+    * at any verdict arrival order), `-1` when kept. A plain bounded
+    * aggregation: run it on a batch of verdicts, or per micro-batch
+    * inside `foreachBatch` (fMGWS cannot chain further stateful ops —
+    * the reason verdicts, not a filtered stream, are the gate's
+    * output). */
+  def verifiedKeeps(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("doc_id"))
+      .agg(max(col("event_ms")).as("event_ms"),
+        min(when(!col("kept"), struct(col("band"), col("dup_of"))))
+          .as("fd"))
+      .select(col("doc_id"), col("event_ms"),
+        col("fd").isNull.as("kept"),
+        coalesce(col("fd.dup_of"), lit(-1L)).as("dup_of"))
 
   /** Embedding near-dup streaming dedup: keep the first document per
     * sign-random-projection bucket (streaming q30, completing the

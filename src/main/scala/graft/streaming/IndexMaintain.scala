@@ -59,13 +59,22 @@ object IndexMaintain {
         // marker: a throwing callback (alerting code) must not strand
         // a committed append unmarked — that retry would re-append a
         // batch the table already holds (review r19). A callback
-        // failure now retries ONLY the callback (the marker skips the
+        // failure retries ONLY the callback (the marker skips the
         // append), so the append stays exactly-once and the report is
-        // at-least-once — the right asymmetry for a tripwire.
+        // at-least-once — the right asymmetry for a tripwire. The
+        // callback fires on EVERY non-empty pass over the batch,
+        // including a replay whose marker already exists (ADVICE r19:
+        // gating it on the marker being fresh made the report
+        // at-MOST-once — a callback crash after the marker write left
+        // the replayed batch's report silently lost, because the
+        // replay saw delivered=false and skipped `after` forever).
+        // Re-fired reports are idempotent by construction: the drift
+        // relations are snapshots of the index tables, not
+        // accumulators, so a duplicate report carries the same rows.
         val empty = batch.isEmpty
-        val delivered = Sinks.deliverOnce(s"$checkpointDir/delivered",
+        Sinks.deliverOnce(s"$checkpointDir/delivered",
           batchId) { if (!empty) deliver(batch) }
-        if (delivered && !empty) after(batch)
+        if (!empty) after(batch)
         ()
       }
 

@@ -6,6 +6,32 @@ import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
 object DedupSpec {
+  /** Independent re-derivation of the verified gate's key chain from
+    * MessageDigest up (no shared Spark columns) — the fixture-search
+    * and parity helpers for the bootstrap/eviction tests. */
+  val Pm = 2147483647L
+  def h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+  def phm(s: String): Long = h60(s) % Pm
+  def hsOf(text: String): Seq[Long] =
+    text.split(" ", -1).toSeq.sliding(3).filter(_.size == 3)
+      .map(_.mkString(" ")).toSeq.distinct.map(phm).sorted
+  def bucketOf(hs: Seq[Long]): Long =
+    phm((0 until 16).map(h => hs.map(x =>
+      ((2L * h + 1) * x + 12289L * h) % Pm).min).take(4).mkString(","))
+  def interOf(a: Seq[Long], b: Seq[Long]): Long = {
+    var i = 0; var j = 0; var n = 0L
+    while (i < a.length && j < b.length) {
+      val c = java.lang.Long.compare(a(i), b(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1 else j += 1
+    }
+    n
+  }
+
   /** Recorder for the restart test — a companion-object queue so the
     * foreachBatch closure survives serialization (EngineSpec idiom). */
   val restartSink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
@@ -1619,6 +1645,228 @@ class DedupSpec extends SparkSpec {
       assert(kept == nSets,
         s"video gate kept $kept, corpus has $nSets distinct frame-key sets")
     } finally qv.stop()
+  }
+
+  test("verified gate bootstrap: planted near-dup of a corpus document drops in batch 1; parity with the corpus-prepended stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def doc(prefix: String) =
+      Seq.tabulate(30)(i => s"$prefix$i").mkString(" ")
+    val corpusDocs = Seq(1L -> doc("res"), 2L -> doc("old"), 3L -> doc("bse"))
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val hist = Dedup.historicalVerifiedKeepers(corpus, "doc_id", "text")
+    // the artifact is the gate's own state shape, config-stamped
+    assert(hist.columns.toSet == Set("band", "bucket", "doc_id", "hs",
+      "tsm", "bands", "rows_per_band", "bucket_cap"))
+    assert(hist.count() == 3) // three distinct docs, no corpus-internal dups
+    // arrivals: a light edit of corpus doc 2 (J > 1/2) CHOSEN via the
+    // independent key re-derivation to land in the keeper's band
+    // bucket (a one-band gate catches an edited copy w.p. ~J^4 — the
+    // q147-priced recall; the test needs the deterministic branch),
+    // one fresh doc, and an exact copy of corpus doc 1
+    val oldHs = DedupSpec.hsOf(doc("old"))
+    val edited = (0 until 30).iterator.map { k =>
+      Seq.tabulate(30)(i => if (i == k) s"new$k" else s"old$i")
+        .mkString(" ")
+    }.find { t =>
+      val ths = DedupSpec.hsOf(t)
+      DedupSpec.bucketOf(ths) == DedupSpec.bucketOf(oldHs) &&
+        3L * DedupSpec.interOf(oldHs, ths) >= oldHs.length + ths.length
+    }.getOrElse(fail("no same-bucket >= 1/2-Jaccard edit in 30 tries"))
+    val arrivals = Seq((10L, edited, 1L), (11L, doc("frs"), 2L),
+      (12L, doc("res"), 3L))
+    val in = MemoryStream[(Long, String, Long)]
+    val docsDf = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val query = Dedup.nearVerifiedVerdicts(docsDf, "doc_id", "text", "ts",
+        horizonMs = 3600L * 1000L, history = Some(hist))
+      .writeStream.format("memory").queryName("verboot_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals: _*) // ONE batch — zero state warm-up
+      query.processAllAvailable()
+      val got = spark.table("verboot_mem").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("kept"), r.getAs[Long]("dup_of")))).toMap
+      // batch 1 already verifies against the resident corpus: the
+      // edit and the exact copy drop NAMING their corpus keepers
+      assert(got == Map(10L -> ((false, 2L)), 11L -> ((true, -1L)),
+        12L -> ((false, 1L))), s"got $got")
+    } finally query.stop()
+    // parity: an un-bootstrapped gate fed (corpus, then arrivals)
+    // issues the identical verdicts for the arrival ids
+    val in2 = MemoryStream[(Long, String, Long)]
+    val docs2 = in2.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val q2 = Dedup.nearVerifiedVerdicts(docs2, "doc_id", "text", "ts",
+        horizonMs = 3600L * 1000L)
+      .writeStream.format("memory").queryName("verboot2_mem")
+      .outputMode("append").start()
+    try {
+      in2.addData(corpusDocs.map { case (id, t) => (id, t, 1L) }: _*)
+      q2.processAllAvailable()
+      in2.addData(arrivals.map { case (id, t, s) => (id, t, s + 1L) }: _*)
+      q2.processAllAvailable()
+      val sim = spark.table("verboot2_mem").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("kept"), r.getAs[Long]("dup_of")))).toMap
+        .filter(_._1 >= 10L)
+      assert(sim == Map(10L -> ((false, 2L)), 11L -> ((true, -1L)),
+        12L -> ((false, 1L))), s"simulation diverged: $sim")
+    } finally q2.stop()
+    // config guard: an artifact from another (bands, rowsPerBand,
+    // cap) point fails loudly at composition time
+    val wrongCap = Dedup.historicalVerifiedKeepers(corpus, "doc_id",
+      "text", bucketCap = 8)
+    val e = intercept[IllegalArgumentException](
+      Dedup.nearVerifiedVerdicts(docsDf, "doc_id", "text", "ts",
+        horizonMs = 1000L, history = Some(wrongCap)))
+    assert(e.getMessage.contains("never matches"), e.getMessage)
+    val legacy = hist.drop("bucket_cap")
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.nearVerifiedVerdicts(docsDf, "doc_id", "text", "ts",
+        horizonMs = 1000L, history = Some(legacy)))
+    assert(e2.getMessage.contains("stamping"), e2.getMessage)
+  }
+
+  test("verifiedKeeps packages the any-band reduction with first-drop-wins provenance") {
+    import spark.implicits._
+    // hand-built verdicts: doc 1 kept in both bands; doc 2 dropped in
+    // band 1 only; doc 3 dropped in both (first-drop-wins: band 0's
+    // keeper names the provenance)
+    val verdicts = Seq(
+      (1L, 0, 100L, true, -1L), (1L, 1, 100L, true, -1L),
+      (2L, 0, 200L, true, -1L), (2L, 1, 200L, false, 7L),
+      (3L, 1, 300L, false, 9L), (3L, 0, 300L, false, 8L))
+      .toDF("doc_id", "band", "event_ms", "kept", "dup_of")
+    val got = Dedup.verifiedKeeps(verdicts).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("event_ms"), r.getAs[Boolean]("kept"),
+          r.getAs[Long]("dup_of")))).toMap
+    assert(got == Map(1L -> ((100L, true, -1L)), 2L -> ((200L, false, 7L)),
+      3L -> ((300L, false, 8L))), s"got $got")
+  }
+
+  test("verified gate: bucketCap FIFO eviction re-admits a late dup of the evicted keeper") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // independent re-derivation of the bucket key (the simulation
+    // test's chain) to FIND a same-bucket, non-half-Jaccard pair: a
+    // base doc and a variant sharing enough tokens to collide in the
+    // 4-hash band w.p. ~J^4 but strictly below the t = 1/2 verify bar
+    val P = 2147483647L
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def phm(s: String): Long = h60(s) % P
+    def hsOf(text: String): Seq[Long] =
+      text.split(" ", -1).toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSeq.distinct.map(phm).sorted
+    def bucketOf(hs: Seq[Long]): Long =
+      phm((0 until 16).map(h => hs.map(x =>
+        ((2L * h + 1) * x + 12289L * h) % P).min).take(4).mkString(","))
+    def inter(a: Seq[Long], b: Seq[Long]): Long = {
+      var i = 0; var j = 0; var n = 0L
+      while (i < a.length && j < b.length) {
+        val c = java.lang.Long.compare(a(i), b(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1 else j += 1
+      }
+      n
+    }
+    val baseDoc = Seq.tabulate(40)(i => s"tok$i").mkString(" ")
+    val bHs = hsOf(baseDoc)
+    // deterministic search: rewrite the TAIL so J ~ 0.6 (above the
+    // band-collision range, below none) until the bucket matches and
+    // the exact predicate says NOT a dup
+    val evictor = (0 until 10000).iterator.map { k =>
+      // a SUPERSET document: all 38 base shingles present plus 42
+      // k-fresh ones, so J = 38/80 < 1/2 (never a verified dup) while
+      // the bucket matches whenever the fresh shingles' transformed
+      // hashes stay above the base's four minima — ~(38/80)⁴ ≈ 5% per
+      // try, deterministic over 10000 tries. (A fixed-region rewrite
+      // CANNOT work here: the base's minhash argmins would have to
+      // avoid the rewritten region for every k at once.)
+      baseDoc + " " + Seq.tabulate(42)(i => s"ext${k}_$i").mkString(" ")
+    }.find { t =>
+      val ths = hsOf(t)
+      bucketOf(ths) == bucketOf(bHs) &&
+        3L * inter(bHs, ths) < bHs.length + ths.length
+    }.getOrElse(fail("no same-bucket non-dup variant within 10000 tries"))
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    // cap = 1: the evictor's registration FIFO-forgets the base doc
+    val q1 = Dedup.nearVerifiedVerdicts(docs, "doc_id", "text", "ts",
+        horizonMs = 3600L * 1000L, bucketCap = 1)
+      .writeStream.format("memory").queryName("capevict_mem")
+      .outputMode("append").start()
+    try {
+      Seq((1L, baseDoc, 1L), (2L, evictor, 2L), (3L, baseDoc, 3L))
+        .foreach { r => in.addData(r); q1.processAllAvailable() }
+      val got = spark.table("capevict_mem").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+      // doc 3 is an EXACT copy of doc 1, yet re-admits: the cap
+      // forgot its keeper — the recall loss q149 prices per cap
+      assert(got == Map(1L -> true, 2L -> true, 3L -> true), s"got $got")
+    } finally q1.stop()
+    // cap = 2 control: the keeper survives, the copy drops
+    val in2 = MemoryStream[(Long, String, Long)]
+    val docs2 = in2.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val q2 = Dedup.nearVerifiedVerdicts(docs2, "doc_id", "text", "ts",
+        horizonMs = 3600L * 1000L, bucketCap = 2)
+      .writeStream.format("memory").queryName("capevict2_mem")
+      .outputMode("append").start()
+    try {
+      Seq((1L, baseDoc, 1L), (2L, evictor, 2L), (3L, baseDoc, 3L))
+        .foreach { r => in2.addData(r); q2.processAllAvailable() }
+      val got = spark.table("capevict2_mem").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("kept"), r.getAs[Long]("dup_of")))).toMap
+      assert(got == Map(1L -> ((true, -1L)), 2L -> ((true, -1L)),
+        3L -> ((false, 1L))), s"got $got")
+    } finally q2.stop()
+  }
+
+  test("direct stage callers get the same history-config guards as the gate") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq("alpha beta gamma").toDF("text")
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    // width mismatch on the single-signature stage (ADVICE r19: the
+    // artifact now carries its bits and every entry point checks)
+    val h20 = Dedup.historicalNearSignatures(corpus, "text", bits = 20)
+    assert(h20.columns.contains("bits"))
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.dedupNearSignature(docs, "text", "ts", "10 minutes",
+        history = Some(h20), bits = 16))
+    assert(e1.getMessage.contains("never match"), e1.getMessage)
+    // config mismatch on the banded stage, called DIRECTLY (not
+    // through ingestGate — the r19 gap this closes)
+    val hb = Dedup.historicalNearBandKeys(corpus, "text",
+      bands = 2, bandBits = 8)
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.dedupNearBanded(docs, "text", "ts", "10 minutes",
+        bands = 2, bandBits = 15, history = Some(hb)))
+    assert(e2.getMessage.contains("never match"), e2.getMessage)
+    // a pre-stamp artifact fails loudly instead of anti-joining keys
+    // that can never match
+    val legacy = corpus.select(
+      Dedup.nearDupSignature(col("text")).as("near_sig"))
+    val e3 = intercept[IllegalArgumentException](
+      Dedup.dedupNearSignature(docs, "text", "ts", "10 minutes",
+        history = Some(legacy)))
+    assert(e3.getMessage.contains("stamping"), e3.getMessage)
+    // matched configs compose cleanly (and the stamped column never
+    // reaches the join — the stage selects only the key)
+    Dedup.dedupNearSignature(docs, "text", "ts", "10 minutes",
+      history = Some(Dedup.historicalNearSignatures(corpus, "text")))
+    Dedup.dedupNearBanded(docs, "text", "ts", "10 minutes",
+      bands = 2, bandBits = 8, history = Some(hb))
+    ()
   }
 
 }

@@ -9,6 +9,11 @@ object ExportSpec {
     * queue so the closure survives serialization — DedupSpec idiom). */
   val manifestSink =
     new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long)]()
+
+  /** foreachBatch recorder for the verified-path E2E: (doc_id, shard,
+    * n_toks) per kept document. */
+  val verifiedShardSink =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Long)]()
 }
 
 /** Streaming shard router: ingest-time routing parity with the batch
@@ -587,6 +592,70 @@ class ExportSpec extends SparkSpec {
         Map(7L -> 3L, 11L -> 2L, 1000042L -> 4L))
       // stateless: no state store operator in the executed plan
       assert(query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
+  test("ingest E2E through the VERIFIED path: pages to kept shards via verifiedKeeps") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    // the bootstrap test's deterministic fixture discipline: the
+    // edited re-crawl page is CHOSEN (independent key re-derivation)
+    // to land in its original's band bucket, so the verified drop is
+    // the deterministic branch, not a ~J^4 coin flip
+    val base = Seq.tabulate(30)(i => s"tok$i").mkString(" ")
+    val baseHs = DedupSpec.hsOf(base)
+    val edited = (0 until 30).iterator.map { k =>
+      Seq.tabulate(30)(i => if (i == k) s"new$k" else s"tok$i")
+        .mkString(" ")
+    }.find { t =>
+      val ths = DedupSpec.hsOf(t)
+      DedupSpec.bucketOf(ths) == DedupSpec.bucketOf(baseHs) &&
+        3L * DedupSpec.interOf(baseHs, ths) >= baseHs.length + ths.length
+    }.getOrElse(fail("no same-bucket >= 1/2-Jaccard edit in 30 tries"))
+    val distinct = Seq.tabulate(30)(i => s"zzz$i").mkString(" ")
+    val fixture = Map(1L -> base, 2L -> edited, 3L -> distinct)
+    val in = MemoryStream[(Long, String, Long)]
+    val pages = in.toDF().toDF("doc_id", "html", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val verdicts = Curation.ingestGateVerified(pages, "html", "ts",
+      horizonMs = 600000L)
+    ExportSpec.verifiedShardSink.clear()
+    // the packaged consumer shape: per micro-batch, reduce verdicts
+    // with verifiedKeeps, join kept ids back to the source-of-record,
+    // shard-assign — pages in, kept training-shard rows out
+    val query = verdicts.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s2 = b.sparkSession
+        import s2.implicits._
+        val record = fixture.toSeq.toDF("doc_id", "text")
+        val kept = Dedup.verifiedKeeps(b).filter(col("kept"))
+          .select("doc_id").join(record, "doc_id")
+        Export.shardAssign(kept, "doc_id", "text", 8).collect()
+          .foreach(r => ExportSpec.verifiedShardSink.add((
+            r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+            r.getAs[Long]("n_toks"))))
+        ()
+      }.start()
+    try {
+      in.addData((1L, s"<p>$base</p>", 1L), (4L, "<p>tiny text</p>", 2L))
+      query.processAllAvailable()
+      in.addData((2L, s"<p>$edited</p>", 3L), (3L, s"<p>$distinct</p>", 4L))
+      query.processAllAvailable()
+      val got = ExportSpec.verifiedShardSink.toArray(
+        Array.empty[(Long, Int, Long)]).toSeq.sortBy(_._1)
+      // 1 and 3 reach shards; 2 is a VERIFIED drop against keeper 1;
+      // 4 dies at the quality gate and never produces a verdict
+      assert(got.map(_._1) == Seq(1L, 3L), s"got $got")
+      got.foreach { case (id, shard, nToks) =>
+        assert(shard == (h60("shard:" + id) % 8).toInt && nToks == 30L,
+          s"doc $id routed to $shard with $nToks tokens")
+      }
     } finally query.stop()
   }
 }
