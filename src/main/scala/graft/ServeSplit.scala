@@ -26,7 +26,7 @@ object ServeSplit {
     "q107_ivf_pq_ann", "q109_ivf_pq_residual", "q118_multi_probe_ann",
     "q120_multi_probe_ivf_pq", "q121_multi_probe_residual",
     "q130_trained_coarse_ann", "q138_hybrid_at_rest",
-    "q145_ivfpq_routed")
+    "q145_ivfpq_routed", "q148_routed_multiprobe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -374,6 +374,10 @@ object SparkEntry {
     // is exact by construction, so this prices the one open axis,
     // candidate recall; (4,4) reconciles with q131's row
     "q147_verified_gate_sweep" -> (Pipeline.q147VerifiedGateSweep _),
+    // the external-query face at nprobe > 1: routed assignment +
+    // radius-1 probe expansion — row-identical to q120, so the hash
+    // match certifies multi-probe over the banked round-trip
+    "q148_routed_multiprobe" -> (Pipeline.q148RoutedMultiProbe _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

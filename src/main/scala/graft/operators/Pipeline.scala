@@ -4774,29 +4774,64 @@ object Pipeline {
         .filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("e").as("qe")))
 
-  /** The query-parameterized serve behind [[q145IvfPqRouted]] and the
-    * streaming face ([[graft.streaming.Retrieve.ivfPqServeAtRest]]):
-    * ANY `(query_id, qe)` relation — corpus members or genuinely
-    * external vectors — assigned through the banked routing sidecar
-    * and ADC-ranked against the banked codes. A query's own PQ codes
-    * are its per-subspace argmin codewords, so a corpus vector
-    * re-presented under a novel id scores the GLOBAL-minimum ADC
-    * against itself (ties only with code-identical vectors) — the
-    * find-yourself property the streaming spec pins. Serve cost per
-    * query batch: one ≤64-row routing collect (memoized ensures) +
-    * the bounded ADC tail — zero corpus passes. */
+  /** The query-parameterized serve behind [[q145IvfPqRouted]],
+    * [[q148RoutedMultiProbe]] and the streaming face
+    * ([[graft.streaming.Retrieve.ivfPqServeAtRest]]): ANY `(query_id,
+    * qe)` relation — corpus members or genuinely external vectors —
+    * assigned through the banked routing sidecar and ADC-ranked
+    * against the banked codes. A query's own PQ codes are its
+    * per-subspace argmin codewords, so a corpus vector re-presented
+    * under a novel id scores the GLOBAL-minimum ADC against itself
+    * (ties only with code-identical vectors) — the find-yourself
+    * property the streaming spec pins.
+    *
+    * `probeRadius` is the serve-time nprobe knob (VERDICT r19
+    * §next-2 — the external-query face served nprobe = 1 only, while
+    * q118/q120 proved probes are the recall lever): the routed
+    * (cluster, mask) expands through [[probeExpand]] exactly as
+    * q120's member queries do — the coarse cell and the one ADC
+    * lookup table are probe-invariant (radius-1/2 probes flip only
+    * sub-bucket bits), so the expansion is a Generate over the query
+    * side only, computed AFTER the table. Radius 0 (default) is the
+    * identity — q145's oracle row is untouched. Serve cost per query
+    * batch: one ≤64-row routing collect (memoized ensures) + the
+    * bounded ADC tail over O(occupancy × probes) candidates — zero
+    * corpus passes at any radius. */
   private[graft] def ivfPqRoutedServe(spark: SparkSession, dir: String,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, probeRadius: Int = 0): DataFrame = {
     val idx = ensureIvfPqIndex(spark, dir)
     val members = spark.table(idx)
     val seeds = trainedPqSeeds(spark, dir)
+    // the ADC table derives from the RAW query vector — once per
+    // query, before the expansion, then carried per probe row (the
+    // q120 discipline; the q107 codebook quantizes raw vectors, one
+    // global basis, so the table is valid across ANY probed cluster)
     val routed = routeThroughIndex(spark.table(idx + "_routing"),
         queries.select(col("query_id").as("qid"),
           transform(col("qe"), x => x.cast("double")).as("qe")), "qe")
-      .select(col("qid"), col("qe"), col("cluster"),
+      .select(col("qid"), col("qe"), col("cluster"), col("mask"),
         pqQueryTableCol(seeds).as("tq"))
-    ivfPqServe(routed, members, seeds.length)
+    ivfPqServe(probeExpand(routed, probeRadius), members, seeds.length)
   }
+
+  /** L3 — the composed index serving external queries at nprobe > 1
+    * (q148): [[q145IvfPqRouted]]'s routed-external round-trip with
+    * the q120 multi-probe knob turned — q107's query vectors assigned
+    * through the banked routing sidecar, then each probing its home
+    * fine cluster PLUS every radius-1 sub-bucket neighbour. For
+    * member vectors the routing assignment (cluster AND mask) equals
+    * the build assignment, so the result is row-identical to q120 and
+    * the oracle twin IS q120's — the hash match certifies that the
+    * full production configuration (banked membership + codes +
+    * codebook + routing + multi-probe) serves external traffic
+    * exactly as it serves members, partition-boundary recall
+    * included. */
+  def q148RoutedMultiProbe(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRoutedServe(spark, dir,
+      spark.table(ensureIvfPqIndex(spark, dir))
+        .filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("e").as("qe")),
+      probeRadius = 1)
 
   // ---------------------- q120: multi-probe IVF-PQ (the full stack)
 
@@ -9359,6 +9394,12 @@ object Pipeline {
       // hash match certifies membership + codes + codebook + routing
       // round-trip end to end
       "q145_ivfpq_routed" -> q107,
+      // q148 turns the q120 multi-probe knob on the ROUTED external
+      // face — row-identical to q120 (member routing equals the build
+      // assignment, probes expand the same stored mask), so the
+      // oracle is q120's: the hash match certifies nprobe > 1 over
+      // the banked round-trip
+      "q148_routed_multiprobe" -> q120,
       "q109_ivf_pq_residual" -> q109,
       "q110_dedup_yield" -> q110,
       "q111_cluster_keepers" -> q111,

@@ -75,8 +75,14 @@ object Retrieve {
     * candidate ADC — never a corpus scan or re-encode. A corpus
     * vector re-queried under a novel id scores the global-minimum
     * ADC against itself (its codes are its own per-subspace argmins
-    * — RetrieveSpec pins it). */
-  def ivfPqServeAtRest(dir: String)(batch: DataFrame,
+    * — RetrieveSpec pins it). `probeRadius` is the serve-time nprobe
+    * knob (q148's certified configuration at radius 1): each query
+    * additionally ADC-ranks every sub-bucket within that Hamming
+    * radius of its routed home — the recall q118/q120 priced, bought
+    * per request batch without touching the banked index, candidates
+    * staying O(occupancy × probes). */
+  def ivfPqServeAtRest(dir: String, probeRadius: Int = 0)(batch: DataFrame,
       batchId: Long): DataFrame =
-    graft.operators.Pipeline.ivfPqRoutedServe(batch.sparkSession, dir, batch)
+    graft.operators.Pipeline.ivfPqRoutedServe(batch.sparkSession, dir,
+      batch, probeRadius)
 }

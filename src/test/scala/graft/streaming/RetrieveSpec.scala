@@ -129,6 +129,79 @@ class RetrieveSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("multi-probe serve at rest: radius-1 external requests equal q120; novel ids still find themselves") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // member-id queries through the streaming face at radius 1: the
+    // routed assignment equals the build's (cluster AND mask), so the
+    // output must be row-identical to q120's member-query serve — the
+    // q148 contract, here asserted at the spec SF through foreachBatch
+    val memberQs = graft.Tables.spread(graft.Tables.embeddings(spark, sfDir))
+      .filter(col("vec_id") < 10)
+      .selectExpr("vec_id as query_id",
+        "transform(embedding, x -> cast(x as double)) as qe")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Long, Boolean)]
+    val query = in.toDF().toDF("query_id", "qe")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        got ++= Retrieve.ivfPqServeAtRest(sfDir, probeRadius = 1)(b, id)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+            r.getBoolean(4)))
+        ()
+      }
+      .start()
+    try {
+      in.addData(memberQs.take(4)); query.processAllAvailable()
+      in.addData(memberQs.drop(4)); query.processAllAvailable()
+      assert(query.lastProgress.stateOperators.isEmpty)
+      val q120 = graft.operators.Pipeline
+        .q120MultiProbeIvfPq(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSet
+      assert(got.toSet == q120,
+        s"radius-1 routed serve diverged from q120: ${got.toSet.diff(q120)}")
+    } finally query.stop()
+    // novel-id find-yourself survives the probe expansion (probes only
+    // ADD candidates; the original still carries the minimum ADC)
+    val novel = memberQs.take(3).map { case (id, qe) => (id + 7000000L, qe) }
+    val in2 = MemoryStream[(Long, Seq[Double])]
+    val got2 = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    val q2 = in2.toDF().toDF("query_id", "qe")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        got2 ++= Retrieve.ivfPqServeAtRest(sfDir, probeRadius = 1)(b, id)
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        ()
+      }
+      .start()
+    try {
+      in2.addData(novel.toIndexedSeq); q2.processAllAvailable()
+      val byQ = got2.groupBy(_._1)
+      novel.foreach { case (qid, _) =>
+        val rows = byQ(qid)
+        val self = rows.find(_._2 == qid - 7000000L)
+        assert(self.nonEmpty, s"query $qid: original not retrieved")
+        assert(self.get._3 == rows.map(_._3).min,
+          s"query $qid: original ADC not the minimum")
+      }
+      // probes only ADD candidates: radius 1's rank-1 equals radius
+      // 0's (the original carries the global-minimum ADC at both
+      // radii, so widening the candidate set cannot displace it)
+      val r0 = novel.toSeq.toDF("query_id", "qe")
+      val top0 = graft.operators.Pipeline
+        .ivfPqRoutedServe(spark, sfDir, r0).collect()
+        .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val top1 = got2.groupBy(_._1).view.mapValues(rs =>
+        rs.minBy(_._3)._2).toMap
+      assert(top0 == top1.toMap, s"rank-1 moved: $top0 vs $top1")
+    } finally q2.stop()
+  }
+
   test("streaming hybrid serve equals q133 across split installments, stateless") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
