@@ -378,6 +378,10 @@ object SparkEntry {
     // radius-1 probe expansion — row-identical to q120, so the hash
     // match certifies multi-probe over the banked round-trip
     "q148_routed_multiprobe" -> (Pipeline.q148RoutedMultiProbe _),
+    // the verified gate's bucketCap knob table: FIFO-eviction recall
+    // loss and worst-case keeper-state bytes per (config, cap) — the
+    // ∞ row reconciles with q147's hit counts
+    "q149_verified_cap_sweep" -> (Pipeline.q149VerifiedCapSweep _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1709,19 +1709,17 @@ object Pipeline {
     * the shared truth harness behind q131 (full-signature bandings)
     * and q147 (the VERIFIED GATE's prefix-band configs, which use
     * only the first bands·r hashes). */
-  private[operators] def bandingSweepOver(corpus: DataFrame,
-      configs: Seq[(Int, Int)]): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val base = shingleHashSets(corpus).persist(CacheLevel)
-    base.count()
-    val sigs = minhashSigs(base).persist(NarrowCacheLevel)
-    sigs.count()
-    // exact ≥ t ground truth via prefix filtering (q40's idiom at
-    // t = 1/2): df-ordered prefixes (rare grams block, frequent grams
-    // sort to the suffix), p = n − ⌈n/2⌉ + 1 = ⌊n/2⌋ + 1, positional
-    // overlap bound 1 + min(n_a−i−1, n_b−j−1) ≥ ⌈(n_a+n_b)/3⌉ in
-    // integer arithmetic
+  /** Exact ≥ 1/2-Jaccard ground-truth pairs over a `(doc_id, hs)`
+    * shingle-hash relation, via prefix filtering (q40's idiom at
+    * t = 1/2): df-ordered prefixes (rare grams block, frequent grams
+    * sort to the suffix), p = n − ⌈n/2⌉ + 1 = ⌊n/2⌋ + 1, positional
+    * overlap bound 1 + min(n_a−i−1, n_b−j−1) ≥ ⌈(n_a+n_b)/3⌉ in
+    * integer arithmetic, then the EXACT integer verify
+    * 3·inter ≥ na+nb — no rounding, so the verified set is precisely
+    * the set the prefix length and positional filter were derived
+    * for (ADVICE r17). Shared by the q131/q147 banding sweeps and
+    * the q149 cap sweep — one truth join, never all-pairs. */
+  private def exactHalfJaccardTruth(base: DataFrame): DataFrame = {
     val withDf = base.select(col("doc_id"), explode(col("hs")).as("h"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
     val ordered = withDf.groupBy(col("doc_id"))
@@ -1743,20 +1741,23 @@ object Pipeline {
       col("hs").as("ha"), size(col("hs")).as("na"))
     val sb = base.select(col("doc_id").as("doc_b"),
       col("hs").as("hb"), size(col("hs")).as("nb"))
-    // verify with the EXACT integer form of jaccard ≥ 1/2:
-    // inter/(na+nb−inter) ≥ 1/2 ⟺ 3·inter ≥ na+nb — no rounding, so
-    // the verified set is precisely the set the prefix length and
-    // positional filter were derived for (ADVICE r17: a round-4
-    // verify admitted true-jaccard ≥ 0.49995 pairs the t = 1/2
-    // filters may drop, silently diverging from the DuckDB twin,
-    // which has no positional filter)
-    val truth = tcand.join(sa, "doc_a").join(sb, "doc_b")
+    tcand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("inter",
         graft.expressions.VectorFunctions.sortedIntersectSize(
           col("ha"), col("hb")))
       .filter(col("inter") * 3 >= col("na") + col("nb"))
       .select(col("doc_a"), col("doc_b"))
-      .persist(NarrowCacheLevel)
+  }
+
+  private[operators] def bandingSweepOver(corpus: DataFrame,
+      configs: Seq[(Int, Int)]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = shingleHashSets(corpus).persist(CacheLevel)
+    base.count()
+    val sigs = minhashSigs(base).persist(NarrowCacheLevel)
+    sigs.count()
+    val truth = exactHalfJaccardTruth(base).persist(NarrowCacheLevel)
     val nTruth = truth.count()
     // per config: md5-band-hashed buckets → distinct candidate pairs →
     // hits = candidates ∩ truth (truth is exact, so the semi-join IS
@@ -1823,6 +1824,112 @@ object Pipeline {
     * join, |configs| bucket joins, never all-pairs). */
   def q147VerifiedGateSweep(spark: SparkSession, dir: String): DataFrame =
     bandingSweepOver(nearDocs(spark, dir), GateVerifiedConfigs)
+
+  /** The (bands, rowsPerBand) configs and cap points q149 prices —
+    * the gate default (1,4) and the full-signature (4,4) anchor, at
+    * caps from starvation to effectively-unbounded (Int.MaxValue ≡ ∞:
+    * every `min_dist ≤ cap` and `rn > occ − cap` predicate is then
+    * vacuous, so that row MUST reconcile with q147's hit counts —
+    * spec-asserted). */
+  private[graft] val GateCapConfigs = Seq((1, 4), (4, 4))
+  private[graft] val GateCaps = Seq(1, 4, 16, Int.MaxValue)
+
+  /** L2 — the VERIFIED GATE's `bucketCap` knob table (q149, VERDICT
+    * r19 §next-3: q147 prices band configs but the FIFO cap was
+    * unpriced — an overflowing bucket silently forgets its oldest
+    * keeper, and on a corpus that concentrates (the q142 lesson)
+    * buckets DO skew). Per (bands, rowsPerBand, cap): the exact-truth
+    * pairs ([[exactHalfJaccardTruth]], the q147 harness), the band-
+    * bucket candidate hits, and how many of those hits a cap-`cap`
+    * FIFO can still SERVE — a truth pair (a, b) is servable iff some
+    * shared bucket has at most cap−1 arrivals strictly between them
+    * (arrival order = doc_id, the corpus-as-stream convention every
+    * batch/stream parity spec uses), i.e. `min_dist ≤ cap` over the
+    * pair's shared buckets. Plus the columns a deployment sizes
+    * memory from: `state_entries` = Σ_buckets min(occupancy, cap)
+    * keeper slots and `state_bytes` = 8 bytes × the hash-set lengths
+    * of exactly those resident keepers (the last `cap` arrivals per
+    * bucket) — the steady-state worst case at a full horizon.
+    *
+    * Model stated honestly: the audit assumes EVERY arrival registers
+    * (real gates drop verified dups without registering), so both the
+    * eviction pressure and the state size are UPPER bounds — recall
+    * loss at a given cap can only be smaller in production, which is
+    * the safe direction to size from. Cost: the shared truth join +
+    * one row_number exchange per config over the band relation;
+    * per-cap work is filters over the hit-bounded distance relation —
+    * never all-pairs, |configs|·|caps| fixed report rows. */
+  def q149VerifiedCapSweep(spark: SparkSession, dir: String): DataFrame =
+    bucketCapSweepOver(nearDocs(spark, dir), GateCapConfigs, GateCaps)
+
+  /** Corpus/grid-parameterized harness behind [[q149VerifiedCapSweep]]
+    * (the spec drives it with a constructed fixture and reconciles
+    * the ∞-cap rows against [[bandingSweepOver]]). */
+  private[operators] def bucketCapSweepOver(corpus: DataFrame,
+      configs: Seq[(Int, Int)], caps: Seq[Int]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = shingleHashSets(corpus).persist(CacheLevel)
+    base.count()
+    val sigs = minhashSigs(base).persist(NarrowCacheLevel)
+    sigs.count()
+    val truth = exactHalfJaccardTruth(base).persist(NarrowCacheLevel)
+    val nTruth = truth.count()
+    val lens = base.select(col("doc_id"), size(col("hs")).as("n_hs"))
+    val rows = configs.flatMap { case (bC, r) =>
+      val bands = sigs.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(bC - 1)), b =>
+            portableHashMod(array_join(
+              transform(slice(col("msig"), b * lit(r) + lit(1), lit(r)),
+                x => x.cast("string")), ",")))).as(Seq("b", "bsig")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("b"), col("bsig")).orderBy(col("doc_id"))))
+        .withColumn("occ", count(lit(1)).over(
+          Window.partitionBy(col("b"), col("bsig"))))
+        .persist(NarrowCacheLevel)
+      bands.count()
+      // per candidate pair: the MINIMUM arrival distance over its
+      // shared buckets (any-band serve, exactly the gate's OR)
+      val pairDist = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bsig") === col("y.bsig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          (col("y.rn") - col("x.rn")).as("dist"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(min(col("dist")).as("min_dist"))
+      val truthDist = pairDist
+        .join(truth, Seq("doc_a", "doc_b")).persist(NarrowCacheLevel)
+      val nHits = truthDist.count()
+      val sized = bands.join(lens, "doc_id")
+      val out = caps.map { cap =>
+        val nServable = truthDist
+          .filter(col("min_dist") <= cap).count()
+        val st = sized.filter(col("rn") > col("occ") - cap.toLong)
+          .agg(count(lit(1)).as("entries"),
+            (sum(col("n_hs")) * 8L).as("bytes"))
+          .head()
+        (bC, r, cap, nTruth, nHits, nServable, nHits - nServable,
+          st.getLong(0), st.getLong(1))
+      }
+      truthDist.unpersist(blocking = false)
+      bands.unpersist(blocking = false)
+      out
+    }
+    base.unpersist(blocking = false)
+    sigs.unpersist(blocking = false)
+    truth.unpersist(blocking = false)
+    rows.toDF("bands", "rows_per_band", "cap", "n_truth", "n_hits",
+        "n_servable", "n_cap_lost", "state_entries", "state_bytes")
+      .select(col("bands").cast("int").as("bands"),
+        col("rows_per_band").cast("int").as("rows_per_band"),
+        col("cap").cast("int").as("cap"),
+        col("n_truth"), col("n_hits"), col("n_servable"),
+        col("n_cap_lost"),
+        round(col("n_servable").cast("double") / col("n_truth"), 6)
+          .as("recall_at_cap"),
+        col("state_entries"), col("state_bytes"))
+      .orderBy(col("bands"), col("rows_per_band"), col("cap"))
+  }
 
   /** Serve EXTERNAL query vectors `(query_id, qe)` from a persisted
     * IVF index — the production similarity-search entry point. Query
@@ -9246,6 +9353,76 @@ object Pipeline {
       * over the gate's prefix-band configs; (4,4) is q131's (4,4). */
     val q147 = bandingSweepSql(Seq((1, 2), (2, 2), (1, 4), (2, 4), (4, 4)))
 
+    /** The bucketCap-sweep twin (q149): the banding harness' corpus,
+      * signatures, and exact truth, plus per-bucket arrival ranks
+      * (row_number by doc_id — the corpus-as-stream order) — a truth
+      * pair survives cap c iff its MINIMUM shared-bucket rank gap is
+      * ≤ c; state columns count/measure the last min(occ, cap)
+      * arrivals per bucket, the FIFO's residents. */
+    private def capSweepSql(configs: Seq[(Int, Int)],
+        caps: Seq[Int]): String = {
+      val cfgCtes = configs.zipWithIndex.map { case ((b, r), i) =>
+        s"""bands_$i AS (
+           |  SELECT doc_id, b, ${phm(s"array_to_string(list_transform(msig[$r*b+1 : $r*b+$r], x -> CAST(x AS VARCHAR)), ',')")} AS bsig
+           |  FROM sig, generate_series(0, ${b - 1}) t(b)),
+           |rn_$i AS (
+           |  SELECT doc_id, b, bsig,
+           |    row_number() OVER (PARTITION BY b, bsig ORDER BY doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY b, bsig) AS occ
+           |  FROM bands_$i),
+           |td_$i AS (
+           |  SELECT pd.min_dist FROM (
+           |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |      min(y.rn - x.rn) AS min_dist
+           |    FROM rn_$i x JOIN rn_$i y
+           |      ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+           |    GROUP BY 1, 2) pd
+           |  JOIN truth t ON pd.doc_a = t.doc_a AND pd.doc_b = t.doc_b)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = configs.zipWithIndex.flatMap { case ((b, r), i) =>
+        caps.map { cap =>
+          s"""SELECT $b AS bands, $r AS rows_per_band, $cap AS cap,
+             |  (SELECT count(*) FROM truth) AS n_truth,
+             |  (SELECT count(*) FROM td_$i) AS n_hits,
+             |  (SELECT count(*) FROM td_$i WHERE min_dist <= $cap) AS n_servable,
+             |  (SELECT count(*) FROM rn_$i WHERE rn > occ - $cap) AS state_entries,
+             |  (SELECT 8 * sum(len(s.hs)) FROM rn_$i n JOIN sig s USING (doc_id)
+             |    WHERE n.rn > n.occ - $cap) AS state_bytes"""
+            .stripMargin
+        }
+      }.mkString("\nUNION ALL\n")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' extra token tail' FROM documents WHERE doc_id % 11 = 0),
+         |$minhashSigCtes,
+         |pref AS (
+         |  SELECT doc_id, len(hs) AS n, unnest(hs[1 : len(hs)//2 + 1]) AS key
+         |  FROM sig),
+         |tcand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM pref x JOIN pref y ON x.key = y.key AND x.doc_id < y.doc_id),
+         |truth AS (
+         |  SELECT doc_a, doc_b FROM tcand
+         |  JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+         |  WHERE 3 * len(list_intersect(sa.hs, sb.hs)) >= len(sa.hs) + len(sb.hs)),
+         |$cfgCtes
+         |SELECT CAST(bands AS INT) AS bands,
+         |  CAST(rows_per_band AS INT) AS rows_per_band,
+         |  CAST(cap AS INT) AS cap, n_truth, n_hits, n_servable,
+         |  n_hits - n_servable AS n_cap_lost,
+         |  round(n_servable::DOUBLE / n_truth, 6) AS recall_at_cap,
+         |  state_entries, CAST(state_bytes AS BIGINT) AS state_bytes
+         |FROM ($rows)
+         |ORDER BY bands, rows_per_band, cap""".stripMargin
+    }
+
+    /** q149 — the verified gate's bucketCap twin: gate default (1,4)
+      * and full-signature (4,4) at caps 1/4/16/∞. */
+    val q149 = capSweepSql(Seq((1, 4), (4, 4)),
+      Seq(1, 4, 16, Int.MaxValue))
+
     /** q119 — q114's sweep twin with the coarse stage swapped to the
       * DERIVED Lloyd-trained centroids ([[derivedCentCtes]], q61's
       * chain verbatim): same exact harness, same probe expansion, same
@@ -9316,6 +9493,7 @@ object Pipeline {
       "q144_banded_gate_sweep" -> q144,
       "q146_export_reconcile" -> q146,
       "q147_verified_gate_sweep" -> q147,
+      "q149_verified_cap_sweep" -> q149,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

@@ -2343,6 +2343,44 @@ class PipelineSpec extends SparkSpec {
       s"(4,4) ${rows((4, 4))} != q131 ${q131r((4, 4))}")
   }
 
+  test("q149: cap sweep's infinite-cap rows reconcile with q147; loss and state are monotone in cap") {
+    val rows = Pipeline.q149VerifiedCapSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(8), r.getLong(9)))).toMap
+    assert(rows.keySet == (for {
+      (b, r) <- Pipeline.GateCapConfigs; c <- Pipeline.GateCaps
+    } yield (b, r, c)).toSet)
+    val q147r = Pipeline.q147VerifiedGateSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    Pipeline.GateCapConfigs.foreach { case (b, r) =>
+      val (nTruth147, nHits147) = q147r((b, r))
+      // cap = ∞: every distance predicate vacuous — n_servable equals
+      // q147's hit count on the same truth, zero loss
+      val (nT, nH, nS, lost, entInf, bytesInf) =
+        rows((b, r, Int.MaxValue))
+      assert(nT == nTruth147 && nH == nHits147 && nS == nH && lost == 0L,
+        s"($b,$r) infinite-cap row diverged from q147: $nH vs $nHits147")
+      // servable hits and state grow monotonically with cap, toward
+      // the ∞ anchors
+      val byCap = Pipeline.GateCaps.map(c => rows((b, r, c)))
+      byCap.sliding(2).foreach { case Seq(lo, hi) =>
+        assert(lo._3 <= hi._3, s"($b,$r) servable not monotone")
+        assert(lo._5 <= hi._5 && lo._6 <= hi._6,
+          s"($b,$r) state not monotone")
+      }
+      assert(byCap.last._5 == entInf && byCap.last._6 == bytesInf)
+      // a starved cap must actually lose hits somewhere, or the axis
+      // prices nothing on this corpus
+      ()
+    }
+    // the starvation end shows real loss for at least one config
+    assert(Pipeline.GateCapConfigs.exists { case (b, r) =>
+      rows((b, r, 1))._4 > 0L
+    }, "cap = 1 lost nothing anywhere: fixture degenerate")
+  }
+
   test("q141: membership is wave-split-invariant, full order equals q122, appended order moved") {
     val rows = Pipeline.q141AppendManifest(spark, sfDir).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
