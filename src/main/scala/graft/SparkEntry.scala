@@ -382,6 +382,11 @@ object SparkEntry {
     // loss and worst-case keeper-state bytes per (config, cap) — the
     // ∞ row reconciles with q147's hit counts
     "q149_verified_cap_sweep" -> (Pipeline.q149VerifiedCapSweep _),
+    // the banked-index duplicate audit, oracle-faced: real builds +
+    // the production appends with a %17 replay planted — the
+    // keys_unique flag catches exactly the IndexMaintain replay
+    // window the drift reports see only inferentially
+    "q150_index_reconcile" -> (Pipeline.q150IndexReconcile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1862,6 +1862,84 @@ object Pipeline {
   def q149VerifiedCapSweep(spark: SparkSession, dir: String): DataFrame =
     bucketCapSweepOver(nearDocs(spark, dir), GateCapConfigs, GateCaps)
 
+  /** One duplicate-audit row over a banked index relation — the q146
+    * `ids_unique` discipline applied to the maintained indexes
+    * (VERDICT r19 §next-4): total rows, distinct KEYS (the unit an
+    * append may never legitimately re-add: `vec_id` for members and
+    * codes, the `(t, doc_id)` posting pair), duplicate-row count, and
+    * the flag. The documented IndexMaintain replay window — a crash
+    * between the table append and the deliverOnce marker re-appends
+    * that batch — leaves exactly `n_dup_rows > 0`, which the drift
+    * reports see only inferentially (as occupancy/qerr noise); this
+    * makes the rebuild trigger EXACT. Cost: one aggregate over the
+    * bucketed scan, one report row — schedulable between appends like
+    * [[Layout.reconcileShards]]. A rebuild
+    * ([[Layout.writeIvfIndex]] / [[buildPqIndex]] / [[buildInvIndex]],
+    * all Overwrite) returns the flag to true (IndexMaintainSpec
+    * closes the loop). */
+  def indexDuplicateAudit(spark: SparkSession, name: String,
+      keyCols: Seq[String], family: String): DataFrame = {
+    val ks = keyCols.map(col)
+    spark.table(name)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(ks.head, ks.tail: _*).as("n_distinct_keys"))
+      .select(lit(family).as("index_family"), col("n_rows"),
+        col("n_distinct_keys"),
+        (col("n_rows") - col("n_distinct_keys")).as("n_dup_rows"),
+        (col("n_rows") === col("n_distinct_keys")).as("keys_unique"))
+  }
+
+  /** L3/L4 — the banked-index duplicate audit's oracle face (q150,
+    * the q146 pattern applied to the three MAINTAINED index families):
+    * build a real IVF membership, PQ code relation, and inverted
+    * index at unique temp tables from the corpus, plant the streaming
+    * maintainer's replay window — the `%17` batch appends AGAIN
+    * through the exact production appends ([[indexAppend]] /
+    * [[pqIndexAppend]] / [[invIndexAppend]]), the
+    * crash-after-append-before-marker shape — and run
+    * [[indexDuplicateAudit]] over each. The DuckDB twin derives every
+    * count from `embeddings`/`documents` alone (member and code rows
+    * per vector, one posting per distinct token per document), so a
+    * hash match proves the builds, the appends, and the audit's
+    * recomputation all agree with the declared membership algebra —
+    * and that the audit flags EXACTLY the planted families. Tables
+    * drop after the bounded snapshot; the audit itself is three
+    * single-exchange aggregates. */
+  def q150IndexReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val suf = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (ivf, pq, inv) = (s"graft_q150_ivf_$suf", s"graft_q150_pq_$suf",
+      s"graft_q150_inv_$suf")
+    try {
+      val e = pqVectors(spark, dir)
+      val (members, routing) = mapSideFineClustersWithRouting(e,
+        labelCentroids(spark, dir), ClusterTargetOccupancy)
+      Layout.writeIvfIndex(members, routing, ivf, IvfIndexBuckets)
+      buildPqIndex(e, pq)
+      buildInvIndex(spark, inv, docs(spark, dir))
+      // the planted replay: one %17 batch appended a second time into
+      // each family through the production append paths
+      val delta = e.filter(col("vec_id") % 17 === 0)
+      indexAppend(spark, ivf, delta)
+      pqIndexAppend(spark, pq, delta)
+      invIndexAppend(spark, inv,
+        docs(spark, dir).filter(col("doc_id") % 17 === 0))
+      val audit = indexDuplicateAudit(spark, ivf, Seq("vec_id"),
+          "ivf_members")
+        .unionByName(indexDuplicateAudit(spark, pq, Seq("vec_id"),
+          "pq_codes"))
+        .unionByName(indexDuplicateAudit(spark, inv, Seq("t", "doc_id"),
+          "inv_postings"))
+        .orderBy(col("index_family"))
+      val snap = audit.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(snap: _*), audit.schema)
+    } finally {
+      Seq(ivf, ivf + "_routing", pq, pq + "_codebook", pq + "_stats",
+          inv, inv + "_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   /** Corpus/grid-parameterized harness behind [[q149VerifiedCapSweep]]
     * (the spec drives it with a constructed fixture and reconciles
     * the ∞-cap rows against [[bandingSweepOver]]). */
@@ -9423,6 +9501,39 @@ object Pipeline {
     val q149 = capSweepSql(Seq((1, 4), (4, 4)),
       Seq(1, 4, 16, Int.MaxValue))
 
+    /** q150 — the banked-index duplicate audit's twin: expected
+      * membership algebra from the raw tables alone — every embedding
+      * contributes one member and one code row (plus its %17 replay),
+      * every document one posting per DISTINCT token (plus its %17
+      * replay); the audit's counts over the real banked tables must
+      * equal these or a build/append/audit step lost or invented
+      * rows. */
+    val q150 =
+      """WITH ev AS (SELECT vec_id FROM embeddings),
+        |dv AS (SELECT doc_id,
+        |    len(list_distinct(string_split(text, ' '))) AS ndt
+        |  FROM documents),
+        |fam AS (
+        |  SELECT 'ivf_members' AS index_family,
+        |    (SELECT count(*) FROM ev)
+        |      + (SELECT count(*) FROM ev WHERE vec_id % 17 = 0) AS n_rows,
+        |    (SELECT count(*) FROM ev) AS n_distinct_keys
+        |  UNION ALL
+        |  SELECT 'pq_codes',
+        |    (SELECT count(*) FROM ev)
+        |      + (SELECT count(*) FROM ev WHERE vec_id % 17 = 0),
+        |    (SELECT count(*) FROM ev)
+        |  UNION ALL
+        |  SELECT 'inv_postings',
+        |    (SELECT CAST(sum(ndt) AS BIGINT) FROM dv)
+        |      + (SELECT CAST(sum(ndt) AS BIGINT) FROM dv WHERE doc_id % 17 = 0),
+        |    (SELECT CAST(sum(ndt) AS BIGINT) FROM dv))
+        |SELECT index_family, n_rows, n_distinct_keys,
+        |  n_rows - n_distinct_keys AS n_dup_rows,
+        |  n_rows = n_distinct_keys AS keys_unique
+        |FROM fam
+        |ORDER BY index_family""".stripMargin
+
     /** q119 — q114's sweep twin with the coarse stage swapped to the
       * DERIVED Lloyd-trained centroids ([[derivedCentCtes]], q61's
       * chain verbatim): same exact harness, same probe expansion, same
@@ -9494,6 +9605,7 @@ object Pipeline {
       "q146_export_reconcile" -> q146,
       "q147_verified_gate_sweep" -> q147,
       "q149_verified_cap_sweep" -> q149,
+      "q150_index_reconcile" -> q150,
       "q120_multi_probe_ivf_pq" -> q120,
       "q121_multi_probe_residual" -> q121,
       "q122_shard_manifest" -> q122,

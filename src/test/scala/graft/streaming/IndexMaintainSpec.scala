@@ -205,4 +205,33 @@ class IndexMaintainSpec extends SparkSpec {
     assert(new java.io.File(s"$ckpt/delivered").listFiles()
       .exists(_.getName.endsWith(".done")), "replay markers missing")
   }
+
+  test("duplicate audit flags a replayed append exactly; rebuild clears it") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val (half, rest) = vecs.partition(_._1 % 2 == 0)
+    Pipeline.buildPqIndex(half.toDF("vec_id", "e"), "graft_im_audit_pq")
+    def audit() = Pipeline.indexDuplicateAudit(spark, "graft_im_audit_pq",
+        Seq("vec_id"), "pq_codes").collect().head
+    // clean build: unique
+    assert(audit().getAs[Boolean]("keys_unique"))
+    // a legitimate append stays unique; the SAME batch again (the
+    // replay window: crash between append and marker) breaks it by
+    // exactly the batch size
+    Pipeline.pqIndexAppend(spark, "graft_im_audit_pq",
+      rest.toDF("vec_id", "e"))
+    assert(audit().getAs[Boolean]("keys_unique"))
+    Pipeline.pqIndexAppend(spark, "graft_im_audit_pq",
+      rest.toDF("vec_id", "e"))
+    val flagged = audit()
+    assert(!flagged.getAs[Boolean]("keys_unique"))
+    assert(flagged.getAs[Long]("n_dup_rows") == rest.length.toLong,
+      s"dup rows ${flagged.getAs[Long]("n_dup_rows")} vs ${rest.length}")
+    // the normal response to a flag: rebuild (Overwrite) — audit
+    // returns to all-clear
+    Pipeline.buildPqIndex(vecs.toDF("vec_id", "e"), "graft_im_audit_pq")
+    val cleared = audit()
+    assert(cleared.getAs[Boolean]("keys_unique") &&
+      cleared.getAs[Long]("n_rows") == vecs.length.toLong)
+  }
 }
