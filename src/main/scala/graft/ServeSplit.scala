@@ -30,10 +30,14 @@ object ServeSplit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // comma-separated restriction, mirroring Verify's SPARK_GRAFT_ONLY:
+    // re-measure just the rows a serve-path change touched
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     def fmt(d: Double): String = f"$d%.2f"
-    AtRest.foreach { name =>
+    AtRest.filter(n => only.forall(_.contains(n))).foreach { name =>
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       val spark = SparkSession.builder()

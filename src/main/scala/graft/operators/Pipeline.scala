@@ -1035,8 +1035,8 @@ object Pipeline {
     * per-term lists, so document frequency computed from the FILTERED
     * relation equals the corpus df and the leg is row-identical to
     * [[sparseLeg]] over the same corpus. */
-  private def sparseLegFromPostings(queries: DataFrame, postings: DataFrame,
-      stats: DataFrame): DataFrame = {
+  private[operators] def sparseLegFromPostings(queries: DataFrame,
+      postings: DataFrame, stats: DataFrame): DataFrame = {
     val qterms = queryTerms(queries)
     val qvocab = qterms.select(col("t")).distinct()
     val tf = postings.join(broadcast(qvocab), "t")
@@ -1044,6 +1044,135 @@ object Pipeline {
       .persist(NarrowCacheLevel)
     tf.count()
     bm25MicroLeg(qterms, tf, stats)
+  }
+
+  /** Per-(doc, term) BM25 weights in integer micro-units over a
+    * query-vocabulary tf relation — the one scoring derivation behind
+    * [[bm25MicroLeg]] and the max-score serve: df from the COMPLETE
+    * per-term lists (the filtered relation holds them whole, so df is
+    * the corpus df), k1 = 1.2 / b = 0.75, each weight rounded to
+    * int64 micro BEFORE any cross-partition sum. */
+  private def bm25WMicro(tf: DataFrame, stats: DataFrame): DataFrame = {
+    val df_ = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df_), "t").crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("nn") - col("df") + 0.5) / (col("df") + 0.5))
+          * col("tf") * (lit(1.2) + 1.0)
+          / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+      .select(col("doc_id"), col("t"),
+        round(col("w") * 1000000).cast("long").as("w_micro"))
+  }
+
+  /** The sparse at-rest leg with MAX-SCORE pruning (VERDICT r19
+    * §next-5 — q138's warm serve was the one bounded-family row
+    * trending > 2× at 10× data, because every query-vocabulary
+    * posting row reached the (query × term) multiplication and the
+    * per-(query, doc) exchange). Two-phase, EXACT for the top-k by
+    * construction — the pruning needs no banked artifact and no
+    * freshness contract: term upper bounds derive at serve time from
+    * the same weights the ranking uses (`ub_t = max_doc w_micro(t,
+    * doc)` — the inverted-index family's no-frozen-state virtue).
+    *
+    *  1. ESSENTIAL terms per query: terms sorted by (ub desc, t); the
+    *     shortest prefix carrying ≥ half the query's total ub mass
+    *     (idf-skewed vocabularies put that mass on a few RARE terms —
+    *     exactly the short posting lists). Partial scores over only
+    *     those postings give θ_q = the k-th best partial — a LOWER
+    *     bound on the true k-th best full score (full ≥ partial per
+    *     doc).
+    *  2. The MaxScore set: E2_q = the shortest ub-desc prefix whose
+    *     REMAINDER sums strictly below θ_q (θ_q = 0 → all terms — the
+    *     unpruned plan, graceful degradation). Any document with no
+    *     E2 term scores ≤ Σ_{t∉E2} ub < θ_q ≤ s_k — strictly below
+    *     the k-th, so it cannot even tie into the top-k: candidates
+    *     (docs with ≥ 1 E2 term) are a SUPERSET of the true top-k,
+    *     and exact scores over candidates alone reproduce the
+    *     unpruned leg row-for-row (q138's oracle hash is the
+    *     certificate; the spec asserts parity directly).
+    *
+    * What 10× data now costs: the posting scan and the map-side
+    * weight math stay linear (columnar, term-pushed-down — the cheap
+    * part), but the rows that reach the (query × term) multiplication
+    * and the per-(query, doc) aggregation exchange are cut to
+    * candidate documents FIRST (a broadcast semi-join on doc_id
+    * before the multiplication, then the exact (query, doc) semi) —
+    * frequent terms' long posting lists no longer fan out per query.
+    * Driver-side state is bounded by the query panel: (term, ub)
+    * snapshots and θ per query — the HybridLegK panel discipline. */
+  private[operators] def sparseLegFromPostingsMaxScore(queries: DataFrame,
+      postings: DataFrame, stats: DataFrame): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qterms = queryTerms(queries)
+    val qvocab = qterms.select(col("t")).distinct()
+    val tf = postings.join(broadcast(qvocab), "t")
+      .select(col("doc_id"), col("dl"), col("t"), col("tf"))
+      .persist(NarrowCacheLevel)
+    tf.count()
+    // weights once, shared by both phases (phase A reads the rare
+    // slice, phase B the candidate-filtered whole)
+    val wmicro = bm25WMicro(tf, stats).persist(NarrowCacheLevel)
+    wmicro.count()
+    // per-query (term, ub) — a bounded driver snapshot (panel × query
+    // vocabulary); terms absent from the corpus drop here exactly as
+    // the unpruned inner join drops them
+    val ub = wmicro.groupBy(col("t")).agg(max(col("w_micro")).as("ub"))
+    val qtu = qterms.join(ub, "t")
+      .select(col("query_id"), col("t"), col("ub")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1)).toSeq)
+      .toMap
+    // phase 1: the ≥-half-ub-mass prefix per query
+    val e1 = qtu.toSeq.flatMap { case (q, ts) =>
+      val total = ts.map(_._2).sum
+      val prefix = ts.scanLeft(0L)(_ + _._2).tail
+      val cut = prefix.indexWhere(_ * 2 >= total) + 1
+      ts.take(math.max(cut, 1)).map { case (t, _) => (q, t) }
+    }.toDF("query_id", "t")
+    val byQ = Window.partitionBy(col("query_id"))
+    val thetas: Map[Long, Long] = wmicro
+      .join(broadcast(e1), "t")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_micro")).as("s"))
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rk") === HybridLegK)
+      .select(col("query_id"), col("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // phase 2: E2 = shortest prefix whose remainder sums < θ (θ
+    // absent/0 → all terms: the unpruned candidate universe)
+    val e2 = qtu.toSeq.flatMap { case (q, ts) =>
+      val theta = thetas.getOrElse(q, 0L)
+      val suffix = ts.map(_._2).scanRight(0L)(_ + _).tail // Σ after i
+      val cut0 = suffix.indexWhere(_ < theta)
+      val cut = if (theta <= 0L || cut0 < 0) ts.length else cut0 + 1
+      ts.take(cut).map { case (t, _) => (q, t) }
+    }.toDF("query_id", "t")
+    val cand = wmicro.join(broadcast(e2), "t")
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id")).distinct()
+      .persist(NarrowCacheLevel)
+    cand.count()
+    val docAny = cand.select(col("doc_id")).distinct()
+    // exact scores, candidates only: the doc_id semi cuts posting
+    // rows BEFORE the per-query fan-out, the (query, doc) semi right
+    // after it — only candidate rows reach the aggregation exchange
+    val leg = wmicro
+      .join(broadcast(docAny), Seq("doc_id"), "left_semi")
+      .join(broadcast(qterms), "t")
+      .join(broadcast(cand), Seq("query_id", "doc_id"), "left_semi")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_micro")).as("s_micro"))
+      .withColumn("srk", row_number().over(
+        byQ.orderBy(col("s_micro").desc, col("doc_id"))))
+      .filter(col("srk") <= HybridLegK)
+      .select(col("query_id"), col("doc_id"), col("srk"))
+    val out = snapshotAndFree(leg, qterms, tf, wmicro)
+    cand.unpersist(blocking = false)
+    out
   }
 
   /** Shared BM25 scoring behind [[sparseLeg]] and
@@ -1150,7 +1279,10 @@ object Pipeline {
     val corpus = docs(spark, dir)
     ensureCurrent(spark, inv, corpusFingerprint(corpus))(
       buildInvIndex(spark, inv, corpus))
-    val sparse = sparseLegFromPostings(queries, spark.table(inv),
+    // max-score pruned (VERDICT r19 §next-5): exact for the top-k by
+    // the θ-bound certificate, so every oracle row over this path is
+    // untouched — only the 10×-data growth curve moves
+    val sparse = sparseLegFromPostingsMaxScore(queries, spark.table(inv),
       spark.table(inv + "_stats"))
     val dense = denseLegFromIndex(spark.table(idx),
       spark.table(idx + "_routing"), queries, probeRadius)

@@ -2343,6 +2343,36 @@ class PipelineSpec extends SparkSpec {
       s"(4,4) ${rows((4, 4))} != q131 ${q131r((4, 4))}")
   }
 
+  test("max-score sparse leg equals the unpruned derivation row-for-row, including degenerate panels") {
+    import spark.implicits._
+    // ensure the inverted index is banked (the q138 path does)
+    Pipeline.q138HybridAtRest(spark, sfDir).collect()
+    val inv = Pipeline.invIndexTable(sfDir)
+    val postings = spark.table(inv)
+    val stats = spark.table(inv + "_stats")
+    // q138's panel PLUS the degenerate paths: a query with no corpus
+    // terms (drops entirely both sides) and a two-term query (fewer
+    // than k candidates in phase 1 → θ = 0 → the unpruned universe)
+    val corpusQs = graft.Tables.spread(graft.Tables.documents(spark, sfDir))
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val extras = Seq(
+      (900001L, "zzznotaterm qqqneither"),
+      (900002L, spark.table(inv).select("t").head().getString(0) +
+        " zzznotaterm")).toDF("query_id", "text")
+    val queries = corpusQs.unionByName(extras)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pruned = rows(Pipeline.sparseLegFromPostingsMaxScore(
+      queries, postings, stats))
+    val full = rows(Pipeline.sparseLegFromPostings(
+      queries, postings, stats))
+    assert(pruned == full,
+      s"max-score diverged: missing ${full.diff(pruned)}, " +
+        s"extra ${pruned.diff(full)}")
+    assert(full.nonEmpty)
+  }
+
   test("q149: cap sweep's infinite-cap rows reconcile with q147; loss and state are monotone in cap") {
     val rows = Pipeline.q149VerifiedCapSweep(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
