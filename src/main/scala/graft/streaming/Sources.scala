@@ -18,6 +18,27 @@ import org.apache.spark.sql.functions._
   *
   * Everything is per-row projection — no state, no shuffle; the keyed
   * work happens downstream in [[Engine.effectiveStates]].
+  *
+  * ==The connector seam==
+  *
+  * The adapters are deliberately SOURCE-AGNOSTIC: each takes a plain
+  * `DataFrame` — batch or streaming, from ANY connector — and demands
+  * only a column contract, never a format or a source:
+  *
+  *  - [[framesFromPackets]]: `targetId INT, seq LONG, tsm LONG,
+  *    payload BINARY`;
+  *  - [[commandsFromJsonLines]]: `value STRING` (+ optional
+  *    `seq LONG` for line-order-stable tie-breaking).
+  *
+  * That is the cloud-stream integration point: a managed shard-stream
+  * connector (Kinesis-style `spark.readStream.format(...)` — exactly
+  * what [[linesFromShards]] does with the in-repo [[ShardStream]]
+  * source), Kafka (`selectExpr("CAST(value AS STRING)")`), a socket,
+  * a file directory, or a MemoryStream all plug in by projecting to
+  * the contract columns; nothing downstream knows which one it was.
+  * The adapters preserve `isStreaming`, so the same call sites serve
+  * batch replay (parquet of archived lines) and live ingestion — the
+  * contract SourcesSpec's "connector seam" test pins.
   */
 object Sources {
 

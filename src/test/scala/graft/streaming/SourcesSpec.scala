@@ -138,6 +138,52 @@ class SourcesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("connector seam: adapters accept ANY streaming DataFrame meeting the column contract") {
+    // The BASELINE north star names "Structured Streaming + Kinesis
+    // source"; the integration point here is deliberately narrower
+    // and stronger: the adapters demand a COLUMN CONTRACT, not a
+    // connector. Project any streaming relation — a managed
+    // shard-stream source, Kafka's (key, value), a rate source as
+    // here — onto the contract columns and the whole chain downstream
+    // is identical. Pinned: (a) streaming-ness survives both
+    // adapters; (b) a rate source standing in for a packet connector
+    // drives the decode path end-to-end through a real streaming
+    // query.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    // packet-shaped projection of an arbitrary connector stream
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .select(
+        pmod(col("value"), lit(4)).cast("int").as("targetId"),
+        col("value").as("seq"),
+        unix_millis(col("timestamp")).as("tsm"),
+        lit(Sinks.packFrame(Seq.fill(8)(1500))).as("payload"))
+    val (frames, dead) = Sources.framesFromPackets(rate)
+    assert(frames.isStreaming && dead.isStreaming,
+      "framesFromPackets must preserve isStreaming")
+    // line-shaped: MemoryStream standing in for a line connector
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val parsed = Sources.commandsFromJsonLines(
+      mem.toDF().withColumnRenamed("value", "value"), nowMs = lit(1000L))
+    assert(parsed.commands.isStreaming && parsed.responses.isStreaming &&
+      parsed.deadLetter.isStreaming,
+      "commandsFromJsonLines must preserve isStreaming")
+    // E2E: the rate-fed packet stream decodes through a real query
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q = frames.writeStream.trigger(Trigger.ProcessingTime(200))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[EngineEvent], _: Long) =>
+        b.collect().foreach(e => got.add(e.targetId))
+      }.start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (got.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(!got.isEmpty, "timed out waiting for decoded frames")
+    } finally q.stop()
+  }
+
   test("synthetic frame source produces valid engine envelopes") {
     // structural check on the unresolved streaming plan (no execution:
     // rate source needs wall-clock time)
