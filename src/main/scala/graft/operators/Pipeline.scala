@@ -1046,6 +1046,32 @@ object Pipeline {
     bm25MicroLeg(qterms, tf, stats)
   }
 
+  /** Corpus-size floor (in tokens ≈ posting-row bound, nn × avgdl from
+    * the one-row banked stats) below which [[sparseLegAdaptive]] serves
+    * the single-job unpruned plan. Max-score's two driver round-trips
+    * (θ estimation + candidate cut) cost ~3-4 fixed Spark jobs; the
+    * A/B that set this (PLANS §r20): at 270 k tokens pruning LOSES
+    * (7.3 s vs 3.6 s warm — overhead dominated), at 2.7 M it WINS
+    * (12.5 s vs 13.6 s) and, decisively, flattens the 10× growth curve
+    * from 3.8× to 1.7× — the fan-out it removes grows with posting
+    * length while its own overhead stays fixed. 2 M keeps every corpus
+    * at or past the measured break-even on the pruned plan. */
+  private val MaxScoreMinTokens = 2000000.0
+
+  /** Cost-based sparse leg: the unpruned single-job plan for small
+    * corpora, [[sparseLegFromPostingsMaxScore]] once the corpus is
+    * past [[MaxScoreMinTokens]]. The decision input is the banked
+    * one-row stats sidecar — no extra scan; both branches are
+    * row-identical for the top-k (the max-score θ-bound certificate +
+    * the parity spec), so the switch is invisible to every oracle. */
+  private[operators] def sparseLegAdaptive(queries: DataFrame,
+      postings: DataFrame, stats: DataFrame): DataFrame = {
+    val s = stats.select(col("nn") * col("avgdl")).head().getDouble(0)
+    if (s >= MaxScoreMinTokens)
+      sparseLegFromPostingsMaxScore(queries, postings, stats)
+    else sparseLegFromPostings(queries, postings, stats)
+  }
+
   /** Per-(doc, term) BM25 weights in integer micro-units over a
     * query-vocabulary tf relation — the one scoring derivation behind
     * [[bm25MicroLeg]] and the max-score serve: df from the COMPLETE
@@ -1279,10 +1305,11 @@ object Pipeline {
     val corpus = docs(spark, dir)
     ensureCurrent(spark, inv, corpusFingerprint(corpus))(
       buildInvIndex(spark, inv, corpus))
-    // max-score pruned (VERDICT r19 §next-5): exact for the top-k by
-    // the θ-bound certificate, so every oracle row over this path is
-    // untouched — only the 10×-data growth curve moves
-    val sparse = sparseLegFromPostingsMaxScore(queries, spark.table(inv),
+    // max-score pruned when the corpus is big enough to pay for it
+    // (VERDICT r19 §next-5): exact for the top-k by the θ-bound
+    // certificate, so every oracle row over this path is untouched —
+    // only the 10×-data growth curve moves
+    val sparse = sparseLegAdaptive(queries, spark.table(inv),
       spark.table(inv + "_stats"))
     val dense = denseLegFromIndex(spark.table(idx),
       spark.table(idx + "_routing"), queries, probeRadius)
