@@ -262,7 +262,7 @@ object Layout {
   /** The parquet part files of every `shard=N/` directory under an
     * export, as bare file names (Spark part names carry a job UUID, so
     * names are globally unique), with modification times. */
-  private def listShardFiles(spark: SparkSession,
+  private[graft] def listShardFiles(spark: SparkSession,
       path: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -556,12 +556,17 @@ object Layout {
     // entry per part file grows unboundedly with wave count on a
     // long-lived daily-append export — plan serialization must not
     // scale with the export's age; a join side scales for free).
-    // DISTINCT pairs: one partitionBy write lands the same part-file
-    // NAME in every shard directory it touches, so the sidecar holds
-    // that name once per shard — as a map literal the duplicates
-    // collapsed silently, as a join side they would multiply rows
+    // ONE row per file NAME (min wave): one partitionBy write lands
+    // the same part-file name in every shard directory it touches, so
+    // the sidecar holds that name once per shard — and the legacy
+    // mtime fallback above assigns those occurrences DIFFERENT wave
+    // indices. As a map literal the duplicates collapsed silently; as
+    // a join side any surviving duplicate would multiply every row of
+    // that file (inflating counts/checksums into a false audit flag),
+    // so collapse to the earliest wave per name before broadcasting.
     import spark.implicits._
-    val waveRel = broadcast(waves.map { case (w, f) => (f, w) }.distinct
+    val waveRel = broadcast(waves.map { case (w, f) => (f, w) }
+      .groupMapReduce(_._1)(_._2)(math.min).toSeq
       .toDF("file_name", "wave"))
     val rows = spark.read.parquet(path)
       .withColumn("file_name",

@@ -1207,14 +1207,10 @@ object Pipeline {
     * callers' `qterms`/`tf` residents via [[snapshotAndFree]]. */
   private def bm25MicroLeg(qterms: DataFrame, tf: DataFrame,
       stats: DataFrame): DataFrame = {
-    val df_ = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
-    val wmicro = tf.join(broadcast(df_), "t").crossJoin(broadcast(stats))
-      .withColumn("w",
-        log(lit(1.0) + (col("nn") - col("df") + 0.5) / (col("df") + 0.5))
-          * col("tf") * (lit(1.2) + 1.0)
-          / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
-      .select(col("doc_id"), col("t"),
-        round(col("w") * 1000000).cast("long").as("w_micro"))
+    // the ONE weight derivation (bm25WMicro) — the max-score serve's
+    // exactness certificate is row-for-row parity with this leg, so
+    // the formula must not fork (review r20)
+    val wmicro = bm25WMicro(tf, stats)
     val leg = wmicro.join(broadcast(qterms), "t")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))

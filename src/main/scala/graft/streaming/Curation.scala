@@ -188,12 +188,6 @@ object Curation {
         "PER-BAND width when banded) must fit 31 bits; the banded " +
         "default pairing is nearDupBands = 2, nearDupBits = 15")
     // the history artifact's shape AND config must match the enabled
-    // stage: the single-signature stage bootstraps from (near_sig),
-    // the banded stage from (band, near_band) rows carrying their
-    // (bands, band_bits) — keys from another config never match, so a
-    // mismatch means the nightly job and the gate disagree and the
-    // bootstrap would be silently inert (review r19)
-    // the history artifact's shape AND config must match the enabled
     // stage — keys from another config never match, so a mismatch
     // means the nightly job and the gate disagree and the bootstrap
     // would be silently inert. The validators live on the stages

@@ -458,18 +458,24 @@ object Dedup {
     * [[historicalNearBandKeys]] stamp discipline.
     *
     * `asOfMs` stamps every keeper's event-time (the corpus snapshot
-    * instant): history keepers obey the SAME watermark eviction as
-    * streamed ones — they verify arrivals until the stream's
-    * watermark passes `asOfMs + horizon`, then evict. That is the
-    * honest bounded-state contract (a keeper held forever is
-    * unbounded state by another name); re-derive the artifact at the
-    * next corpus snapshot, exactly as a nightly job refreshes every
-    * other history relation. Cost: one corpus pass, map-side keys,
-    * one exchange on (band, bucket); state size is the gate's own
-    * bound (≤ cap keepers' hash sets per touched bucket). */
+    * instant) and is deliberately REQUIRED, with no default: history
+    * keepers obey the SAME watermark eviction as streamed ones — they
+    * verify arrivals until the stream's watermark passes
+    * `asOfMs + horizon`, then evict. A stale or zero stamp under
+    * real epoch-ms event times means the first watermark advance
+    * silently evicts the whole bootstrap (the inert-bootstrap class
+    * the config stamp cannot catch, because the config matches) —
+    * pass the snapshot's own event-time instant, in the stream's
+    * event-time unit. That is the honest bounded-state contract (a
+    * keeper held forever is unbounded state by another name);
+    * re-derive the artifact at the next corpus snapshot, exactly as a
+    * nightly job refreshes every other history relation. Cost: one
+    * corpus pass, map-side keys, one exchange on (band, bucket);
+    * state size is the gate's own bound (≤ cap keepers' hash sets per
+    * touched bucket). */
   def historicalVerifiedKeepers(corpus: DataFrame, idCol: String,
-      textCol: String, bands: Int = 1, rowsPerBand: Int = 4,
-      bucketCap: Int = 64, asOfMs: Long = 0L): DataFrame = {
+      textCol: String, asOfMs: Long, bands: Int = 1, rowsPerBand: Int = 4,
+      bucketCap: Int = 64): DataFrame = {
     require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 16,
       "bands * rowsPerBand must fit the 16-hash MinHash signature")
     val spark = corpus.sparkSession

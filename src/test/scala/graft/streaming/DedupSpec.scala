@@ -1654,7 +1654,7 @@ class DedupSpec extends SparkSpec {
       Seq.tabulate(30)(i => s"$prefix$i").mkString(" ")
     val corpusDocs = Seq(1L -> doc("res"), 2L -> doc("old"), 3L -> doc("bse"))
     val corpus = corpusDocs.toDF("doc_id", "text")
-    val hist = Dedup.historicalVerifiedKeepers(corpus, "doc_id", "text")
+    val hist = Dedup.historicalVerifiedKeepers(corpus, "doc_id", "text", asOfMs = 0L)
     // the artifact is the gate's own state shape, config-stamped
     assert(hist.columns.toSet == Set("band", "bucket", "doc_id", "hs",
       "tsm", "bands", "rows_per_band", "bucket_cap"))
@@ -1717,7 +1717,7 @@ class DedupSpec extends SparkSpec {
     // config guard: an artifact from another (bands, rowsPerBand,
     // cap) point fails loudly at composition time
     val wrongCap = Dedup.historicalVerifiedKeepers(corpus, "doc_id",
-      "text", bucketCap = 8)
+      "text", asOfMs = 0L, bucketCap = 8)
     val e = intercept[IllegalArgumentException](
       Dedup.nearVerifiedVerdicts(docsDf, "doc_id", "text", "ts",
         horizonMs = 1000L, history = Some(wrongCap)))
@@ -1749,32 +1749,13 @@ class DedupSpec extends SparkSpec {
 
   test("verified gate: bucketCap FIFO eviction re-admits a late dup of the evicted keeper") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // independent re-derivation of the bucket key (the simulation
-    // test's chain) to FIND a same-bucket, non-half-Jaccard pair: a
-    // base doc and a variant sharing enough tokens to collide in the
-    // 4-hash band w.p. ~J^4 but strictly below the t = 1/2 verify bar
-    val P = 2147483647L
-    def h60(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
-    }
-    def phm(s: String): Long = h60(s) % P
-    def hsOf(text: String): Seq[Long] =
-      text.split(" ", -1).toSeq.sliding(3).filter(_.size == 3)
-        .map(_.mkString(" ")).toSeq.distinct.map(phm).sorted
-    def bucketOf(hs: Seq[Long]): Long =
-      phm((0 until 16).map(h => hs.map(x =>
-        ((2L * h + 1) * x + 12289L * h) % P).min).take(4).mkString(","))
-    def inter(a: Seq[Long], b: Seq[Long]): Long = {
-      var i = 0; var j = 0; var n = 0L
-      while (i < a.length && j < b.length) {
-        val c = java.lang.Long.compare(a(i), b(j))
-        if (c == 0) { n += 1; i += 1; j += 1 }
-        else if (c < 0) i += 1 else j += 1
-      }
-      n
-    }
+    // the companion object's independent key-chain re-derivation (the
+    // simulation test's chain) FINDS a same-bucket, non-half-Jaccard
+    // pair: a base doc and a variant sharing enough tokens to collide
+    // in the 4-hash band w.p. ~J^4 but strictly below the t = 1/2
+    // verify bar (one chain, review r20 — three drifting copies would
+    // let a production key change silently break the fixture search)
+    import DedupSpec.{hsOf, bucketOf, interOf => inter}
     val baseDoc = Seq.tabulate(40)(i => s"tok$i").mkString(" ")
     val bHs = hsOf(baseDoc)
     // deterministic search: rewrite the TAIL so J ~ 0.6 (above the

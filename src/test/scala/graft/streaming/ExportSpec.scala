@@ -517,6 +517,44 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("reconcileShards: a legacy export (no _waves sidecar) reconciles clean despite duplicate part-file basenames") {
+    // review r20: the legacy mtime fallback assigns each (shard dir,
+    // file) occurrence its own wave index, and one partitionBy task
+    // writes the SAME basename under every shard dir it touches — as
+    // a join side those (name, wave) pairs must collapse to one row
+    // per name or every row of such a file multiplies N-fold and the
+    // audit flags a perfectly healthy export
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_leg_").toString + "/exp"
+    try {
+      val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+        .filter(col("doc_id") < 2000)
+      graft.operators.Layout.writeShards(d, "doc_id", out,
+        manifestTextCol = Some("text"))
+      // fixture check: the partitionBy write really does repeat
+      // basenames across shard dirs (the fan-out trigger)
+      val names = graft.operators.Layout.listShardFiles(spark, out)
+      assert(names.length > names.distinct.length,
+        "fixture: expected duplicate part-file basenames across shards")
+      // make it a LEGACY export: no _waves sidecar
+      val wp = new org.apache.hadoop.fs.Path(out + "/_waves")
+      wp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(wp, true)
+      val audit = graft.operators.Layout
+        .reconcileShards(spark, out, "doc_id", "text").collect()
+      assert(audit.nonEmpty)
+      audit.foreach { r =>
+        assert(r.getAs[Boolean]("counts_equal") &&
+          r.getAs[Boolean]("checksum_equal") &&
+          r.getAs[Boolean]("ids_unique"),
+          s"legacy export must reconcile clean: $r")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out).getParentFile).deleteRecursively()
+    }
+  }
+
   test("reconcileShards: a bytes-only replay (window a) flags counts and checksum on exactly the touched shard") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft_rca_").toString + "/exp"
