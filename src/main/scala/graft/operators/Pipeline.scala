@@ -1046,31 +1046,35 @@ object Pipeline {
     bm25MicroLeg(qterms, tf, stats)
   }
 
-  /** Corpus-size floor (in tokens ≈ posting-row bound, nn × avgdl from
-    * the one-row banked stats) below which [[sparseLegAdaptive]] serves
-    * the single-job unpruned plan. Max-score's two driver round-trips
-    * (θ estimation + candidate cut) cost ~3-4 fixed Spark jobs; the
-    * A/B that set this (PLANS §r20): at 270 k tokens pruning LOSES
-    * (7.3 s vs 3.6 s warm — overhead dominated), at 2.7 M it WINS
-    * (12.5 s vs 13.6 s) and, decisively, flattens the 10× growth curve
-    * from 3.8× to 1.7× — the fan-out it removes grows with posting
-    * length while its own overhead stays fixed. 2 M keeps every corpus
-    * at or past the measured break-even on the pruned plan. */
-  private val MaxScoreMinTokens = 2000000.0
-
-  /** Cost-based sparse leg: the unpruned single-job plan for small
-    * corpora, [[sparseLegFromPostingsMaxScore]] once the corpus is
-    * past [[MaxScoreMinTokens]]. The decision input is the banked
-    * one-row stats sidecar — no extra scan; both branches are
-    * row-identical for the top-k (the max-score θ-bound certificate +
-    * the parity spec), so the switch is invisible to every oracle. */
+  /** The sparse leg's serve-time plan knob — an HONEST NEGATIVE
+    * VERDICT (the q144 discipline applied to VERDICT r19 §next-5):
+    * max-score pruning is implemented, exact (θ-bound certificate),
+    * and parity-spec'd including degenerate panels, but a quiet-window
+    * A/B at THREE scales (PLANS §r20: 270 k / 2.7 M / 27 M corpus
+    * tokens — 1× / 10× / 100×) shows the unpruned plan winning at
+    * every measured size for q138's panel shape (warm serve 3.96 vs
+    * 7.20 s, 5.10 vs 11.95 s, 25.8 vs 42.1 s): the query-vocabulary
+    * pushdown already bounds the unpruned leg's growth (6.5× at 100×
+    * data — the weight scan, not the per-(query, doc) exchange, is
+    * the cost), while max-score pays 2 extra passes over the same
+    * weight relation plus two driver round-trips to cut an exchange
+    * that wasn't dominant. An earlier loaded-window A/B showed the
+    * opposite at 10× and briefly set a 2 M-token cost-based floor;
+    * the three-point quiet measurement supersedes it. So the DEFAULT
+    * is the unpruned plan at every size, and max-score stays as an
+    * explicit opt-in for the shape that CAN invert the trade — panels
+    * wide enough (thousands of simultaneous queries) that the
+    * (query × posting) fan-out, which grows multiplicatively with
+    * panel width while the weight scan does not, dominates the serve.
+    * Callers flipping it on owe their own A/B at their panel shape;
+    * both branches are row-identical for the top-k, so the knob can
+    * never change an answer — only a growth curve. */
   private[operators] def sparseLegAdaptive(queries: DataFrame,
-      postings: DataFrame, stats: DataFrame): DataFrame = {
-    val s = stats.select(col("nn") * col("avgdl")).head().getDouble(0)
-    if (s >= MaxScoreMinTokens)
+      postings: DataFrame, stats: DataFrame,
+      maxScorePrune: Boolean = false): DataFrame =
+    if (maxScorePrune)
       sparseLegFromPostingsMaxScore(queries, postings, stats)
     else sparseLegFromPostings(queries, postings, stats)
-  }
 
   /** Per-(doc, term) BM25 weights in integer micro-units over a
     * query-vocabulary tf relation — the one scoring derivation behind
@@ -1295,18 +1299,19 @@ object Pipeline {
     * face; q138 is this applied to the benchmark panel). */
   private[graft] def hybridServeAtRest(spark: SparkSession, dir: String,
       queries: DataFrame, ws: Int = 1, wd: Int = 1,
-      probeRadius: Int = 1, coverage: Boolean = false): DataFrame = {
+      probeRadius: Int = 1, coverage: Boolean = false,
+      maxScorePrune: Boolean = false): DataFrame = {
     val idx = ensureIvfIndex(spark, dir)
     val inv = invIndexTable(dir)
     val corpus = docs(spark, dir)
     ensureCurrent(spark, inv, corpusFingerprint(corpus))(
       buildInvIndex(spark, inv, corpus))
-    // max-score pruned when the corpus is big enough to pay for it
-    // (VERDICT r19 §next-5): exact for the top-k by the θ-bound
-    // certificate, so every oracle row over this path is untouched —
-    // only the 10×-data growth curve moves
+    // the sparse-leg plan knob defaults to the unpruned plan — see
+    // sparseLegAdaptive's honest negative verdict on max-score at
+    // every measured scale (PLANS §r20); either setting is
+    // row-identical for the top-k, so no oracle row depends on it
     val sparse = sparseLegAdaptive(queries, spark.table(inv),
-      spark.table(inv + "_stats"))
+      spark.table(inv + "_stats"), maxScorePrune)
     val dense = denseLegFromIndex(spark.table(idx),
       spark.table(idx + "_routing"), queries, probeRadius)
     // the at-rest dense corpus membership IS the index member list

@@ -2373,7 +2373,7 @@ class PipelineSpec extends SparkSpec {
     assert(full.nonEmpty)
   }
 
-  test("adaptive sparse leg: both threshold sides serve identical rows; stats drive the branch") {
+  test("sparse-leg plan knob: both settings serve identical rows; default is the unpruned plan") {
     import spark.implicits._
     Pipeline.q138HybridAtRest(spark, sfDir).collect()
     val inv = Pipeline.invIndexTable(sfDir)
@@ -2384,16 +2384,13 @@ class PipelineSpec extends SparkSpec {
       .select(col("doc_id").as("query_id"), col("text"))
     def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    // the test corpus sits below the token floor -> unpruned branch
-    val small = rows(Pipeline.sparseLegAdaptive(queries, postings, stats))
-    // inflate nn so nn*avgdl crosses the floor -> pruned branch; BM25
-    // scores change with nn, so parity is vs the unpruned leg under
-    // the SAME inflated stats (branch-equivalence, not score identity)
-    val big = stats.select((col("nn") + lit(10000000.0)).as("nn"), col("avgdl"))
-    assert(rows(Pipeline.sparseLegAdaptive(queries, postings, big)) ==
-      rows(Pipeline.sparseLegFromPostings(queries, postings, big)))
-    assert(small == rows(Pipeline.sparseLegFromPostings(queries, postings, stats)))
-    assert(small.nonEmpty)
+    val off = rows(Pipeline.sparseLegAdaptive(queries, postings, stats))
+    val on = rows(Pipeline.sparseLegAdaptive(queries, postings, stats,
+      maxScorePrune = true))
+    assert(off == on, "the knob may move a growth curve, never a row")
+    // the default must be the measured winner (the unpruned plan)
+    assert(off == rows(Pipeline.sparseLegFromPostings(queries, postings, stats)))
+    assert(off.nonEmpty)
   }
 
   test("q149: cap sweep's infinite-cap rows reconcile with q147; loss and state are monotone in cap") {
