@@ -495,6 +495,76 @@ object Dedup {
       .withColumn("bucket_cap", lit(bucketCap))
   }
 
+  /** INCREMENTAL maintenance of the verified-history artifact — the
+    * index-append discipline ([[graft.operators.Pipeline.indexAppend]]
+    * / `invIndexAppend`) applied to [[historicalVerifiedKeepers]]: a
+    * nightly refresh folds ONE new wave of documents into the
+    * existing artifact instead of re-deriving the world. Config
+    * (bands, rowsPerBand, cap) comes from the artifact's own stamp —
+    * an append can never silently run at a different geometry — and
+    * the output carries the same stamp.
+    *
+    * Exactness: per (band, bucket), the resident keepers load in
+    * registration order and the new wave folds ON TOP through the
+    * gate's own [[foldVerifiedArrivals]] — a new doc that exactly
+    * half-Jaccard-matches a resident keeper does NOT register
+    * (exactly as the streamed gate would drop it), and the FIFO cut
+    * continues across the wave boundary (an overflowing bucket
+    * forgets its oldest keeper, whichever wave registered it). For
+    * that continuity to equal a from-scratch derivation over the
+    * full corpus history, waves must append in event order:
+    * `asOfMs` must be ≥ every resident keeper's stamp (required,
+    * checked against the artifact — one bounded aggregate).
+    *
+    * Cost: keying is map-side over the NEW wave only; the resident
+    * artifact (the gate's own bounded state shape, ≤ cap keepers per
+    * touched bucket) rides one cogroup exchange on (band, bucket).
+    * The existing corpus is never re-read, let alone re-shingled. */
+  def historicalVerifiedKeepersAppend(history: DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      asOfMs: Long): DataFrame = {
+    val cfgRow = history
+      .select(col("bands"), col("rows_per_band"), col("bucket_cap"))
+      .limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "cannot append to an EMPTY verified-history artifact - derive " +
+          "the founding wave with historicalVerifiedKeepers"))
+    val (bands, rowsPerBand, cap) =
+      (cfgRow.getInt(0), cfgRow.getInt(1), cfgRow.getInt(2))
+    validateVerifiedHistory(history, bands, rowsPerBand, cap)
+    val maxTsm = history.agg(max(col("tsm"))).head().getLong(0)
+    require(asOfMs >= maxTsm,
+      s"append wave asOfMs ($asOfMs) predates the artifact's newest " +
+        s"keeper ($maxTsm) - waves must append in event order or the " +
+        "FIFO continuity with a from-scratch derivation breaks")
+    val spark = history.sparkSession
+    import spark.implicits._
+    val keyed = verifiedBandKeyed(
+      newDocs.withColumn("__gate_ts", timestamp_millis(lit(asOfMs))),
+      idCol, textCol, "__gate_ts", bands, rowsPerBand).as[NearBandDoc]
+    val resident = history
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("doc_id").cast("long").as("docId"), col("hs"),
+        col("tsm").cast("long").as("tsm"))
+      .as[(Int, Long, Long, Seq[Long], Long)]
+    resident.groupByKey(r => (r._1, r._2))
+      .cogroup(keyed.groupByKey(r => (r.band, r.bucket))) {
+        (key: (Int, Long),
+            hrows: Iterator[(Int, Long, Long, Seq[Long], Long)],
+            nrows: Iterator[NearBandDoc]) =>
+          val entries0 = hrows
+            .map(r => NearVerifiedEntry(r._3, r._4.toArray, r._5))
+            .toList.sortBy(e => (e.tsm, e.docId))
+          val (entries, _) = foldVerifiedArrivals(entries0, nrows.toSeq, cap)
+          entries.iterator.map(e =>
+            (key._1, key._2, e.docId, e.hs.toSeq, e.tsm))
+      }
+      .toDF("band", "bucket", "doc_id", "hs", "tsm")
+      .withColumn("bands", lit(bands))
+      .withColumn("rows_per_band", lit(rowsPerBand))
+      .withColumn("bucket_cap", lit(cap))
+  }
+
   /** Fail loudly when a [[historicalVerifiedKeepers]] artifact doesn't
     * match the gate's own (bands, rowsPerBand, bucketCap) — keeper
     * state from one config lives in buckets another config never

@@ -1729,6 +1729,111 @@ class DedupSpec extends SparkSpec {
     assert(e2.getMessage.contains("stamping"), e2.getMessage)
   }
 
+  test("verified-history append: one wave folds in; the merged artifact bootstraps drops for both waves") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def doc(prefix: String) =
+      Seq.tabulate(30)(i => s"$prefix$i").mkString(" ")
+    val corpus = Seq(1L -> doc("res"), 2L -> doc("old")).toDF("doc_id", "text")
+    val hist = Dedup.historicalVerifiedKeepers(corpus, "doc_id", "text",
+      asOfMs = 1000L)
+    // wave B: one fresh doc + one exact copy of a RESIDENT doc — the
+    // fold must verify-drop the copy, not register it
+    val wave = Seq(5L -> doc("nwv"), 6L -> doc("res")).toDF("doc_id", "text")
+    val merged = Dedup.historicalVerifiedKeepersAppend(hist, wave,
+      "doc_id", "text", asOfMs = 2000L)
+    val rows = merged.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tsm")).toMap
+    assert(rows == Map(1L -> 1000L, 2L -> 1000L, 5L -> 2000L),
+      s"merged artifact wrong: $rows")
+    assert(merged.columns.toSet == Set("band", "bucket", "doc_id", "hs",
+      "tsm", "bands", "rows_per_band", "bucket_cap"))
+    // the merged artifact bootstraps a gate that drops near-dups of
+    // BOTH waves in batch 1: an in-bucket edit of resident doc 2 (the
+    // bootstrap test's deterministic fixture search) and an exact
+    // copy of appended doc 5
+    val oldHs = DedupSpec.hsOf(doc("old"))
+    val edited = (0 until 30).iterator.map { k =>
+      Seq.tabulate(30)(i => if (i == k) s"new$k" else s"old$i")
+        .mkString(" ")
+    }.find { t =>
+      val ths = DedupSpec.hsOf(t)
+      DedupSpec.bucketOf(ths) == DedupSpec.bucketOf(oldHs) &&
+        3L * DedupSpec.interOf(oldHs, ths) >= oldHs.length + ths.length
+    }.getOrElse(fail("no same-bucket >= 1/2-Jaccard edit in 30 tries"))
+    val in = MemoryStream[(Long, String, Long)]
+    val docsDf = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val query = Dedup.nearVerifiedVerdicts(docsDf, "doc_id", "text", "ts",
+        horizonMs = 3600L * 1000L, history = Some(merged))
+      .writeStream.format("memory").queryName("verapp_mem")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, edited, 3L), (11L, doc("frs"), 4L),
+        (12L, doc("nwv"), 5L))
+      query.processAllAvailable()
+      val got = spark.table("verapp_mem").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("kept"), r.getAs[Long]("dup_of")))).toMap
+      assert(got == Map(10L -> ((false, 2L)), 11L -> ((true, -1L)),
+        12L -> ((false, 5L))), s"got $got")
+    } finally query.stop()
+    // event-order guard: a wave predating the newest resident keeper
+    // breaks FIFO continuity and must fail loudly
+    val e = intercept[IllegalArgumentException](
+      Dedup.historicalVerifiedKeepersAppend(hist, wave, "doc_id", "text",
+        asOfMs = 500L))
+    assert(e.getMessage.contains("predates"), e.getMessage)
+    // an empty artifact has no config stamp to read
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.historicalVerifiedKeepersAppend(hist.limit(0), wave,
+        "doc_id", "text", asOfMs = 2000L))
+    assert(e2.getMessage.contains("EMPTY"), e2.getMessage)
+  }
+
+  test("verified-history append: the FIFO cut continues across the wave boundary at cap = 1") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import DedupSpec.{hsOf, bucketOf, interOf}
+    // the eviction test's superset fixture: same band bucket, J < 1/2
+    val baseDoc = Seq.tabulate(40)(i => s"tok$i").mkString(" ")
+    val bHs = hsOf(baseDoc)
+    val evictor = (0 until 10000).iterator.map { k =>
+      baseDoc + " " + Seq.tabulate(42)(i => s"ext${k}_$i").mkString(" ")
+    }.find { t =>
+      val ths = hsOf(t)
+      bucketOf(ths) == bucketOf(bHs) &&
+        3L * interOf(bHs, ths) < bHs.length + ths.length
+    }.getOrElse(fail("no same-bucket non-dup variant within 10000 tries"))
+    val histA = Dedup.historicalVerifiedKeepers(
+      Seq(1L -> baseDoc).toDF("doc_id", "text"), "doc_id", "text",
+      asOfMs = 1000L, bucketCap = 1)
+    val merged = Dedup.historicalVerifiedKeepersAppend(histA,
+      Seq(2L -> evictor).toDF("doc_id", "text"), "doc_id", "text",
+      asOfMs = 2000L)
+    // cap-1 continuity: wave B's registration FIFO-forgot wave A's
+    assert(merged.select("doc_id").collect().map(_.getLong(0)).toSeq
+      == Seq(2L), "the appended evictor must be the sole keeper")
+    // and the gate agrees: a copy of the evictor drops naming 2, a
+    // copy of the evicted base re-admits (kept) — the q149-priced trade
+    val in = MemoryStream[(Long, String, Long)]
+    val docsDf = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val query = Dedup.nearVerifiedVerdicts(docsDf, "doc_id", "text", "ts",
+        horizonMs = 3600L * 1000L, bucketCap = 1, history = Some(merged))
+      .writeStream.format("memory").queryName("verappfifo_mem")
+      .outputMode("append").start()
+    try {
+      in.addData((9L, evictor, 3L), (10L, baseDoc, 4L))
+      query.processAllAvailable()
+      val got = spark.table("verappfifo_mem").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("kept"), r.getAs[Long]("dup_of")))).toMap
+      assert(got == Map(9L -> ((false, 2L)), 10L -> ((true, -1L))),
+        s"got $got")
+    } finally query.stop()
+  }
+
   test("verifiedKeeps packages the any-band reduction with first-drop-wins provenance") {
     import spark.implicits._
     // hand-built verdicts: doc 1 kept in both bands; doc 2 dropped in
