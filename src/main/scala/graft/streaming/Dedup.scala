@@ -149,6 +149,25 @@ object Dedup {
       .distinct()
       .withColumn("bits", lit(bits))
 
+  /** Incremental maintenance for the single-signature history — the
+    * [[historicalVerifiedKeepersAppend]] discipline on the anti-join
+    * artifact, where it is simpler still: the artifact is a SET of
+    * keys, so appending a wave IS deriving over the union
+    * (spec-asserted equal, row for row). Width comes from the
+    * artifact's own stamp — an append can never silently mix widths —
+    * and only the NEW wave is signed; the existing corpus is never
+    * re-read. */
+  def historicalNearSignaturesAppend(history: DataFrame,
+      newDocs: DataFrame, textCol: String): DataFrame = {
+    val bits = history.select(col("bits")).limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "cannot append to an EMPTY near-dup history - derive the " +
+          "founding wave with historicalNearSignatures")).getInt(0)
+    validateSigHistory(history, bits)
+    history.unionByName(historicalNearSignatures(newDocs, textCol, bits))
+      .distinct()
+  }
+
   /** Fail loudly when a [[historicalNearSignatures]] artifact doesn't
     * match the gate stage's own width — the validation every entry
     * point runs (ADVICE r19: only ingestGate checked the banded
@@ -258,6 +277,25 @@ object Dedup {
       .distinct()
       .withColumn("bands", lit(bands))
       .withColumn("band_bits", lit(bandBits))
+  }
+
+  /** [[historicalNearSignaturesAppend]]'s banded twin: fold one new
+    * wave of documents into an existing band-key artifact — config
+    * from the artifact's own stamp, set-union semantics, so the
+    * append equals a from-scratch derivation over the union row for
+    * row (spec-asserted); only the new wave is signed. */
+  def historicalNearBandKeysAppend(history: DataFrame,
+      newDocs: DataFrame, textCol: String): DataFrame = {
+    val cfg = history.select(col("bands"), col("band_bits"))
+      .limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "cannot append to an EMPTY banded near-dup history - derive " +
+          "the founding wave with historicalNearBandKeys"))
+    val (bands, bandBits) = (cfg.getInt(0), cfg.getInt(1))
+    validateBandHistory(history, bands, bandBits)
+    history.unionByName(
+        historicalNearBandKeys(newDocs, textCol, bands, bandBits))
+      .distinct()
   }
 
   /** BANDED near-dup dedup — the RECALL lever q143's width table

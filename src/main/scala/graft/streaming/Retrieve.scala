@@ -59,9 +59,10 @@ object Retrieve {
     * re-derives the legs from raw tables (right for ad-hoc or
     * index-less corpora); this one assumes the nightly build. */
   def hybridServeAtRest(dir: String, ws: Int = 1, wd: Int = 1,
-      probeRadius: Int = 1)(batch: DataFrame, batchId: Long): DataFrame =
+      probeRadius: Int = 1, maxScorePrune: Boolean = false)
+      (batch: DataFrame, batchId: Long): DataFrame =
     graft.operators.Pipeline.hybridServeAtRest(batch.sparkSession, dir,
-      batch, ws, wd, probeRadius)
+      batch, ws, wd, probeRadius, maxScorePrune = maxScorePrune)
 
   /** The PURE-DENSE composed-ANN serving face — q145's banked IVF-PQ
     * serve per request batch: a micro-batch of `(query_id, qe)`

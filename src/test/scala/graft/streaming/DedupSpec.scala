@@ -1916,6 +1916,38 @@ class DedupSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("anti-join history appends equal a from-scratch derivation over the union") {
+    import spark.implicits._
+    val a = graft.Tables.spread(graft.Tables.documents(spark, sfDir))
+      .filter(col("doc_id") < 100).select("text")
+    val b = graft.Tables.spread(graft.Tables.documents(spark, sfDir))
+      .filter(col("doc_id") >= 100 && col("doc_id") < 200).select("text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    // single-signature: set-union semantics, width from the stamp
+    val appended = Dedup.historicalNearSignaturesAppend(
+      Dedup.historicalNearSignatures(a, "text", bits = 20), b, "text")
+    assert(rows(appended) ==
+      rows(Dedup.historicalNearSignatures(a.unionByName(b), "text",
+        bits = 20)))
+    // banded: same, config from the stamp
+    val appendedB = Dedup.historicalNearBandKeysAppend(
+      Dedup.historicalNearBandKeys(a, "text", bands = 3, bandBits = 9),
+      b, "text")
+    assert(rows(appendedB) ==
+      rows(Dedup.historicalNearBandKeys(a.unionByName(b), "text",
+        bands = 3, bandBits = 9)))
+    // empty artifacts have no stamp to read
+    val e = intercept[IllegalArgumentException](
+      Dedup.historicalNearSignaturesAppend(
+        Dedup.historicalNearSignatures(a, "text").limit(0), b, "text"))
+    assert(e.getMessage.contains("EMPTY"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.historicalNearBandKeysAppend(
+        Dedup.historicalNearBandKeys(a, "text").limit(0), b, "text"))
+    assert(e2.getMessage.contains("EMPTY"), e2.getMessage)
+  }
+
   test("direct stage callers get the same history-config guards as the gate") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val corpus = Seq("alpha beta gamma").toDF("text")
