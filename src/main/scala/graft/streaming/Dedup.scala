@@ -159,11 +159,17 @@ object Dedup {
     * re-read. */
   def historicalNearSignaturesAppend(history: DataFrame,
       newDocs: DataFrame, textCol: String): DataFrame = {
+    // columns first (review r20): a pre-stamp artifact hits the
+    // friendly message, not an AnalysisException; the width then
+    // comes from the stamp itself, so nothing remains to cross-check
+    require(history.columns.contains("near_sig") &&
+        history.columns.contains("bits"),
+      "near-dup history must carry (near_sig) and its width stamp " +
+        "(bits) - derive it with historicalNearSignatures")
     val bits = history.select(col("bits")).limit(1).collect().headOption
       .getOrElse(throw new IllegalArgumentException(
         "cannot append to an EMPTY near-dup history - derive the " +
           "founding wave with historicalNearSignatures")).getInt(0)
-    validateSigHistory(history, bits)
     history.unionByName(historicalNearSignatures(newDocs, textCol, bits))
       .distinct()
   }
@@ -286,15 +292,18 @@ object Dedup {
     * row (spec-asserted); only the new wave is signed. */
   def historicalNearBandKeysAppend(history: DataFrame,
       newDocs: DataFrame, textCol: String): DataFrame = {
+    require(Seq("band", "near_band", "bands", "band_bits")
+        .forall(history.columns.contains),
+      "banded near-dup history must carry (band, near_band) and its " +
+        "(bands, band_bits) stamp - derive it with " +
+        "historicalNearBandKeys")
     val cfg = history.select(col("bands"), col("band_bits"))
       .limit(1).collect().headOption
       .getOrElse(throw new IllegalArgumentException(
         "cannot append to an EMPTY banded near-dup history - derive " +
           "the founding wave with historicalNearBandKeys"))
-    val (bands, bandBits) = (cfg.getInt(0), cfg.getInt(1))
-    validateBandHistory(history, bands, bandBits)
-    history.unionByName(
-        historicalNearBandKeys(newDocs, textCol, bands, bandBits))
+    history.unionByName(historicalNearBandKeys(newDocs, textCol,
+        cfg.getInt(0), cfg.getInt(1)))
       .distinct()
   }
 
@@ -550,9 +559,11 @@ object Dedup {
     * continues across the wave boundary (an overflowing bucket
     * forgets its oldest keeper, whichever wave registered it). For
     * that continuity to equal a from-scratch derivation over the
-    * full corpus history, waves must append in event order:
-    * `asOfMs` must be ≥ every resident keeper's stamp (required,
-    * checked against the artifact — one bounded aggregate).
+    * full corpus history, waves must append in STRICT event order:
+    * `asOfMs` must be > every resident keeper's stamp (required,
+    * checked against the artifact — one bounded aggregate; a
+    * same-instant wave is registration-order-ambiguous and must
+    * re-derive).
     *
     * Cost: keying is map-side over the NEW wave only; the resident
     * artifact (the gate's own bounded state shape, ≤ cap keepers per
@@ -561,38 +572,49 @@ object Dedup {
   def historicalVerifiedKeepersAppend(history: DataFrame,
       newDocs: DataFrame, idCol: String, textCol: String,
       asOfMs: Long): DataFrame = {
+    // columns FIRST (review r20): a pre-stamp artifact must hit the
+    // friendly re-derive message, not an AnalysisException from the
+    // config read; the values then come from the stamp itself, so no
+    // further config comparison exists to fail
+    require(Seq("band", "bucket", "doc_id", "hs", "tsm",
+        "bands", "rows_per_band", "bucket_cap")
+        .forall(history.columns.contains),
+      "verified-gate history must carry (band, bucket, doc_id, hs, " +
+        "tsm) plus its (bands, rows_per_band, bucket_cap) stamp - " +
+        "derive it with historicalVerifiedKeepers")
     val cfgRow = history
-      .select(col("bands"), col("rows_per_band"), col("bucket_cap"))
-      .limit(1).collect().headOption
-      .getOrElse(throw new IllegalArgumentException(
+      .select(col("bands"), col("rows_per_band"), col("bucket_cap"),
+        col("tsm").cast("long"))
+      .agg(max(col("bands")), max(col("rows_per_band")),
+        max(col("bucket_cap")), max(col("tsm")))
+      .collect().head
+    if (cfgRow.isNullAt(0))
+      throw new IllegalArgumentException(
         "cannot append to an EMPTY verified-history artifact - derive " +
-          "the founding wave with historicalVerifiedKeepers"))
-    val (bands, rowsPerBand, cap) =
-      (cfgRow.getInt(0), cfgRow.getInt(1), cfgRow.getInt(2))
-    validateVerifiedHistory(history, bands, rowsPerBand, cap)
-    val maxTsm = history.agg(max(col("tsm"))).head().getLong(0)
-    require(asOfMs >= maxTsm,
-      s"append wave asOfMs ($asOfMs) predates the artifact's newest " +
-        s"keeper ($maxTsm) - waves must append in event order or the " +
-        "FIFO continuity with a from-scratch derivation breaks")
+          "the founding wave with historicalVerifiedKeepers")
+    val (bands, rowsPerBand, cap, maxTsm) = (cfgRow.getInt(0),
+      cfgRow.getInt(1), cfgRow.getInt(2), cfgRow.getLong(3))
+    // STRICTLY after (review r20): at asOfMs == maxTsm a from-scratch
+    // derivation interleaves the waves by docId at the tie while the
+    // append folds the new wave on top — same-instant waves are
+    // order-ambiguous, so they must re-derive instead
+    require(asOfMs > maxTsm,
+      s"append wave asOfMs ($asOfMs) does not strictly follow the " +
+        s"artifact's newest keeper ($maxTsm) - same-instant waves are " +
+        "registration-order-ambiguous; re-derive with " +
+        "historicalVerifiedKeepers instead")
     val spark = history.sparkSession
     import spark.implicits._
     val keyed = verifiedBandKeyed(
       newDocs.withColumn("__gate_ts", timestamp_millis(lit(asOfMs))),
       idCol, textCol, "__gate_ts", bands, rowsPerBand).as[NearBandDoc]
-    val resident = history
-      .select(col("band").cast("int").as("band"), col("bucket"),
-        col("doc_id").cast("long").as("docId"), col("hs"),
-        col("tsm").cast("long").as("tsm"))
-      .as[(Int, Long, Long, Seq[Long], Long)]
-    resident.groupByKey(r => (r._1, r._2))
+    residentVerifiedEntries(history).groupByKey(_._1)
       .cogroup(keyed.groupByKey(r => (r.band, r.bucket))) {
         (key: (Int, Long),
-            hrows: Iterator[(Int, Long, Long, Seq[Long], Long)],
+            hstates: Iterator[((Int, Long), NearVerifiedState)],
             nrows: Iterator[NearBandDoc]) =>
-          val entries0 = hrows
-            .map(r => NearVerifiedEntry(r._3, r._4.toArray, r._5))
-            .toList.sortBy(e => (e.tsm, e.docId))
+          val entries0 = hstates.toSeq.headOption
+            .map(_._2.entries).getOrElse(Nil)
           val (entries, _) = foldVerifiedArrivals(entries0, nrows.toSeq, cap)
           entries.iterator.map(e =>
             (key._1, key._2, e.docId, e.hs.toSeq, e.tsm))
@@ -601,6 +623,29 @@ object Dedup {
       .withColumn("bands", lit(bands))
       .withColumn("rows_per_band", lit(rowsPerBand))
       .withColumn("bucket_cap", lit(cap))
+  }
+
+  /** The ONE resident-artifact decoder behind the gate's initial
+    * state and [[historicalVerifiedKeepersAppend]]'s fold base: one
+    * `NearVerifiedState` per (band, bucket), entries in registration
+    * order ((tsm, docId) — cross-wave ties are excluded by the
+    * append's strict event-order guard, and within one wave the
+    * founding derivation itself registered in docId order). */
+  private def residentVerifiedEntries(h: DataFrame)
+      : org.apache.spark.sql.Dataset[((Int, Long), NearVerifiedState)] = {
+    val spark = h.sparkSession
+    import spark.implicits._
+    h.select(col("band").cast("int").as("band"), col("bucket"),
+        col("doc_id").cast("long").as("docId"), col("hs"),
+        col("tsm").cast("long").as("tsm"))
+      .as[(Int, Long, Long, Seq[Long], Long)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (Int, Long),
+          rows: Iterator[(Int, Long, Long, Seq[Long], Long)]) =>
+        (key, NearVerifiedState(rows
+          .map(r => NearVerifiedEntry(r._3, r._4.toArray, r._5))
+          .toList.sortBy(e => (e.tsm, e.docId))))
+      }
   }
 
   /** Fail loudly when a [[historicalVerifiedKeepers]] artifact doesn't
@@ -719,21 +764,10 @@ object Dedup {
           processNearVerifiedBucket(horizonMs, bucketCap))
       case Some(h) =>
         // the artifact's rows fold into one NearVerifiedState per
-        // (band, bucket), entries in registration order ((tsm, id) —
-        // the bootstrap registered in id order, so FIFO continuity
-        // across the initial-state boundary is exact)
-        val initial = h
-          .select(col("band").cast("int").as("band"), col("bucket"),
-            col("doc_id").cast("long").as("docId"), col("hs"),
-            col("tsm").cast("long").as("tsm"))
-          .as[(Int, Long, Long, Seq[Long], Long)]
-          .groupByKey(r => (r._1, r._2))
-          .mapGroups { (key: (Int, Long),
-              rows: Iterator[(Int, Long, Long, Seq[Long], Long)]) =>
-            (key, NearVerifiedState(rows
-              .map(r => NearVerifiedEntry(r._3, r._4.toArray, r._5))
-              .toList.sortBy(e => (e.tsm, e.docId))))
-          }
+        // (band, bucket) via the ONE resident decoder shared with the
+        // append (review r20) — registration order ((tsm, id)), so
+        // FIFO continuity across the initial-state boundary is exact
+        val initial = residentVerifiedEntries(h)
           .groupByKey(_._1).mapValues(_._2)
         grouped.flatMapGroupsWithState(
           org.apache.spark.sql.streaming.OutputMode.Append,

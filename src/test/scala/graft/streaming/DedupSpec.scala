@@ -1778,12 +1778,25 @@ class DedupSpec extends SparkSpec {
       assert(got == Map(10L -> ((false, 2L)), 11L -> ((true, -1L)),
         12L -> ((false, 5L))), s"got $got")
     } finally query.stop()
-    // event-order guard: a wave predating the newest resident keeper
-    // breaks FIFO continuity and must fail loudly
+    // event-order guard: a wave at or before the newest resident
+    // keeper is registration-order-ambiguous vs a from-scratch
+    // derivation (same-instant ties interleave by docId there) and
+    // must fail loudly - both strictly-before and the tie itself
     val e = intercept[IllegalArgumentException](
       Dedup.historicalVerifiedKeepersAppend(hist, wave, "doc_id", "text",
         asOfMs = 500L))
-    assert(e.getMessage.contains("predates"), e.getMessage)
+    assert(e.getMessage.contains("strictly"), e.getMessage)
+    val eTie = intercept[IllegalArgumentException](
+      Dedup.historicalVerifiedKeepersAppend(hist, wave, "doc_id", "text",
+        asOfMs = 1000L))
+    assert(eTie.getMessage.contains("strictly"), eTie.getMessage)
+    // a pre-stamp artifact hits the friendly re-derive message, not
+    // an AnalysisException from the config read (review r20)
+    val ePre = intercept[IllegalArgumentException](
+      Dedup.historicalVerifiedKeepersAppend(hist.drop("bucket_cap"),
+        wave, "doc_id", "text", asOfMs = 2000L))
+    assert(ePre.getMessage.contains("historicalVerifiedKeepers"),
+      ePre.getMessage)
     // an empty artifact has no config stamp to read
     val e2 = intercept[IllegalArgumentException](
       Dedup.historicalVerifiedKeepersAppend(hist.limit(0), wave,
