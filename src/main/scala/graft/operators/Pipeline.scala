@@ -792,7 +792,8 @@ object Pipeline {
     * scan with a catalog-carried corpus VERSION (O(1)); the content
     * hash is the stand-in for sources without one. */
   private[graft] def corpusFingerprint(rel: DataFrame): (Long, Long, Long) = {
-    val h = xxhash64(rel.columns.map(c => col(c).cast("string")): _*)
+    val h = xxhash64(
+      rel.columns.toIndexedSeq.map(c => col(c).cast("string")): _*)
     val r = rel.agg(count(lit(1)).as("n"),
       coalesce(bit_xor(h), lit(0L)).as("h"),
       coalesce(pmod(sum(h.cast(DecimalType(38, 0))), lit(FpSumPrime)),
