@@ -156,9 +156,17 @@ object Graph {
           .select(col("v").as("u"), col("m").as("v"))
           .union(mSmall.select(col("u"), col("m").as("v")))
           .distinct())
-        // fixpoint = identical canonical edge sets (counts + empty diff)
-        val nextCount = next.count()
-        converged = nextCount == eCount && next.except(e).isEmpty
+        // fixpoint = identical canonical edge sets. r21: ONE probe job
+        // — both relations are distinct by construction, so "next ⊆ e"
+        // is "every next row finds its e row" (count(inE) == count(*)
+        // over a multiplicity-1 left join), and with equal counts that
+        // is set equality — the same decision the former count() +
+        // except().isEmpty pair made in two jobs, minus except's extra
+        // distinct exchange.
+        val probe = next.join(e.withColumn("inE", lit(1)), Seq("u", "v"), "left")
+          .agg(count(lit(1)).as("n"), count(col("inE")).as("m")).head()
+        val nextCount = probe.getLong(0)
+        converged = nextCount == eCount && probe.getLong(1) == nextCount
         freeLarge()
         freeE()
         e = next

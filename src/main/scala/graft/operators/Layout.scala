@@ -14,10 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Write `df` as a bucketed, sorted managed table. */
+  /** Write `df` as a bucketed, sorted managed table.
+    *
+    * r21 (guide §6 small files): the write first CLUSTERS rows by the
+    * bucket hash into `numBuckets` partitions — `repartition(n, col)`
+    * and Spark's bucket spec share the Murmur3 hash, so every output
+    * task holds whole buckets and writes ONE file per bucket it owns
+    * (≤ numBuckets files total) instead of tasks × buckets tiny files
+    * (32 scan partitions × 32 buckets = up to 1024 files per build —
+    * the dominant cost of every index build AND of each later bucketed
+    * scan's file opens). Bucket contents, sort order, and every serve
+    * plan are unchanged; the added exchange is the standard
+    * write-clustering trade a 100 TB ingest wants anyway. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       numBuckets: Int): Unit =
-    df.write
+    df.repartition(numBuckets, col(key))
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, key)
       .sortBy(key)

@@ -242,26 +242,28 @@ object Pipeline {
     * (q24/q50/q102/q124 via [[verifiedNearDupPairs]]; q131 directly).
     * Returned UNPERSISTED: each consumer owns its residency. */
   private def shingleHashSets(corpus: DataFrame): DataFrame =
+    // r21: ONE native compiled pass per row (ShingleHashSorted) — the
+    // zip_with shingle fold + per-shingle interpreted md5 transform +
+    // distinct + sort chain was the dedup family's dominant map-side
+    // cost (guide §4); hashes are bit-identical (spec-pinned) and the
+    // n < k empty-array / size filter semantics are unchanged
     corpus
-      .withColumn("shingles", wordShingles(split(col("text"), " "), ShingleK))
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), array_sort(array_distinct(
-        transform(col("shingles"), s => portableHashMod(s)))).as("hs"))
+      .withColumn("hs", graft.expressions.DedupFunctions
+        .shingleHashSetSorted(split(col("text"), " "), ShingleK))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("hs"))
 
   /** 16-hash MinHash signatures `(doc_id, msig)` over the hash-set
     * relation: explode + 16 codegen'd `min` aggregates with map-side
     * partial combine (see the q24 scaladoc for why NOT nested array
     * lambdas — the 50× interpreted-re-evaluation trap). */
-  private def minhashSigs(base: DataFrame): DataFrame = {
-    val hashRows = base.select(col("doc_id"), explode(col("hs")).as("x"))
-    val minCols = (0 until NumMinhash).map { h =>
-      min(pmod(lit(2L * h + 1) * col("x") + lit(12289L * h), lit(P))).as(s"m$h")
-    }
-    hashRows.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumMinhash).map(h => col(s"m$h")): _*).as("msig"))
-  }
+  private def minhashSigs(base: DataFrame): DataFrame =
+    // r21: map-side native signature (MinhashSigNative) — the explode +
+    // 16-min aggregation paid a full exchange of the exploded multiset
+    // per sweep; the compiled per-row pass removes that Exchange
+    // outright (guide §2.4) and computes the identical mins
+    base.select(col("doc_id"), graft.expressions.DedupFunctions
+      .minhashSigNative(col("hs"), NumMinhash).as("msig"))
 
   private[graft] def verifiedNearDupPairs(corpus: DataFrame): DataFrame = {
     val base = shingleHashSets(corpus).persist(CacheLevel)
@@ -1910,6 +1912,26 @@ object Pipeline {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  /** The (cfg, b, bsig) band-bucket relation of EVERY config in one
+    * projection (r21, guide §2.4/§2.6): per config the identical
+    * md5-band-hash over the signature's first bands·r hashes the
+    * per-config loop used to derive — concatenated with a config
+    * index so all configs share one candidate self-join and one
+    * report aggregation instead of 2 jobs per config. */
+  private def allConfigBands(sigs: DataFrame,
+      configs: Seq[(Int, Int)]): DataFrame = {
+    val perCfg = configs.zipWithIndex.map { case ((bC, r), ci) =>
+      transform(sequence(lit(0), lit(bC - 1)), b =>
+        struct(lit(ci).as("cfg"), b.cast("int").as("b"),
+          portableHashMod(array_join(
+            transform(slice(col("msig"), b * lit(r) + lit(1), lit(r)),
+              x => x.cast("string")), ",")).as("bsig")))
+    }
+    sigs.select(col("doc_id"), explode(concat(perCfg: _*)).as("e"))
+      .select(col("doc_id"), col("e.cfg").as("cfg"), col("e.b").as("b"),
+        col("e.bsig").as("bsig"))
+  }
+
   private[operators] def bandingSweepOver(corpus: DataFrame,
       configs: Seq[(Int, Int)]): DataFrame = {
     val spark = corpus.sparkSession
@@ -1920,25 +1942,27 @@ object Pipeline {
     sigs.count()
     val truth = exactHalfJaccardTruth(base).persist(NarrowCacheLevel)
     val nTruth = truth.count()
-    // per config: md5-band-hashed buckets → distinct candidate pairs →
-    // hits = candidates ∩ truth (truth is exact, so the semi-join IS
-    // ≥ t verification). Counts are bounded driver-side snapshots (the
-    // annRecallSweep discipline: |configs| fixed report rows).
-    val rows = configs.map { case (bC, r) =>
-      val bands = sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bC - 1)), b =>
-          portableHashMod(array_join(
-            transform(slice(col("msig"), b * lit(r) + lit(1), lit(r)),
-              x => x.cast("string")), ",")))).as(Seq("b", "bsig")))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.b") === col("y.b") && col("x.bsig") === col("y.bsig") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-        .persist(NarrowCacheLevel)
-      val nCand = cand.count()
-      val nHits = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
-      cand.unpersist(blocking = false)
+    // ALL configs in one pass (r21): md5-band-hashed buckets → distinct
+    // candidate pairs per config → hits = candidates ∩ truth (truth is
+    // exact, so the membership probe IS ≥ t verification; truth rows
+    // are unique, so the left join is multiplicity-1 and count(hit)
+    // equals the former per-config semi-join count). One self-join +
+    // one aggregation replaces 2 jobs × |configs|; per-config bucket
+    // relations, candidate sets, and counts are unchanged.
+    val bands = allConfigBands(sigs, configs)
+    val candAgg = bands.as("x").join(bands.as("y"),
+        col("x.cfg") === col("y.cfg") && col("x.b") === col("y.b") &&
+          col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.cfg").as("cfg"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .distinct()
+      .join(truth.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("cfg"))
+      .agg(count(lit(1)).as("n_cand"), count(col("hit")).as("n_hits"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = configs.zipWithIndex.map { case ((bC, r), ci) =>
+      val (nCand, nHits) = candAgg.getOrElse(ci, (0L, 0L))
       (bC, r, nTruth, nCand, nHits)
     }
     base.unpersist(blocking = false)
@@ -2115,45 +2139,63 @@ object Pipeline {
     val truth = exactHalfJaccardTruth(base).persist(NarrowCacheLevel)
     val nTruth = truth.count()
     val lens = base.select(col("doc_id"), size(col("hs")).as("n_hs"))
-    val rows = configs.flatMap { case (bC, r) =>
-      val bands = sigs.select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(bC - 1)), b =>
-            portableHashMod(array_join(
-              transform(slice(col("msig"), b * lit(r) + lit(1), lit(r)),
-                x => x.cast("string")), ",")))).as(Seq("b", "bsig")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("b"), col("bsig")).orderBy(col("doc_id"))))
-        .withColumn("occ", count(lit(1)).over(
-          Window.partitionBy(col("b"), col("bsig"))))
-        .persist(NarrowCacheLevel)
-      bands.count()
-      // per candidate pair: the MINIMUM arrival distance over its
-      // shared buckets (any-band serve, exactly the gate's OR)
-      val pairDist = bands.as("x").join(bands.as("y"),
-          col("x.b") === col("y.b") && col("x.bsig") === col("y.bsig") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          (col("y.rn") - col("x.rn")).as("dist"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(min(col("dist")).as("min_dist"))
-      val truthDist = pairDist
-        .join(truth, Seq("doc_a", "doc_b")).persist(NarrowCacheLevel)
-      val nHits = truthDist.count()
-      val sized = bands.join(lens, "doc_id")
-      val out = caps.map { cap =>
-        val nServable = truthDist
-          .filter(col("min_dist") <= cap).count()
-        val st = sized.filter(col("rn") > col("occ") - cap.toLong)
-          .agg(count(lit(1)).as("entries"),
-            (sum(col("n_hs")) * 8L).as("bytes"))
-          .head()
-        (bC, r, cap, nTruth, nHits, nServable, nHits - nServable,
-          st.getLong(0), st.getLong(1))
-      }
-      truthDist.unpersist(blocking = false)
-      bands.unpersist(blocking = false)
-      out
+    // ALL configs in one band relation (r21, the bandingSweepOver
+    // merge): `cfg` joins the window partition keys, so rn/occ per
+    // (config, bucket) are the per-config loop's values exactly; the
+    // caps collapse into conditional aggregates — 2 report jobs total
+    // instead of (2 + 2·|caps|) per config. Values are unchanged: the
+    // filter-then-count and filter-then-agg forms become count/sum of
+    // the same predicates.
+    val bands = allConfigBands(sigs, configs)
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("cfg"), col("b"), col("bsig"))
+        .orderBy(col("doc_id"))))
+      .withColumn("occ", count(lit(1)).over(Window
+        .partitionBy(col("cfg"), col("b"), col("bsig"))))
+      .persist(NarrowCacheLevel)
+    bands.count()
+    // per candidate pair: the MINIMUM arrival distance over its
+    // shared buckets (any-band serve, exactly the gate's OR)
+    val pairDist = bands.as("x").join(bands.as("y"),
+        col("x.cfg") === col("y.cfg") && col("x.b") === col("y.b") &&
+          col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.cfg").as("cfg"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        (col("y.rn") - col("x.rn")).as("dist"))
+      .groupBy(col("cfg"), col("doc_a"), col("doc_b"))
+      .agg(min(col("dist")).as("min_dist"))
+    val servAggs = count(lit(1)).as("n_hits") +: caps.zipWithIndex.map {
+      case (cap, i) =>
+        sum(when(col("min_dist") <= cap, 1L).otherwise(0L)).as(s"serv$i")
     }
+    val hitRows = pairDist.join(truth, Seq("doc_a", "doc_b"))
+      .groupBy(col("cfg")).agg(servAggs.head, servAggs.tail: _*)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), caps.indices.map(i => r.getLong(2 + i)))).toMap
+    val stateAggs = caps.zipWithIndex.flatMap { case (cap, i) =>
+      val resident = col("rn") > col("occ") - cap.toLong
+      Seq(sum(when(resident, 1L).otherwise(0L)).as(s"entries$i"),
+        (sum(when(resident, col("n_hs")).otherwise(0L)) * 8L).as(s"bytes$i"))
+    }
+    val stateRows = bands.join(lens, "doc_id")
+      .groupBy(col("cfg")).agg(stateAggs.head, stateAggs.tail: _*)
+      .collect().map(r => r.getInt(0) ->
+        caps.indices.map(i => (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))))
+      .toMap
+    val rows = configs.zipWithIndex.flatMap { case ((bC, r), ci) =>
+      val (nHits, servs) =
+        hitRows.getOrElse(ci, (0L, caps.indices.map(_ => 0L)))
+      val states =
+        stateRows.getOrElse(ci, caps.indices.map(_ => (0L, 0L)))
+      caps.zipWithIndex.map { case (cap, i) =>
+        val nServable = servs(i)
+        val (entries, bytes) = states(i)
+        (bC, r, cap, nTruth, nHits, nServable, nHits - nServable,
+          entries, bytes)
+      }
+    }
+    bands.unpersist(blocking = false)
     base.unpersist(blocking = false)
     sigs.unpersist(blocking = false)
     truth.unpersist(blocking = false)
@@ -2236,6 +2278,10 @@ object Pipeline {
         vectors.select(col("vec_id"),
           col("e").cast("array<double>").as("e")), "e")
       .select(col("vec_id"), col("e"), col("cluster"), col("mask"))
+      // r21: cluster the batch by the bucket hash first (the
+      // writeBucketed discipline) — ≤ numBuckets files per append
+      // instead of tasks × buckets
+      .repartition(IvfIndexBuckets, col("cluster"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(IvfIndexBuckets, "cluster").sortBy("cluster")
       .saveAsTable(name)
@@ -3189,6 +3235,9 @@ object Pipeline {
     if (batch.getDouble(0) == 0.0) return
     val (n2, avg2) = (batch.getDouble(0), batch.getDouble(1))
     bm25Postings(d)
+      // r21: cluster by the bucket hash first (the writeBucketed
+      // discipline) — ≤ numBuckets files per append
+      .repartition(IvfIndexBuckets, col("t"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(IvfIndexBuckets, "t").sortBy("t")
       .saveAsTable(name)
@@ -4799,20 +4848,15 @@ object Pipeline {
     * grafts onto the IVF membership (keeping its `cluster`). */
   private[graft] def pqCodeColumns(
       seeds: Seq[(Long, Seq[Double])]): (Column, Column) = {
-    val labels = typedlit(seeds.map(_._1))
-    val cbs = pqCodebookCols(seeds)
-    def dists(s: Int): Column =
-      transform(cbs(s), c => l2sq6(pqSubvec(col("e"), s), c))
-    def codeCol(s: Int): Column = {
-      val scores = transform(cbs(s), (c, i) =>
-        l2sq6(pqSubvec(col("e"), s), c) * lit(1.0e12) +
-          element_at(labels, (i + lit(1)).cast("int")))
-      (array_position(scores, array_min(scores)) - 1).cast("int")
-    }
-    (array((0 until PqSubspaces).map(codeCol): _*),
-      (0 until PqSubspaces).map(s =>
-          round(array_min(dists(s)) * lit(1.0e6), 0).cast("long"))
-        .reduce(_ + _))
+    // r21: ONE native compiled encode per row (PqEncode) — the HOF
+    // form evaluated ~2·subspaces·k interpreted rounded-L2 folds per
+    // row (each re-slicing the vector), the hottest per-row cost in
+    // the PQ family (guide §4). codes/qerr are the identical argmin/
+    // min-distance derivation (spec-pinned, oracle twins untouched);
+    // the two getFields share one encode via content-based equality.
+    val enc = graft.expressions.DedupFunctions
+      .pqEncodeStruct(col("e"), seeds, PqSubspaces, PqSubDim)
+    (enc.getField("codes"), enc.getField("qerr_micro"))
   }
 
   /** A query relation `(qid, qe)` annotated with its ADC lookup table:
