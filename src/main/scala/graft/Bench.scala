@@ -28,11 +28,29 @@ object Bench {
     def mkSession(): SparkSession = {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      val s = SparkSession.builder()
+      // r21 (guide §2.1): thread-stack sampling showed ~45% of executor
+      // CPU in shuffle-file syscalls (open/mmap/unmap) on the ext4 root
+      // — at bench scale every stage's shuffle is tiny and the file
+      // METADATA cost dominates the bytes. Local-mode scratch goes to
+      // tmpfs when available; SPARK_GRAFT_LOCAL_DIR overrides (set it
+      // to a disk path to reproduce the old layout). A cluster deploy
+      // sets spark.local.dir from its own submit conf — this default
+      // only fires for the local-mode driver contract.
+      val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty)
+        .orElse(Option("/dev/shm").filter(p => new java.io.File(p).isDirectory)
+          .map(_ + "/graft-local"))
+      val b0 = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        // r21 (guide §3.1): allow shuffled-hash joins where the build
+        // side fits — the sampled sort cost of small-side sort-merge
+        // joins buys nothing at any scale when the per-partition build
+        // side is bounded; SPARK_GRAFT_PREFER_SMJ=true restores SMJ.
+        .config("spark.sql.join.preferSortMergeJoin",
+          sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      val s = localDir.fold(b0)(d => b0.config("spark.local.dir", d))
         // Keep the 39-query run from accumulating driver state: retained
         // SQL execution metadata is driver-heap ballast, and shuffle /
         // broadcast blocks are only released when their weak refs get

@@ -27,7 +27,9 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     case class Job(id: Int, start: Long, var end: Long = 0L,
         var stages: Int = 0, var tasks: Int = 0, var taskMs: Long = 0L)
+    case class Stg(name: String, tasks: Int, taskMs: Long)
     val jobs = new scala.collection.mutable.LinkedHashMap[Int, Job]
+    val stgs = new scala.collection.mutable.ArrayBuffer[Stg]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs.synchronized { jobs(e.jobId) = Job(e.jobId, e.time) }
@@ -37,6 +39,14 @@ object Profile {
         jobs.synchronized {
           // attribute stage to the most recent unfinished job
           val info = e.stageInfo
+          val name =
+            if (!info.name.contains("graft")) {
+              info.details.split("\n")
+                .find(l => l.contains("graft.") && !l.contains("Profile"))
+                .map(_.trim).getOrElse(info.name)
+            } else info.name
+          stgs += Stg(name, info.numTasks,
+            info.taskMetrics.executorRunTime)
           jobs.values.lastOption.foreach { j =>
             j.stages += 1; j.tasks += info.numTasks
             j.taskMs += info.taskMetrics.executorRunTime
@@ -51,7 +61,7 @@ object Profile {
       go() // warm
       spark.catalog.clearCache(); System.gc(); Thread.sleep(200)
       (1 to repeat).foreach { it =>
-        jobs.synchronized { jobs.clear() }
+        jobs.synchronized { jobs.clear(); stgs.clear() }
         val t0 = System.nanoTime()
         go()
         val wall = (System.nanoTime() - t0) / 1e9
@@ -60,6 +70,14 @@ object Profile {
         println(f"\n===== $name iter $it: wall $wall%.2f s, jobs ${snap.size}, sum(job) $jobSum%.2f s, driver-gap ${wall - jobSum}%.2f s")
         snap.foreach { j =>
           println(f"  job ${j.id}%3d  ${(j.end - j.start).max(0L) / 1e3}%6.2f s  stages=${j.stages}%2d tasks=${j.tasks}%4d taskTime=${j.taskMs / 1e3}%7.2f s")
+        }
+        val byName = jobs.synchronized { stgs.toSeq }
+          .groupBy(_.name).view
+          .mapValues(s => (s.size, s.map(_.taskMs).sum)).toSeq
+          .sortBy(-_._2._2)
+        println("  -- top stages by task time --")
+        byName.take(15).foreach { case (name, (n, ms)) =>
+          println(f"  ${ms / 1e3}%7.2f s  x$n%-3d $name")
         }
         spark.catalog.clearCache(); System.gc(); Thread.sleep(200)
       }

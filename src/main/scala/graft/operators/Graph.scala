@@ -144,10 +144,18 @@ object Graph {
           .union(e.select(col("v").as("u"), col("u").as("v")))
         val mLarge = sym.groupBy(col("u"))
           .agg(least(min(col("v")), first(col("u"))).as("m"))
-        val (large, freeLarge) = scope.checkpoint(sym.join(mLarge, "u")
+        // r21: the large-star round output is a LAZY persist, not an
+        // eager checkpoint — `next`'s own materialization computes it
+        // once and its two readers (mSmall + the small-star join) hit
+        // the cache, saving one job per round; `next`'s eager
+        // checkpoint still truncates the round's lineage (large
+        // derives from `e`, a checkpointed LogicalRDD root, so plan
+        // depth stays bounded per round).
+        val large = sym.join(mLarge, "u")
           .filter(col("v") > col("u"))
           .select(col("v").as("u"), col("m").as("v"))
-          .distinct())
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // SMALL-STAR on the canonical (big -> small) form: every node u
         // links its smaller neighbors and itself to their minimum.
         val mSmall = large.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -156,6 +164,7 @@ object Graph {
           .select(col("v").as("u"), col("m").as("v"))
           .union(mSmall.select(col("u"), col("m").as("v")))
           .distinct())
+        val freeLarge: () => Unit = () => large.unpersist(blocking = false)
         // fixpoint = identical canonical edge sets. r21: ONE probe job
         // — both relations are distinct by construction, so "next ⊆ e"
         // is "every next row finds its e row" (count(inE) == count(*)

@@ -995,8 +995,11 @@ object Pipeline {
     val d = docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
-    val sparse = sparseLeg(queries, d)
-    val dense = denseLeg(queries, pqVectors(spark, dir))
+    // r21: the two legs are independent collect pipelines — overlap
+    // them (guide §2.6); both return bounded local snapshots
+    val (sparse, dense) = par2(
+      sparseLeg(queries, d),
+      denseLeg(queries, pqVectors(spark, dir)))
     if (coverage)
       rrfFuseCoverage(sparse, dense, pqVectors(spark, dir).select(col("vec_id")))
     else rrfFuseWeighted(sparse, dense, ws, wd)
@@ -1086,6 +1089,11 @@ object Pipeline {
     * the corpus df), k1 = 1.2 / b = 0.75, each weight rounded to
     * int64 micro BEFORE any cross-partition sum. */
   private def bm25WMicro(tf: DataFrame, stats: DataFrame): DataFrame = {
+    // (r21 note: a window-form df — count over partitionBy(t) — was
+    // A/B'd and REVERTED: it wins ~1 s on 10-query panels but loses
+    // ~1.5 s on the 64-query eval panels, whose larger query-vocab tf
+    // makes the full sort+window costlier than this slim groupBy +
+    // broadcast join-back.)
     val df_ = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(df_), "t").crossJoin(broadcast(stats))
       .withColumn("w",
@@ -1252,6 +1260,22 @@ object Pipeline {
     snapshotAndFree(leg)
   }
 
+  /** Run two INDEPENDENT derivations concurrently (guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially — a second in-flight job back-fills executors the
+    * first job's stage tails leave idle). Results and all Spark state
+    * are unaffected: the thunks share no relation except persisted
+    * ones, whose concurrent materialization the block manager
+    * serializes per block. Exceptions from either side propagate. */
+  private def par2[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val f = Future(fa)
+    val b = fb
+    (Await.result(f, Duration.Inf), b)
+  }
+
   /** Collect a BOUNDED relation into a local snapshot, release the
     * given resident relations, and return the snapshot as a
     * LocalRelation DataFrame — the annRecallSweep discipline as a
@@ -1313,10 +1337,12 @@ object Pipeline {
     // sparseLegAdaptive's honest negative verdict on max-score at
     // every measured scale (PLANS §r20); either setting is
     // row-identical for the top-k, so no oracle row depends on it
-    val sparse = sparseLegAdaptive(queries, spark.table(inv),
-      spark.table(inv + "_stats"), maxScorePrune)
-    val dense = denseLegFromIndex(spark.table(idx),
-      spark.table(idx + "_routing"), queries, probeRadius)
+    // r21: overlap the two independent leg pipelines (guide §2.6)
+    val (sparse, dense) = par2(
+      sparseLegAdaptive(queries, spark.table(inv),
+        spark.table(inv + "_stats"), maxScorePrune),
+      denseLegFromIndex(spark.table(idx),
+        spark.table(idx + "_routing"), queries, probeRadius))
     // the at-rest dense corpus membership IS the index member list
     if (coverage)
       rrfFuseCoverage(sparse, dense, spark.table(idx).select(col("vec_id")))
@@ -1483,9 +1509,10 @@ object Pipeline {
     * harness — run on a seeded sample against the production index. */
   def q135RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
     val (queries, dPlant, ePlant) = retrievalEvalFixture(spark, dir)
-    // the legs come back as bounded local snapshots (legK·|panel|)
-    val sparse = sparseLeg(queries, dPlant)
-    val dense = denseLeg(queries, ePlant)
+    // the legs come back as bounded local snapshots (legK·|panel|);
+    // r21: they are independent pipelines — overlap them (guide §2.6)
+    val (sparse, dense) = par2(
+      sparseLeg(queries, dPlant), denseLeg(queries, ePlant))
     val fused = rrfFuse(sparse, dense)
     def evalMethod(rel: DataFrame, rankName: String, method: String,
         depth: Int): DataFrame =
@@ -1558,26 +1585,29 @@ object Pipeline {
     * task: find the planted twin). */
   def q139PrunedEval(spark: SparkSession, dir: String): DataFrame = {
     val (queries, dPlant, ePlant) = retrievalEvalFixture(spark, dir)
-    val sparse = sparseLeg(queries, dPlant)
-    val members = mapSideFineClusters(ePlant,
-      labelCentroids(spark, dir), ClusterTargetOccupancy)
-      .persist(CacheLevel)
-    members.count()
-    val q = probeExpand(
-      members.join(queries.select(col("query_id")),
-          col("vec_id") === col("query_id"))
-        .select(col("vec_id").as("query_id"), col("e").as("qe"),
-          col("cluster"), col("mask")),
-      1)
-    val leg = members.join(broadcast(q), Seq("cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("doc_id"),
-        round(vecCosine(col("qe"), col("e")), 6).as("c6"))
-      .withColumn("drk", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("c6").desc, col("doc_id"))))
-      .filter(col("drk") <= HybridLegK)
-      .select(col("query_id"), col("doc_id"), col("drk"))
-    val denseP = snapshotAndFree(leg, members)
+    // r21: the sparse leg and the IVF-pruned dense pipeline (members
+    // build + leg snapshot) are independent — overlap them (§2.6)
+    val (sparse, denseP) = par2(sparseLeg(queries, dPlant), {
+      val members = mapSideFineClusters(ePlant,
+        labelCentroids(spark, dir), ClusterTargetOccupancy)
+        .persist(CacheLevel)
+      members.count()
+      val q = probeExpand(
+        members.join(queries.select(col("query_id")),
+            col("vec_id") === col("query_id"))
+          .select(col("vec_id").as("query_id"), col("e").as("qe"),
+            col("cluster"), col("mask")),
+        1)
+      val leg = members.join(broadcast(q), Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          round(vecCosine(col("qe"), col("e")), 6).as("c6"))
+        .withColumn("drk", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("c6").desc, col("doc_id"))))
+        .filter(col("drk") <= HybridLegK)
+        .select(col("query_id"), col("doc_id"), col("drk"))
+      snapshotAndFree(leg, members)
+    })
     val fused = rrfFuse(sparse, denseP)
     def evalMethod(rel: DataFrame, rankName: String, method: String,
         depth: Int): DataFrame =
@@ -1635,9 +1665,10 @@ object Pipeline {
   def q136FusionWeights(spark: SparkSession, dir: String): DataFrame = {
     val (queries, dPlant, ePlant) = retrievalEvalFixture(spark, dir)
     // legs are bounded local snapshots: the five grid rows re-rank
-    // them for free — the knob costs |grid| re-ranks, not serves
-    val sparse = sparseLeg(queries, dPlant)
-    val dense = denseLeg(queries, ePlant)
+    // them for free — the knob costs |grid| re-ranks, not serves;
+    // r21: the legs overlap (guide §2.6)
+    val (sparse, dense) = par2(
+      sparseLeg(queries, dPlant), denseLeg(queries, ePlant))
     val rows = FusionWeights.map { case (ws, wd) =>
       twinEval(queries, rrfFuseWeighted(sparse, dense, ws, wd), "rk")
         .select(lit(ws).cast("int").as("w_sparse_q"),
@@ -1667,8 +1698,9 @@ object Pipeline {
     * for the coverage flag). */
   def q140CoverageFusion(spark: SparkSession, dir: String): DataFrame = {
     val (queries, dPlant, ePlant) = retrievalEvalFixture(spark, dir)
-    val sparse = sparseLeg(queries, dPlant)
-    val dense = denseLeg(queries, ePlant)
+    // r21: the legs overlap (guide §2.6)
+    val (sparse, dense) = par2(
+      sparseLeg(queries, dPlant), denseLeg(queries, ePlant))
     val plain = rrfFuse(sparse, dense)
     val cov = rrfFuseCoverage(sparse, dense, ePlant.select(col("vec_id")))
     def evalMethod(rel: DataFrame, method: String): DataFrame =
@@ -2096,18 +2128,33 @@ object Pipeline {
       s"graft_q150_inv_$suf")
     try {
       val e = pqVectors(spark, dir)
-      val (members, routing) = mapSideFineClustersWithRouting(e,
-        labelCentroids(spark, dir), ClusterTargetOccupancy)
-      Layout.writeIvfIndex(members, routing, ivf, IvfIndexBuckets)
-      buildPqIndex(e, pq)
-      buildInvIndex(spark, inv, docs(spark, dir))
-      // the planted replay: one %17 batch appended a second time into
-      // each family through the production append paths
+      // r21 (guide §2.6): the three families are INDEPENDENT
+      // build-then-append pipelines over different tables — run them
+      // concurrently so each family's stage tails back-fill the
+      // others' idle executors; within a family the append still
+      // strictly follows its build. Same tables, same planted
+      // replay, same audit rows.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
       val delta = e.filter(col("vec_id") % 17 === 0)
-      indexAppend(spark, ivf, delta)
-      pqIndexAppend(spark, pq, delta)
-      invIndexAppend(spark, inv,
-        docs(spark, dir).filter(col("doc_id") % 17 === 0))
+      val families = Seq(
+        Future {
+          val (members, routing) = mapSideFineClustersWithRouting(e,
+            labelCentroids(spark, dir), ClusterTargetOccupancy)
+          Layout.writeIvfIndex(members, routing, ivf, IvfIndexBuckets)
+          indexAppend(spark, ivf, delta)
+        },
+        Future {
+          buildPqIndex(e, pq)
+          pqIndexAppend(spark, pq, delta)
+        },
+        Future {
+          buildInvIndex(spark, inv, docs(spark, dir))
+          invIndexAppend(spark, inv,
+            docs(spark, dir).filter(col("doc_id") % 17 === 0))
+        })
+      families.foreach(Await.result(_, Duration.Inf))
       val audit = indexDuplicateAudit(spark, ivf, Seq("vec_id"),
           "ivf_members")
         .unionByName(indexDuplicateAudit(spark, pq, Seq("vec_id"),
@@ -5756,25 +5803,38 @@ object Pipeline {
       .persist(CacheLevel)
     s2.count()
     // stage 3 — near-dup cluster keepers over the s2 survivors: drop
-    // every cluster member except the q111 keeper
-    val edges = verifiedNearDupPairs(s2.select(col("doc_id"), col("text")))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val labels = Graph.connectedComponentsStar(edges)
-    val keepers = labels
-      .join(s2.select(col("doc_id").as("node"),
-        length(col("text")).cast("long").as("len")), "node")
-      .groupBy(col("label"))
-      .agg(max_by(col("node"),
-        col("len") * lit(1000000000L) - col("node")).as("keep_id"))
-    // the drop lists are REUSED by every later stage's derivation AND
-    // rollup (s3 feeds s4 feeds s5; each rollup re-executes its
-    // lineage) — persist the two expensive ones so the LSH+CC chain
-    // and the 8-gram semi-join run exactly once per funnel execution
-    val dupDrops = labels.join(keepers, "label")
-      .filter(col("node") =!= col("keep_id"))
-      .select(col("node").as("doc_id"))
+    // every cluster member except the q111 keeper. r21 (guide §2.6):
+    // the LSH+CC chain and the decontam eval side (8-gram hashes +
+    // Bloom build) share nothing — overlap them.
+    def dupDropsOf(): DataFrame = {
+      val edges = verifiedNearDupPairs(s2.select(col("doc_id"), col("text")))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val labels = Graph.connectedComponentsStar(edges)
+      val keepers = labels
+        .join(s2.select(col("doc_id").as("node"),
+          length(col("text")).cast("long").as("len")), "node")
+        .groupBy(col("label"))
+        .agg(max_by(col("node"),
+          col("len") * lit(1000000000L) - col("node")).as("keep_id"))
+      // the drop lists are REUSED by every later stage's derivation AND
+      // rollup (s3 feeds s4 feeds s5; each rollup re-executes its
+      // lineage) — persist the two expensive ones so the LSH+CC chain
+      // and the 8-gram semi-join run exactly once per funnel execution
+      val dd = labels.join(keepers, "label")
+        .filter(col("node") =!= col("keep_id"))
+        .select(col("node").as("doc_id"))
+        .persist(NarrowCacheLevel)
+      dd.count()
+      dd
+    }
+    // the eval side is the SHARED [[wordGramHashes]] derivation — the
+    // same artifact the streaming decontamGate compiles into its
+    // map-side verdict, so batch funnel and ingest gate agree
+    val evalGrams = wordGramHashes(
+      d.filter(col("doc_id") % FunnelEvalMod === 0), "text")
       .persist(NarrowCacheLevel)
-    dupDrops.count()
+    val (dupDrops, mightContain) = par2(dupDropsOf(),
+      bloomMightContain(evalGrams, DecontamBloomBits))
     val s3 = s2.join(dupDrops, Seq("doc_id"), "left_anti")
     // stage 4 — decontamination: drop survivors sharing any word-8-gram
     // with the eval benchmark (Bloom-pruned exact semi-join)
@@ -5782,13 +5842,6 @@ object Pipeline {
       .select(col("doc_id"),
         explode(wordShingles(split(col("text"), " "), 8)).as("gram"))
       .select(col("doc_id"), portableHashMod(col("gram")).as("h"))
-    // the eval side is the SHARED [[wordGramHashes]] derivation — the
-    // same artifact the streaming decontamGate compiles into its
-    // map-side verdict, so batch funnel and ingest gate agree
-    val evalGrams = wordGramHashes(
-      d.filter(col("doc_id") % FunnelEvalMod === 0), "text")
-      .persist(NarrowCacheLevel)
-    val mightContain = bloomMightContain(evalGrams, DecontamBloomBits)
     val contaminated = gramsOf(s3)
       .filter(mightContain(col("h")))
       .join(evalGrams, Seq("h"), "left_semi")
@@ -6139,32 +6192,45 @@ object Pipeline {
     exact.count()
     // probe clusters via the SHARED [[probeExpand]] serve expansion,
     // so this sweep measures byte-for-byte the candidate sets the
-    // q118/q120/q121 serve paths scan at each radius
-    def cands(qrel: DataFrame): DataFrame =
-      members.select(col("vec_id"), col("e"), col("cluster"))
-        .join(broadcast(qrel), Seq("cluster"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(vecCosine(col("qe"), col("e")), 4).as("c4"))
-    def sweep(radius: Int, cand: DataFrame): DataFrame = {
-      val top = cand
-        .withColumn("rk",
-          row_number().over(byQ.orderBy(col("c4").desc, col("vec_id"))))
-        .filter(col("rk") <= TopK)
-        .join(exact, Seq("qid", "vec_id"), "left_semi")
-      queries.agg(count(lit(1)).as("n_queries"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-        .crossJoin(top.agg(count(lit(1)).as("n_hits")))
-        .select(lit(radius).cast("int").as("radius"),
-          col("n_queries"), col("n_candidates"),
-          round(col("n_candidates").cast("double") / col("n_queries"), 6)
-            .as("avg_candidates"),
-          col("n_hits"),
-          round(col("n_hits").cast("double") / (col("n_queries") * TopK), 6)
-            .as("recall_at_5"))
-    }
-    val out = radii.map(r => sweep(r, cands(probeExpand(queries, r))))
-      .reduce(_ unionByName _)
+    // q118/q120/q121 serve paths scan at each radius. r21: ALL radii
+    // ride one tagged query relation through ONE candidate join, one
+    // (radius, qid) window, and one aggregation — the per-radius
+    // union used to recompute the candidate join twice per radius
+    // (n_candidates + top-k branches) inside a single wide job.
+    // Per-radius candidate sets, ranks, and counts are unchanged
+    // (exact is unique per (qid, vec_id), so the left join is
+    // multiplicity-1 and the conditional count equals the former
+    // top-k semi-join count).
+    val nQueries = queries.count()
+    val tagged = radii.map(r => probeExpand(queries, r)
+      .select(lit(r).cast("int").as("radius"), col("qid"), col("qe"),
+        col("cluster"))).reduce(_ unionByName _)
+    val byRQ = Window.partitionBy(col("radius"), col("qid"))
+    val agg = members.select(col("vec_id"), col("e"), col("cluster"))
+      .join(broadcast(tagged), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("radius"), col("qid"), col("vec_id"),
+        round(vecCosine(col("qe"), col("e")), 4).as("c4"))
+      .withColumn("rk",
+        row_number().over(byRQ.orderBy(col("c4").desc, col("vec_id"))))
+      .join(exact.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy(col("radius"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("rk") <= TopK && col("hit").isNotNull, 1L)
+          .otherwise(0L)).as("n_hits"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    import spark.implicits._
+    val out = radii.map { r =>
+      val (nCand, nHits) = agg.getOrElse(r, (0L, 0L))
+      (r, nQueries, nCand, nHits)
+    }.toDF("radius", "n_queries", "n_candidates", "n_hits")
+      .select(col("radius").cast("int").as("radius"),
+        col("n_queries"), col("n_candidates"),
+        round(col("n_candidates").cast("double") / col("n_queries"), 6)
+          .as("avg_candidates"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / (col("n_queries") * TopK), 6)
+          .as("recall_at_5"))
       .orderBy(col("radius"))
     // |radii| fixed-width rows: snapshot, then release the residents
     val snapshot = out.collect()
