@@ -6550,36 +6550,53 @@ object Pipeline {
           concat(col("text"), lit(" extra token tail")), widest).as("sb"))
       .persist(NarrowCacheLevel)
     planted.count()
-    val rows = GateBandConfigs.map { case (bands, bits) =>
-      def bandKey(sig: Column, b: Int): Column =
-        shiftright(sig, b * bits).bitwiseAND(lit((1L << bits) - 1))
-      val bandRel = c.select(col("digest"),
-        posexplode(array((0 until bands).map(b => bandKey(col("sig"), b)): _*))
-          .as(Seq("b", "k")))
-      val grpMin = bandRel.groupBy(col("b"), col("k"))
-        .agg(min(col("digest")).as("mn"))
-      val falseAgg = bandRel.join(grpMin, Seq("b", "k"))
-        .groupBy(col("digest"))
-        .agg(max(when(col("mn") < col("digest"), 1L).otherwise(0L)).as("coll"))
-        .agg(count(lit(1)).as("n_base_digests"),
-          sum(col("coll")).as("n_false_collapsed"))
-      val plantedAgg = planted
-        .select(when((0 until bands)
-            .map(b => bandKey(col("sa"), b) === bandKey(col("sb"), b))
-            .reduce(_ || _), 1L).otherwise(0L).as("collapsed"))
-        .agg(count(lit(1)).as("n_planted"),
-          sum(col("collapsed")).as("n_planted_collapsed"))
-      falseAgg.crossJoin(plantedAgg)
-        .select(lit(bands).cast("int").as("bands"),
-          lit(bits).cast("int").as("band_bits"),
-          col("n_base_digests"), col("n_false_collapsed"),
-          round(col("n_false_collapsed").cast("double")
-            / col("n_base_digests"), 6).as("false_collapse_share"),
-          col("n_planted"), col("n_planted_collapsed"),
-          round(col("n_planted_collapsed").cast("double")
-            / col("n_planted"), 6).as("planted_recall"))
+    // r21 (the bandingSweepOver merge): every config's shift/mask band
+    // keys ride ONE (cfg, b, k) relation through one groupBy-join
+    // chain, and the planted-recall side is one aggregate with a
+    // conditional column per config — 2 report jobs instead of the
+    // 5-branch union's per-config exchanges. Per-config keys, group
+    // minima, and counts are unchanged.
+    def bandKeyOf(sig: Column, b: Int, bits: Int): Column =
+      shiftright(sig, b * bits).bitwiseAND(lit((1L << bits) - 1))
+    val perCfg = GateBandConfigs.zipWithIndex.map { case ((bands, bits), ci) =>
+      array((0 until bands).map(b =>
+        struct(lit(ci).as("cfg"), lit(b).as("b"),
+          bandKeyOf(col("sig"), b, bits).as("k"))): _*)
     }
-    val out = rows.reduce(_ unionByName _)
+    val bandRel = c.select(col("digest"), explode(concat(perCfg: _*)).as("e"))
+      .select(col("digest"), col("e.cfg").as("cfg"), col("e.b").as("b"),
+        col("e.k").as("k"))
+    val grpMin = bandRel.groupBy(col("cfg"), col("b"), col("k"))
+      .agg(min(col("digest")).as("mn"))
+    val falseRows = bandRel.join(grpMin, Seq("cfg", "b", "k"))
+      .groupBy(col("cfg"), col("digest"))
+      .agg(max(when(col("mn") < col("digest"), 1L).otherwise(0L)).as("coll"))
+      .groupBy(col("cfg"))
+      .agg(count(lit(1)).as("n_base_digests"),
+        sum(col("coll")).as("n_false_collapsed"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val plantedAggs = count(lit(1)).as("n_planted") +:
+      GateBandConfigs.zipWithIndex.map { case ((bands, bits), ci) =>
+        sum(when((0 until bands)
+            .map(b => bandKeyOf(col("sa"), b, bits) === bandKeyOf(col("sb"), b, bits))
+            .reduce(_ || _), 1L).otherwise(0L)).as(s"pc$ci")
+      }
+    val plantedRow = planted.agg(plantedAggs.head, plantedAggs.tail: _*).head()
+    val nPlanted = plantedRow.getLong(0)
+    import spark.implicits._
+    val out = GateBandConfigs.zipWithIndex.map { case ((bands, bits), ci) =>
+      val (nBase, nFalse) = falseRows.getOrElse(ci, (0L, 0L))
+      (bands, bits, nBase, nFalse, nPlanted, plantedRow.getLong(1 + ci))
+    }.toDF("bands0", "band_bits0", "n_base_digests", "n_false_collapsed",
+        "n_planted", "n_planted_collapsed")
+      .select(col("bands0").cast("int").as("bands"),
+        col("band_bits0").cast("int").as("band_bits"),
+        col("n_base_digests"), col("n_false_collapsed"),
+        round(col("n_false_collapsed").cast("double")
+          / col("n_base_digests"), 6).as("false_collapse_share"),
+        col("n_planted"), col("n_planted_collapsed"),
+        round(col("n_planted_collapsed").cast("double")
+          / col("n_planted"), 6).as("planted_recall"))
       .orderBy(col("bands"), col("band_bits"))
     // 5 report rows: snapshot, release the two per-doc residents
     snapshotAndFree(out, c, planted)
