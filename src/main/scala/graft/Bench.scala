@@ -25,32 +25,17 @@ object Bench {
       Runtime.getRuntime.availableProcessors.toString)
     // one builder, two callers: the suite session, and the per-query
     // fresh sessions of the isolated re-measure pass below
+    // Session defaults (tmpfs scratch, join/AQE knobs) live in
+    // graft.Sessions — ONE builder shared with Verify and Profile so a
+    // correctness run and a profile exercise the exact session the
+    // bench times. r22 knob changes (preferSortMergeJoin back to true,
+    // AQE bounded-build-side SHJ, advisory-size partition coalescing)
+    // are documented there and in OPTIMIZATION_r22.md; all are
+    // env-revertable.
     def mkSession(): SparkSession = {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      // r21 (guide §2.1): thread-stack sampling showed ~45% of executor
-      // CPU in shuffle-file syscalls (open/mmap/unmap) on the ext4 root
-      // — at bench scale every stage's shuffle is tiny and the file
-      // METADATA cost dominates the bytes. Local-mode scratch goes to
-      // tmpfs when available; SPARK_GRAFT_LOCAL_DIR overrides (set it
-      // to a disk path to reproduce the old layout). A cluster deploy
-      // sets spark.local.dir from its own submit conf — this default
-      // only fires for the local-mode driver contract.
-      val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty)
-        .orElse(Option("/dev/shm").filter(p => new java.io.File(p).isDirectory)
-          .map(_ + "/graft-local"))
-      val b0 = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        // r21 (guide §3.1): allow shuffled-hash joins where the build
-        // side fits — the sampled sort cost of small-side sort-merge
-        // joins buys nothing at any scale when the per-partition build
-        // side is bounded; SPARK_GRAFT_PREFER_SMJ=true restores SMJ.
-        .config("spark.sql.join.preferSortMergeJoin",
-          sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
-      val s = localDir.fold(b0)(d => b0.config("spark.local.dir", d))
+      val s = Sessions.localBuilder(cpus)
         // Keep the 39-query run from accumulating driver state: retained
         // SQL execution metadata is driver-heap ballast, and shuffle /
         // broadcast blocks are only released when their weak refs get
@@ -58,10 +43,6 @@ object Bench {
         // measured 2-4x slower than the same query in isolation.
         .config("spark.sql.ui.retainedExecutions", "4")
         .config("spark.cleaner.periodicGC.interval", "15s")
-        // wide plans (q61's composed pipeline) trip the plan-string
-        // truncation WARN mid-run otherwise — one more line in the
-        // captured tail that breaks the driver's one-line JSON parse
-        .config("spark.sql.debug.maxToStringFields", "2000")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s

@@ -15,14 +15,11 @@ object Profile {
     val repeat = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // the shared graft.Sessions builder (tmpfs scratch + join/AQE
+    // knobs): a profile attributes the exact session the bench times
+    val spark = Sessions.localBuilder(cpus)
       .config("spark.sql.ui.retainedExecutions", "4")
       .config("spark.cleaner.periodicGC.interval", "15s")
-      .config("spark.sql.debug.maxToStringFields", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     case class Job(id: Int, start: Long, var end: Long = 0L,

@@ -9,22 +9,10 @@ object Verify {
     // default to every core (the driver only passes sfDir/outDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    // r21: same local-mode scratch + join-strategy defaults as Bench
-    // (tmpfs shuffle dirs when present, shuffled-hash joins allowed) —
-    // a correctness run exercises the exact session the bench times
-    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty)
-      .orElse(Option("/dev/shm").filter(p => new java.io.File(p).isDirectory)
-        .map(_ + "/graft-local"))
-    val b0 = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.debug.maxToStringFields", "2000")
-      .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
-    val spark = localDir.fold(b0)(d => b0.config("spark.local.dir", d))
-      .getOrCreate()
+    // r22: the shared graft.Sessions builder (same tmpfs scratch and
+    // join/AQE defaults as Bench) — a correctness run exercises the
+    // exact session the bench times
+    val spark = Sessions.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the CC queries' checkpoint-release WARN suppression is scoped
     // inside Graph.checkpointRound (see Bench.scala)
