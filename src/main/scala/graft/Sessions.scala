@@ -30,13 +30,18 @@ import org.apache.spark.sql.SparkSession
   *    conversion requires threshold ≥ advisory) and bounds the
   *    per-task build map at any corpus size.
   *  - `spark.sql.adaptive.coalescePartitions.parallelismFirst` →
-  *    false (r22, guide §2.2 + the Spark tuning doc's own
-  *    recommendation): respect the 64 MB advisory size when AQE
-  *    coalesces post-shuffle partitions instead of fanning tiny
-  *    shuffles out to `defaultParallelism`. At 100 TB this is the
-  *    documented production posture (100 MB–1 GB partitions); at
-  *    bench scale it removes the 32-task fixed cost every KB-sized
-  *    exchange paid. Scan-side parallelism is untouched.
+  *    Spark's default TRUE, kept deliberately after a measured A/B
+  *    (r22): bytes-first coalescing (false, the tuning doc's cluster
+  *    posture) folded the CPU-heavy integer-scoring exchanges of the
+  *    BM25/eval family into ONE 64 MB-advisory partition — profile
+  *    evidence: a 1-task 2.6 s job inside q135's sparse leg — and the
+  *    family's normed totals were 50.2 (false) vs 35.7 (true) over
+  *    q133/q135/q136/q139/q140. The default already coalesces
+  *    KB-sized exchanges to a single 1 MB-floor partition, so the
+  *    fixed-cost win "false" promises is already in effect; it only
+  *    removes parallelism where bytes understate CPU.
+  *    `SPARK_GRAFT_PARALLELISM_FIRST=false` selects the bytes-first
+  *    posture for cluster-sizing experiments.
   */
 object Sessions {
   def localBuilder(cpus: String): SparkSession.Builder = {
@@ -57,7 +62,7 @@ object Sessions {
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_THRESHOLD", "64m"))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
     localDir.fold(b0)(d => b0.config("spark.local.dir", d))
   }
 }

@@ -346,6 +346,18 @@ object VectorFunctions {
   def vecCosine(a: Column, b: Column): Column =
     vecDot(a, b) / (vecNorm(a) * vecNorm(b))
 
+  /** Cosine with CALLER-HOISTED norms: `vecDot(a, b) / (na · nb)` —
+    * bit-identical to [[vecCosine]] whenever `na`/`nb` are [[vecNorm]]
+    * of `a`/`b` (the identical loops in the identical operand order;
+    * hoisting changes WHERE each norm is computed, never how). For a
+    * join projection where each side's vector meets many partners
+    * (r22, guide §4): [[vecCosine]] inlines BOTH norm loops per pair,
+    * so an n×q candidate scoring stage runs 3·n·q dot-length loops;
+    * projecting each side's norm BELOW the join runs n + q norm loops
+    * and n·q dots — a 3× cut in the pair stage's float work. */
+  def vecCosinePre(a: Column, na: Column, b: Column, nb: Column): Column =
+    vecDot(a, b) / (na * nb)
+
   /** Codegen'd nearest-centroid label (see [[CentroidArgmax]]):
     * argmax over `(label, centroid)` pairs of the
     * `round(cos, 6)·1e12 + label` assignment key. */

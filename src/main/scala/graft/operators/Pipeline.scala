@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.expressions.VectorFunctions.{centroidArgmax, vecCosine, vecDot, vecNorm}
+import graft.expressions.VectorFunctions.{centroidArgmax, vecCosine, vecCosinePre, vecDot, vecNorm}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -432,7 +432,11 @@ object Pipeline {
     // rationale as q24's persisted hash arrays / q31's assignment)
     val bucketed = emb.crossJoin(broadcast(maskRel))
       .withColumn("cluster", srpSignature(col("e")).bitwiseAND(col("mask")))
-      .select(col("vec_id"), col("e"), col("cluster"), col("mask"))
+      // r22: the norm rides the cache (one loop per vector at fill
+      // time) so the verification filter below runs one dot per pair
+      // instead of three (vecCosinePre)
+      .select(col("vec_id"), col("e"), vecNorm(col("e")).as("en"),
+        col("cluster"), col("mask"))
       .persist(CacheLevel)
     // one side is Hamming-1 MULTI-PROBED (hammingProbes): as the bit
     // count scales with the corpus, the chance a true dup pair is split
@@ -440,14 +444,17 @@ object Pipeline {
     // recall flat for an O(bits) expansion of one join side (the same
     // trade as q51's dominance side)
     val x = hammingProbes(bucketed)
-      .select(col("vec_id").as("vec_a"), col("e").as("ea"), col("cluster"))
-    val y = bucketed.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("cluster"))
+      .select(col("vec_id").as("vec_a"), col("e").as("ea"),
+        col("en").as("na"), col("cluster"))
+    val y = bucketed.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+      col("en").as("nb"), col("cluster"))
     // no distinct needed: with only the x side probed, an ordered pair
     // meets at most once — a's probe buckets are pairwise-distinct and
     // b occupies exactly one of them; the mirror meeting (b's probe
     // into a's bucket) is the (b, a) ordering, dropped by the < filter
     x.join(y, Seq("cluster")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", round(vecCosine(col("ea"), col("eb")), 4))
+      .withColumn("cosine",
+        round(vecCosinePre(col("ea"), col("na"), col("eb"), col("nb")), 4))
       .filter(col("cosine") >= CosineDupThreshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -474,8 +481,13 @@ object Pipeline {
     * |key| < 1e12 + 1e6 << 2^53); the DuckDB twins embed the identical
     * formula. */
   private def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cent))
-      .withColumn("cos6", round(vecCosine(col("e"), col("cvec")), 6))
+    // r22: norms hoisted below the corpus × centroids cross join
+    // (vecCosinePre — the vector norm ran once per CENTROID, the
+    // centroid norm once per corpus row; now once each)
+    e.withColumn("ne", vecNorm(col("e")))
+      .crossJoin(broadcast(cent.withColumn("nc", vecNorm(col("cvec")))))
+      .withColumn("cos6",
+        round(vecCosinePre(col("e"), col("ne"), col("cvec"), col("nc")), 6))
       .groupBy(col("vec_id"))
       .agg(max_by(col("label"), col("cos6") * 1000000000000.0 + col("label")).as("cluster"))
 
@@ -641,8 +653,10 @@ object Pipeline {
         j => when(col("mask").bitwiseAND(pow(lit(2.0), j).cast("long")) =!= 0L,
           col("cluster").bitwiseXOR(pow(lit(2.0), j).cast("long")))),
       x => x.isNotNull)
-    rel.select(col("vec_id"), col("e"),
-      explode(concat(array(col("cluster")), flips)).as("cluster"))
+    // carry columns (r22): anything beyond the consumed cluster/mask —
+    // e.g. a caller-hoisted norm column — rides through the expansion
+    rel.select(rel.columns.filter(c => c != "cluster" && c != "mask")
+      .map(col) :+ explode(concat(array(col("cluster")), flips)).as("cluster"): _*)
   }
 
   /** QUERY-side multi-probe expansion — the serve-time nprobe knob.
@@ -729,11 +743,16 @@ object Pipeline {
     val q = probeExpand(
       members.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("e").as("qe"),
-          col("cluster"), col("mask")),
+          col("cluster"), col("mask"))
+        // r22: norms hoisted below the candidate join (vecCosinePre —
+        // one norm loop per row instead of per candidate pair)
+        .withColumn("nq", vecNorm(col("qe"))),
       probeRadius)
-    val scored = members.join(broadcast(q), Seq("cluster"))
+    val scored = members.withColumn("ne", vecNorm(col("e")))
+      .join(broadcast(q), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", round(vecCosine(col("qe"), col("e")), 4))
+      .withColumn("cosine",
+        round(vecCosinePre(col("qe"), col("nq"), col("e"), col("ne")), 4))
       .select(col("query_id"), col("vec_id"), col("cosine"))
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopK.topK(TopK, col("vec_id"), col("cosine")).as("topk"))
@@ -1020,17 +1039,24 @@ object Pipeline {
   private def sparseLeg(queries: DataFrame, d: DataFrame): DataFrame = {
     val qterms = queryTerms(queries)
     val qvocab = qterms.select(col("t")).distinct()
-    // corpus postings restricted to the query vocabulary before the
-    // one (doc, term) exchange; feeds df AND scoring
-    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+    // r22 (guide §2.4): the corpus is referenced twice — postings (tf)
+    // and corpus stats — and each reference re-ran the scan + split
+    // tokenization (the profile's duplicate 26 task-seconds stage on
+    // every eval query). Tokenize ONCE: the serialized persist fills
+    // during tf's materialization scan and the stats aggregate reads
+    // the cache; released before return (no cross-query state).
+    val dTok = d.persist(CacheLevel)
+    val tf = dTok.select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
       .join(broadcast(qvocab), "t")
       .groupBy(col("doc_id"), col("dl"), col("t"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .persist(NarrowCacheLevel)
     tf.count()
-    val stats = d.agg(count(lit(1)).cast("double").as("nn"),
+    val stats = dTok.agg(count(lit(1)).cast("double").as("nn"),
       avg(col("dl")).as("avgdl"))
-    bm25MicroLeg(qterms, tf, stats)
+    val out = bm25MicroLeg(qterms, tf, stats)
+    dTok.unpersist(blocking = false)
+    out
   }
 
   /** The sparse leg served from an inverted index AT REST (q86's
@@ -1247,12 +1273,17 @@ object Pipeline {
     * LOCAL relation (snapshot), so q136's five re-fusions re-rank it
     * for free instead of re-scanning the corpus per grid row. */
   private def denseLeg(queries: DataFrame, e: DataFrame): DataFrame = {
+    // r22: norms hoisted below the cross join (vecCosinePre — each
+    // side's norm loop runs once per ROW instead of once per PAIR;
+    // bit-identical scores)
     val q = queries.select(col("query_id"),
       transform(col("qe"), x => x.cast("double")).as("qe"))
-    val leg = e.crossJoin(broadcast(q))
+      .withColumn("nq", vecNorm(col("qe")))
+    val leg = e.withColumn("ne", vecNorm(col("e"))).crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
-        round(vecCosine(col("qe"), col("e")), 6).as("c6"))
+        round(vecCosinePre(col("qe"), col("nq"), col("e"), col("ne")), 6)
+          .as("c6"))
       .withColumn("drk", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("c6").desc, col("doc_id"))))
       .filter(col("drk") <= HybridLegK)
@@ -1306,12 +1337,17 @@ object Pipeline {
     val routed = probeExpand(
       routeThroughIndex(routing,
         queries.select(col("query_id"),
-          transform(col("qe"), x => x.cast("double")).as("qe")), "qe"),
+          transform(col("qe"), x => x.cast("double")).as("qe")), "qe")
+        // r22: query norm hoisted once per query, below the candidate
+        // join (vecCosinePre — bit-identical scores)
+        .withColumn("nq", vecNorm(col("qe"))),
       probeRadius)
-    val leg = members.join(broadcast(routed), Seq("cluster"))
+    val leg = members.withColumn("ne", vecNorm(col("e")))
+      .join(broadcast(routed), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
-        round(vecCosine(col("qe"), col("e")), 6).as("c6"))
+        round(vecCosinePre(col("qe"), col("nq"), col("e"), col("ne")), 6)
+          .as("c6"))
       .withColumn("drk", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("c6").desc, col("doc_id"))))
       .filter(col("drk") <= HybridLegK)
@@ -1570,6 +1606,11 @@ object Pipeline {
       .join(base.select(col("vec_id").as("query_id"), col("e").as("qe")),
         "query_id")
       .persist(NarrowCacheLevel)
+    // r22: materialize the panel BEFORE the callers' par2 legs — a
+    // lazily-persisted relation referenced by two concurrent jobs runs
+    // its docs∩embeddings build twice (the block manager keeps one
+    // copy but both jobs pay the scan)
+    queries.count()
     (queries, dPlant, ePlant)
   }
 
@@ -1596,12 +1637,16 @@ object Pipeline {
         members.join(queries.select(col("query_id")),
             col("vec_id") === col("query_id"))
           .select(col("vec_id").as("query_id"), col("e").as("qe"),
-            col("cluster"), col("mask")),
+            col("cluster"), col("mask"))
+          // r22: norms hoisted below the candidate join (vecCosinePre)
+          .withColumn("nq", vecNorm(col("qe"))),
         1)
-      val leg = members.join(broadcast(q), Seq("cluster"))
+      val leg = members.withColumn("ne", vecNorm(col("e")))
+        .join(broadcast(q), Seq("cluster"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("doc_id"),
-          round(vecCosine(col("qe"), col("e")), 6).as("c6"))
+          round(vecCosinePre(col("qe"), col("nq"), col("e"), col("ne")), 6)
+            .as("c6"))
         .withColumn("drk", row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(col("c6").desc, col("doc_id"))))
         .filter(col("drk") <= HybridLegK)
@@ -2272,8 +2317,12 @@ object Pipeline {
       queries: DataFrame, k: Int = TopK): DataFrame = {
     val routed = routeThroughIndex(routing,
       queries.select(col("query_id"), col("qe")), "qe").drop("mask")
-    val scored = members.join(broadcast(routed), Seq("cluster"))
-      .withColumn("cosine", round(vecCosine(col("qe"), col("e")), 4))
+      // r22: norms hoisted below the candidate join (vecCosinePre)
+      .withColumn("nq", vecNorm(col("qe")))
+    val scored = members.withColumn("ne", vecNorm(col("e")))
+      .join(broadcast(routed), Seq("cluster"))
+      .withColumn("cosine",
+        round(vecCosinePre(col("qe"), col("nq"), col("e"), col("ne")), 4))
       .select(col("query_id"), col("vec_id"), col("cosine"))
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopK.topK(k, col("vec_id"), col("cosine")).as("topk"))
@@ -2376,14 +2425,16 @@ object Pipeline {
     * (random) put frequent grams in prefixes and measured 10× slower
     * on this corpus from candidate blow-up alone. */
   def q40NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // distinct (doc, gram-hash) pairs: explode → codegen'd md5 →
-    // groupBy-as-distinct (partial-aggregates map-side, unlike a
-    // .distinct() on the already-projected pair, which is the same
-    // shuffle but loses nothing — one hash exchange either way)
+    // distinct (doc, gram-hash) pairs — r22 (guide §4 + §2.4): the
+    // native ShingleHashSorted pass (bit-identical hashes, spec-pinned)
+    // replaces the interpreted zip_with gram fold + per-gram md5
+    // transform, and because its output is ALREADY distinct per doc the
+    // groupBy-as-distinct exchange the old explode→hash form needed is
+    // gone outright (the within-doc distinct happens map-side, inside
+    // the compiled pass)
     val pairs = nearDocs(spark, dir)
-      .select(col("doc_id"), explode(wordShingles(split(col("text"), " "), 2)).as("g"))
-      .select(col("doc_id"), portableHashMod(col("g")).as("h"))
-      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("_n")).drop("_n")
+      .select(col("doc_id"), explode(graft.expressions.DedupFunctions
+        .shingleHashSetSorted(split(col("text"), " "), 2)).as("h"))
     // corpus document frequency per gram — defines the global order.
     // Computed as a WINDOW over the distinct pairs (one exchange+sort
     // by h) instead of a separate groupBy + re-join (two exchanges and
@@ -3616,24 +3667,46 @@ object Pipeline {
     * compute identical integer token offsets, so the boundary
     * arithmetic is exact. */
   def q59SequencePacking(spark: SparkSession, dir: String): DataFrame = {
-    val seqTokens = 512
-    val docsPerBucket = 100
-    // persisted: the narrow tokenized relation feeds both the bucket-
-    // summary aggregation and the offset join — without it the corpus
-    // scan + split runs once per branch
-    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
+    // persisted: the narrow tokenized relation feeds the corpus count,
+    // the bucket-summary aggregation AND the offset join — without it
+    // the corpus scan + split runs once per branch
+    val d0 = docs(spark, dir).select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).as("n_tok"))
-      .withColumn("b", (col("doc_id") / docsPerBucket).cast("long"))
       .persist(NarrowCacheLevel)
+    // r22 (VERDICT r20 §next-5 carried): the packing width is
+    // CORPUS-SCALED, not the fixed 100 — a fixed width makes the
+    // level-2 summary relation grow as corpus/100 rows, and its
+    // single-partition window (the documented funnel) eventually IS a
+    // data-volume funnel. Deriving width from the materialized count
+    // caps the summary at ~2^16 rows at any corpus size; the report is
+    // WIDTH-INVARIANT by construction (the two-level scan computes the
+    // same global prefix sums for every width — PipelineSpec proves
+    // output equality across widths), so the derived width can never
+    // change an answer. At the gate SFs the floor of 100 binds,
+    // keeping the executed plan identical to the historical one.
+    val n = d0.count()
+    val docsPerBucket = math.max(100L, n / 65536L + 1L)
+    packingReport(d0, docsPerBucket)
+  }
+
+  /** The two-level packing scan behind [[q59SequencePacking]], width
+    * exposed so the spec can assert the report is identical across
+    * bucket widths (the invariance that licenses corpus-scaling it).
+    * `d` carries `(doc_id, lang, n_tok)`. */
+  private[operators] def packingReport(d: DataFrame,
+      docsPerBucket: Long): DataFrame = {
+    val seqTokens = 512
+    val db = d.withColumn("b", (col("doc_id") / docsPerBucket).cast("long"))
     // level 1: per-bucket token totals; level 2: exclusive prefix over
     // the SMALL summary relation (single-partition window over
-    // corpus/100 rows — documented, not a data-volume funnel)
-    val offsets = d.groupBy(col("b")).agg(sum(col("n_tok")).as("bt"))
+    // corpus/docsPerBucket rows — bounded by the width derivation
+    // above, not a data-volume funnel)
+    val offsets = db.groupBy(col("b")).agg(sum(col("n_tok")).as("bt"))
       .withColumn("off", coalesce(
         sum(col("bt")).over(Window.orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("b"), col("off"))
-    d.join(broadcast(offsets), "b")
+    db.join(broadcast(offsets), "b")
       .withColumn("fin", col("off") +
         sum(col("n_tok")).over(Window.partitionBy(col("b")).orderBy(col("doc_id"))))
       .withColumn("crosses",
@@ -3802,11 +3875,17 @@ object Pipeline {
     * full membership against the removed set on vec_id, one more
     * corpus-wide exchange for the same answer. */
   private def dominanceReport(members: DataFrame): DataFrame = {
-    val smaller = hammingProbes(members).select(col("cluster"),
-      col("vec_id").as("smaller_id"), col("e").as("se"))
-    val removed = members.join(smaller, "cluster")
+    // r22: norms hoisted below the quadratic cluster-mate join
+    // (vecCosinePre — the dominance filter ran three dot-length loops
+    // per PAIR; now one, with each side's norm computed per row)
+    val m = members.withColumn("ne", vecNorm(col("e")))
+    val smaller = hammingProbes(m).select(col("cluster"),
+      col("vec_id").as("smaller_id"), col("e").as("se"),
+      col("ne").as("sne"))
+    val removed = m.join(smaller, "cluster")
       .filter(col("smaller_id") < col("vec_id") &&
-        round(vecCosine(col("e"), col("se")), 4) >= CosineDupThreshold)
+        round(vecCosinePre(col("e"), col("ne"), col("se"), col("sne")), 4)
+          >= CosineDupThreshold)
       .select(col("cluster"), col("vec_id")).distinct()
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_removed"))
     members.groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
@@ -6174,14 +6253,19 @@ object Pipeline {
     val queries = members.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         col("cluster"), col("mask"))
+      // r22: query norm hoisted once, below every scoring join here
+      // (the exact corpus scan AND each radius's candidate join)
+      .withColumn("nq", vecNorm(col("qe")))
     val byQ = Window.partitionBy(col("qid"))
     // exact full-corpus top-5 per query: the q31 ranking discipline
     // (round-4 cosine desc, vec_id tiebreak — unique, both engines
     // pick one winner)
-    val exact = e.join(broadcast(queries.select(col("qid"), col("qe"))),
+    val exact = e.withColumn("ne", vecNorm(col("e")))
+      .join(broadcast(queries.select(col("qid"), col("qe"), col("nq"))),
         col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(vecCosine(col("qe"), col("e")), 4).as("c4"))
+        round(vecCosinePre(col("qe"), col("nq"), col("e"), col("ne")), 4)
+          .as("c4"))
       .withColumn("xr",
         row_number().over(byQ.orderBy(col("c4").desc, col("vec_id"))))
       .filter(col("xr") <= TopK)
@@ -6204,13 +6288,15 @@ object Pipeline {
     val nQueries = queries.count()
     val tagged = radii.map(r => probeExpand(queries, r)
       .select(lit(r).cast("int").as("radius"), col("qid"), col("qe"),
-        col("cluster"))).reduce(_ unionByName _)
+        col("nq"), col("cluster"))).reduce(_ unionByName _)
     val byRQ = Window.partitionBy(col("radius"), col("qid"))
-    val agg = members.select(col("vec_id"), col("e"), col("cluster"))
+    val agg = members.select(col("vec_id"), col("e"),
+        vecNorm(col("e")).as("ne"), col("cluster"))
       .join(broadcast(tagged), Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("radius"), col("qid"), col("vec_id"),
-        round(vecCosine(col("qe"), col("e")), 4).as("c4"))
+        round(vecCosinePre(col("qe"), col("nq"), col("e"), col("ne")), 4)
+          .as("c4"))
       .withColumn("rk",
         row_number().over(byRQ.orderBy(col("c4").desc, col("vec_id"))))
       .join(exact.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
@@ -6458,27 +6544,46 @@ object Pipeline {
           concat(col("text"), lit(" extra token tail")), widest).as("sb"))
       .persist(NarrowCacheLevel)
     planted.count()
-    val rows = GateWidths.map { bits =>
-      val falseAgg = c.groupBy(col("sig").bitwiseAND(maskOf(bits)))
-        .agg(count_distinct(col("digest")).as("nd"))
-        .agg(sum(col("nd")).as("n_base_digests"),
-          sum(col("nd") - 1).as("n_false_drops"))
-      val plantedAgg = planted
-        .select((col("sa").bitwiseAND(maskOf(bits))
+    // r22 (the q144 merge, VERDICT r21 §next-5): every width's masked
+    // signature rides ONE exploded (bits, msig) relation through a
+    // single groupBy chain — one exchange of |widths|·|c| thin rows
+    // instead of |widths| separate aggregation jobs over the cache —
+    // and the planted side is ONE aggregate with a conditional column
+    // per width (the q144 plantedAggs shape). Per-width keys,
+    // distinct-digest counts, and the derived shares are unchanged.
+    val widthRel = c.select(col("digest"),
+      explode(array(GateWidths.map(bits =>
+        struct(lit(bits).as("bits"),
+          col("sig").bitwiseAND(maskOf(bits)).as("msig"))): _*)).as("w"))
+      .select(col("digest"), col("w.bits").as("bits"), col("w.msig").as("msig"))
+    val falseRows = widthRel.groupBy(col("bits"), col("msig"))
+      .agg(count_distinct(col("digest")).as("nd"))
+      .groupBy(col("bits"))
+      .agg(sum(col("nd")).as("n_base_digests"),
+        sum(col("nd") - 1).as("n_false_drops"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val plantedAggs = count(lit(1)).as("n_planted") +:
+      GateWidths.map { bits =>
+        sum((col("sa").bitwiseAND(maskOf(bits))
           === col("sb").bitwiseAND(maskOf(bits)))
-          .cast("long").as("collapsed"))
-        .agg(count(lit(1)).as("n_planted"),
-          sum(col("collapsed")).as("n_planted_collapsed"))
-      falseAgg.crossJoin(plantedAgg)
-        .select(lit(bits).cast("int").as("bits"),
-          col("n_base_digests"), col("n_false_drops"),
-          col("n_planted"), col("n_planted_collapsed"),
-          round(col("n_false_drops").cast("double") / col("n_base_digests"), 6)
-            .as("false_drop_share"),
-          round(col("n_planted_collapsed").cast("double") / col("n_planted"), 6)
-            .as("planted_recall"))
-    }
-    val out = rows.reduce(_ unionByName _).orderBy(col("bits"))
+          .cast("long")).as(s"pw$bits")
+      }
+    val plantedRow = planted.agg(plantedAggs.head, plantedAggs.tail: _*).head()
+    val nPlanted = plantedRow.getLong(0)
+    import spark.implicits._
+    val out = GateWidths.zipWithIndex.map { case (bits, wi) =>
+      val (nBase, nFalse) = falseRows.getOrElse(bits, (0L, 0L))
+      (bits, nBase, nFalse, nPlanted, plantedRow.getLong(1 + wi))
+    }.toDF("bits0", "n_base_digests", "n_false_drops", "n_planted",
+        "n_planted_collapsed")
+      .select(col("bits0").cast("int").as("bits"),
+        col("n_base_digests"), col("n_false_drops"),
+        col("n_planted"), col("n_planted_collapsed"),
+        round(col("n_false_drops").cast("double") / col("n_base_digests"), 6)
+          .as("false_drop_share"),
+        round(col("n_planted_collapsed").cast("double") / col("n_planted"), 6)
+          .as("planted_recall"))
+      .orderBy(col("bits"))
     // 4 report rows: snapshot, release the two per-doc residents
     snapshotAndFree(out, c, planted)
   }

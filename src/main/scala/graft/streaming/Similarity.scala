@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.expressions.VectorFunctions.vecCosine
+import graft.expressions.VectorFunctions.{vecCosine, vecCosinePre, vecNorm}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -35,15 +35,20 @@ object Similarity {
     */
   def streamingMatch(stream: DataFrame, embCol: String, queries: DataFrame,
       queryIdCol: String, queryVecCol: String, threshold: Double): DataFrame = {
+    // r22: norms hoisted below the stream-static cross join
+    // (vecCosinePre — one norm loop per row/query instead of per pair)
     val q = broadcast(queries.select(
       col(queryIdCol).as("query_id"),
-      transform(col(queryVecCol), x => x.cast("double")).as("qvec")))
+      transform(col(queryVecCol), x => x.cast("double")).as("qvec"))
+      .withColumn("nqv", vecNorm(col("qvec"))))
     stream
       .withColumn("e", transform(col(embCol), x => x.cast("double")))
+      .withColumn("nse", vecNorm(col("e")))
       .crossJoin(q)
-      .withColumn("cosine", round(vecCosine(col("e"), col("qvec")), 4))
+      .withColumn("cosine",
+        round(vecCosinePre(col("e"), col("nse"), col("qvec"), col("nqv")), 4))
       .filter(col("cosine") >= threshold)
-      .drop("e", "qvec")
+      .drop("e", "nse", "qvec", "nqv")
   }
 
   /** Route each arriving embedding to its NEAREST query (the streaming
@@ -71,13 +76,17 @@ object Similarity {
     * the un-windowed form is update/complete-only. */
   def nearestQuery(stream: DataFrame, keyCol: String, embCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String): DataFrame = {
+    // r22: the same norm hoist as [[streamingMatch]]
     val q = broadcast(queries.select(
       col(queryIdCol).as("query_id"),
-      transform(col(queryVecCol), x => x.cast("double")).as("qvec")))
+      transform(col(queryVecCol), x => x.cast("double")).as("qvec"))
+      .withColumn("nqv", vecNorm(col("qvec"))))
     stream
       .withColumn("e", transform(col(embCol), x => x.cast("double")))
+      .withColumn("nse", vecNorm(col("e")))
       .crossJoin(q)
-      .withColumn("cos6", round(vecCosine(col("e"), col("qvec")), 6))
+      .withColumn("cos6",
+        round(vecCosinePre(col("e"), col("nse"), col("qvec"), col("nqv")), 6))
       .groupBy(col(keyCol))
       .agg(max_by(struct(col("query_id"), col("cos6")),
         col("cos6") * 1000000000000.0 + col("query_id")).as("best"))

@@ -23,6 +23,28 @@ class PipelineSpec extends SparkSpec {
     assert(df(1L).length == 16)
   }
 
+  test("native shingle hash set matches the HOF chain at k=2 and k=3 (q40/q24 parity)") {
+    // the q40 swap (r22) runs ShingleHashSorted at width 2 — pin the
+    // native pass against the reference HOF derivation on the real
+    // corpus at both widths actually used (2: q40; 3: the minhash
+    // family), including the short-doc empty case
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .unionByName(Seq((-1L, "one"), (-2L, "a b"), (-3L, "t t t t"))
+        .toDF("doc_id", "text"))
+    for (k <- Seq(2, 3)) {
+      val ref = d.select(col("doc_id"),
+        array_sort(array_distinct(transform(
+          wordShingles(split(col("text"), " "), k),
+          s => portableHashMod(s)))).as("hs"))
+      val native = d.select(col("doc_id"),
+        graft.expressions.DedupFunctions.shingleHashSetSorted(
+          split(col("text"), " "), k).as("hs"))
+      val refM = ref.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val natM = native.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(natM == refM, s"native shingle hashes diverge at k=$k")
+    }
+  }
+
   test("wordShingles: overlapping k-grams, short docs empty") {
     val got = Seq((1, "a b c d"), (2, "a b")).toDF("id", "text")
       .select(col("id"), wordShingles(split(col("text"), " "), 3).as("sh"))
@@ -316,6 +338,23 @@ class PipelineSpec extends SparkSpec {
     // make boundary hits common but far from universal
     assert(crossing <= nTok / 512 + 1)
     assert(crossing > 0 && crossing < nDocs)
+  }
+
+  test("q59 packing report is bucket-width invariant (licenses corpus-scaling)") {
+    // the two-level scan computes GLOBAL prefix sums, so the report
+    // must be identical for every width — including widths that slice
+    // buckets mid-document run and a width of 1 (every doc its own
+    // bucket). This invariance is what lets q59 derive docsPerBucket
+    // from the corpus count instead of a constant.
+    import org.apache.spark.sql.functions.{col, size, split}
+    val d = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tok"))
+    val ref = Pipeline.packingReport(d, 100L).collect().toSeq
+    for (w <- Seq(1L, 7L, 4096L)) {
+      val got = Pipeline.packingReport(d, w).collect().toSeq
+      assert(got == ref, s"packing report diverged at width $w")
+    }
   }
 
   test("q54 corpus mix: deterministic, strata downsampled toward the smallest") {
