@@ -226,9 +226,9 @@ object Graph {
       .select(col("l_orderkey"), col("l_suppkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
-    val support = sets.select(explode(flatten(transform(col("ss"),
-      (x, i) => transform(slice(col("ss"), i + 2, size(col("ss"))),
-        y => struct(x.as("s1"), y.as("s2")))))).as("p"))
+    // r22: the native ordered_pairs pass (see q83) — identical pairs
+    val support = sets.select(explode(
+      graft.expressions.PairFunctions.orderedPairs(col("ss"))).as("p"))
       .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(count(lit(1)).as("n"))
     // the SUPPORT relation is what's worth keeping resident: it costs

@@ -545,9 +545,11 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
-    val pairs = sets.select(explode(flatten(transform(col("ss"),
-      (x, i) => transform(slice(col("ss"), i + 2, size(col("ss"))),
-        y => struct(x.as("s1"), y.as("s2")))))).as("p"))
+    // r22 (guide §4): the nested-HOF pair expansion evaluated
+    // interpreted and sliced a fresh suffix copy per element; the
+    // native ordered_pairs pass emits identical pair structs compiled
+    val pairs = sets.select(explode(
+      graft.expressions.PairFunctions.orderedPairs(col("ss"))).as("p"))
     pairs.groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("s1"), col("s2"))
@@ -705,9 +707,9 @@ object Relational {
     val singles = os.groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
     val sets = os.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
-    val pairs = sets.select(explode(flatten(transform(col("ss"),
-      (x, i) => transform(slice(col("ss"), i + 2, size(col("ss"))),
-        y => struct(x.as("s1"), y.as("s2")))))).as("p"))
+    // r22: the native ordered_pairs pass (see q83) — identical pairs
+    val pairs = sets.select(explode(
+      graft.expressions.PairFunctions.orderedPairs(col("ss"))).as("p"))
       .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(count(lit(1)).as("n"))
     pairs

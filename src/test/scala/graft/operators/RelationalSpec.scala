@@ -6,6 +6,30 @@ import org.apache.spark.sql.functions._
 /** Relational-inventory invariants not covered by the DuckDB hash gate. */
 class RelationalSpec extends SparkSpec {
 
+  test("native ordered_pairs matches the HOF pair expansion (q83/q88/q93 parity)") {
+    import spark.implicits._
+    // the r22 swap: one compiled pass must emit the identical pair
+    // multiset as the nested transform/slice chain it replaced,
+    // including empty and singleton baskets
+    val sets = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+      .unionByName(Seq(
+        (-1L, Seq.empty[Long]), (-2L, Seq(7L)), (-3L, Seq(1L, 2L, 3L)))
+        .toDF("l_orderkey", "ss"))
+    def counted(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .groupBy(col("p.s1"), col("p.s2")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ref = counted(sets.select(explode(flatten(transform(col("ss"),
+      (x, i) => transform(slice(col("ss"), i + 2, size(col("ss"))),
+        y => struct(x.as("s1"), y.as("s2")))))).as("p")))
+    val native = counted(sets.select(explode(
+      graft.expressions.PairFunctions.orderedPairs(col("ss"))).as("p")))
+    assert(native == ref)
+    assert(native.nonEmpty && native(((1L, 2L))) >= 1L)
+  }
+
   test("q36 approx distinct stays within 5% of the exact count per group") {
     // the raw HLL estimate, bound-checked directly (q36's hashable
     // output carries the boolean contract, not the estimate)
